@@ -1,0 +1,228 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Tier B (SURVEY.md §2.2) — training-data-pipeline dedup at 100 TB scale:
+
+- **exact**: hash-groupBy on a normalized fingerprint. One shuffle on
+  the fingerprint; AQE handles skew (a viral duplicate is exactly a
+  skewed key).
+- **MinHash + banded LSH**: shingle -> K minhashes -> B bands; only
+  docs sharing a band bucket become candidate pairs, then candidates
+  are verified with exact Jaccard. The candidate join is an equi-join
+  on (band_index, band_hash) — shuffle-partitionable, never a cross
+  join, which is the whole point at scale.
+- **SimHash**: 32-bit signature from per-token hash bits; identical
+  signatures bucket together (hamming-0 variant — hamming-k would probe
+  rotated tables the same way).
+- **n-gram Jaccard**: exact pairwise similarity via an equi-join on
+  shingles (inverted-index style), feasible when shingle frequency is
+  bounded; the LSH path is the scale fallback.
+
+Hashes are md5-based (not Spark's ``hash()``/``xxhash64``) so the
+DuckDB oracle can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_s3_spark.operators.textops import (
+    fingerprint,
+    shingles,
+)
+
+MINHASH_K = 16  # signature length
+MINHASH_BANDS = 4  # bands of K/BANDS rows each
+SIMHASH_BITS = 32
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact dedup: ``dropDuplicates`` on the given columns (one hash
+    shuffle; map-side partial aggregation built in)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def dup_groups(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-group summary for a normalized key column: one row per
+    key with >1 members (group size + member ids)."""
+    return (
+        df.select(key.alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded pairs — the inverted index both the exact
+    Jaccard and MinHash paths build on."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+
+
+def minhash_signatures(sh_df: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """doc_id -> mh_0..mh_{k-1}: min over md5('<seed>:'+shingle).
+
+    One shuffle (groupBy doc_id) computes all K mins as parallel
+    aggregates — no K-pass scan.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh_{s}")
+        for s in range(k)
+    ]
+    return sh_df.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(
+    sig_df: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS
+) -> DataFrame:
+    """(doc_id, band, band_hash): hash of each band's minhash slice."""
+    rows_per = k // bands
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per + r}") for r in range(rows_per)]
+        parts.append(
+            sig_df.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_candidate_pairs(band_df: DataFrame) -> DataFrame:
+    """Distinct candidate (doc_a < doc_b) pairs sharing any band bucket.
+
+    Equi-join on (band, band_hash): shuffle-partitioned by bucket, so
+    work scales with bucket sizes, not with |docs|^2.
+    """
+    a = band_df.alias("a")
+    b = band_df.alias("b")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame, sh_df: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """Exact Jaccard for given candidate pairs from the shingle index.
+
+    common(a,b) via equi-join on shingle restricted to candidates
+    (semi-filtered), sizes via a distinct-shingle count per doc.
+    """
+    sizes = sh_df.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh_df.alias("sa")
+    b = sh_df.alias("sb")
+    common = (
+        a.join(b, F.col("sa.sh") == F.col("sb.sh"))
+        .filter(F.col("sa.doc_id") < F.col("sb.doc_id"))
+        .select(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
+        .join(pairs, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (inverted-index equi-join)."""
+    sh = doc_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    common = (
+        a.join(b, F.col("sa.sh") == F.col("sb.sh"))
+        .filter(F.col("sa.doc_id") < F.col("sb.doc_id"))
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per doc from per-token md5 bits.
+
+    Exploded tokens -> one groupBy computing all 32 bit-majorities as
+    parallel aggregates (single shuffle).
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    tok = tok.withColumn("h", h)
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_aggs)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.alias("simhash"))

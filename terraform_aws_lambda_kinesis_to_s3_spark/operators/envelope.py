@@ -1,0 +1,133 @@
+"""Envelope extraction, validation, whitelist and dead-letter routing.
+
+Reference semantics (``/root/reference/lambda/main.py:39-64`` plus the
+README contract ``README.md:9-15``), re-expressed as pure Catalyst
+column expressions — no UDF in this module except the optional
+dateutil timestamp fallback (see ``functions.timestamps``):
+
+- A3 JSON parse + invalid-row detection  (lambda/main.py:48-52)
+- A4 configurable-key field extraction   (lambda/main.py:27-29,58-60)
+- A5 required-field validation           (lambda/main.py:54-64)
+- A6 whitelist semi-filter               (lambda/main.py:32-36)
+- A7 permissive timestamp parse          (README.md:15)
+- A8/A9 (log_type, YYYY-MM, DD) routing  (lambda/main.py:43-44; README.md:13)
+- A11 dead-letter 'unknown' routing      (README.md:9-11)
+
+Intended-vs-literal decisions per SURVEY.md §2.4: valid records ARE
+written (reference bug 1 writes none), empty whitelist allows all
+(bug 2), non-JSON goes to the unknown prefix (bug 3, configurable).
+
+Scale notes: everything here is a narrow projection/filter — no
+shuffle. Catalyst pushes the whitelist ``isin`` into the scan when the
+source is columnar; validation is a single ``when`` chain inside one
+whole-stage-codegen span.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_s3_spark.config import PipelineConfig
+from terraform_aws_lambda_kinesis_to_s3_spark.functions.timestamps import (
+    parse_timestamp,
+    partition_date_cols,
+)
+
+#: output columns added by :func:`route_records`
+ROUTE_COLUMNS = ("log_type", "log_id", "ts", "valid", "route", "ym", "dd")
+
+
+def _is_json_object(payload: Column) -> Column:
+    """True when payload parses as a JSON object (reference json.loads
+    + dict access, lambda/main.py:48-52)."""
+    v = F.try_parse_json(payload)
+    return v.isNotNull() & F.schema_of_variant(v).startswith("OBJECT")
+
+
+def extract_envelope(
+    df: DataFrame, cfg: PipelineConfig, payload_col: str = "payload"
+) -> DataFrame:
+    """Parse the JSON payload and extract the 3-field envelope.
+
+    Adds: ``log_type``, ``log_id`` (strings; NULL when missing or when
+    the payload is not a JSON object), ``ts`` (timestamp; NULL when
+    missing/unparseable), ``is_json`` boolean.
+    """
+    p = F.col(payload_col)
+    is_json = _is_json_object(p)
+    get = lambda field: F.when(is_json, F.get_json_object(p, f"$.{field}"))  # noqa: E731
+    raw_ts = get(cfg.log_timestamp_field)
+    return (
+        df.withColumn("is_json", is_json)
+        .withColumn("log_type", get(cfg.log_type_field))
+        .withColumn("log_id", get(cfg.log_id_field))
+        .withColumn("ts", parse_timestamp(raw_ts, cfg.permissive_timestamps))
+    )
+
+
+def validate(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Add ``valid``: JSON object + required envelope fields present.
+
+    Reference: parse_payload_to_log_dict(..., timestamp_required=True)
+    (lambda/main.py:54-64); failures are routed, never dropped.
+    """
+    ok = F.col("is_json") & F.col("log_type").isNotNull() & F.col("log_id").isNotNull()
+    if cfg.timestamp_required:
+        ok = ok & F.col("ts").isNotNull()
+    return df.withColumn("valid", ok)
+
+
+def apply_whitelist(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """A6: when enabled, keep only whitelisted *valid* records; invalid
+    records always pass through (they route to unknown).
+
+    Intended semantics: empty whitelist = allow all (README.md:70).
+    """
+    if not cfg.whitelist_enabled:
+        return df
+    wl = [w for w in cfg.log_type_whitelist if w]
+    return df.filter(~F.col("valid") | F.col("log_type").isin(wl))
+
+
+def add_route(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """A8/A9/A11: routing key + (ym, dd) partition date columns.
+
+    Valid -> its log_type; invalid -> the unknown prefix. Partition
+    date comes from the record timestamp in the configured timezone;
+    records without a parseable timestamp take ``cfg.unknown_date``
+    (or the processing date), mirroring the reference's behavior of
+    filing failed records under the date it processed them.
+    """
+    route = F.when(F.col("valid"), F.col("log_type")).otherwise(
+        F.lit(cfg.log_type_unknown_prefix)
+    )
+    fallback = (
+        F.to_timestamp(F.lit(cfg.unknown_date))
+        if cfg.unknown_date
+        else F.current_timestamp()
+    )
+    ts_for_date = F.coalesce(F.col("ts"), fallback)
+    ym, dd = partition_date_cols(ts_for_date, cfg.timezone)
+    return df.withColumn("route", route).withColumn("ym", ym).withColumn("dd", dd)
+
+
+def route_records(
+    df: DataFrame,
+    cfg: PipelineConfig | None = None,
+    payload_col: str = "payload",
+    drop_non_json: bool | None = None,
+) -> DataFrame:
+    """The full A3-A11 pipeline: payload strings in, routed records out.
+
+    ``drop_non_json`` overrides ``cfg.non_json_to_unknown`` (as-built
+    reference behavior silently skips non-JSON, lambda/main.py:50-52).
+    """
+    cfg = cfg or PipelineConfig()
+    out = add_route(
+        apply_whitelist(validate(extract_envelope(df, cfg, payload_col), cfg), cfg), cfg
+    )
+    drop = (not cfg.non_json_to_unknown) if drop_non_json is None else drop_non_json
+    if drop:
+        out = out.filter(F.col("is_json"))
+    return out

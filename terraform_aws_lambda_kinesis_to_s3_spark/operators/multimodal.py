@@ -1,0 +1,96 @@
+"""Multimodal column plumbing (Tier B, SURVEY.md §2.2).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct; decode / feature-extract / resize / frame-sample run
+as Arrow-batched kernels over ``mapInPandas`` so each task streams
+record batches without materializing the whole partition.
+
+The decode step is STUBBED (this container has no image/audio codecs):
+``decode_stub`` produces a deterministic fake feature vector derived
+from the bytes. The Spark-side plumbing — schema, batch iteration,
+partition behavior, UDF signatures — is real and tested; swapping the
+stub for PIL/libav is a one-function change on the executor side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: typed metadata accompanying every blob
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FEATURE_DIM = 8
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def attach_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test-shape helper: wrap a text column as a binary blob + typed
+    metadata (the shape a real image/audio table would have)."""
+    blob = F.encode(F.col(text_col), "UTF-8")
+    meta = F.struct(
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.octet_length(blob).cast("long").alias("n_bytes"),
+    )
+    return df.withColumn("blob", blob).withColumn("meta", meta)
+
+
+def decode_stub(blob: bytes) -> list[float]:
+    """Deterministic fake 'decode + feature extraction'.
+
+    Real deployment: replace with PIL/torchvision/librosa decode.
+    Raises NotImplementedError for mime types a real decoder would
+    reject — the error path is part of the contract.
+    """
+    if blob is None:
+        raise NotImplementedError("real media decode not available in this container")
+    # bytes -> FEATURE_DIM bucketed byte-mean features (deterministic)
+    n = len(blob)
+    if n == 0:
+        return [0.0] * FEATURE_DIM
+    step = max(1, n // FEATURE_DIM)
+    feats = []
+    for i in range(FEATURE_DIM):
+        chunk = blob[i * step : (i + 1) * step] or blob[-step:]
+        feats.append(round(sum(chunk) / len(chunk), 6))
+    return feats
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas feature extraction over (blob, meta) — Arrow record
+    batches in, typed rows out; no driver involvement, no collect."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    "features": [decode_stub(bytes(b)) for b in pdf["blob"]],
+                }
+            )
+            yield out
+
+    return df.mapInPandas(batches, DECODED_SCHEMA)

@@ -1,0 +1,167 @@
+"""Embedding similarity search (Tier B, SURVEY.md §2.2).
+
+- **brute-force cosine top-k** — the correctness baseline: broadcast
+  the (small) query set against all vectors; cosine is a JVM-side
+  ``zip_with``/``aggregate`` fold over the array column (no Python in
+  the hot path); top-k via window ``row_number``. At 100 TB the
+  broadcast side stays small (queries), the big side streams — one
+  shuffle for the per-query top-k.
+- **IVF-style centroid assignment** — partition the vector space by
+  nearest centroid; ANN probes only matching cells.
+- **random-hyperplane LSH buckets** — deterministic md5-derived
+  hyperplanes (reproducible in the DuckDB oracle); bucket = sign-bit
+  concatenation. Candidate generation becomes an equi-join on bucket.
+
+All math is done in float64 after an explicit cast from the stored
+float32 so results are engine-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+LSH_PLANES = 12  # 4096 buckets
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Ordered left-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    ad, bd = _as_double(a), _as_double(b)
+    return dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector the k nearest
+    other vectors. Queries are broadcast; ties break on candidate id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    v = vectors.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("vv"))
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("nn_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("vv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("nn_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "nn_id",
+            F.round("cos", 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def label_centroids(
+    vectors: DataFrame, label_col: str = "label", vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Per-label mean vector via posexplode + groupBy (two narrow
+    shuffles; at scale this is the standard mean-aggregation plan)."""
+    exploded = vectors.select(
+        F.col(label_col).alias("centroid_label"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("i", "x"),
+    )
+    means = exploded.groupBy("centroid_label", "i").agg(F.avg("x").alias("m"))
+    return (
+        means.groupBy("centroid_label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
+        .select(
+            "centroid_label",
+            F.transform("pairs", lambda p: p["m"]).alias("centroid"),
+        )
+    )
+
+
+def assign_nearest_centroid(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: nearest centroid by cosine (broadcast join +
+    per-vector argmax — no shuffle on the big side)."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "cos", cosine(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos").desc(), F.col("centroid_label").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "centroid", "cos")
+        .withColumnRenamed("centroid_label", "assigned_label")
+    )
+
+
+def lsh_hyperplanes(spark: SparkSession, dim: int = 64, planes: int = LSH_PLANES) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes: w[p][i] derived from
+    md5(f"{p}_{i}") — reproducible in any engine with md5."""
+    p = spark.range(planes).select(F.col("id").alias("p"))
+    i = spark.range(dim).select(F.col("id").alias("i"))
+    w = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("_", F.col("p"), F.col("i"))), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(float(2**32))
+        - 0.5
+    )
+    return p.crossJoin(i).select("p", "i", w.alias("w"))
+
+
+def lsh_bucket_counts(
+    vectors: DataFrame,
+    spark: SparkSession,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """(bucket, n_vectors) histogram of random-hyperplane LSH buckets.
+
+    posexplode the vector, broadcast-join the hyperplane weights, one
+    groupBy per (vec, plane) for the signs, one for the bucket id —
+    every join is broadcast, every shuffle is on small keys.
+    """
+    planes_df = lsh_hyperplanes(spark, planes=planes)
+    comp = vectors.select(
+        F.col(id_col).alias("vid"), F.posexplode(_as_double(F.col(vec_col))).alias("i", "x")
+    )
+    signs = (
+        comp.join(F.broadcast(planes_df), "i")
+        .groupBy("vid", "p")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
+        .withColumn("bit", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
+    )
+    # shiftleft() needs a literal bit count, so use 2^p (exact in double
+    # for p < 53, cast back to long)
+    buckets = signs.groupBy("vid").agg(
+        F.sum(
+            F.col("bit") * F.pow(F.lit(2.0), F.col("p")).cast("long")
+        ).cast("long").alias("bucket")
+    )
+    return buckets.groupBy("bucket").agg(F.count("*").alias("n_vectors"))

@@ -1,0 +1,112 @@
+"""Text analysis operators over a document corpus (Tier B, SURVEY.md §2.2).
+
+Training-data-pipeline text ops: tokenization + token counting,
+quality scoring, language-ID heuristic, and document fingerprinting.
+All pure Catalyst expressions (regexp/split/md5 are JVM builtins) —
+no UDFs, so the whole stage codegens and scales linearly with input
+splits; the only shuffle is the final user-requested aggregation.
+
+Every constant here (stopword list, language markers, punctuation
+class, score weights) is mirrored verbatim by the DuckDB oracle SQL in
+``plans.queries`` — keep them in sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: stopwords for the quality score (mirrored in oracle SQL)
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+PUNCT_RE = r"[.,;:!?]"
+
+#: language marker words for the n-gram/stopword language-ID heuristic
+LANG_MARKERS = {
+    "en": r"\b(the|and|of)\b",
+    "de": r"\b(der|die|und)\b",
+    "es": r"\b(el|la|los)\b",
+    "fr": r"\b(le|les|et)\b",
+    "zh": r"[一-鿿]",
+}
+LANG_ORDER = ("zh", "en", "de", "es", "fr")  # tie-break priority
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (both engines split on ``\\s+``)."""
+    return F.split(col, r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: word-chunks + non-space punctuation runs,
+    counted with one regexp (mirrors oracle ``regexp_extract_all``)."""
+    return F.regexp_count(col, F.lit(r"\w+|[^\w\s]"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add n_tokens / stopword_ratio / punct_ratio / avg_token_len /
+    quality_score columns (weights mirrored in the oracle)."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_stop = F.regexp_count(F.lower(t), F.lit(STOPWORD_RE))
+    n_punct = F.regexp_count(t, F.lit(PUNCT_RE))
+    n_chars = F.length(t)
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    avg_tok_len = (n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1))
+    score = (
+        F.least(stop_ratio * 2, F.lit(1.0)) * 0.4
+        + F.least(n_tok / F.lit(64.0), F.lit(1.0)) * 0.4
+        + (1 - F.least(punct_ratio * 4, F.lit(1.0))) * 0.2
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("avg_token_len", F.round(avg_tok_len, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID from marker-word counts (argmax with the
+    fixed LANG_ORDER tie-break; 'und' when no marker hits)."""
+    lowered = F.lower(col)
+    counts = {
+        lang: F.regexp_count(lowered, F.lit(pat)) for lang, pat in LANG_MARKERS.items()
+    }
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        expr = F.when((counts[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    # earlier langs in LANG_ORDER win ties -> build reversed so the
+    # first's WHEN lands outermost
+    return expr
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text. Identical fingerprints ==
+    exact (normalized) duplicates."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a text column (JVM-side: split +
+    sequence + transform + slice — no explode until the caller wants
+    one)."""
+    toks = tokens(col)
+    count = F.size(toks) - (n - 1)
+    # sequence(1, c) steps backward when c < 1 — guard with an empty array
+    return F.when(count < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    )

@@ -1,0 +1,1060 @@
+"""Oracle-checked query registry — the engine's coverage surface.
+
+Every entry pairs an idiomatic-Spark implementation with the ANSI SQL a
+DuckDB oracle runs over the same parquet tables; the driver hash-compares
+the two at sf0.01 (BASELINE.md acceptance bar). Conventions that make
+cross-engine hashes match:
+
+- **money math is decimal-exact**: cast to DECIMAL before sum/multiply
+  (both engines do exact decimal arithmetic), cast the final aggregate
+  to DOUBLE. No float-summation-order nondeterminism.
+- **dates/timestamps leave as formatted strings**.
+- **every computed column is aliased identically** in both engines.
+- hashes that must reproduce across engines are md5-based (never
+  Spark-internal ``hash()``).
+
+Tier A queries run the *actual* envelope pipeline
+(``operators.envelope.route_records``) over JSON payloads re-serialized
+from the ``events`` table; the oracle states the expected routing
+directly in SQL — so the oracle genuinely checks the pipeline
+semantics (validation, whitelist, dead-letter, TZ partition dates) per
+the reference contract (``/root/reference/README.md:9-15``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_s3_spark.config import PipelineConfig
+from terraform_aws_lambda_kinesis_to_s3_spark.operators import dedup as D
+from terraform_aws_lambda_kinesis_to_s3_spark.operators import events as E
+from terraform_aws_lambda_kinesis_to_s3_spark.operators import similarity as S
+from terraform_aws_lambda_kinesis_to_s3_spark.operators import textops as X
+from terraform_aws_lambda_kinesis_to_s3_spark.operators.envelope import route_records
+from terraform_aws_lambda_kinesis_to_s3_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+DEC = "decimal(12,2)"  # money columns have 2 decimal places in the data
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(c) -> F.Column:
+    return (F.col(c) if isinstance(c, str) else c).cast(DEC)
+
+
+def _dsum(col, alias: str) -> F.Column:
+    """Exact decimal sum surfaced as double (deterministic cross-engine)."""
+    return F.sum(col).cast("double").alias(alias)
+
+
+def _events_payload(ev: DataFrame, drop_time=None, drop_type=None) -> DataFrame:
+    """Re-serialize events rows as reference-style JSON payloads
+    (event_type->log_type, event_id->log_id, ts->time; FIXTURES.md §B).
+    ``drop_*`` conditions null the field out (to_json omits nulls)."""
+    time_col = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    type_col = F.col("event_type")
+    if drop_time is not None:
+        time_col = F.when(~drop_time, time_col)
+    if drop_type is not None:
+        type_col = F.when(~drop_type, type_col)
+    payload = F.to_json(
+        F.struct(
+            type_col.alias("log_type"),
+            F.col("event_id").cast("string").alias("log_id"),
+            time_col.alias("time"),
+            F.col("user_id"),
+            F.col("value"),
+        )
+    )
+    return ev.select(payload.alias("payload"))
+
+
+# ---------------------------------------------------------------------------
+# Tier A — the reference pipeline, oracle-checked end to end
+# ---------------------------------------------------------------------------
+
+
+def q_pipeline_route(spark, sf):
+    """A3-A9: parse -> validate -> route -> (log_type, ym, dd) counts."""
+    routed = route_records(_events_payload(_t(spark, sf, "events")), PipelineConfig())
+    return (
+        routed.groupBy(F.col("route").alias("log_type"), "ym", "dd")
+        .agg(F.count("*").alias("n_records"))
+    )
+
+
+SQL_PIPELINE_ROUTE = """
+SELECT event_type AS log_type, strftime(ts, '%Y-%m') AS ym,
+       strftime(ts, '%d') AS dd, COUNT(*) AS n_records
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_pipeline_unknown(spark, sf):
+    """A5/A11: records missing required fields route to 'unknown'."""
+    ev = _t(spark, sf, "events")
+    payloads = _events_payload(
+        ev,
+        drop_time=(F.col("event_id") % 7 == 0),
+        drop_type=(F.col("event_id") % 11 == 0),
+    )
+    routed = route_records(payloads, PipelineConfig(unknown_date="2024-06-15"))
+    return routed.groupBy("route").agg(F.count("*").alias("n_records"))
+
+
+SQL_PIPELINE_UNKNOWN = """
+SELECT CASE WHEN event_id % 7 = 0 OR event_id % 11 = 0
+            THEN 'unknown' ELSE event_type END AS route,
+       COUNT(*) AS n_records
+FROM events GROUP BY 1
+"""
+
+
+def q_pipeline_whitelist(spark, sf):
+    """A6: whitelist semi-filter keeps only listed log types."""
+    cfg = PipelineConfig(log_type_whitelist=("purchase", "click"))
+    routed = route_records(_events_payload(_t(spark, sf, "events")), cfg)
+    return routed.groupBy("route").agg(F.count("*").alias("n_records"))
+
+
+SQL_PIPELINE_WHITELIST = """
+SELECT event_type AS route, COUNT(*) AS n_records
+FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1
+"""
+
+
+def q_pipeline_tz(spark, sf):
+    """A7/A9: TZ-shifted partition dates (Asia/Tokyo = UTC+9, no DST)."""
+    cfg = PipelineConfig(timezone="Asia/Tokyo")
+    routed = route_records(_events_payload(_t(spark, sf, "events")), cfg)
+    return routed.groupBy("ym", "dd").agg(F.count("*").alias("n_records"))
+
+
+SQL_PIPELINE_TZ = """
+SELECT strftime(ts + INTERVAL 9 HOUR, '%Y-%m') AS ym,
+       strftime(ts + INTERVAL 9 HOUR, '%d') AS dd, COUNT(*) AS n_records
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_json_extract(spark, sf):
+    """A4: JSON field extraction from the schema-free remainder."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       ROUND(AVG(k), 6) AS avg_k,
+       MAX(k) AS max_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY 1
+"""
+
+
+def q_dedup_exact(spark, sf):
+    """At-least-once replay dedup on log_id (README.md:14): doubled
+    stream dedups back to the original counts."""
+    ev = _t(spark, sf, "events")
+    doubled = ev.unionByName(ev)
+    return (
+        D.exact_dedup(doubled, ["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_records"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT event_type, COUNT(*) AS n_records FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational core (duckdb-oracle workhorses; SURVEY.md §2.2 tier B)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf):
+    l = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2000-09-02")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    charge = disc * (F.lit(1).cast(DEC) + _dec("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(_dec("l_quantity"), "sum_qty"),
+            _dsum(_dec("l_extendedprice"), "sum_base_price"),
+            _dsum(disc, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias(
+                "avg_price"
+            ),
+            (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    l = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(revenue, "revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_Q3 = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+SQL_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
+def q6_forecast_revenue(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dsum(_dec("l_extendedprice") * _dec("l_discount"), "revenue"))
+    )
+
+
+SQL_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q18_large_orders(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice"),
+            F.col("q").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+SQL_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+       CAST(q AS DOUBLE) AS sum_qty
+FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+      FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_top_customers_per_nation(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "c_custkey", "c_name", "c_acctbal", "rank")
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT n_name, c_custkey, c_name, c_acctbal, CAST(rank AS INT) AS rank
+FROM (SELECT n_name, c_custkey, c_name, c_acctbal,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY c_acctbal DESC, c_custkey) AS rank
+      FROM customer JOIN nation ON c_nationkey = n_nationkey)
+WHERE rank <= 3
+"""
+
+
+def q_running_order_total(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+SQL_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+def q_rollup_region_nation(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        _dsum(_dec("c_acctbal"), "sum_acctbal"),
+    )
+
+
+SQL_ROLLUP = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_pivot_priority_by_status(spark, sf):
+    o = _t(spark, sf, "orders")
+    aggs = [
+        F.sum(F.when(F.col("o_orderpriority") == p, 1).otherwise(0)).alias(a)
+        for p, a in [
+            ("1-URGENT", "urgent"),
+            ("2-HIGH", "high"),
+            ("3-MEDIUM", "medium"),
+            ("4-NOT SPECIFIED", "not_specified"),
+            ("5-LOW", "low"),
+        ]
+    ]
+    return o.groupBy("o_orderstatus").agg(*aggs)
+
+
+SQL_PIVOT = """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS not_specified,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_customers_without_orders(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation")
+    no_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        no_orders.join(F.broadcast(n), no_orders.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT n_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
+
+def q_customers_with_orders(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    return with_orders.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        _dsum(_dec("c_acctbal"), "sum_acctbal"),
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
+
+def q_set_ops_nations(spark, sf):
+    """Nations by presence: customer-only / supplier-only / both
+    (EXCEPT + INTERSECT over distinct key sets)."""
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select("n_name").distinct()
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("n_name").distinct()
+    both = cn.intersect(sn).withColumn("presence", F.lit("both"))
+    c_only = cn.exceptAll(sn).withColumn("presence", F.lit("customer_only"))
+    s_only = sn.exceptAll(cn).withColumn("presence", F.lit("supplier_only"))
+    return both.unionByName(c_only).unionByName(s_only)
+
+
+SQL_SET_OPS = """
+WITH cn AS (SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
+     sn AS (SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+SELECT n_name, 'both' AS presence FROM (SELECT n_name FROM cn INTERSECT SELECT n_name FROM sn)
+UNION ALL
+SELECT n_name, 'customer_only' AS presence FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn)
+UNION ALL
+SELECT n_name, 'supplier_only' AS presence FROM (SELECT n_name FROM sn EXCEPT SELECT n_name FROM cn)
+"""
+
+
+def q_distinct_aggs(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+SQL_DISTINCT_AGGS = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(*) AS n_lines
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_top_brands_by_revenue(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(_dsum(revenue, "revenue"), F.count("*").alias("n_lines"))
+        .orderBy(F.col("revenue").desc(), "p_brand")
+        .limit(10)
+    )
+
+
+SQL_TOP_BRANDS = """
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY revenue DESC, p_brand LIMIT 10
+"""
+
+
+def q_frequent_buyers(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(_dec("o_totalprice"), "total_spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+SQL_FREQUENT_BUYERS = """
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+FROM orders GROUP BY 1 HAVING COUNT(*) >= 15
+"""
+
+# ---------------------------------------------------------------------------
+# Tier B — text analysis (documents)
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.withColumn("n_tokens", X.token_count(F.col("text")).cast("long"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+SQL_TEXT_TOKENS = r"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(AVG(n_tokens), 6) AS avg_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM (SELECT lang, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+      FROM documents)
+GROUP BY 1
+"""
+
+
+def q_text_quality(spark, sf):
+    d = X.quality_features(_t(spark, sf, "documents"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+        F.round(F.avg("avg_token_len"), 4).alias("avg_token_len"),
+    )
+
+
+# NOTE: weights/stopwords mirror operators.textops (STOPWORDS, score weights)
+SQL_TEXT_QUALITY = r"""
+WITH feats AS (
+  SELECT source,
+         len(string_split_regex(text, '\s+')) AS n_tok,
+         len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) AS n_stop,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents),
+scored AS (
+  SELECT source,
+         ROUND(n_stop / GREATEST(n_tok, 1), 6) AS stopword_ratio,
+         ROUND((n_chars - (n_tok - 1)) / GREATEST(n_tok, 1), 6) AS avg_token_len,
+         ROUND(LEAST(n_stop / GREATEST(n_tok, 1) * 2, 1.0) * 0.4
+               + LEAST(n_tok / 64.0, 1.0) * 0.4
+               + (1 - LEAST(n_punct / GREATEST(n_chars, 1) * 4, 1.0)) * 0.2, 6) AS quality_score
+  FROM feats)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(quality_score), 4) AS avg_quality,
+       ROUND(AVG(stopword_ratio), 4) AS avg_stopword_ratio,
+       ROUND(AVG(avg_token_len), 4) AS avg_token_len
+FROM scored GROUP BY 1
+"""
+
+
+def q_text_langid(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.withColumn("predicted_lang", X.lang_id(F.col("text")))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# markers mirror operators.textops.LANG_MARKERS / LANG_ORDER (zh,en,de,es,fr)
+SQL_TEXT_LANGID = r"""
+WITH counts AS (
+  SELECT lang,
+         len(regexp_extract_all(lower(text), '\b(the|and|of)\b')) AS c_en,
+         len(regexp_extract_all(lower(text), '\b(der|die|und)\b')) AS c_de,
+         len(regexp_extract_all(lower(text), '\b(el|la|los)\b')) AS c_es,
+         len(regexp_extract_all(lower(text), '\b(le|les|et)\b')) AS c_fr,
+         len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS c_zh
+  FROM documents),
+pred AS (
+  SELECT lang,
+         CASE
+           WHEN c_zh = GREATEST(c_en, c_de, c_es, c_fr, c_zh) AND c_zh > 0 THEN 'zh'
+           WHEN c_en = GREATEST(c_en, c_de, c_es, c_fr, c_zh) AND c_en > 0 THEN 'en'
+           WHEN c_de = GREATEST(c_en, c_de, c_es, c_fr, c_zh) AND c_de > 0 THEN 'de'
+           WHEN c_es = GREATEST(c_en, c_de, c_es, c_fr, c_zh) AND c_es > 0 THEN 'es'
+           WHEN c_fr = GREATEST(c_en, c_de, c_es, c_fr, c_zh) AND c_fr > 0 THEN 'fr'
+           ELSE 'und' END AS predicted_lang
+  FROM counts)
+SELECT lang, predicted_lang, COUNT(*) AS n_docs FROM pred GROUP BY 1, 2
+"""
+
+
+def q_text_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.withColumn("fp", X.fingerprint(F.col("text")))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+            F.min("fp").alias("min_fp"),
+        )
+    )
+
+
+SQL_TEXT_FINGERPRINT = r"""
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT fp) AS n_distinct,
+       MIN(fp) AS min_fp
+FROM (SELECT source, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tier B — dedup (documents)
+# ---------------------------------------------------------------------------
+
+_SH_DUCK = r"""
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(string_split_regex(text, '\s+')) - 1),
+           i -> array_to_string(string_split_regex(text, '\s+')[i:i+2], ' ')))) AS sh
+  FROM documents
+  WHERE len(string_split_regex(text, '\s+')) >= 3
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return D.ngram_jaccard_pairs(d, n=3, threshold=0.1)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH sh AS ({_SH_DUCK}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    sh = D.doc_shingles(d, n=3)
+    sig = D.minhash_signatures(sh)
+    bands = D.lsh_bands(sig)
+    cand = D.lsh_candidate_pairs(bands)
+    return D.jaccard_on_pairs(cand, sh, threshold=0.05).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def _minhash_sql() -> str:
+    k, bands = D.MINHASH_K, D.MINHASH_BANDS
+    rows = k // bands
+    mins = ",\n         ".join(
+        f"MIN(md5(concat('{s}:', sh))) AS mh_{s}" for s in range(k)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS band_hash FROM sig".format(
+            b=b, cols=", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS ({_SH_DUCK}),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id),
+bands AS (
+{band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.05
+"""
+
+
+SQL_MINHASH_LSH = _minhash_sql()
+
+
+def q_simhash(spark, sf):
+    d = _t(spark, sf, "documents")
+    return D.simhash(d)
+
+
+def _simhash_sql() -> str:
+    bits = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(D.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(D.SIMHASH_BITS)
+    )
+    return rf"""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT) AS h FROM tok),
+bits AS (
+  SELECT doc_id,
+         {bits}
+  FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits
+"""
+
+
+SQL_SIMHASH = _simhash_sql()
+
+
+# ---------------------------------------------------------------------------
+# Tier B — embedding similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return S.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS nn_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])) AS cos
+  FROM q CROSS JOIN embeddings v WHERE v.vec_id <> q.vec_id),
+ranked AS (
+  SELECT query_id, nn_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+  FROM scored)
+SELECT query_id, nn_id, ROUND(cos, 4) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_centroid_assign(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    cents = S.label_centroids(e)
+    assigned = S.assign_nearest_centroid(e, cents)
+    return assigned.groupBy("label", "assigned_label").agg(
+        F.count("*").alias("n_vectors")
+    )
+
+
+SQL_CENTROID_ASSIGN = """
+WITH comp AS (
+  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) t(i)),
+cents AS (
+  SELECT label AS centroid_label, i, AVG(x) AS m FROM comp GROUP BY 1, 2),
+dots AS (
+  SELECT c.vec_id, c.label, ct.centroid_label,
+         SUM(c.x * ct.m) AS dot,
+         SQRT(SUM(c.x * c.x)) AS nv,
+         SQRT(SUM(ct.m * ct.m)) AS nc
+  FROM comp c JOIN cents ct ON c.i = ct.i
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT vec_id, label, centroid_label,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dot / (nv * nc) DESC, centroid_label) AS rn
+  FROM dots)
+SELECT label, centroid_label AS assigned_label, COUNT(*) AS n_vectors
+FROM ranked WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+def q_embedding_norms(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    norm = S.l2_norm(S._as_double(F.col("embedding")))
+    return (
+        e.withColumn("norm", norm)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+WITH norms AS (
+  SELECT label, SQRT(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS norm
+  FROM embeddings, range(1, 65) t(i)
+  GROUP BY label, vec_id)
+SELECT label, COUNT(*) AS n_vectors,
+       ROUND(AVG(norm), 4) AS avg_norm,
+       ROUND(MIN(norm), 6) AS min_norm,
+       ROUND(MAX(norm), 6) AS max_norm
+FROM norms GROUP BY 1
+"""
+
+
+def q_lsh_buckets(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return S.lsh_bucket_counts(e, spark)
+
+
+SQL_LSH_BUCKETS = f"""
+WITH w AS (
+  SELECT p, i,
+         CAST(concat('0x', substr(md5(concat(p, '_', i)), 1, 8)) AS UBIGINT) / 4294967296.0 - 0.5 AS w
+  FROM range(0, {S.LSH_PLANES}) tp(p), range(0, 64) ti(i)),
+comp AS (
+  SELECT vec_id AS vid, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) t(i)),
+signs AS (
+  SELECT c.vid, w.p, CASE WHEN SUM(c.x * w.w) > 0 THEN 1 ELSE 0 END AS bit
+  FROM comp c JOIN w ON c.i = w.i
+  GROUP BY 1, 2),
+buckets AS (
+  SELECT vid, CAST(SUM(bit * CAST(POWER(2, p) AS BIGINT)) AS BIGINT) AS bucket
+  FROM signs GROUP BY 1)
+SELECT bucket, COUNT(*) AS n_vectors FROM buckets GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tier B — event-stream analytics
+# ---------------------------------------------------------------------------
+
+
+def q_sessionize(spark, sf):
+    ev = _t(spark, sf, "events")
+    s = E.sessionize(ev, gap_minutes=30)
+    return s.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH gaps AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events)
+SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM gaps GROUP BY 1
+"""
+
+
+def q_tumbling_windows(spark, sf):
+    ev = _t(spark, sf, "events")
+    return E.tumbling_counts(ev, hours=1)
+
+
+SQL_TUMBLING = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_asof_join(spark, sf):
+    """Backward as-of join: each purchase matched to the user's latest
+    signup at or before it (union + carry-forward plan)."""
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_id")
+    )
+    joined = E.asof_join_backward(
+        purchases, signups, on="user_id", ts_col="ts", right_cols=("signup_id",)
+    )
+    return joined.agg(
+        F.count("*").alias("n_purchases"),
+        F.count("r_signup_id").alias("n_matched"),
+        F.countDistinct("r_signup_id").alias("n_signups_used"),
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT COUNT(*) AS n_purchases,
+       COUNT(s.event_id) AS n_matched,
+       COUNT(DISTINCT s.event_id) AS n_signups_used
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+#: name -> (spark_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # Tier A — reference pipeline semantics
+    "pipeline_route": (q_pipeline_route, SQL_PIPELINE_ROUTE),
+    "pipeline_unknown_routing": (q_pipeline_unknown, SQL_PIPELINE_UNKNOWN),
+    "pipeline_whitelist": (q_pipeline_whitelist, SQL_PIPELINE_WHITELIST),
+    "pipeline_tz_partition": (q_pipeline_tz, SQL_PIPELINE_TZ),
+    "json_extract_props": (q_json_extract, SQL_JSON_EXTRACT),
+    "dedup_exact_log_id": (q_dedup_exact, SQL_DEDUP_EXACT),
+    # relational core
+    "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
+    "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
+    "q5_local_supplier_volume": (q5_local_supplier_volume, SQL_Q5),
+    "q6_forecast_revenue": (q6_forecast_revenue, SQL_Q6),
+    "q18_large_orders": (q18_large_orders, SQL_Q18),
+    "top_customers_per_nation": (q_top_customers_per_nation, SQL_TOP_CUSTOMERS),
+    "running_order_total": (q_running_order_total, SQL_RUNNING_TOTAL),
+    "rollup_region_nation": (q_rollup_region_nation, SQL_ROLLUP),
+    "pivot_priority_by_status": (q_pivot_priority_by_status, SQL_PIVOT),
+    "customers_without_orders": (q_customers_without_orders, SQL_ANTI_JOIN),
+    "customers_with_orders": (q_customers_with_orders, SQL_SEMI_JOIN),
+    "set_ops_nations": (q_set_ops_nations, SQL_SET_OPS),
+    "distinct_aggs": (q_distinct_aggs, SQL_DISTINCT_AGGS),
+    "top_brands_by_revenue": (q_top_brands_by_revenue, SQL_TOP_BRANDS),
+    "frequent_buyers": (q_frequent_buyers, SQL_FREQUENT_BUYERS),
+    # text analysis
+    "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKENS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    # dedup
+    "dedup_ngram_jaccard": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
+    "dedup_simhash": (q_simhash, SQL_SIMHASH),
+    # similarity search
+    "embedding_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "embedding_centroid_assign": (q_centroid_assign, SQL_CENTROID_ASSIGN),
+    "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
+    "embedding_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
+    # event analytics
+    "events_sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "events_tumbling_window": (q_tumbling_windows, SQL_TUMBLING),
+    "events_asof_join": (q_asof_join, SQL_ASOF_JOIN),
+}
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,103 @@
+"""Partitioned gzip JSON sink (reference A10, lambda/main.py:67-73).
+
+The reference writes one gzipped JSON-lines object per (log_type,
+YYYY-MM, DD) group under ``%prefix%/%log_type%/YYYY-MM/DD/`` with
+collision-free names (``README.md:13-14``). Spark equivalents:
+
+- **hive layout (default, idiomatic)**: dynamic-partition write
+  ``partitionBy("log_type","ym","dd")`` — no shuffle, each task
+  streams its rows straight into the right partition directory, and
+  task-attempt file naming already guarantees uniqueness (the
+  reference needed ``log_id`` in the object name for that).
+- **exact layout (compat)**: the reference's two-segment
+  ``%log_type%/YYYY-MM/DD/`` path. Implemented as the same dynamic
+  write into a staging dir, then directory renames — metadata-only on
+  a filesystem, one COPY per object on S3 (use hive layout there).
+
+Payloads are written verbatim (``text`` writer, gzip codec), so output
+content round-trips the input JSON byte-for-byte — the reference never
+re-serializes either (schema-free model, README.md:9).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_s3_spark.config import PipelineConfig
+
+_PARTITION_COLS = ("log_type", "ym", "dd")
+
+
+def write_routed(
+    df: DataFrame,
+    path: str,
+    cfg: PipelineConfig | None = None,
+    exact_layout: bool = False,
+    payload_col: str = "payload",
+    mode: str = "append",
+) -> None:
+    """Write a routed DataFrame (from ``route_records``) as gzip JSON.
+
+    ``path`` is the dataset root; ``cfg.log_path_prefix`` is appended
+    (reference LOG_S3_PREFIX, lambda/main.py:23).
+    """
+    cfg = cfg or PipelineConfig()
+    root = os.path.join(path, cfg.log_path_prefix) if cfg.log_path_prefix else path
+    out = df.select(
+        F.col(payload_col).alias("value"),
+        F.col("route").alias("log_type"),
+        F.col("ym"),
+        F.col("dd"),
+    )
+    target = root if not exact_layout else root + "__stage"
+    (
+        out.write.mode(mode)
+        .partitionBy(*_PARTITION_COLS)
+        .option("compression", "gzip")
+        .format("text")
+        .save(target)
+    )
+    if exact_layout:
+        _restage_exact(target, root)
+
+
+def _restage_exact(stage: str, root: str) -> None:
+    """hive ``log_type=T/ym=M/dd=D`` -> exact ``T/M/D`` (renames only)."""
+    stage = stage.removeprefix("file://")
+    root = root.removeprefix("file://")
+    for lt in _hive_children(stage, "log_type="):
+        for ym in _hive_children(os.path.join(stage, lt), "ym="):
+            for dd in _hive_children(os.path.join(stage, lt, ym), "dd="):
+                src = os.path.join(stage, lt, ym, dd)
+                dst = os.path.join(
+                    root, lt.split("=", 1)[1], ym.split("=", 1)[1], dd.split("=", 1)[1]
+                )
+                os.makedirs(dst, exist_ok=True)
+                for f in os.listdir(src):
+                    if not f.startswith(("_", ".")):
+                        shutil.move(os.path.join(src, f), os.path.join(dst, f))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def _hive_children(d: str, prefix: str) -> list[str]:
+    if not os.path.isdir(d):
+        return []
+    return [c for c in os.listdir(d) if c.startswith(prefix)]
+
+
+def read_routed(
+    spark: SparkSession, path: str, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Read back a hive-layout routed dataset (payload + partition cols)."""
+    cfg = cfg or PipelineConfig()
+    root = os.path.join(path, cfg.log_path_prefix) if cfg.log_path_prefix else path
+    return (
+        spark.read.format("text")
+        .option("basePath", root)
+        .load(root + "/log_type=*/ym=*/dd=*")
+        .withColumnRenamed("value", "payload")
+    )

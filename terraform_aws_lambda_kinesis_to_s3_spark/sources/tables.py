@@ -1,0 +1,27 @@
+"""Test-table loader for the driver parquet datasets (TESTDATA.md).
+
+The driver-generated ``events.parquet`` stores ``ts`` as parquet
+TIMESTAMP(NANOS), which Spark refuses by default; we flip the
+session-settable ``spark.sql.legacy.parquet.nanosAsLong`` and convert
+nanos -> microseconds ourselves (floor division — identical to how
+DuckDB truncates nanos to its native microsecond timestamps, so the
+oracle comparison stays exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        # nanosAsLong surfaces TIMESTAMP(NANOS) as LongType nanos
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            # integer division — `/` would round-trip through double and
+            # lose sub-microsecond precision on 1e18-scale nanos
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,8 @@
+"""Structured Streaming wrapper for the Tier-A pipeline."""
+
+from terraform_aws_lambda_kinesis_to_s3_spark.streaming.job import (
+    stream_source,
+    run_stream,
+)
+
+__all__ = ["stream_source", "run_stream"]

@@ -1,0 +1,104 @@
+"""Structured Streaming job: the reference's Lambda loop as a stream.
+
+Reference lifecycle (SURVEY.md §3.1): Kinesis shards -> micro-batch of
+<= batch_size records -> decode/parse/validate/route -> S3 partitioned
+write, at-least-once with whole-batch retry. Spark mapping:
+
+- source: ``readStream`` — Kinesis connector in production (EMR/Glue
+  built-in or spark-sql-kinesis; kept behind :func:`stream_source`),
+  file source for tests/replay. ``maxFilesPerTrigger`` plays the role
+  of ``batch_size`` (``main.tf:57``).
+- transform: the *same* batch transforms (``route_records``) — the
+  pipeline is identical in batch and streaming, which is the point of
+  building it as pure column expressions.
+- dedup: ``dropDuplicatesWithinWatermark`` on ``log_id`` bounds the
+  at-least-once replay window with finite state (SURVEY.md §7 hard
+  part d — unbounded dropDuplicates state would not survive 100 TB).
+- sink: partitioned gzip JSON files + checkpoint = exactly-once (an
+  upgrade over the reference's at-least-once, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_s3_spark.config import PipelineConfig
+from terraform_aws_lambda_kinesis_to_s3_spark.operators.envelope import route_records
+
+
+def stream_source(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    format: str = "file",
+    path: str | None = None,
+    schema: str = "payload string",
+) -> DataFrame:
+    """Source factory — the engine's one production-boundary seam.
+
+    ``file``: newline-delimited payload files (tests, replay, and the
+    S3-landing pattern where an agent drops raw batches).
+    ``kinesis``: requires a Kinesis connector on the cluster (EMR/Glue
+    provide one); we only wire the options through.
+    """
+    if format == "file":
+        return (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", max(1, cfg.batch_size // 100) or 1)
+            .load(path)
+            .withColumnRenamed("value", "payload")
+        )
+    if format == "kinesis":
+        if not cfg.kinesis_stream_arn:
+            raise ValueError("kinesis source requires cfg.kinesis_stream_arn")
+        return (
+            spark.readStream.format("kinesis")
+            .option("streamName", cfg.kinesis_stream_arn.rsplit("/", 1)[-1])
+            .option("startingPosition", cfg.starting_position)
+            .load()
+            .select(F.decode("data", "UTF-8").alias("payload"))
+        )
+    raise ValueError(f"unknown stream source format: {format}")
+
+
+def run_stream(
+    source: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    cfg: PipelineConfig | None = None,
+    dedup_watermark: str | None = "1 hour",
+    available_now: bool = True,
+):
+    """Route a payload stream into the partitioned gzip JSON sink.
+
+    Returns the StreamingQuery (caller awaits termination).
+    ``available_now=True`` drains everything currently available and
+    stops — the batch-replay trigger used in tests and backfills.
+    """
+    cfg = cfg or PipelineConfig()
+    routed = route_records(source, cfg)
+    if dedup_watermark:
+        # bound replay-dedup state: only duplicates within the watermark
+        # window are suppressed (log_id + event-time watermark)
+        routed = routed.withColumn(
+            "__wm_ts", F.coalesce(F.col("ts"), F.current_timestamp())
+        )
+        routed = routed.withWatermark("__wm_ts", dedup_watermark)
+        routed = routed.dropDuplicatesWithinWatermark(["log_id"])
+    out = routed.select(
+        F.col("payload").alias("value"),
+        F.col("route").alias("log_type"),
+        "ym",
+        "dd",
+    )
+    writer = (
+        out.writeStream.format("text")
+        .partitionBy("log_type", "ym", "dd")
+        .option("compression", "gzip")
+        .option("checkpointLocation", checkpoint)
+        .option("path", out_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
