@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark: run the engine's headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": "<dir>"}
+
+Results are materialized through the noop sink (full compute, no
+driver-side collect skew). Queries with quadratic worst cases on the
+synthetic corpus (exact all-pairs n-gram Jaccard) are excluded from the
+headline set — their scale path (MinHash LSH) is benchmarked instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import REGISTRY  # noqa: E402
+from terraform_aws_lambda_kinesis_to_s3_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    # Tier A pipeline
+    "pipeline_route",
+    "pipeline_unknown_routing",
+    "pipeline_whitelist",
+    "pipeline_tz_partition",
+    "json_extract_props",
+    "dedup_exact_log_id",
+    # relational core
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "top_customers_per_nation",
+    "running_order_total",
+    "rollup_region_nation",
+    "pivot_priority_by_status",
+    "customers_without_orders",
+    "customers_with_orders",
+    "set_ops_nations",
+    "distinct_aggs",
+    "top_brands_by_revenue",
+    "frequent_buyers",
+    # text analysis
+    "text_token_stats",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    # dedup (LSH scale path)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # similarity search
+    "embedding_cosine_topk",
+    "embedding_centroid_assign",
+    "embedding_norms",
+    "embedding_lsh_buckets",
+    # event analytics
+    "events_sessionize",
+    "events_tumbling_window",
+    "events_asof_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+
+    # Warmup, not counted (mirrors a warm cluster): JVM codegen paths,
+    # Python/Arrow worker pool, parquet footers. Without this the first
+    # timed query absorbs one-time process startup.
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    REGISTRY["pipeline_route"][0](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

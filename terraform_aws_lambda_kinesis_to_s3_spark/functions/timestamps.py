@@ -44,22 +44,30 @@ def _dateutil_fallback(col: Column) -> Column:
 
     @pandas_udf("timestamp")
     def parse_dateutil(s: pd.Series) -> pd.Series:
+        # Input is NULL-masked: fast-path rows arrive as NaN. Work only
+        # on the (typically tiny) non-null slice so the kernel costs
+        # ~nothing when every timestamp already parsed JVM-side.
+        out = pd.Series(pd.NaT, index=s.index, dtype="datetime64[ns]")
+        mask = s.notna()
+        if not mask.any():
+            return out
         try:
             from dateutil import parser as duparser
         except ImportError:  # dateutil not on executors -> no fallback
-            return pd.Series([pd.NaT] * len(s))
+            return out
 
         def one(v):
-            if v is None:
-                return pd.NaT
             try:
                 return duparser.parse(v)
             except (ValueError, OverflowError, TypeError):
                 return pd.NaT
 
-        out = s.map(one)
+        parsed = s[mask].map(one)
         # normalize tz-aware values to UTC-naive for Spark TimestampType
-        return pd.to_datetime(out, utc=True, errors="coerce").dt.tz_localize(None)
+        out[mask] = pd.to_datetime(
+            parsed, utc=True, errors="coerce"
+        ).dt.tz_localize(None)
+        return out
 
     return parse_dateutil(col)
 

@@ -35,6 +35,14 @@ MINHASH_K = 16  # signature length
 MINHASH_BANDS = 4  # bands of K/BANDS rows each
 SIMHASH_BITS = 32
 
+#: affine minhash family h_s(x) = (A[s]*x + B[s]) mod MINHASH_P over a
+#: 32-bit base hash — one md5 per shingle instead of K. Constants are
+#: md5-derived so the DuckDB oracle embeds the same literals.
+MINHASH_P = 4294967291  # largest 32-bit prime
+_md5int = lambda s, n: int(__import__("hashlib").md5(s.encode()).hexdigest()[:n], 16)  # noqa: E731
+MINHASH_A = tuple(_md5int(f"a{s}", 7) | 1 for s in range(MINHASH_K))
+MINHASH_B = tuple(_md5int(f"b{s}", 7) for s in range(MINHASH_K))
+
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Exact dedup: ``dropDuplicates`` on the given columns (one hash
@@ -60,44 +68,74 @@ def doc_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """(id, shingle) exploded pairs — the inverted index both the exact
-    Jaccard and MinHash paths build on."""
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    Jaccard and MinHash paths build on.
+
+    Tokens are materialized into a column *before* the shingle
+    transform: passing the raw ``split()`` expression into the lambda
+    would inline (and re-evaluate) the tokenizer once per shingle
+    element.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), r"\s+").alias("toks"),
     )
+    t = F.col("toks")
+    count = F.size(t) - (n - 1)
+    arr = F.when(count < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            )
+        )
+    )
+    return toks.select("doc_id", F.explode(arr).alias("sh"))
 
 
 def minhash_signatures(sh_df: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """doc_id -> mh_0..mh_{k-1}: min over md5('<seed>:'+shingle).
+    """doc_id -> mh_0..mh_{k-1} minhash signature.
 
-    One shuffle (groupBy doc_id) computes all K mins as parallel
-    aggregates — no K-pass scan.
+    One md5 per shingle yields a 32-bit base hash; the K hash functions
+    are the affine family (A[s]*base + B[s]) mod P — products stay
+    under 2^60, exact in int64 in any engine. One shuffle (groupBy
+    doc_id) computes all K mins as parallel aggregates.
     """
+    base = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long")
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh_{s}")
+        F.min((F.lit(MINHASH_A[s]) * base + F.lit(MINHASH_B[s])) % MINHASH_P).alias(
+            f"mh_{s}"
+        )
         for s in range(k)
     ]
-    return sh_df.groupBy("doc_id").agg(*aggs)
+    # n_sh rides along so downstream Jaccard verification reuses this
+    # shuffle instead of re-aggregating the shingle index
+    return sh_df.groupBy("doc_id").agg(*aggs, F.count("*").alias("n_sh"))
 
 
 def lsh_bands(
     sig_df: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS
 ) -> DataFrame:
-    """(doc_id, band, band_hash): hash of each band's minhash slice."""
+    """(doc_id, band, band_hash): hash of each band's minhash slice.
+
+    Single-pass: one explode over an inline array of band structs — a
+    union of per-band selects would re-execute the signature pipeline
+    once per band.
+    """
     rows_per = k // bands
-    parts = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per + r}") for r in range(rows_per)]
-        parts.append(
-            sig_df.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * rows_per + r}") for r in range(rows_per)]
+                )
+            ).alias("band_hash"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        for b in range(bands)
+    ]
+    return sig_df.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bh")
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
 
 
 def lsh_candidate_pairs(band_df: DataFrame) -> DataFrame:
@@ -119,16 +157,27 @@ def lsh_candidate_pairs(band_df: DataFrame) -> DataFrame:
 
 
 def jaccard_on_pairs(
-    pairs: DataFrame, sh_df: DataFrame, threshold: float = 0.0
+    pairs: DataFrame, sh_df: DataFrame, threshold: float = 0.0, sizes: DataFrame | None = None
 ) -> DataFrame:
     """Exact Jaccard for given candidate pairs from the shingle index.
 
-    common(a,b) via equi-join on shingle restricted to candidates
-    (semi-filtered), sizes via a distinct-shingle count per doc.
+    The shingle index is semi-filtered to docs appearing in any
+    candidate pair *before* the equi-join — the verify cost scales
+    with the candidate set, not the corpus. Pass ``sizes`` (doc_id,
+    n_sh) to reuse an existing aggregation (minhash signatures carry
+    it) instead of re-counting the index.
     """
-    sizes = sh_df.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh_df.alias("sa")
-    b = sh_df.alias("sb")
+    if sizes is None:
+        sizes = sh_df.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes = sizes.select("doc_id", "n_sh")
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh_df.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    a = sh_c.alias("sa")
+    b = sh_c.alias("sb")
     common = (
         a.join(b, F.col("sa.sh") == F.col("sb.sh"))
         .filter(F.col("sa.doc_id") < F.col("sb.doc_id"))

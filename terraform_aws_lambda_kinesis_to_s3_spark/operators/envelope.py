@@ -25,8 +25,9 @@ whole-stage-codegen span.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from terraform_aws_lambda_kinesis_to_s3_spark.config import PipelineConfig
 from terraform_aws_lambda_kinesis_to_s3_spark.functions.timestamps import (
@@ -38,11 +39,8 @@ from terraform_aws_lambda_kinesis_to_s3_spark.functions.timestamps import (
 ROUTE_COLUMNS = ("log_type", "log_id", "ts", "valid", "route", "ym", "dd")
 
 
-def _is_json_object(payload: Column) -> Column:
-    """True when payload parses as a JSON object (reference json.loads
-    + dict access, lambda/main.py:48-52)."""
-    v = F.try_parse_json(payload)
-    return v.isNotNull() & F.schema_of_variant(v).startswith("OBJECT")
+#: corrupt-record marker column inside the envelope struct
+_CORRUPT = "__corrupt_record__"
 
 
 def extract_envelope(
@@ -53,16 +51,41 @@ def extract_envelope(
     Adds: ``log_type``, ``log_id`` (strings; NULL when missing or when
     the payload is not a JSON object), ``ts`` (timestamp; NULL when
     missing/unparseable), ``is_json`` boolean.
+
+    One ``from_json`` in PERMISSIVE mode does everything: the corrupt-
+    record column doubles as the reference's ``json.loads`` failure
+    signal (lambda/main.py:48-52), and the three envelope fields come
+    out of the same parse — the payload is scanned once, JVM-side.
+    Non-string field values (nested/number) surface as their JSON text
+    and then fail timestamp/routing validation, mirroring the
+    reference's dict.get + dateutil behavior.
     """
     p = F.col(payload_col)
-    is_json = _is_json_object(p)
-    get = lambda field: F.when(is_json, F.get_json_object(p, f"$.{field}"))  # noqa: E731
-    raw_ts = get(cfg.log_timestamp_field)
+    schema = T.StructType(
+        [
+            T.StructField(cfg.log_type_field, T.StringType()),
+            T.StructField(cfg.log_id_field, T.StringType()),
+            T.StructField(cfg.log_timestamp_field, T.StringType()),
+            T.StructField(_CORRUPT, T.StringType()),
+        ]
+    )
+    env = F.from_json(
+        p, schema, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT}
+    )
+    df = df.withColumn("__env", env)
+    e = F.col("__env")
+    is_json = e.isNotNull() & e[_CORRUPT].isNull()
     return (
         df.withColumn("is_json", is_json)
-        .withColumn("log_type", get(cfg.log_type_field))
-        .withColumn("log_id", get(cfg.log_id_field))
-        .withColumn("ts", parse_timestamp(raw_ts, cfg.permissive_timestamps))
+        .withColumn("log_type", F.when(is_json, e[cfg.log_type_field]))
+        .withColumn("log_id", F.when(is_json, e[cfg.log_id_field]))
+        .withColumn(
+            "ts",
+            parse_timestamp(
+                F.when(is_json, e[cfg.log_timestamp_field]), cfg.permissive_timestamps
+            ),
+        )
+        .drop("__env")
     )
 
 

@@ -43,8 +43,8 @@ from terraform_aws_lambda_kinesis_to_s3_spark.sources.tables import load_table
 DEC = "decimal(12,2)"  # money columns have 2 decimal places in the data
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+def _t(spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False) -> DataFrame:
+    return load_table(spark, sf_dir, name, parallelize)
 
 
 def _dec(c) -> F.Column:
@@ -85,7 +85,7 @@ def _events_payload(ev: DataFrame, drop_time=None, drop_type=None) -> DataFrame:
 
 def q_pipeline_route(spark, sf):
     """A3-A9: parse -> validate -> route -> (log_type, ym, dd) counts."""
-    routed = route_records(_events_payload(_t(spark, sf, "events")), PipelineConfig())
+    routed = route_records(_events_payload(_t(spark, sf, "events", parallelize=True)), PipelineConfig())
     return (
         routed.groupBy(F.col("route").alias("log_type"), "ym", "dd")
         .agg(F.count("*").alias("n_records"))
@@ -101,7 +101,7 @@ FROM events GROUP BY 1, 2, 3
 
 def q_pipeline_unknown(spark, sf):
     """A5/A11: records missing required fields route to 'unknown'."""
-    ev = _t(spark, sf, "events")
+    ev = _t(spark, sf, "events", parallelize=True)
     payloads = _events_payload(
         ev,
         drop_time=(F.col("event_id") % 7 == 0),
@@ -122,7 +122,7 @@ FROM events GROUP BY 1
 def q_pipeline_whitelist(spark, sf):
     """A6: whitelist semi-filter keeps only listed log types."""
     cfg = PipelineConfig(log_type_whitelist=("purchase", "click"))
-    routed = route_records(_events_payload(_t(spark, sf, "events")), cfg)
+    routed = route_records(_events_payload(_t(spark, sf, "events", parallelize=True)), cfg)
     return routed.groupBy("route").agg(F.count("*").alias("n_records"))
 
 
@@ -135,7 +135,7 @@ FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1
 def q_pipeline_tz(spark, sf):
     """A7/A9: TZ-shifted partition dates (Asia/Tokyo = UTC+9, no DST)."""
     cfg = PipelineConfig(timezone="Asia/Tokyo")
-    routed = route_records(_events_payload(_t(spark, sf, "events")), cfg)
+    routed = route_records(_events_payload(_t(spark, sf, "events", parallelize=True)), cfg)
     return routed.groupBy("ym", "dd").agg(F.count("*").alias("n_records"))
 
 
@@ -240,7 +240,7 @@ def q3_shipping_priority(spark, sf):
     revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_dsum(revenue, "revenue"))
         .select(
@@ -271,6 +271,8 @@ LIMIT 10
 
 
 def q5_local_supplier_volume(spark, sf):
+    # broadcast hints only on fixed-cardinality dims (region=5, nation=25
+    # rows at every SF); SF-scaling tables are left to Catalyst/AQE
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
@@ -282,7 +284,7 @@ def q5_local_supplier_volume(spark, sf):
     revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -340,7 +342,7 @@ def q18_large_orders(spark, sf):
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -463,8 +465,11 @@ FROM orders GROUP BY o_orderstatus
 
 
 def q_customers_without_orders(spark, sf):
+    """Anti join: customers with no orders since 2001 (every customer
+    has *some* order in the synthetic data, so the unrestricted anti
+    join would be trivially empty)."""
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") >= "2001-01-01")
     n = _t(spark, sf, "nation")
     no_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
     return (
@@ -477,7 +482,9 @@ def q_customers_without_orders(spark, sf):
 SQL_ANTI_JOIN = """
 SELECT n_name, COUNT(*) AS n_customers
 FROM customer JOIN nation ON c_nationkey = n_nationkey
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
 GROUP BY 1
 """
 
@@ -551,7 +558,7 @@ def q_top_brands_by_revenue(spark, sf):
     p = _t(spark, sf, "part")
     revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(_dsum(revenue, "revenue"), F.count("*").alias("n_lines"))
         .orderBy(F.col("revenue").desc(), "p_brand")
@@ -617,7 +624,7 @@ GROUP BY 1
 
 
 def q_text_quality(spark, sf):
-    d = X.quality_features(_t(spark, sf, "documents"))
+    d = X.quality_features(_t(spark, sf, "documents", parallelize=True))
     return d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg("quality_score"), 4).alias("avg_quality"),
@@ -722,7 +729,7 @@ _SH_DUCK = r"""
 
 
 def q_ngram_jaccard_pairs(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", parallelize=True)
     return D.ngram_jaccard_pairs(d, n=3, threshold=0.1)
 
 
@@ -743,21 +750,27 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
 
 
 def q_minhash_lsh_pairs(spark, sf):
-    d = _t(spark, sf, "documents")
-    sh = D.doc_shingles(d, n=3)
+    d = _t(spark, sf, "documents", parallelize=True)
+    # the shingle index feeds signatures AND verification — persist it
+    # rather than re-exploding the corpus per consumer
+    sh = D.doc_shingles(d, n=3).persist()
     sig = D.minhash_signatures(sh)
     bands = D.lsh_bands(sig)
     cand = D.lsh_candidate_pairs(bands)
-    return D.jaccard_on_pairs(cand, sh, threshold=0.05).select(
-        "doc_a", "doc_b", "jaccard"
-    )
+    return D.jaccard_on_pairs(
+        cand, sh, threshold=0.05, sizes=sig.select("doc_id", "n_sh")
+    ).select("doc_a", "doc_b", "jaccard")
 
 
 def _minhash_sql() -> str:
     k, bands = D.MINHASH_K, D.MINHASH_BANDS
     rows = k // bands
+    # affine family over one md5-derived 32-bit base hash — constants
+    # (MINHASH_A/B) are shared literals with operators.dedup
+    base = "CAST(concat('0x', substr(md5(sh), 1, 8)) AS UBIGINT)"
     mins = ",\n         ".join(
-        f"MIN(md5(concat('{s}:', sh))) AS mh_{s}" for s in range(k)
+        f"MIN(({D.MINHASH_A[s]} * {base} + {D.MINHASH_B[s]}) % {D.MINHASH_P}) AS mh_{s}"
+        for s in range(k)
     )
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS band_hash FROM sig".format(
@@ -796,7 +809,7 @@ SQL_MINHASH_LSH = _minhash_sql()
 
 
 def q_simhash(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", parallelize=True)
     return D.simhash(d)
 
 
@@ -1003,6 +1016,32 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
 
 
 # ---------------------------------------------------------------------------
+# Tier B — multimodal column plumbing (rows-only check: mapInPandas is
+# not SQL-expressible; the stubbed decode is the documented container
+# limitation, the Spark-side schema/batching is real)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark, sf):
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        attach_media,
+        extract_features,
+    )
+
+    d = _t(spark, sf, "documents")
+    feats = extract_features(attach_media(d))
+    return (
+        feats.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg(F.element_at("features", 1)), 4).alias("avg_feat0"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1049,6 +1088,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "events_tumbling_window": (q_tumbling_windows, SQL_TUMBLING),
     "events_asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    # multimodal (mapInPandas — no SQL oracle, rows-only check)
+    "multimodal_features": (q_multimodal_features, None),
 }
 
 

@@ -15,9 +15,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
+    """Load a test table; ``parallelize=True`` rebalances a
+    single-file/single-row-group scan across cores before CPU-heavy
+    downstream stages (the synthetic tables are one parquet file with
+    one row group — unsplittable, so the scan is one task; production
+    inputs have natural partitioning and should NOT pay this shuffle).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if parallelize:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     for field in df.schema.fields:
         # nanosAsLong surfaces TIMESTAMP(NANOS) as LongType nanos
         if field.name == "ts" and isinstance(field.dataType, T.LongType):

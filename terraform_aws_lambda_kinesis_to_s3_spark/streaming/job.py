@@ -78,13 +78,23 @@ def run_stream(
     cfg = cfg or PipelineConfig()
     routed = route_records(source, cfg)
     if dedup_watermark:
-        # bound replay-dedup state: only duplicates within the watermark
-        # window are suppressed (log_id + event-time watermark)
+        # Replay dedup is a *processing-time* concern (the reference's
+        # at-least-once retries arrive minutes apart, regardless of the
+        # record's own event time — README.md:14), so watermark on
+        # arrival time. An event-time watermark here would mark all
+        # historical records late during a backfill and silently drop
+        # them; state stays bounded either way.
+        # invalid records have no log_id — key them by payload hash so
+        # distinct dead-letter records survive while replayed ones dedup
         routed = routed.withColumn(
-            "__wm_ts", F.coalesce(F.col("ts"), F.current_timestamp())
+            "__dedup_key",
+            F.coalesce(
+                F.col("log_id"), F.concat(F.lit("__raw:"), F.md5(F.col("payload")))
+            ),
         )
-        routed = routed.withWatermark("__wm_ts", dedup_watermark)
-        routed = routed.dropDuplicatesWithinWatermark(["log_id"])
+        routed = routed.withColumn("__arrival_ts", F.current_timestamp())
+        routed = routed.withWatermark("__arrival_ts", dedup_watermark)
+        routed = routed.dropDuplicatesWithinWatermark(["__dedup_key"])
     out = routed.select(
         F.col("payload").alias("value"),
         F.col("route").alias("log_type"),

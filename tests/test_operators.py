@@ -1,0 +1,157 @@
+"""Unit tests for Tier-B operators: dedup, similarity, text, events,
+multimodal, sinks — properties the oracle comparison can't see."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import math
+
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_s3_spark.config import PipelineConfig
+from terraform_aws_lambda_kinesis_to_s3_spark.operators import dedup as D
+from terraform_aws_lambda_kinesis_to_s3_spark.operators import similarity as S
+from terraform_aws_lambda_kinesis_to_s3_spark.operators import textops as X
+from terraform_aws_lambda_kinesis_to_s3_spark.operators.events import (
+    asof_join_backward,
+    sessionize,
+)
+from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+    attach_media,
+    decode_stub,
+    extract_features,
+)
+from terraform_aws_lambda_kinesis_to_s3_spark.operators.envelope import route_records
+from terraform_aws_lambda_kinesis_to_s3_spark.sinks import read_routed, write_routed
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_shingles_and_jaccard_identical_docs(spark):
+    df = _docs(spark, ["a b c d e f", "a b c d e f", "x y z w v u"])
+    pairs = D.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].doc_a, pairs[0].doc_b, pairs[0].jaccard) == (0, 1, 1.0)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words everywhere nothing shared at all here now ok"
+    df = _docs(spark, [base, near, far])
+    sh = D.doc_shingles(df, n=3)
+    cand = D.lsh_candidate_pairs(D.lsh_bands(D.minhash_signatures(sh)))
+    verified = D.jaccard_on_pairs(cand, sh, threshold=0.3).collect()
+    assert {(r.doc_a, r.doc_b) for r in verified} == {(0, 1)}
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    df = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma delta", "zz qq"])
+    rows = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+    assert rows[0] == rows[1] != rows[2]
+    assert 0 <= rows[0] < 2**32
+
+
+def test_shingles_short_doc_empty(spark):
+    df = _docs(spark, ["one two"])
+    assert df.select(X.shingles(F.col("text"), 3).alias("s")).first().s == []
+
+
+def test_fingerprint_normalizes_whitespace_case(spark):
+    df = _docs(spark, ["Hello   World", "hello world"])
+    fps = [r.fp for r in df.select(X.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_cosine_topk_self_similarity(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),  # identical to 0
+            (2, [0.0, 1.0, 0.0]),  # orthogonal
+            (3, [-1.0, 0.0, 0.0]),  # opposite
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.cosine_topk(vecs, vecs.filter("vec_id = 0"), k=3).collect()
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert [r.nn_id for r in ranked] == [1, 2, 3]
+    assert ranked[0].cosine == 1.0 and ranked[1].cosine == 0.0 and ranked[2].cosine == -1.0
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100), (1, "2024-01-01 09:00:00", 101), (2, "2024-01-01 10:00:00", 102)],
+        "user_id long, ts string, purchase_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 200), (1, "2024-01-01 08:00:00", 201)],
+        "user_id long, ts string, signup_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = asof_join_backward(left, right, on="user_id", right_cols=("signup_id",))
+    m = {r.purchase_id: r.r_signup_id for r in out.collect()}
+    assert m == {100: 200, 101: 201, 102: None}  # latest-at-or-before per row
+
+
+def test_sessionize_gap(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:10:00"),
+            (1, "2024-01-01 11:30:00"),  # > 30 min gap -> new session
+            (2, "2024-01-01 10:00:00"),
+        ],
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sessionize(ev).groupBy("user_id").agg(F.max("session_id").alias("n")).collect()
+    assert {r.user_id: r.n for r in out} == {1: 2, 2: 1}
+
+
+def test_multimodal_plumbing(spark):
+    df = _docs(spark, ["hello", "world!"])
+    out = extract_features(attach_media(df)).orderBy("doc_id").collect()
+    assert out[0].n_bytes == 5 and len(out[0].features) == 8
+    assert out[0].features == decode_stub(b"hello")
+    assert out[0].mime == "application/octet-stream"
+
+
+def test_sink_roundtrip_hive_and_exact(spark, tmp_path):
+    payloads = [
+        json.dumps({"log_type": "a", "log_id": "1", "time": "2024-01-02T03:00:00Z"}),
+        json.dumps({"log_type": "b", "log_id": "2", "time": "2024-02-03T04:00:00Z"}),
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "payload string")
+    routed = route_records(df, PipelineConfig())
+    hive = str(tmp_path / "hive")
+    write_routed(routed, hive, mode="overwrite")
+    back = read_routed(spark, hive)
+    assert sorted(r.payload for r in back.collect()) == sorted(payloads)
+    assert set(back.columns) >= {"payload", "log_type", "ym", "dd"}
+
+    exact = str(tmp_path / "exact")
+    write_routed(routed, exact, exact_layout=True, mode="overwrite")
+    import glob as g
+
+    files = g.glob(f"{exact}/**/*.gz", recursive=True)
+    assert any("/a/2024-01/02/" in f for f in files)
+    assert any("/b/2024-02/03/" in f for f in files)
+    assert all(line for f in files for line in gzip.open(f, "rt").read().splitlines())
+
+
+def test_lsh_bucket_total_preserved(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    total = e.count()
+    buckets = S.lsh_bucket_counts(e, spark)
+    assert buckets.agg(F.sum("n_vectors")).first()[0] == total
+
+
+def test_quality_score_bounds(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    feats = X.quality_features(d)
+    mn, mx = feats.agg(F.min("quality_score"), F.max("quality_score")).first()
+    assert 0.0 <= mn <= mx <= 1.0

@@ -1,0 +1,76 @@
+"""Streaming-mode pipeline tests: file source -> routed gzip sink,
+watermarked log_id dedup, exactly-once on checkpoint replay."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+
+from terraform_aws_lambda_kinesis_to_s3_spark.config import PipelineConfig
+from terraform_aws_lambda_kinesis_to_s3_spark.streaming import run_stream, stream_source
+
+CFG = PipelineConfig(unknown_date="2024-06-01")
+
+
+def _write_batch(src_dir, name, records):
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, name), "w") as f:
+        for r in records:
+            f.write((r if isinstance(r, str) else json.dumps(r)) + "\n")
+
+
+def _read_sink(out_dir):
+    rows = []
+    for p in sorted(glob.glob(f"{out_dir}/**/*.gz", recursive=True)):
+        parts = dict(
+            seg.split("=", 1)
+            for seg in p[len(out_dir) :].split("/")
+            if "=" in seg
+        )
+        for line in gzip.open(p, "rt").read().splitlines():
+            rows.append((parts["log_type"], parts["ym"], parts["dd"], line))
+    return rows
+
+
+def test_stream_route_dedup_exactly_once(spark, tmp_path):
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_batch(
+        src,
+        "b1.jsonl",
+        [
+            {"log_type": "purchase", "log_id": "p-1", "time": "2024-03-05T10:00:00Z"},
+            {"log_type": "purchase", "log_id": "p-1", "time": "2024-03-05T10:00:00Z"},
+            {"log_type": "click", "log_id": "c-1", "time": "2024-03-06T02:00:00Z"},
+            {"log_id": "x-1", "time": "2024-03-05T10:00:00Z"},
+            "not json at all",
+        ],
+    )
+    q = run_stream(stream_source(spark, CFG, "file", src), out, ckpt, CFG)
+    q.awaitTermination(120)
+
+    rows = _read_sink(out)
+    routes = sorted((r[0], r[1], r[2]) for r in rows)
+    assert routes == [
+        ("click", "2024-03", "06"),
+        ("purchase", "2024-03", "05"),  # duplicate suppressed
+        ("unknown", "2024-03", "05"),
+        ("unknown", "2024-06", "01"),
+    ]
+    assert ("unknown", "2024-06", "01", "not json at all") in rows
+
+    # replay with same checkpoint: no new output (exactly-once)
+    q2 = run_stream(stream_source(spark, CFG, "file", src), out, ckpt, CFG)
+    q2.awaitTermination(120)
+    assert len(_read_sink(out)) == len(rows)
+
+    # new batch through the same checkpoint appends
+    _write_batch(
+        src,
+        "b2.jsonl",
+        [{"log_type": "view", "log_id": "v-1", "time": "2024-03-07T00:00:00Z"}],
+    )
+    q3 = run_stream(stream_source(spark, CFG, "file", src), out, ckpt, CFG)
+    q3.awaitTermination(120)
+    assert ("view", "2024-03", "07") in {(r[0], r[1], r[2]) for r in _read_sink(out)}
