@@ -602,12 +602,14 @@ def q_text_token_stats(spark, sf):
     d = _t(spark, sf, "documents")
     return (
         d.withColumn("n_tokens", X.token_count(F.col("text")).cast("long"))
+        .withColumn("n_word_tokens", X.word_token_count(F.col("text")).cast("long"))
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("sum_tokens"),
             F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
             F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_word_tokens").alias("sum_word_tokens"),
         )
     )
 
@@ -616,8 +618,10 @@ SQL_TEXT_TOKENS = r"""
 SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
        ROUND(AVG(n_tokens), 6) AS avg_tokens,
-       MAX(n_tokens) AS max_tokens
-FROM (SELECT lang, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+       MAX(n_tokens) AS max_tokens,
+       CAST(SUM(n_word_tokens) AS BIGINT) AS sum_word_tokens
+FROM (SELECT lang, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_word_tokens
       FROM documents)
 GROUP BY 1
 """
@@ -944,6 +948,36 @@ SELECT bucket, COUNT(*) AS n_vectors FROM buckets GROUP BY 1
 """
 
 
+def q_embedding_near_dup(spark, sf):
+    """Embedding-cosine near-dup pairs — exact all-pairs baseline.
+
+    This is the oracle-checkable ground truth; the scale path is LSH
+    bucketing (``embedding_lsh_buckets``) to generate candidates and
+    this same cosine verify on the (tiny) candidate set. An
+    approximate-recall method can't be hash-compared against an exact
+    oracle, so the registry checks the exact form.
+    """
+    e = _t(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("va") < F.col("vb"))
+    return (
+        pairs.withColumn("cos", S.cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= 0.45)
+        .select("va", "vb", F.round("cos", 4).alias("cosine"))
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+SELECT a.vec_id AS va, b.vec_id AS vb,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+"""
+
+
 # ---------------------------------------------------------------------------
 # Tier B — event-stream analytics
 # ---------------------------------------------------------------------------
@@ -1084,6 +1118,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_centroid_assign": (q_centroid_assign, SQL_CENTROID_ASSIGN),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "embedding_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     # event analytics
     "events_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "events_tumbling_window": (q_tumbling_windows, SQL_TUMBLING),

@@ -1,0 +1,95 @@
+"""Property-based tests (SURVEY.md §5.3): route totality and dedup
+idempotence over hypothesis-generated payload batches."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_s3_spark.config import PipelineConfig
+from terraform_aws_lambda_kinesis_to_s3_spark.operators.envelope import route_records
+
+CFG = PipelineConfig(unknown_date="2024-06-01")
+
+field_val = st.one_of(
+    st.none(),
+    st.text(max_size=12),
+    st.integers(-(10**6), 10**6),
+    st.booleans(),
+)
+
+payloads = st.lists(
+    st.one_of(
+        # structured-ish records with arbitrary presence/typing of envelope keys
+        st.fixed_dictionaries(
+            {},
+            optional={
+                "log_type": field_val,
+                "log_id": field_val,
+                "time": st.one_of(
+                    st.none(),
+                    st.just("2024-01-05T10:00:00Z"),
+                    st.text(max_size=16),
+                ),
+                "extra": field_val,
+            },
+        ).map(json.dumps),
+        # raw garbage
+        st.text(max_size=30),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=payloads)
+def test_route_totality(spark, batch):
+    """Conservation law (README.md:9-11): with no whitelist, every input
+    record lands in exactly one output route, none dropped, and every
+    row has non-null route/ym/dd."""
+    df = spark.createDataFrame([(p,) for p in batch], "payload string")
+    out = route_records(df, CFG)
+    rows = out.collect()
+    assert len(rows) == len(batch)
+    assert all(r.route is not None and r.ym is not None and r.dd is not None for r in rows)
+    # valid <=> routed to own log_type; invalid <=> unknown
+    for r in rows:
+        if r.valid:
+            assert r.route == r.log_type
+        else:
+            assert r.route == CFG.log_type_unknown_prefix
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=payloads)
+def test_dedup_idempotent(spark, batch):
+    df = spark.createDataFrame([(p,) for p in batch], "payload string")
+    once = df.dropDuplicates(["payload"])
+    twice = once.dropDuplicates(["payload"])
+    assert once.count() == twice.count() == df.select("payload").distinct().count()
+
+
+def test_partition_date_purity(spark):
+    """Same record, different TZ config -> partition date shifts exactly
+    by the TZ offset rule, payload untouched."""
+    p = json.dumps(
+        {"log_type": "a", "log_id": "1", "time": "2024-06-30T20:00:00Z"}
+    )
+    df = spark.createDataFrame([(p,)], "payload string")
+    utc = route_records(df, CFG).first()
+    tokyo = route_records(df, CFG.with_(timezone="Asia/Tokyo")).first()
+    assert (utc.ym, utc.dd) == ("2024-06", "30")
+    assert (tokyo.ym, tokyo.dd) == ("2024-07", "01")
+    assert utc.payload == tokyo.payload == p
