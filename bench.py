@@ -65,6 +65,14 @@ HEADLINE = [
     "events_sessionize",
     "events_tumbling_window",
     "events_asof_join",
+    # extended relational + scale paths
+    "percentiles_by_priority",
+    "grouping_sets_status_priority",
+    "customers_above_nation_avg",
+    "salted_group_counts",
+    "embedding_near_dup",
+    "embedding_ivf_topk",
+    "multimodal_features",
 ]
 
 

@@ -165,3 +165,109 @@ def lsh_bucket_counts(
         ).cast("long").alias("bucket")
     )
     return buckets.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: probe only the ``nprobe`` cells
+    nearest to each query instead of scanning all vectors.
+
+    Both sides are assigned to centroid cells (broadcast of the tiny
+    centroid table); the candidate join is an equi-join on cell id, so
+    scan cost drops by ~|cells|/nprobe. Recall < 1 by design — the
+    exact baseline is ``cosine_topk``.
+    """
+    cells = assign_nearest_centroid(vectors, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).alias("vv"),
+        F.col("assigned_label").alias("cell"),
+    )
+    # query -> its nprobe nearest cells
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q_cells = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "qcos", cosine(F.col("qv"), F.col("centroid"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("centroid_label").asc()
+    )
+    probes = (
+        q_cells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", F.col("centroid_label").alias("cell"))
+    )
+    scored = (
+        probes.join(cells, "cell")
+        .filter(F.col("nn_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("vv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nn_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "nn_id",
+            F.round("cos", 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup via blocked matrix multiply.
+
+    One side is broadcast as a dense float64 matrix; each Arrow batch
+    of the other side hits it with one BLAS ``@`` — the vectorized
+    replacement for a per-pair expression fold, ~100x faster. Valid
+    while the broadcast side fits in executor memory (a 10M x 64
+    corpus is ~5 GB); beyond that, generate candidates with
+    LSH/IVF (``lsh_bucket_counts`` / ``ivf_topk``) and verify only
+    candidates.
+
+    Cosine is computed as dot/(|a||b|) to mirror the oracle formula.
+    """
+    import numpy as np
+
+    sc = vectors.sparkSession.sparkContext
+    pdf = vectors.select(id_col, vec_col).toPandas()
+    ids_all = pdf[id_col].to_numpy()
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    bc = sc.broadcast((ids_all, M, np.linalg.norm(M, axis=1)))
+
+    def block(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        ids_b, Mb, nb = bc.value
+        for part in batches:
+            if not len(part):
+                continue
+            ids_l = part[id_col].to_numpy()
+            L = np.stack([np.asarray(v, dtype=np.float64) for v in part[vec_col]])
+            nl = np.linalg.norm(L, axis=1)
+            S = (L @ Mb.T) / np.outer(nl, nb)
+            li, bi = np.where(S >= threshold)
+            va, vb = ids_l[li], ids_b[bi]
+            keep = va < vb
+            yield pd.DataFrame(
+                {
+                    "va": va[keep],
+                    "vb": vb[keep],
+                    "cosine": np.round(S[li, bi][keep], 4),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        block, "va long, vb long, cosine double"
+    )

@@ -957,15 +957,8 @@ def q_embedding_near_dup(spark, sf):
     approximate-recall method can't be hash-compared against an exact
     oracle, so the registry checks the exact form.
     """
-    e = _t(spark, sf, "embeddings")
-    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("va") < F.col("vb"))
-    return (
-        pairs.withColumn("cos", S.cosine(F.col("ea"), F.col("eb")))
-        .filter(F.col("cos") >= 0.45)
-        .select("va", "vb", F.round("cos", 4).alias("cosine"))
-    )
+    e = _t(spark, sf, "embeddings", parallelize=True)
+    return S.cosine_near_dup_pairs(e, threshold=0.45)
 
 
 SQL_EMBEDDING_NEAR_DUP = """
@@ -1075,6 +1068,111 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_percentiles(spark, sf):
+    """Interpolated percentiles of order value per priority."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+def q_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS (SQL API — same Catalyst plan as the
+    DataFrame rollup/cube)."""
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_above_nation_avg(spark, sf):
+    """Correlated-scalar-subquery shape: customers above their nation's
+    average balance. Spark side uses the equivalent window plan (one
+    shuffle, no per-row subquery); oracle states it correlated. The
+    average is decimal-sum-based so both engines compare against the
+    identical double."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    w = Window.partitionBy("c_nationkey")
+    avg_nat = F.sum(_dec("c_acctbal")).over(w).cast("double") / F.count("*").over(w)
+    return (
+        c.withColumn("nation_avg", avg_nat)
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_above_avg"))
+    )
+
+
+SQL_ABOVE_NATION_AVG = """
+SELECT n_name, COUNT(*) AS n_above_avg
+FROM customer c JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+GROUP BY 1
+"""
+
+
+def q_salted_counts(spark, sf):
+    """Skew-resistant two-phase aggregation (operators.skew) — results
+    must equal the plain GROUP BY the oracle runs."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        partials=[(F.count("*"), "n_records"), (F.sum(_dec("value")), "sum_value")],
+        merges=[("sum", "n_records"), ("sum", "sum_value")],
+    )
+    return out.select(
+        "event_type",
+        F.col("n_records").cast("long").alias("n_records"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+SQL_SALTED_COUNTS = """
+SELECT event_type, COUNT(*) AS n_records,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_ivf_topk(spark, sf):
+    """IVF-probed approximate top-k (rows-only: recall<1 by design, so
+    no exact oracle; the exact baseline is embedding_cosine_topk)."""
+    e = _t(spark, sf, "embeddings")
+    cents = S.label_centroids(e)
+    return S.ivf_topk(e, e.filter(F.col("vec_id") < 10), cents, k=5, nprobe=3)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1123,6 +1221,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "events_tumbling_window": (q_tumbling_windows, SQL_TUMBLING),
     "events_asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    # extended relational coverage
+    "percentiles_by_priority": (q_percentiles, SQL_PERCENTILES),
+    "grouping_sets_status_priority": (q_grouping_sets, SQL_GROUPING_SETS),
+    "customers_above_nation_avg": (q_above_nation_avg, SQL_ABOVE_NATION_AVG),
+    "salted_group_counts": (q_salted_counts, SQL_SALTED_COUNTS),
+    # approximate ANN (rows-only: recall<1 vs exact oracle by design)
+    "embedding_ivf_topk": (q_ivf_topk, None),
     # multimodal (mapInPandas — no SQL oracle, rows-only check)
     "multimodal_features": (q_multimodal_features, None),
 }

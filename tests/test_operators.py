@@ -155,3 +155,49 @@ def test_quality_score_bounds(spark):
     feats = X.quality_features(d)
     mn, mx = feats.agg(F.min("quality_score"), F.max("quality_score")).first()
     assert 0.0 <= mn <= mx <= 1.0
+
+
+def test_ivf_topk_matches_exact_when_probing_all_cells(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.label_centroids(e)
+    q = e.filter("vec_id < 3")
+    exact = {(r.query_id, r.nn_id) for r in S.cosine_topk(e, q, k=5).collect()}
+    # nprobe = all cells -> IVF degenerates to exact
+    approx_all = {
+        (r.query_id, r.nn_id)
+        for r in S.ivf_topk(e, q, cents, k=5, nprobe=10).collect()
+    }
+    assert approx_all == exact
+    # nprobe=3 returns k results per query (approximate, subset of cells)
+    approx = S.ivf_topk(e, q, cents, k=5, nprobe=3).collect()
+    assert len(approx) == 15
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.skew import salted_agg
+    from terraform_aws_lambda_kinesis_to_s3_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    salted = {
+        r.event_type: (r.n, float(r.s))
+        for r in salted_agg(
+            ev,
+            keys=["event_type"],
+            partials=[
+                (F.count("*"), "n"),
+                (F.sum(F.col("value").cast("decimal(12,2)")), "s"),
+            ],
+            merges=[("sum", "n"), ("sum", "s")],
+            salt_buckets=8,
+        ).collect()
+    }
+    plain = {
+        r.event_type: (r.n, float(r.s))
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("s"),
+        )
+        .collect()
+    }
+    assert salted == plain
