@@ -1,0 +1,60 @@
+"""CLI / job-API tests: batch backfill in both input formats."""
+
+from __future__ import annotations
+
+import base64
+import glob
+import gzip
+import json
+
+
+def test_cli_batch_payload_and_kinesis_event(spark, tmp_path):
+    from terraform_aws_lambda_kinesis_to_s3_spark.__main__ import main
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "p.jsonl").write_text(
+        json.dumps({"log_type": "a", "log_id": "1", "time": "2024-01-02T03:00:00Z"})
+        + "\n"
+    )
+    out = str(tmp_path / "out")
+    assert main(["batch", "--input", str(src), "--output", out]) == 0
+    files = glob.glob(f"{out}/**/*.gz", recursive=True)
+    assert any("log_type=a/ym=2024-01/dd=02" in f for f in files)
+
+    ke = tmp_path / "ke"
+    ke.mkdir()
+    payload = json.dumps(
+        {"log_type": "b", "log_id": "2", "time": "2024-02-03T04:00:00Z"}
+    ).encode()
+    event = {
+        "Records": [
+            {
+                "kinesis": {
+                    "data": base64.b64encode(gzip.compress(payload)).decode(),
+                    "partitionKey": "k",
+                    "sequenceNumber": "1",
+                    "approximateArrivalTimestamp": 1.0,
+                }
+            }
+        ]
+    }
+    (ke / "e.jsonl").write_text(json.dumps(event) + "\n")
+    out2 = str(tmp_path / "out2")
+    assert (
+        main(
+            [
+                "batch",
+                "--input",
+                str(ke),
+                "--output",
+                out2,
+                "--kinesis-event",
+                "--exact-layout",
+            ]
+        )
+        == 0
+    )
+    files2 = glob.glob(f"{out2}/**/*.gz", recursive=True)
+    assert any("/b/2024-02/03/" in f for f in files2)
+    assert gzip.open(files2[0], "rt").read().strip() == payload.decode()
