@@ -1,0 +1,75 @@
+"""Streaming windowed agg: watermark drops late data, windows emit
+once closed (append mode)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_s3_spark.streaming.windows import (
+    streaming_tumbling_counts,
+)
+
+
+def _write(src, name, rows):
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+
+    def run():
+        stream = (
+            spark.readStream.schema("log_type string, ts string")
+            .json(src)
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        agg = streaming_tumbling_counts(
+            stream, window="1 hour", watermark="30 minutes"
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # batch 1: two events in the 10:00 window, one at 13:00 (advances
+    # the watermark to 12:30, closing and emitting the 10:00 window)
+    _write(
+        src,
+        "b1.jsonl",
+        [
+            {"log_type": "a", "ts": "2024-01-01 10:05:00"},
+            {"log_type": "a", "ts": "2024-01-01 10:20:00"},
+            {"log_type": "b", "ts": "2024-01-01 13:00:00"},
+        ],
+    )
+    run()
+    # batch 2: a late event for the already-closed 10:00 window — must
+    # be dropped, not re-emitted
+    _write(src, "b2.jsonl", [{"log_type": "a", "ts": "2024-01-01 10:40:00"}])
+    run()
+    # batch 3: advance watermark far enough to close the 13:00 window
+    _write(src, "b3.jsonl", [{"log_type": "b", "ts": "2024-01-01 16:00:00"}])
+    run()
+
+    got = {
+        (str(r.window_start), r.log_type): r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    # the 10:00/a window emitted with 2 events; the late 10:40 event
+    # never appeared; 13:00/b closed with 1
+    assert got[("2024-01-01 10:00:00", "a")] == 2
+    assert got[("2024-01-01 13:00:00", "b")] == 1
+    assert ("2024-01-01 10:00:00", "a") in got and len(
+        [k for k in got if k[0] == "2024-01-01 10:00:00"]
+    ) == 1
