@@ -275,3 +275,86 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         )
         sig = term if sig is None else sig + term
     return sums.select("doc_id", sig.alias("simhash"))
+
+
+def cluster_pairs(
+    pairs: DataFrame, max_iter: int = 20, driver_side_limit: int = 5_000_000
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id).
+
+    Two regimes:
+
+    - **small edge sets** (< ``driver_side_limit`` pairs — the common
+      case after LSH pruning): union-find on the driver. Iterative
+      Spark rounds cost seconds of scheduling each; for a few million
+      edges a single collect is strictly faster and exact.
+    - **large**: iterative min-label propagation — every node adopts
+      the smallest cluster id among itself and its neighbors, one
+      join + one aggregate per round, converging in O(diameter)
+      rounds. Edges are persisted once; lineage is truncated per
+      round with ``localCheckpoint`` so plans don't grow.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+    ).persist()
+    n_edges = edges.count()
+    if n_edges == 0:
+        edges.unpersist()
+        spark = pairs.sparkSession
+        return spark.createDataFrame([], "doc_id long, cluster_id long")
+    if n_edges <= driver_side_limit:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            parent.setdefault(r.src, r.src)
+            parent.setdefault(r.dst, r.dst)
+            ra, rb = find(r.src), find(r.dst)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out = [(node, find(node)) for node in parent]
+        edges.unpersist()
+        return pairs.sparkSession.createDataFrame(
+            out, "doc_id long, cluster_id long"
+        )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
+        if changed == 0:
+            break
+    return labels

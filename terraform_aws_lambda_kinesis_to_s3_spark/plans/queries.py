@@ -1173,6 +1173,14 @@ def q_ivf_topk(spark, sf):
     return S.ivf_topk(e, e.filter(F.col("vec_id") < 10), cents, k=5, nprobe=3)
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup cluster assignment: minhash-LSH pairs -> connected
+    components (iterative min-label propagation; rows-only — iterative
+    algorithms are outside single-statement SQL)."""
+    pairs = q_minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b")
+    return D.cluster_pairs(pairs).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1226,6 +1234,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "grouping_sets_status_priority": (q_grouping_sets, SQL_GROUPING_SETS),
     "customers_above_nation_avg": (q_above_nation_avg, SQL_ABOVE_NATION_AVG),
     "salted_group_counts": (q_salted_counts, SQL_SALTED_COUNTS),
+    # iterative near-dup clustering (rows-only: iterative algorithm)
+    "dedup_clusters": (q_dedup_clusters, None),
     # approximate ANN (rows-only: recall<1 vs exact oracle by design)
     "embedding_ivf_topk": (q_ivf_topk, None),
     # multimodal (mapInPandas — no SQL oracle, rows-only check)
