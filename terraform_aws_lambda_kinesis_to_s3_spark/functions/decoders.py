@@ -160,6 +160,31 @@ def gunzip(blobs: pd.Series) -> pd.Series:
     return blobs.map(one)
 
 
+@pandas_udf(T.StringType())
+def gunzip_to_text(blobs: pd.Series) -> pd.Series:
+    """gunzip + UTF-8 decode in one Arrow pass.
+
+    Invalid UTF-8 (e.g. a corrupt gzip blob passed through) decodes
+    with replacement characters instead of failing the job — such
+    records fall out as non-JSON and route to the unknown prefix, the
+    dead-letter semantics the reference documents for undecodable
+    input (README.md:9).
+    """
+
+    def one(b):
+        if b is None:
+            return None
+        b = bytes(b)
+        if b.startswith(GZIP_MAGIC):
+            try:
+                b = _gzip.GzipFile(fileobj=io.BytesIO(b)).read()
+            except (OSError, EOFError, struct.error):
+                pass  # corrupt gzip -> decode raw bytes permissively
+        return b.decode("utf-8", errors="replace")
+
+    return blobs.map(one)
+
+
 _CW_SCHEMA = T.StructType(
     [
         T.StructField("messageType", T.StringType()),
@@ -186,14 +211,21 @@ def cloudwatch_unwrap(text: Column) -> Column:
     """ARRAY of payload strings: logEvents[].message for a CloudWatch
     Logs subscription envelope (``README.md:10``), else [text] itself.
 
-    Pure JVM (`from_json` + `transform`); caller explodes once.
+    CONTROL_MESSAGE envelopes (the probe CloudWatch sends when a
+    subscription starts) yield an empty array — the subsequent explode
+    drops them, matching the deaggregation library's behavior of
+    skipping control records. Pure JVM (`from_json` + `transform`);
+    caller explodes once.
     """
     parsed = F.from_json(text, _CW_SCHEMA)
-    is_cw = (parsed["messageType"] == F.lit("DATA_MESSAGE")) & parsed[
+    is_data = (parsed["messageType"] == F.lit("DATA_MESSAGE")) & parsed[
         "logEvents"
     ].isNotNull()
-    return F.when(is_cw, F.transform(parsed["logEvents"], lambda e: e["message"])).otherwise(
-        F.array(text)
+    is_control = parsed["messageType"] == F.lit("CONTROL_MESSAGE")
+    return (
+        F.when(is_data, F.transform(parsed["logEvents"], lambda e: e["message"]))
+        .when(is_control, F.array().cast("array<string>"))
+        .otherwise(F.array(text))
     )
 
 
@@ -210,6 +242,6 @@ def decode_records(df: DataFrame, data_col: str = "data", base64_encoded: bool =
     raw = F.unbase64(F.col(data_col)) if base64_encoded else F.col(data_col)
     df = df.withColumn("__units", kpl_deaggregate(raw))
     df = df.withColumn("__unit", F.explode("__units")).drop("__units")
-    df = df.withColumn("__text", F.decode(gunzip(F.col("__unit")), "UTF-8")).drop("__unit")
+    df = df.withColumn("__text", gunzip_to_text(F.col("__unit"))).drop("__unit")
     df = df.withColumn("payload", F.explode(cloudwatch_unwrap(F.col("__text")))).drop("__text")
     return df

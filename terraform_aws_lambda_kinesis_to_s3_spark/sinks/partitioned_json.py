@@ -39,28 +39,45 @@ def write_routed(
     exact_layout: bool = False,
     payload_col: str = "payload",
     mode: str = "append",
+    format: str = "text",
 ) -> None:
-    """Write a routed DataFrame (from ``route_records``) as gzip JSON.
+    """Write a routed DataFrame (from ``route_records``) partitioned by
+    (log_type, ym, dd).
 
-    ``path`` is the dataset root; ``cfg.log_path_prefix`` is appended
-    (reference LOG_S3_PREFIX, lambda/main.py:23).
+    ``format="text"`` (default) is reference-compatible gzip JSON-lines
+    — payloads verbatim. ``format="parquet"`` is the analytics landing
+    variant: typed envelope columns (log_id, ts) beside the raw
+    payload, zstd-compressed, ready for predicate/partition pruning by
+    downstream queries. ``path`` is the dataset root;
+    ``cfg.log_path_prefix`` is appended (reference LOG_S3_PREFIX,
+    lambda/main.py:23).
     """
     cfg = cfg or PipelineConfig()
     root = os.path.join(path, cfg.log_path_prefix) if cfg.log_path_prefix else path
-    out = df.select(
-        F.col(payload_col).alias("value"),
-        F.col("route").alias("log_type"),
-        F.col("ym"),
-        F.col("dd"),
-    )
     target = root if not exact_layout else root + "__stage"
-    (
-        out.write.mode(mode)
-        .partitionBy(*_PARTITION_COLS)
-        .option("compression", "gzip")
-        .format("text")
-        .save(target)
-    )
+    if format == "parquet":
+        out = df.select(
+            F.col(payload_col).alias("payload"),
+            F.col("log_id"),
+            F.col("ts"),
+            F.col("route").alias("log_type"),
+            F.col("ym"),
+            F.col("dd"),
+        )
+        writer = out.write.mode(mode).partitionBy(*_PARTITION_COLS).option(
+            "compression", "zstd"
+        ).format("parquet")
+    else:
+        out = df.select(
+            F.col(payload_col).alias("value"),
+            F.col("route").alias("log_type"),
+            F.col("ym"),
+            F.col("dd"),
+        )
+        writer = out.write.mode(mode).partitionBy(*_PARTITION_COLS).option(
+            "compression", "gzip"
+        ).format("text")
+    writer.save(target)
     if exact_layout:
         _restage_exact(target, root)
 

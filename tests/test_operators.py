@@ -221,3 +221,19 @@ def test_cluster_pairs_distributed_path(spark):
         for r in D.cluster_pairs(pairs, driver_side_limit=0).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_sink_parquet_variant(spark, tmp_path):
+    payloads = [
+        json.dumps({"log_type": "a", "log_id": "1", "time": "2024-01-02T03:00:00Z"}),
+        json.dumps({"log_type": "a", "log_id": "2", "time": "2024-01-02T04:00:00Z"}),
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "payload string")
+    routed = route_records(df, PipelineConfig())
+    out = str(tmp_path / "pq")
+    write_routed(routed, out, mode="overwrite", format="parquet")
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert {"payload", "log_id", "ts", "log_type", "ym", "dd"} <= set(back.columns)
+    # typed ts column supports pushdown-able filters on the landing table
+    assert back.filter(F.col("ts") >= "2024-01-02 03:30:00").count() == 1

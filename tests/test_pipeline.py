@@ -226,3 +226,27 @@ def test_dateutil_fallback_formats(spark):
     assert r["d-2"].valid and (r["d-2"].ym, r["d-2"].dd) == ("2024-01", "02")
     assert r["d-3"].valid and r["d-3"].dd == "02"
     assert r["d-4"].valid and r["d-4"].dd == "02"
+
+
+def test_cloudwatch_control_message_dropped(spark):
+    import gzip as _gz
+
+    control = {
+        "messageType": "CONTROL_MESSAGE",
+        "owner": "CloudwatchLogs",
+        "logGroup": "",
+        "logStream": "",
+        "subscriptionFilters": [],
+        "logEvents": [
+            {"id": "", "timestamp": 1, "message": "CWL CONTROL MESSAGE: ..."}
+        ],
+    }
+    rows = run(spark, [_gz.compress(json.dumps(control).encode()), rec()])
+    # control envelope dropped entirely; the real record still routed
+    assert [r.log_id for r in rows] == ["e-000042"]
+
+
+def test_corrupt_gzip_routes_unknown(spark):
+    corrupt = b"\x1f\x8b" + b"this is not a valid gzip stream"
+    rows = run(spark, [corrupt])
+    assert len(rows) == 1 and rows[0].route == "unknown"
