@@ -106,3 +106,73 @@ def asof_join_backward(
         carried.filter(F.col("__is_left") == 1)
         .drop("__is_left", *[f"__r_{c}" for c in rc])
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_cols: tuple[str, ...] = (),
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Forward as-of join: for each left row, the *earliest* right row
+    with ``right.ts >= left.ts`` for the same key; optional tolerance
+    nulls matches further than ``tolerance_seconds`` ahead.
+
+    Same union + window plan as the backward variant, carried with
+    ``first(ignorenulls)`` over the *following* frame. One shuffle on
+    the key.
+    """
+    rc = list(right_cols)
+    marker = "__r_ts"
+    l_t = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("timestamp").alias(marker),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in rc
+        ],
+    )
+    r_t = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("__is_left"),
+        F.col(ts_col).alias(marker),
+        *[F.col(c).alias(f"__r_{c}") for c in rc],
+    )
+    for c in left.columns:
+        if c not in (on, ts_col):
+            r_t = r_t.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = l_t.unionByName(r_t)
+    # right rows sort after simultaneous left rows (is_left desc) so a
+    # right row at the same ts is eligible (>=)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("__is_left").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "*",
+        F.first(marker, ignorenulls=True).over(w).alias("r_ts"),
+        *[
+            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"r_{c}")
+            for c in rc
+        ],
+    )
+    out = carried.filter(F.col("__is_left") == 1).drop(
+        "__is_left", marker, *[f"__r_{c}" for c in rc]
+    )
+    if tolerance_seconds is not None:
+        lag_ok = (
+            F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col(ts_col))
+        ) <= tolerance_seconds * 1_000_000
+        out = out.select(
+            *[c for c in out.columns if not c.startswith("r_")],
+            *[
+                F.when(lag_ok, F.col(f"r_{c}")).alias(f"r_{c}")
+                for c in ["ts", *rc]
+            ],
+        )
+    return out

@@ -1181,6 +1181,96 @@ def q_dedup_clusters(spark, sf):
     return D.cluster_pairs(pairs).orderBy("doc_id")
 
 
+def q_order_gap_days(spark, sf):
+    """lag() window: days between a customer's consecutive orders."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    return (
+        o.withColumn("gap", gap)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.sum("gap").alias("sum_gap_days"),
+            F.max("gap").alias("max_gap_days"),
+        )
+    )
+
+
+SQL_ORDER_GAP = """
+SELECT o_custkey, COUNT(gap) AS n_gaps,
+       CAST(SUM(gap) AS BIGINT) AS sum_gap_days,
+       MAX(gap) AS max_gap_days
+FROM (SELECT o_custkey,
+             CAST(datediff('day',
+                  LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS INT) AS gap
+      FROM orders)
+GROUP BY 1
+"""
+
+
+def q_customer_quartiles(spark, sf):
+    """ntile() ranking: balance quartiles within each market segment."""
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dsum(_dec("c_acctbal"), "sum_acctbal"),
+        )
+    )
+
+
+SQL_CUSTOMER_QUARTILES = """
+SELECT c_mktsegment, CAST(quartile AS INT) AS quartile,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+FROM (SELECT c_mktsegment, c_acctbal,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS quartile
+      FROM customer)
+GROUP BY 1, 2
+"""
+
+
+def q_text_edit_distance(spark, sf):
+    """levenshtein + window: edit distance between consecutive doc
+    prefixes within a source (string-function coverage)."""
+    d = _t(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    prefix = F.substring("text", 1, 40)
+    prev = F.lag(prefix).over(w)
+    dist = F.levenshtein(prefix, prev)
+    return (
+        d.withColumn("dist", dist)
+        .groupBy("source")
+        .agg(
+            F.count("dist").alias("n_pairs"),
+            F.sum("dist").alias("sum_dist"),
+            F.min("dist").alias("min_dist"),
+        )
+    )
+
+
+SQL_TEXT_EDIT_DISTANCE = """
+SELECT source, COUNT(dist) AS n_pairs,
+       CAST(SUM(dist) AS BIGINT) AS sum_dist,
+       MIN(dist) AS min_dist
+FROM (SELECT source,
+             levenshtein(substr(text, 1, 40),
+                         LAG(substr(text, 1, 40))
+                           OVER (PARTITION BY source ORDER BY doc_id)) AS dist
+      FROM documents)
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1230,6 +1320,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_tumbling_window": (q_tumbling_windows, SQL_TUMBLING),
     "events_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     # extended relational coverage
+    "order_gap_days": (q_order_gap_days, SQL_ORDER_GAP),
+    "customer_quartiles": (q_customer_quartiles, SQL_CUSTOMER_QUARTILES),
+    "text_edit_distance": (q_text_edit_distance, SQL_TEXT_EDIT_DISTANCE),
     "percentiles_by_priority": (q_percentiles, SQL_PERCENTILES),
     "grouping_sets_status_priority": (q_grouping_sets, SQL_GROUPING_SETS),
     "customers_above_nation_avg": (q_above_nation_avg, SQL_ABOVE_NATION_AVG),

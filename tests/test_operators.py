@@ -237,3 +237,27 @@ def test_sink_parquet_variant(spark, tmp_path):
     assert {"payload", "log_id", "ts", "log_type", "ym", "dd"} <= set(back.columns)
     # typed ts column supports pushdown-able filters on the landing table
     assert back.filter(F.col("ts") >= "2024-01-02 03:30:00").count() == 1
+
+
+def test_asof_join_forward_with_tolerance(spark):
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.events import (
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100), (1, "2024-01-01 12:00:00", 101), (2, "2024-01-01 10:00:00", 102)],
+        "user_id long, ts string, click_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00", 200), (1, "2024-01-01 15:00:00", 201)],
+        "user_id long, ts string, purchase_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = asof_join_forward(left, right, on="user_id", right_cols=("purchase_id",))
+    m = {r.click_id: r.r_purchase_id for r in out.collect()}
+    assert m == {100: 200, 101: 201, 102: None}  # earliest at-or-after
+
+    bounded = asof_join_forward(
+        left, right, on="user_id", right_cols=("purchase_id",), tolerance_seconds=3600
+    )
+    mb = {r.click_id: r.r_purchase_id for r in bounded.collect()}
+    assert mb == {100: 200, 101: None, 102: None}  # 3h-later match nulled
