@@ -73,6 +73,10 @@ HEADLINE = [
     "embedding_near_dup",
     "embedding_ivf_topk",
     "multimodal_features",
+    "order_gap_days",
+    "customer_quartiles",
+    "text_edit_distance",
+    "dedup_clusters",
 ]
 
 

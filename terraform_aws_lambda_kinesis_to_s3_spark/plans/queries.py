@@ -1271,6 +1271,32 @@ GROUP BY 1
 """
 
 
+def q_deterministic_sample(spark, sf):
+    """Reproducible 5% sample via md5-bucket selection — the sampling
+    primitive a training-data pipeline needs (stable across runs,
+    engines and partitionings, unlike TABLESAMPLE/rand())."""
+    ev = _t(spark, sf, "events")
+    bucket = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10
+                    ).cast("long") % 20
+    return (
+        ev.filter(bucket == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("event_id").alias("sum_ids"),
+        )
+    )
+
+
+SQL_DETERMINISTIC_SAMPLE = """
+SELECT event_type, COUNT(*) AS n_sampled,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids
+FROM events
+WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 20 = 0
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1321,6 +1347,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     # extended relational coverage
     "order_gap_days": (q_order_gap_days, SQL_ORDER_GAP),
+    "deterministic_sample": (q_deterministic_sample, SQL_DETERMINISTIC_SAMPLE),
     "customer_quartiles": (q_customer_quartiles, SQL_CUSTOMER_QUARTILES),
     "text_edit_distance": (q_text_edit_distance, SQL_TEXT_EDIT_DISTANCE),
     "percentiles_by_priority": (q_percentiles, SQL_PERCENTILES),

@@ -25,6 +25,9 @@ def load_table(
     inputs have natural partitioning and should NOT pay this shuffle).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # oracle comparisons assume UTC rendering of timestamps; pin it even
+    # when the caller's session was built with a different default
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if parallelize:
         df = df.repartition(spark.sparkContext.defaultParallelism)
