@@ -56,6 +56,7 @@ HEADLINE = [
     # dedup (LSH scale path)
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_dup_groups",
     # similarity search
     "embedding_cosine_topk",
     "embedding_centroid_assign",

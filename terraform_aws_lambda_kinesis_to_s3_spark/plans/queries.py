@@ -1297,6 +1297,27 @@ GROUP BY 1
 """
 
 
+def q_dup_groups(spark, sf):
+    """Duplicate-group summary (operators.dedup.dup_groups) over a
+    doubled stream: every log_id forms a group of exactly 2."""
+    ev = _t(spark, sf, "events")
+    doubled = ev.unionByName(ev)
+    groups = D.dup_groups(doubled, F.col("event_id").cast("string"), id_col="event_id")
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n_dups").alias("n_members"),
+        F.max("n_dups").alias("max_group"),
+    )
+
+
+SQL_DUP_GROUPS = """
+SELECT COUNT(*) AS n_groups,
+       CAST(SUM(n) AS BIGINT) AS n_members,
+       MAX(n) AS max_group
+FROM (SELECT event_id, COUNT(*) * 2 AS n FROM events GROUP BY 1)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1335,6 +1356,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_ngram_jaccard": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
+    "dedup_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),
     # similarity search
     "embedding_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_centroid_assign": (q_centroid_assign, SQL_CENTROID_ASSIGN),

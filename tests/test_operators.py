@@ -261,3 +261,13 @@ def test_asof_join_forward_with_tolerance(spark):
     )
     mb = {r.click_id: r.r_purchase_id for r in bounded.collect()}
     assert mb == {100: 200, 101: None, 102: None}  # 3h-later match nulled
+
+
+def test_approx_count_distinct_accuracy(spark):
+    from terraform_aws_lambda_kinesis_to_s3_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    exact, approx = li.agg(
+        F.countDistinct("l_orderkey"), F.approx_count_distinct("l_orderkey", 0.02)
+    ).first()
+    assert abs(approx - exact) / exact < 0.05  # HLL++ within rsd bound
