@@ -94,3 +94,82 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out
 
     return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_stub(blob: bytes, width: int = 8, height: int = 8) -> bytes:
+    """Deterministic fake 'resize': byte-subsample to width*height bytes.
+
+    Real deployment: PIL ``Image.resize``. The Spark-side contract —
+    binary in, fixed-size binary out, metadata carried — is what's
+    exercised here.
+    """
+    if blob is None:
+        raise NotImplementedError("real media decode not available in this container")
+    n = width * height
+    if len(blob) == 0:
+        return bytes(n)
+    step = max(1, len(blob) // n)
+    out = bytes(blob[min(i * step, len(blob) - 1)] for i in range(n))
+    return out
+
+
+def frame_sample_stub(blob: bytes, n_frames: int = 4) -> list[bytes]:
+    """Deterministic fake 'video frame sampling': split the blob into
+    n_frames equal chunks (real deployment: libav keyframe extraction)."""
+    if blob is None:
+        raise NotImplementedError("real media decode not available in this container")
+    if len(blob) == 0:
+        return [b""] * n_frames
+    step = max(1, len(blob) // n_frames)
+    return [bytes(blob[i * step : (i + 1) * step] or blob[-step:]) for i in range(n_frames)]
+
+
+def resize_media(df: DataFrame, id_col: str = "doc_id", width: int = 8, height: int = 8) -> DataFrame:
+    """mapInPandas resize over (blob, meta) -> fixed-size thumbnails."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "thumb": [resize_stub(bytes(b), width, height) for b in pdf["blob"]],
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id", n_frames: int = 4) -> DataFrame:
+    """mapInPandas frame sampling: one output row per (media, frame)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for did, b in zip(pdf[id_col], pdf["blob"]):
+                for i, fr in enumerate(frame_sample_stub(bytes(b), n_frames)):
+                    ids.append(did)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(batches, FRAMES_SCHEMA)

@@ -1318,6 +1318,56 @@ FROM (SELECT event_id, COUNT(*) * 2 AS n FROM events GROUP BY 1)
 """
 
 
+def q_embedding_dim_stats(spark, sf):
+    """posexplode over the vector column: per-dimension distribution
+    stats (array-lateral coverage in the oracle set)."""
+    e = _t(spark, sf, "embeddings")
+    comp = e.select(F.posexplode(S._as_double(F.col("embedding"))).alias("i", "x"))
+    return (
+        comp.groupBy("i")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("x"), 4).alias("avg_x"),
+            F.round(F.min("x"), 6).alias("min_x"),
+            F.round(F.max("x"), 6).alias("max_x"),
+        )
+        .select(F.col("i").cast("int").alias("dim"), "n", "avg_x", "min_x", "max_x")
+    )
+
+
+SQL_EMBEDDING_DIM_STATS = """
+SELECT CAST(i - 1 AS INT) AS dim, COUNT(*) AS n,
+       ROUND(AVG(x), 4) AS avg_x,
+       ROUND(MIN(x), 6) AS min_x,
+       ROUND(MAX(x), 6) AS max_x
+FROM (SELECT i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i))
+GROUP BY 1
+"""
+
+
+def q_brand_number_extract(spark, sf):
+    """regexp_extract coverage: numeric brand id out of 'Brand#NN'."""
+    p = _t(spark, sf, "part")
+    n = F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int")
+    return (
+        p.withColumn("brand_no", n)
+        .groupBy("brand_no")
+        .agg(
+            F.count("*").alias("n_parts"),
+            _dsum(_dec("p_retailprice"), "sum_price"),
+        )
+    )
+
+
+SQL_BRAND_NUMBER = """
+SELECT CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INT) AS brand_no,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM part GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1346,6 +1396,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "set_ops_nations": (q_set_ops_nations, SQL_SET_OPS),
     "distinct_aggs": (q_distinct_aggs, SQL_DISTINCT_AGGS),
     "top_brands_by_revenue": (q_top_brands_by_revenue, SQL_TOP_BRANDS),
+    "brand_number_extract": (q_brand_number_extract, SQL_BRAND_NUMBER),
     "frequent_buyers": (q_frequent_buyers, SQL_FREQUENT_BUYERS),
     # text analysis
     "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKENS),
@@ -1363,6 +1414,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "embedding_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
     # event analytics
     "events_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "events_tumbling_window": (q_tumbling_windows, SQL_TUMBLING),

@@ -68,12 +68,20 @@ def run_stream(
     cfg: PipelineConfig | None = None,
     dedup_watermark: str | None = "1 hour",
     available_now: bool = True,
+    exact_layout: bool = False,
 ):
     """Route a payload stream into the partitioned gzip JSON sink.
 
     Returns the StreamingQuery (caller awaits termination).
     ``available_now=True`` drains everything currently available and
     stops — the batch-replay trigger used in tests and backfills.
+
+    ``exact_layout=True`` writes the reference's two-segment
+    ``%log_type%/YYYY-MM/DD/`` layout via ``foreachBatch`` (each
+    micro-batch goes through the batch sink). Note: foreachBatch is
+    at-least-once on retry (the reference's own guarantee,
+    main.tf:56-62); the default hive-layout file sink stays
+    exactly-once.
     """
     cfg = cfg or PipelineConfig()
     routed = route_records(source, cfg)
@@ -95,20 +103,32 @@ def run_stream(
         routed = routed.withColumn("__arrival_ts", F.current_timestamp())
         routed = routed.withWatermark("__arrival_ts", dedup_watermark)
         routed = routed.dropDuplicatesWithinWatermark(["__dedup_key"])
-    out = routed.select(
-        F.col("payload").alias("value"),
-        F.col("route").alias("log_type"),
-        "ym",
-        "dd",
-    )
-    writer = (
-        out.writeStream.format("text")
-        .partitionBy("log_type", "ym", "dd")
-        .option("compression", "gzip")
-        .option("checkpointLocation", checkpoint)
-        .option("path", out_path)
-        .outputMode("append")
-    )
+    if exact_layout:
+        from terraform_aws_lambda_kinesis_to_s3_spark.sinks import write_routed
+
+        def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+            write_routed(batch_df, out_path, cfg, exact_layout=True)
+
+        writer = (
+            routed.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+        )
+    else:
+        out = routed.select(
+            F.col("payload").alias("value"),
+            F.col("route").alias("log_type"),
+            "ym",
+            "dd",
+        )
+        writer = (
+            out.writeStream.format("text")
+            .partitionBy("log_type", "ym", "dd")
+            .option("compression", "gzip")
+            .option("checkpointLocation", checkpoint)
+            .option("path", out_path)
+            .outputMode("append")
+        )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -271,3 +271,27 @@ def test_approx_count_distinct_accuracy(spark):
         F.countDistinct("l_orderkey"), F.approx_count_distinct("l_orderkey", 0.02)
     ).first()
     assert abs(approx - exact) / exact < 0.05  # HLL++ within rsd bound
+
+
+def test_multimodal_resize_and_frames(spark):
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        frame_sample_stub,
+        resize_media,
+        resize_stub,
+        sample_frames,
+    )
+
+    df = attach_media(_docs(spark, ["some media payload bytes here", "x"]))
+    thumbs = resize_media(df, width=4, height=4).orderBy("doc_id").collect()
+    assert [len(t.thumb) for t in thumbs] == [16, 16]
+    assert bytes(thumbs[0].thumb) == resize_stub(b"some media payload bytes here", 4, 4)
+
+    frames = sample_frames(df, n_frames=3).collect()
+    assert len(frames) == 6  # 2 docs x 3 frames
+    by_doc = {}
+    for f in frames:
+        by_doc.setdefault(f.doc_id, []).append((f.frame_idx, bytes(f.frame)))
+    assert sorted(i for i, _ in by_doc[0]) == [0, 1, 2]
+    assert [f for _, f in sorted(by_doc[0])] == frame_sample_stub(
+        b"some media payload bytes here", 3
+    )

@@ -74,3 +74,25 @@ def test_stream_route_dedup_exactly_once(spark, tmp_path):
     q3 = run_stream(stream_source(spark, CFG, "file", src), out, ckpt, CFG)
     q3.awaitTermination(120)
     assert ("view", "2024-03", "07") in {(r[0], r[1], r[2]) for r in _read_sink(out)}
+
+
+def test_stream_exact_layout_foreachbatch(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    _write_batch(
+        src,
+        "b1.jsonl",
+        [
+            {"log_type": "purchase", "log_id": "p-1", "time": "2024-03-05T10:00:00Z"},
+            {"log_type": "click", "log_id": "c-1", "time": "2024-04-06T02:00:00Z"},
+        ],
+    )
+    q = run_stream(
+        stream_source(spark, CFG, "file", src), out, ckpt, CFG, exact_layout=True
+    )
+    q.awaitTermination(120)
+    import glob
+
+    files = glob.glob(f"{out}/**/*.gz", recursive=True)
+    assert any("/purchase/2024-03/05/" in f for f in files)
+    assert any("/click/2024-04/06/" in f for f in files)
+    assert not any("log_type=" in f for f in files)  # two-segment reference layout
