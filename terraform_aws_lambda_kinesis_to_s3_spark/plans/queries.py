@@ -1368,6 +1368,120 @@ FROM part GROUP BY 1
 """
 
 
+def _md5_bucket(col, buckets: int):
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def q_dataset_split(spark, sf):
+    """Deterministic 80/10/10 train/val/test split by doc_id hash — the
+    split survives reruns, repartitioning and engine changes."""
+    d = _t(spark, sf, "documents")
+    b = _md5_bucket(F.col("doc_id"), 10)
+    split = (
+        F.when(b <= 7, F.lit("train")).when(b == 8, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+SQL_DATASET_SPLIT = """
+SELECT lang,
+       CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM (SELECT lang, n_chars,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 10 AS b
+      FROM documents)
+GROUP BY 1, 2
+"""
+
+
+def q_stratified_sample(spark, sf):
+    """Per-stratum deterministic sampling: ~20% of each event_type by
+    event_id hash (uniform within stratum, reproducible)."""
+    ev = _t(spark, sf, "events")
+    sampled = ev.filter(_md5_bucket(F.col("event_id"), 5) == 0)
+    return sampled.groupBy("event_type").agg(
+        F.count("*").alias("n_sampled"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT event_type, COUNT(*) AS n_sampled,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 5 = 0
+GROUP BY 1
+"""
+
+
+def q_text_scrub(spark, sf):
+    """PII-style scrubbing shape: redact digit runs, report how much
+    was removed (regexp_replace coverage)."""
+    d = _t(spark, sf, "documents")
+    scrubbed = F.regexp_replace(F.col("text"), r"\d+", "<NUM>")
+    return (
+        d.withColumn("removed", F.length("text") - F.length(F.regexp_replace("text", r"\d+", "")))
+        .withColumn("scrubbed_len", F.length(scrubbed))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("removed").alias("chars_redacted"),
+            F.sum("scrubbed_len").alias("sum_scrubbed_len"),
+        )
+    )
+
+
+SQL_TEXT_SCRUB = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(length(text) - length(regexp_replace(text, '\\d+', '', 'g'))) AS BIGINT) AS chars_redacted,
+       CAST(SUM(length(regexp_replace(text, '\\d+', '<NUM>', 'g'))) AS BIGINT) AS sum_scrubbed_len
+FROM documents GROUP BY 1
+"""
+
+
+def q_sequence_packing(spark, sf):
+    """Greedy sequence packing: running token count per source assigns
+    docs to fixed-budget bins (window cumsum — the distributed version
+    of the packing loop every training-data pipeline runs)."""
+    d = _t(spark, sf, "documents")
+    n_tok = X.token_count(F.col("text")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    binned = (
+        d.withColumn("n_tok", n_tok)
+        .withColumn("bin", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512).cast("long"))
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+    )
+
+
+SQL_SEQUENCE_PACKING = r"""
+SELECT source, CAST(FLOOR((run - n_tok) / 512) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+FROM (SELECT source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS run
+      FROM (SELECT source, doc_id,
+                   CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+            FROM documents))
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1422,6 +1536,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # extended relational coverage
     "order_gap_days": (q_order_gap_days, SQL_ORDER_GAP),
     "deterministic_sample": (q_deterministic_sample, SQL_DETERMINISTIC_SAMPLE),
+    "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "text_scrub": (q_text_scrub, SQL_TEXT_SCRUB),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "customer_quartiles": (q_customer_quartiles, SQL_CUSTOMER_QUARTILES),
     "text_edit_distance": (q_text_edit_distance, SQL_TEXT_EDIT_DISTANCE),
     "percentiles_by_priority": (q_percentiles, SQL_PERCENTILES),

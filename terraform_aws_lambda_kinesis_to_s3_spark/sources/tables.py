@@ -38,3 +38,13 @@ def load_table(
             # lose sub-microsecond precision on 1e18-scale nanos
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view so users can query the
+    engine with plain ``spark.sql`` (same Catalyst plans either way)."""
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

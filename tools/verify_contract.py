@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Mirror the driver's verification: run entry(), then every queries()
+entry against its oracle_sql() in DuckDB at sf0.01, comparing row
+count, schema (column names) and canonicalized values.
+
+Exit 0 = everything matches. Use before committing registry changes:
+    python tools/verify_contract.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    if pd.isna(a) and pd.isna(b):
+        return True
+    return a == b
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as m
+    from terraform_aws_lambda_kinesis_to_s3_spark.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="verify_contract")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    n = len(m.entry(spark).collect())
+    print(f"entry: {n} rows {'OK' if n > 0 else 'EMPTY (FAIL)'}")
+    failures = [] if n > 0 else ["entry"]
+
+    qs, osql = m.queries(), m.oracle_sql()
+    for name, fn in qs.items():
+        try:
+            s = fn(spark, sf).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:100]}")
+            failures.append(name)
+            continue
+        if name not in osql:
+            print(f"  {name}: rows-only, {len(s)} rows")
+            continue
+        d = con.execute(osql[name]).df()
+        a, b = canon(s), canon(d)
+        ok = list(a.columns) == list(b.columns) and len(a) == len(b)
+        if ok:
+            for c in a.columns:
+                if not all(values_equal(x, y) for x, y in zip(a[c], b[c])):
+                    ok = False
+                    break
+        print(f"  {name}: {'MATCH' if ok else 'MISMATCH'} ({len(s)} rows)")
+        if not ok:
+            failures.append(name)
+
+    print(f"\n{len(qs)} queries, {len(failures)} failures: {failures or 'NONE'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
