@@ -100,6 +100,34 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # The reference's entire job is decode->route->gzip-partitioned
+    # write; measure that full write path too (events re-serialized as
+    # payloads, written to a temp sink, cleaned up).
+    import shutil
+    import tempfile
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.config import PipelineConfig
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.envelope import (
+        route_records,
+    )
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import (
+        _events_payload,
+        _t,
+    )
+    from terraform_aws_lambda_kinesis_to_s3_spark.sinks import write_routed
+
+    tmp = tempfile.mkdtemp(prefix="bench_sink_")
+    try:
+        routed = route_records(
+            _events_payload(_t(spark, sf_dir, "events", parallelize=True)),
+            PipelineConfig(),
+        )
+        t0 = time.perf_counter()
+        write_routed(routed, tmp, mode="overwrite")
+        timings["pipeline_sink_write"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -40,9 +40,17 @@ def write_routed(
     payload_col: str = "payload",
     mode: str = "append",
     format: str = "text",
+    cluster_output: bool = True,
 ) -> None:
     """Write a routed DataFrame (from ``route_records``) partitioned by
     (log_type, ym, dd).
+
+    ``cluster_output`` (default) hash-repartitions rows onto their
+    partition columns before the dynamic write, so each output
+    directory receives files from one task instead of every task —
+    without it, T tasks x P partitions produces T*P tiny gzip objects
+    (the small-files problem at its source). Disable only when the
+    input is already clustered by the partition keys.
 
     ``format="text"`` (default) is reference-compatible gzip JSON-lines
     — payloads verbatim. ``format="parquet"`` is the analytics landing
@@ -55,6 +63,9 @@ def write_routed(
     cfg = cfg or PipelineConfig()
     root = os.path.join(path, cfg.log_path_prefix) if cfg.log_path_prefix else path
     target = root if not exact_layout else root + "__stage"
+    if cluster_output:
+        n = df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(n, F.col("route"), F.col("ym"), F.col("dd"))
     if format == "parquet":
         out = df.select(
             F.col(payload_col).alias("payload"),
@@ -117,4 +128,58 @@ def read_routed(
         .option("basePath", root)
         .load(root + "/log_type=*/ym=*/dd=*")
         .withColumnRenamed("value", "payload")
+    )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    root: str,
+    files_per_partition: int = 1,
+) -> int:
+    """Compact a hive-layout routed dataset's small files.
+
+    Partitioned streaming sinks accumulate one file per task per
+    micro-batch; at 100 TB that is the classic small-files problem
+    (S3 listing + open overhead dominates reads). This rewrites each
+    (log_type, ym, dd) partition into ``files_per_partition`` files
+    via a repartition-by-partition-columns write to a staging dir,
+    then swaps directories. Returns the number of data files after
+    compaction.
+
+    The rewrite is one parallel Spark job: hash-repartitioning on the
+    partition columns routes each output directory's rows to exactly
+    one task (so one file per directory) while different directories
+    still spread across all cores. ``files_per_partition > 1`` salts
+    the hash to split hot partitions.
+    """
+    import glob as _glob
+
+    df = (
+        spark.read.format("text")
+        .option("basePath", root)
+        .load(root + "/log_type=*/ym=*/dd=*")
+    )
+    stage = root + "__compact"
+    keys = [F.col(c) for c in _PARTITION_COLS]
+    if files_per_partition > 1:
+        keys.append(F.crc32(F.col("value")) % files_per_partition)
+    n = spark.sparkContext.defaultParallelism
+    (
+        df.repartition(n, *keys)
+        .write.mode("overwrite")
+        .partitionBy(*_PARTITION_COLS)
+        .option("compression", "gzip")
+        .format("text")
+        .save(stage)
+    )
+    old = root + "__old"
+    os.rename(root, old)
+    os.rename(stage, root)
+    shutil.rmtree(old, ignore_errors=True)
+    return len(
+        [
+            f
+            for f in _glob.glob(f"{root}/**/*", recursive=True)
+            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+        ]
     )

@@ -121,6 +121,9 @@ def run_stream(
             "ym",
             "dd",
         )
+        # cluster rows onto their partition dirs per micro-batch — else
+        # every task writes a file into every partition (small-files)
+        out = out.repartition(F.col("log_type"), F.col("ym"), F.col("dd"))
         writer = (
             out.writeStream.format("text")
             .partitionBy("log_type", "ym", "dd")

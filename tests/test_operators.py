@@ -295,3 +295,28 @@ def test_multimodal_resize_and_frames(spark):
     assert [f for _, f in sorted(by_doc[0])] == frame_sample_stub(
         b"some media payload bytes here", 3
     )
+
+
+def test_compact_partitions(spark, tmp_path):
+    from terraform_aws_lambda_kinesis_to_s3_spark.sinks.partitioned_json import (
+        compact_partitions,
+    )
+
+    payloads = [
+        json.dumps({"log_type": "a", "log_id": str(i), "time": "2024-01-02T03:00:00Z"})
+        for i in range(40)
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "payload string")
+    routed = route_records(df, PipelineConfig()).repartition(8)
+    out = str(tmp_path / "sink")
+    # three unclustered appends of 8 tasks each -> many small files
+    for _ in range(3):
+        write_routed(routed, out, cluster_output=False)
+    import glob as g
+
+    before = len([f for f in g.glob(f"{out}/**/*.gz", recursive=True)])
+    assert before >= 8
+    after = compact_partitions(spark, out)
+    assert after == 1  # one (a, 2024-01, 02) partition -> one file
+    back = read_routed(spark, out)
+    assert back.count() == 120  # 3 appends x 40 rows, nothing lost
