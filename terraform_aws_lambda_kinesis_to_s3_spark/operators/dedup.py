@@ -300,14 +300,17 @@ def cluster_pairs(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
-    ).persist()
-    n_edges = edges.count()
-    if n_edges == 0:
+        .persist()
+    )
+    # one action probes the size AND materializes the cache: take()
+    # returns at most limit+1 rows; fewer means we hold the full set
+    probe = edges.take(driver_side_limit + 1)
+    if not probe:
         edges.unpersist()
         spark = pairs.sparkSession
         return spark.createDataFrame([], "doc_id long, cluster_id long")
-    if n_edges <= driver_side_limit:
-        rows = edges.collect()
+    if len(probe) <= driver_side_limit:
+        rows = probe
         parent: dict = {}
 
         def find(x):

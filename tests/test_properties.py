@@ -93,3 +93,44 @@ def test_partition_date_purity(spark):
     assert (utc.ym, utc.dd) == ("2024-06", "30")
     assert (tokyo.ym, tokyo.dd) == ("2024-07", "01")
     assert utc.payload == tokyo.payload == p
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    payloads=st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=8),
+    pk=st.text(min_size=1, max_size=10),
+)
+def test_kpl_roundtrip_property(payloads, pk):
+    """Vendored KPL aggregation wire format: aggregate -> deaggregate is
+    the identity for arbitrary binary payloads."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.functions.decoders import (
+        kpl_aggregate_bytes,
+        kpl_deaggregate_bytes,
+    )
+
+    blob = kpl_aggregate_bytes(payloads, partition_key=pk)
+    assert kpl_deaggregate_bytes(blob) == payloads
+
+
+def test_kpl_non_kpl_passthrough():
+    from terraform_aws_lambda_kinesis_to_s3_spark.functions.decoders import (
+        KPL_MAGIC,
+        kpl_deaggregate_bytes,
+    )
+
+    assert kpl_deaggregate_bytes(b"plain bytes") == [b"plain bytes"]
+    # magic prefix but garbage body -> passthrough, not crash
+    assert kpl_deaggregate_bytes(KPL_MAGIC + b"\xff" * 20) == [KPL_MAGIC + b"\xff" * 20]
+
+
+def test_special_char_log_type_roundtrips_sink(spark, tmp_path):
+    """Partition values with slashes/spaces survive the hive sink via
+    URL-escaping (log_type=a%2Fb c on disk, 'a/b c' on read-back)."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.sinks import read_routed, write_routed
+
+    p = json.dumps({"log_type": "a/b c", "log_id": "1", "time": "2024-01-02T03:00:00Z"})
+    df = spark.createDataFrame([(p,)], "payload string")
+    out = str(tmp_path / "sink")
+    write_routed(route_records(df, CFG), out, mode="overwrite")
+    back = read_routed(spark, out).collect()
+    assert back[0].log_type == "a/b c" and back[0].payload == p
