@@ -97,6 +97,12 @@ def kpl_deaggregate_bytes(blob: bytes) -> list[bytes]:
     if not blob.startswith(KPL_MAGIC) or len(blob) < len(KPL_MAGIC) + 16:
         return [blob]
     body = blob[len(KPL_MAGIC) : -16]
+    # the trailing MD5 exists to catch truncation/corruption — without
+    # this check a truncated blob parses into silently-short payloads
+    import hashlib
+
+    if hashlib.md5(body).digest() != blob[-16:]:
+        return [blob]
     try:
         out = []
         for field, wire, val in _iter_fields(body):

@@ -302,15 +302,12 @@ def cluster_pairs(
         .distinct()
         .persist()
     )
-    # one action probes the size AND materializes the cache: take()
-    # returns at most limit+1 rows; fewer means we hold the full set
-    probe = edges.take(driver_side_limit + 1)
-    if not probe:
-        edges.unpersist()
-        spark = pairs.sparkSession
-        return spark.createDataFrame([], "doc_id long, cluster_id long")
-    if len(probe) <= driver_side_limit:
-        rows = probe
+    # size probe stays distributed: limit+count moves one number to the
+    # driver (a take() here would collect up to limit+1 rows — the OOM
+    # the large regime exists to avoid)
+    n_edges = edges.limit(driver_side_limit + 1).count()
+    if n_edges <= driver_side_limit:
+        rows = edges.collect()  # reads the cache the probe warmed
         parent: dict = {}
 
         def find(x):

@@ -134,3 +134,17 @@ def test_special_char_log_type_roundtrips_sink(spark, tmp_path):
     write_routed(route_records(df, CFG), out, mode="overwrite")
     back = read_routed(spark, out).collect()
     assert back[0].log_type == "a/b c" and back[0].payload == p
+
+
+def test_kpl_truncated_blob_passthrough():
+    """MD5 trailer catches truncation: a KPL blob cut mid-record must
+    come back verbatim, never as silently-short payloads."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.functions.decoders import (
+        kpl_aggregate_bytes,
+        kpl_deaggregate_bytes,
+    )
+
+    blob = kpl_aggregate_bytes([b"x" * 50, b"y" * 50])
+    truncated = blob[: len(blob) - 40] + blob[-16:]  # keep magic + a trailer
+    out = kpl_deaggregate_bytes(truncated)
+    assert out == [truncated]  # passthrough, not partial payloads
