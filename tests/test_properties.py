@@ -75,9 +75,11 @@ def test_route_totality(spark, batch):
 )
 @given(batch=payloads)
 def test_dedup_idempotent(spark, batch):
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.dedup import exact_dedup
+
     df = spark.createDataFrame([(p,) for p in batch], "payload string")
-    once = df.dropDuplicates(["payload"])
-    twice = once.dropDuplicates(["payload"])
+    once = exact_dedup(df, ["payload"])
+    twice = exact_dedup(once, ["payload"])
     assert once.count() == twice.count() == df.select("payload").distinct().count()
 
 

@@ -62,14 +62,12 @@ def test_watermark_drops_late_events(spark, tmp_path):
     _write(src, "b3.jsonl", [{"log_type": "b", "ts": "2024-01-01 16:00:00"}])
     run()
 
-    got = {
-        (str(r.window_start), r.log_type): r.n_events
+    rows = [
+        (str(r.window_start), r.log_type, r.n_events)
         for r in spark.read.parquet(out).collect()
-    }
-    # the 10:00/a window emitted with 2 events; the late 10:40 event
-    # never appeared; 13:00/b closed with 1
-    assert got[("2024-01-01 10:00:00", "a")] == 2
-    assert got[("2024-01-01 13:00:00", "b")] == 1
-    assert ("2024-01-01 10:00:00", "a") in got and len(
-        [k for k in got if k[0] == "2024-01-01 10:00:00"]
-    ) == 1
+    ]
+    # the 10:00/a window must have emitted EXACTLY once, with 2 events —
+    # a re-emission (or the late 10:40 event appearing) is a failure
+    ten = [r for r in rows if r[0] == "2024-01-01 10:00:00"]
+    assert ten == [("2024-01-01 10:00:00", "a", 2)]
+    assert ("2024-01-01 13:00:00", "b", 1) in rows

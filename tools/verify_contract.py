@@ -22,12 +22,8 @@ TABLES = (
 ).split()
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype.kind == "f":
-            df[c] = df[c].round(6)
-    return df.sort_values(by=list(df.columns), ignore_index=True)
+# single source of truth: the pytest oracle gate's canonicalization
+from tests.test_oracle import canonicalize as canon  # noqa: E402
 
 
 def values_equal(a, b) -> bool:
@@ -35,8 +31,11 @@ def values_equal(a, b) -> bool:
         if math.isnan(a) and math.isnan(b):
             return True
         return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
-    if pd.isna(a) and pd.isna(b):
-        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
     return a == b
 
 
@@ -65,7 +64,10 @@ def main() -> int:
             failures.append(name)
             continue
         if name not in osql:
-            print(f"  {name}: rows-only, {len(s)} rows")
+            ok = len(s) > 0
+            print(f"  {name}: rows-only, {len(s)} rows {'' if ok else '(EMPTY: FAIL)'}")
+            if not ok:
+                failures.append(name)
             continue
         d = con.execute(osql[name]).df()
         a, b = canon(s), canon(d)
