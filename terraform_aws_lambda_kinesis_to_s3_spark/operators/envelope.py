@@ -154,3 +154,26 @@ def route_records(
     if drop:
         out = out.filter(F.col("is_json"))
     return out
+
+
+def payload_schema_profile(
+    df: DataFrame, payload_col: str = "payload", type_col: str | None = "route"
+) -> DataFrame:
+    """Schema-drift monitor: distinct inferred payload schemas per log
+    type with counts and an example payload.
+
+    The reference's schema-free model (README.md:9) means producers can
+    drift silently; at 100 TB you want the drift surfaced as data.
+    ``schema_of_variant`` infers per-row schema JVM-side (one parse, no
+    sampling), so the profile is exact, not estimated.
+    """
+    keys = [F.col(type_col)] if type_col else []
+    schema = F.schema_of_variant(F.try_parse_json(F.col(payload_col)))
+    return (
+        df.withColumn("payload_schema", schema)
+        .groupBy(*keys, "payload_schema")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.min(payload_col).alias("example_payload"),
+        )
+    )

@@ -1482,6 +1482,23 @@ GROUP BY 1, 2
 """
 
 
+def q_schema_profile(spark, sf):
+    """Schema-drift profile over routed payloads (rows-only: Spark's
+    schema_of_variant string format is engine-specific)."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.envelope import (
+        payload_schema_profile,
+    )
+
+    ev = _t(spark, sf, "events")
+    payloads = _events_payload(
+        ev, drop_time=(F.col("event_id") % 7 == 0)
+    )
+    routed = route_records(payloads, PipelineConfig(unknown_date="2024-06-15"))
+    return payload_schema_profile(routed).select(
+        "route", "payload_schema", "n_records"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1550,6 +1567,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_clusters": (q_dedup_clusters, None),
     # approximate ANN (rows-only: recall<1 vs exact oracle by design)
     "embedding_ivf_topk": (q_ivf_topk, None),
+    # schema-drift monitor (rows-only: schema string format is engine-specific)
+    "pipeline_schema_profile": (q_schema_profile, None),
     # multimodal (mapInPandas — no SQL oracle, rows-only check)
     "multimodal_features": (q_multimodal_features, None),
 }

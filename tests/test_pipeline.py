@@ -250,3 +250,27 @@ def test_corrupt_gzip_routes_unknown(spark):
     corrupt = b"\x1f\x8b" + b"this is not a valid gzip stream"
     rows = run(spark, [corrupt])
     assert len(rows) == 1 and rows[0].route == "unknown"
+
+
+def test_payload_schema_profile_detects_drift(spark):
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.envelope import (
+        payload_schema_profile,
+    )
+
+    payloads = [
+        rec(),
+        rec(log_id="e-2"),  # same shape
+        rec(log_id="e-3", extra_field="surprise"),  # drifted shape
+        b"not json",
+    ]
+    routed = route_records(
+        decode_records(payloads_to_df(spark, payloads)), CFG
+    )
+    prof = payload_schema_profile(routed).collect()
+    by_route = {}
+    for r in prof:
+        by_route.setdefault(r.route, []).append((r.payload_schema, r.n_records))
+    # two distinct schemas under 'purchase' (drift visible), one null-schema unknown
+    purchase = sorted(by_route["purchase"], key=lambda x: -x[1])
+    assert len(purchase) == 2 and purchase[0][1] == 2 and purchase[1][1] == 1
+    assert len(by_route["unknown"]) == 1
