@@ -80,7 +80,9 @@ class PipelineConfig:
         e = os.environ if env is None else env
         wl = tuple(w for w in e.get("LOG_TYPE_WHITELIST", "").split(",") if w)
         return cls(
-            log_bucket=e.get("LOG_BUCKET"),
+            # the reference wires the bucket as LOG_S3_BUCKET (main.tf:49);
+            # LOG_BUCKET kept as a fallback alias
+            log_bucket=e.get("LOG_S3_BUCKET", e.get("LOG_BUCKET")),
             log_path_prefix=e.get("LOG_S3_PREFIX", ""),
             log_id_field=e.get("LOG_ID_FIELD", "log_id"),
             log_type_field=e.get("LOG_TYPE_FIELD", "log_type"),

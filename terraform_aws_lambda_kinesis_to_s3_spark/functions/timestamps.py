@@ -39,6 +39,21 @@ def _jvm_chain(col: Column) -> Column:
     return F.coalesce(*branches)
 
 
+def _require_dateutil() -> None:
+    """Fail fast at plan-build time when the permissive fallback can't
+    work: without this, records the reference would parse
+    (``README.md:15``) silently come back NaT and route to ``unknown``
+    with no signal."""
+    import importlib.util
+
+    if importlib.util.find_spec("dateutil") is None:
+        raise RuntimeError(
+            "permissive timestamp parsing requires python-dateutil on the "
+            "driver and executors (reference parity: README.md:15, "
+            "python-dateutil==2.8.1); install it or pass permissive=False"
+        )
+
+
 def _dateutil_fallback(col: Column) -> Column:
     from pyspark.sql.pandas.functions import pandas_udf
 
@@ -53,8 +68,14 @@ def _dateutil_fallback(col: Column) -> Column:
             return out
         try:
             from dateutil import parser as duparser
-        except ImportError:  # dateutil not on executors -> no fallback
-            return out
+        except ImportError:
+            # executors missing the dep is a deploy bug: fail the job
+            # loudly instead of silently NaT-ing rows into 'unknown'
+            raise RuntimeError(
+                "python-dateutil is missing on this executor but "
+                "permissive timestamp rows need it (deploy it with the "
+                "job, e.g. --py-files / a conda env)"
+            ) from None
 
         def one(v):
             try:
@@ -82,6 +103,7 @@ def parse_timestamp(col: Column, permissive: bool = True) -> Column:
     jvm = _jvm_chain(col)
     if not permissive:
         return jvm
+    _require_dateutil()
     # Python UDFs are extracted into their own projection and run over
     # every row, so mask the input: fast-path rows enter as NULL.
     fallback = _dateutil_fallback(F.when(jvm.isNull() & col.isNotNull(), col))

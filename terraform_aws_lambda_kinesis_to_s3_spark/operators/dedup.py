@@ -324,9 +324,18 @@ def cluster_pairs(
                 parent[max(ra, rb)] = min(ra, rb)
         out = [(node, find(node)) for node in parent]
         edges.unpersist()
-        return pairs.sparkSession.createDataFrame(
-            out, "doc_id long, cluster_id long"
+        # schema follows the input id type so both regimes agree (string
+        # doc ids work the same as longs)
+        from pyspark.sql import types as T
+
+        id_type = pairs.schema["doc_a"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", id_type),
+                T.StructField("cluster_id", id_type),
+            ]
         )
+        return pairs.sparkSession.createDataFrame(out, schema)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

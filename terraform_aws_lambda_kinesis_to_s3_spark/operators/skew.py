@@ -22,17 +22,26 @@ def salted_agg(
     partials: list[tuple[Column, str]],
     merges: list[tuple[str, str]],
     salt_buckets: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-phase skew-resistant aggregation.
 
     ``partials``: (aggregate_column_expr, alias) computed per
     (keys, salt). ``merges``: (merge_fn_name, alias) applied over the
     partial columns per keys — e.g. ``("sum", "cnt")`` re-sums partial
-    counts. Deterministic salt (hash of a uniform random column would
-    also do; monotonically_increasing_id keeps it reproducible).
+    counts.
+
+    The salt is ``pmod(hash(salt_cols), salt_buckets)`` over the full
+    row by default — deterministic for a given row *content* (stable
+    across runs, partitionings and engines), and it spreads a hot key's
+    rows across buckets as long as any non-key attribute varies.
+    Semantics are exact either way: the merge phase re-combines
+    partials regardless of how rows landed in buckets.
     """
+    cols = salt_cols if salt_cols is not None else df.columns
     salted = df.withColumn(
-        "__salt", (F.monotonically_increasing_id() % salt_buckets).cast("int")
+        "__salt",
+        F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(salt_buckets)).cast("int"),
     )
     partial = salted.groupBy(*keys, "__salt").agg(
         *[expr.alias(alias) for expr, alias in partials]

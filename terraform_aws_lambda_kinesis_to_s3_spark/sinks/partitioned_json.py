@@ -32,6 +32,22 @@ from terraform_aws_lambda_kinesis_to_s3_spark.config import PipelineConfig
 _PARTITION_COLS = ("log_type", "ym", "dd")
 
 
+def _ensure_local(path: str, what: str) -> str:
+    """The restage/compact paths use OS-level renames, which only exist
+    on a local filesystem. On S3/HDFS a 'rename' is a copy per object —
+    raise a clear error instead of failing mid-way (or silently doing
+    N full-object copies); on those stores use the hive layout and a
+    committer-based rewrite instead."""
+    scheme, sep, rest = path.partition("://")
+    if sep and scheme != "file":
+        raise ValueError(
+            f"{what} requires a local filesystem path (got scheme "
+            f"'{scheme}://'); on object stores keep the hive layout "
+            "(exact_layout=False) or compact via a table rewrite"
+        )
+    return rest if sep else path
+
+
 def write_routed(
     df: DataFrame,
     path: str,
@@ -62,6 +78,8 @@ def write_routed(
     """
     cfg = cfg or PipelineConfig()
     root = os.path.join(path, cfg.log_path_prefix) if cfg.log_path_prefix else path
+    if exact_layout:
+        _ensure_local(root, "exact_layout restage")  # fail before writing
     target = root if not exact_layout else root + "__stage"
     if cluster_output:
         n = df.sparkSession.sparkContext.defaultParallelism
@@ -95,8 +113,8 @@ def write_routed(
 
 def _restage_exact(stage: str, root: str) -> None:
     """hive ``log_type=T/ym=M/dd=D`` -> exact ``T/M/D`` (renames only)."""
-    stage = stage.removeprefix("file://")
-    root = root.removeprefix("file://")
+    stage = _ensure_local(stage, "exact_layout restage")
+    root = _ensure_local(root, "exact_layout restage")
     for lt in _hive_children(stage, "log_type="):
         for ym in _hive_children(os.path.join(stage, lt), "ym="):
             for dd in _hive_children(os.path.join(stage, lt, ym), "dd="):
@@ -154,6 +172,7 @@ def compact_partitions(
     """
     import glob as _glob
 
+    root = _ensure_local(root, "compact_partitions")
     df = (
         spark.read.format("text")
         .option("basePath", root)

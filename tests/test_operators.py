@@ -223,6 +223,38 @@ def test_cluster_pairs_distributed_path(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_cluster_pairs_string_ids(spark):
+    """Both regimes must return the input id type (ADVICE r1): string
+    doc ids work through the driver union-find path too."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    got = {r.doc_id: r.cluster_id for r in D.cluster_pairs(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    got2 = {
+        r.doc_id: r.cluster_id
+        for r in D.cluster_pairs(pairs, driver_side_limit=0).collect()
+    }
+    assert got2 == got
+
+
+def test_sink_rejects_remote_uri_for_exact_layout(spark, tmp_path):
+    import pytest as _pytest
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.sinks import write_routed
+    from terraform_aws_lambda_kinesis_to_s3_spark.sinks.partitioned_json import (
+        compact_partitions,
+    )
+
+    df = spark.createDataFrame(
+        [("{}", "a", "2024-01", "01")], "payload string, route string, ym string, dd string"
+    )
+    with _pytest.raises(ValueError, match="local filesystem"):
+        write_routed(df, "s3://bucket/logs", exact_layout=True)
+    with _pytest.raises(ValueError, match="local filesystem"):
+        compact_partitions(spark, "hdfs://nn/logs")
+
+
 def test_sink_parquet_variant(spark, tmp_path):
     payloads = [
         json.dumps({"log_type": "a", "log_id": "1", "time": "2024-01-02T03:00:00Z"}),
