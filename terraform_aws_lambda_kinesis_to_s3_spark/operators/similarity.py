@@ -225,49 +225,77 @@ def cosine_near_dup_pairs(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    blocks: int = 8,
 ) -> DataFrame:
-    """Exact all-pairs cosine near-dup via blocked matrix multiply.
+    """Exact all-pairs cosine near-dup via block-partitioned matrix
+    products — fully distributed, nothing ever collects to the driver.
 
-    One side is broadcast as a dense float64 matrix; each Arrow batch
-    of the other side hits it with one BLAS ``@`` — the vectorized
-    replacement for a per-pair expression fold, ~100x faster. Valid
-    while the broadcast side fits in executor memory (a 10M x 64
-    corpus is ~5 GB); beyond that, generate candidates with
-    LSH/IVF (``lsh_bucket_counts`` / ``ivf_topk``) and verify only
-    candidates.
+    Vectors are hashed into ``blocks`` blocks; every unordered block
+    pair (bi <= bj) becomes one cogroup task that multiplies its two
+    sub-matrices with a single BLAS ``@`` (float64, ~100x a per-pair
+    expression fold). Each vector is replicated ``blocks+1`` times, but
+    per-task memory is O(2N/blocks * dim): size ``blocks`` so a block
+    fits an executor (10M x 64 f64 = ~5 GB corpus -> blocks=64 gives
+    ~160 MB per task). Work is O(N^2/2) pair evaluations spread over
+    blocks*(blocks+1)/2 independent tasks — the exact-baseline cost;
+    the sub-quadratic scale path stays LSH/IVF candidate generation
+    (``lsh_bucket_counts`` / ``ivf_topk``) + this verify on candidates.
 
-    Cosine is computed as dot/(|a||b|) to mirror the oracle formula.
+    Cosine is dot/(|a||b|) in float64, rounded to 4, mirroring the
+    oracle formula. Output pairs are (va < vb), each exactly once:
+    an unordered vector pair lands in exactly one block pair.
     """
     import numpy as np
 
-    sc = vectors.sparkSession.sparkContext
-    pdf = vectors.select(id_col, vec_col).toPandas()
-    ids_all = pdf[id_col].to_numpy()
-    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    bc = sc.broadcast((ids_all, M, np.linalg.norm(M, axis=1)))
+    id_type = vectors.schema[id_col].dataType.simpleString()
 
-    def block(batches):
+    v = vectors.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(blocks)).alias("__blk"),
+    )
+    # left side owns block bi and meets every bj >= bi; right side owns
+    # bj and meets every bi <= bj — so group (bi, bj) holds exactly the
+    # vectors of those two blocks (same set twice when bi == bj).
+    left = v.select(
+        "__id",
+        "__vec",
+        F.col("__blk").alias("bi"),
+        F.explode(F.sequence(F.col("__blk"), F.lit(blocks - 1))).alias("bj"),
+    )
+    right = v.select(
+        "__id",
+        "__vec",
+        F.explode(F.sequence(F.lit(0), F.col("__blk"))).alias("bi"),
+        F.col("__blk").alias("bj"),
+    )
+
+    def block_pair(key, ldf, rdf):
         import pandas as pd  # noqa: PLC0415
 
-        ids_b, Mb, nb = bc.value
-        for part in batches:
-            if not len(part):
-                continue
-            ids_l = part[id_col].to_numpy()
-            L = np.stack([np.asarray(v, dtype=np.float64) for v in part[vec_col]])
-            nl = np.linalg.norm(L, axis=1)
-            S = (L @ Mb.T) / np.outer(nl, nb)
-            li, bi = np.where(S >= threshold)
-            va, vb = ids_l[li], ids_b[bi]
+        if not len(ldf) or not len(rdf):
+            return pd.DataFrame({"va": [], "vb": [], "cosine": []})
+        ids_l = ldf["__id"].to_numpy()
+        ids_r = rdf["__id"].to_numpy()
+        L = np.stack([np.asarray(x, dtype=np.float64) for x in ldf["__vec"]])
+        R = np.stack([np.asarray(x, dtype=np.float64) for x in rdf["__vec"]])
+        S = (L @ R.T) / np.outer(np.linalg.norm(L, axis=1), np.linalg.norm(R, axis=1))
+        li, ri = np.where(S >= threshold)
+        va, vb = ids_l[li], ids_r[ri]
+        if key[0] == key[1]:
+            # same block twice: each unordered pair shows up in both
+            # orientations — keep one and drop self-pairs
             keep = va < vb
-            yield pd.DataFrame(
-                {
-                    "va": va[keep],
-                    "vb": vb[keep],
-                    "cosine": np.round(S[li, bi][keep], 4),
-                }
-            )
+            va, vb, cos = va[keep], vb[keep], S[li, ri][keep]
+        else:
+            # distinct blocks: each unordered pair shows up exactly once
+            # (possibly with the larger id on the left) — orient, keep all
+            cos = S[li, ri]
+            va, vb = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"va": va, "vb": vb, "cosine": np.round(cos, 4)})
 
-    return vectors.select(id_col, vec_col).mapInPandas(
-        block, "va long, vb long, cosine double"
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(block_pair, f"va {id_type}, vb {id_type}, cosine double")
     )
