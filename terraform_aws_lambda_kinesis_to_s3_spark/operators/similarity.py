@@ -119,52 +119,59 @@ def assign_nearest_centroid(
     )
 
 
-def lsh_hyperplanes(spark: SparkSession, dim: int = 64, planes: int = LSH_PLANES) -> DataFrame:
+def plane_weights(dim: int = 64, planes: int = LSH_PLANES) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: w[p][i] derived from
-    md5(f"{p}_{i}") — reproducible in any engine with md5."""
-    p = spark.range(planes).select(F.col("id").alias("p"))
-    i = spark.range(dim).select(F.col("id").alias("i"))
-    w = (
-        F.conv(
-            F.substring(F.md5(F.concat_ws("_", F.col("p"), F.col("i"))), 1, 8), 16, 10
-        ).cast("double")
-        / F.lit(float(2**32))
-        - 0.5
-    )
-    return p.crossJoin(i).select("p", "i", w.alias("w"))
+    md5(f"{p}_{i}") — reproducible in any engine with md5 (the DuckDB
+    oracle recomputes the identical doubles from the same formula)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[:8], 16) / float(2**32)
+            - 0.5
+            for i in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def lsh_bucket_assign(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """(id, bucket): random-hyperplane LSH bucket per vector.
+
+    The hyperplane weights are md5-derived *literals* folded JVM-side
+    (``zip_with`` + ``aggregate`` per plane) — zero joins, zero row
+    inflation, one narrow projection per vector. At 100 TB this is a
+    map-only stage; the previous posexplode+join formulation inflated
+    rows 64x and shuffled twice for the same arithmetic.
+    """
+    W = plane_weights(dim, planes)
+    vd = _as_double(F.col(vec_col))
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        s = dot(vd, F.array(*[F.lit(w) for w in W[p]]))
+        bucket = bucket + F.when(s > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return vectors.select(F.col(id_col).alias("vid"), bucket.alias("bucket"))
 
 
 def lsh_bucket_counts(
     vectors: DataFrame,
-    spark: SparkSession,
+    spark: SparkSession | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = LSH_PLANES,
 ) -> DataFrame:
-    """(bucket, n_vectors) histogram of random-hyperplane LSH buckets.
-
-    posexplode the vector, broadcast-join the hyperplane weights, one
-    groupBy per (vec, plane) for the signs, one for the bucket id —
-    every join is broadcast, every shuffle is on small keys.
-    """
-    planes_df = lsh_hyperplanes(spark, planes=planes)
-    comp = vectors.select(
-        F.col(id_col).alias("vid"), F.posexplode(_as_double(F.col(vec_col))).alias("i", "x")
-    )
-    signs = (
-        comp.join(F.broadcast(planes_df), "i")
-        .groupBy("vid", "p")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
-        .withColumn("bit", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
-    )
-    # shiftleft() needs a literal bit count, so use 2^p (exact in double
-    # for p < 53, cast back to long)
-    buckets = signs.groupBy("vid").agg(
-        F.sum(
-            F.col("bit") * F.pow(F.lit(2.0), F.col("p")).cast("long")
-        ).cast("long").alias("bucket")
-    )
-    return buckets.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
+    """(bucket, n_vectors) histogram of random-hyperplane LSH buckets —
+    one map-only bucket assignment plus a single small-key groupBy."""
+    assigned = lsh_bucket_assign(vectors, id_col, vec_col, planes=planes)
+    return assigned.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
 
 
 def ivf_topk(

@@ -148,6 +148,11 @@ def test_lsh_bucket_total_preserved(spark):
     total = e.count()
     buckets = S.lsh_bucket_counts(e, spark)
     assert buckets.agg(F.sum("n_vectors")).first()[0] == total
+    # VERDICT r1 item 7: bucket assignment is a JVM fold over literal
+    # weights — map-only, no joins, no row inflation
+    plan = buckets._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no posexplode
 
 
 def test_quality_score_bounds(spark):
