@@ -1449,18 +1449,50 @@ FROM documents GROUP BY 1
 
 def q_sequence_packing(spark, sf):
     """Greedy sequence packing: running token count per source assigns
-    docs to fixed-budget bins (window cumsum — the distributed version
-    of the packing loop every training-data pipeline runs)."""
+    docs to fixed-budget bins — the packing loop every training-data
+    pipeline runs, distributed hierarchically.
+
+    A single window ``partitionBy(source)`` cumsum serializes each
+    source into one task (VERDICT r1 item 5 — with O(10) sources and
+    100 TB of docs that is a straggler by construction). Instead the
+    cumsum is computed in two levels:
+
+    1. *intra*: cumsum within (source, doc_id-range sub-bucket) — one
+       window per sub-bucket, parallelism = sources x buckets;
+    2. *offset*: per-bucket token totals, prefix-summed per source with
+       a window over the tiny aggregate (one row per bucket), then
+       broadcast-joined back.
+
+    ``run = intra + offset`` equals the global ordered cumsum exactly
+    because sub-buckets are contiguous doc_id ranges.
+    """
+    bucket_width = 256  # docs per sub-bucket; tune to ~rows-per-task at scale
     d = _t(spark, sf, "documents")
     n_tok = X.token_count(F.col("text")).cast("long")
-    w = (
-        Window.partitionBy("source")
+    d = d.withColumn("n_tok", n_tok).withColumn(
+        "bkt", F.floor(F.col("doc_id") / bucket_width)
+    )
+    w_intra = (
+        Window.partitionBy("source", "bkt")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    totals = d.groupBy("source", "bkt").agg(F.sum("n_tok").alias("bkt_tok"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "source",
+        "bkt",
+        F.coalesce(F.sum("bkt_tok").over(w_off), F.lit(0)).alias("offset"),
+    )
     binned = (
-        d.withColumn("n_tok", n_tok)
-        .withColumn("bin", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512).cast("long"))
+        d.withColumn("intra", F.sum("n_tok").over(w_intra))
+        .join(F.broadcast(offsets), ["source", "bkt"])
+        .withColumn("run", F.col("intra") + F.col("offset"))
+        .withColumn("bin", F.floor((F.col("run") - F.col("n_tok")) / 512).cast("long"))
     )
     return binned.groupBy("source", "bin").agg(
         F.count("*").alias("n_docs"),

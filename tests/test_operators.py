@@ -266,6 +266,43 @@ def test_cosine_near_dup_distributed_no_collect(spark):
     assert (0, 100) in got and (1, 101) in got
 
 
+def test_sequence_packing_hierarchical_matches_global(spark, tmp_path):
+    """The two-level cumsum (intra-bucket + bucket offsets) must equal
+    the single-window global cumsum, while partitioning by
+    (source, bucket) instead of one task per source."""
+    import json as _json
+
+    from pyspark.sql import Window
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import (
+        q_sequence_packing,
+    )
+
+    rows = [(i, "src-0", "tok " * ((i * 37) % 19 + 1)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sf = str(tmp_path / "sf")
+    df.write.parquet(sf + "/documents.parquet")
+
+    got = {
+        (r.source, r.bin): (r.n_docs, r.bin_tokens)
+        for r in q_sequence_packing(spark, sf).collect()
+    }
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    n_tok = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    want = {
+        (r.source, r.bin): (r.n_docs, r.bin_tokens)
+        for r in df.withColumn("n_tok", n_tok)
+        .withColumn("bin", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512))
+        .groupBy("source", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("bin_tokens"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 1
+
+
 def test_cluster_pairs_string_ids(spark):
     """Both regimes must return the input id type (ADVICE r1): string
     doc ids work through the driver union-find path too."""
