@@ -56,6 +56,7 @@ HEADLINE = [
     # dedup (LSH scale path)
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_hamming",
     "dedup_dup_groups",
     # similarity search
     "embedding_cosine_topk",

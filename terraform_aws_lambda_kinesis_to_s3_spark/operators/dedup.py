@@ -277,6 +277,61 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return sums.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    k: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs at hamming distance <= ``k`` between SimHash
+    signatures (the hamming-k probe the hamming-0 bucketing lacks).
+
+    Pigeonhole band probing: the ``bits``-bit signature splits into
+    ``k+1`` disjoint bit-bands; two signatures within hamming ``k``
+    must agree *exactly* on at least one band (k flipped bits can dirty
+    at most k bands). Candidates are therefore an equi-join on
+    (band, band_bits) — shuffle-partitioned by band bucket, never
+    all-pairs — then verified exactly with ``bit_count(xor) <= k``.
+    The same shape as MinHash-LSH banding: candidate cost scales with
+    band-bucket sizes, verify cost with the candidate set.
+    """
+    sig = simhash(df, id_col, text_col)
+    nb = k + 1
+    widths = [bits // nb + (1 if b < bits % nb else 0) for b in range(nb)]
+    starts = [sum(widths[:b]) for b in range(nb)]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), starts[b])
+            .bitwiseAND(F.lit((1 << widths[b]) - 1))
+            .alias("bv"),
+        )
+        for b in range(nb)
+    ]
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bh")
+    ).select("doc_id", "simhash", F.col("bh.band").alias("band"), F.col("bh.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= k)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def cluster_pairs(
     pairs: DataFrame, max_iter: int = 20, driver_side_limit: int = 5_000_000
 ) -> DataFrame:

@@ -859,6 +859,23 @@ SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits
 SQL_SIMHASH = _simhash_sql()
 
 
+def q_simhash_hamming(spark, sf):
+    d = _t(spark, sf, "documents", parallelize=True)
+    return D.simhash_hamming_pairs(d, k=2)
+
+
+# the oracle verifies the *result* (all pairs at hamming <= 2), not the
+# banded probing — all-pairs is fine for DuckDB at oracle scale, while
+# the Spark side must arrive at the same set via band candidates only
+SQL_SIMHASH_HAMMING = f"""
+WITH sig AS ({_simhash_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Tier B — embedding similarity search
 # ---------------------------------------------------------------------------
@@ -1591,6 +1608,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_ngram_jaccard": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
+    "dedup_simhash_hamming": (q_simhash_hamming, SQL_SIMHASH_HAMMING),
     "dedup_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),
     # similarity search
     "embedding_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),

@@ -57,6 +57,37 @@ def test_simhash_identical_docs_same_signature(spark):
     assert 0 <= rows[0] < 2**32
 
 
+def test_simhash_hamming_probe_matches_brute_force(spark):
+    """Band probing (pigeonhole k+1 bands) must find exactly the pairs
+    a brute-force hamming scan over the signatures finds — including
+    planted near-dups at hamming 1-2, not just identical docs."""
+    import itertools
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    docs = [
+        (0, base),
+        (1, base),  # identical -> hamming 0
+        (2, base + " zyxw"),  # one extra rare token -> few bits flip
+        (3, base.replace("dog", "cat")),
+        (4, "completely different text about spark catalyst and tungsten"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k = 2
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.simhash_hamming_pairs(df, k=k).collect()
+    }
+    sigs = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = bin(sigs[a] ^ sigs[b]).count("1")
+        if h <= k:
+            want[(a, b)] = h
+    assert got == want
+    assert got[(0, 1)] == 0
+    assert any(h > 0 for h in got.values())  # a planted near-dup, not only exact
+
+
 def test_shingles_short_doc_empty(spark):
     df = _docs(spark, ["one two"])
     assert df.select(X.shingles(F.col("text"), 3).alias("s")).first().s == []
