@@ -4,5 +4,9 @@ from terraform_aws_lambda_kinesis_to_s3_spark.streaming.job import (
     stream_source,
     run_stream,
 )
+from terraform_aws_lambda_kinesis_to_s3_spark.streaming.metrics import (
+    RouteMetricsListener,
+    observe_routes,
+)
 
-__all__ = ["stream_source", "run_stream"]
+__all__ = ["stream_source", "run_stream", "RouteMetricsListener", "observe_routes"]

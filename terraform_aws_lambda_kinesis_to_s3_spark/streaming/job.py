@@ -95,6 +95,7 @@ def run_stream(
     dedup_watermark: str | None = "1 hour",
     available_now: bool = True,
     exact_layout: bool = False,
+    observe: bool = True,
 ):
     """Route a payload stream into the partitioned gzip JSON sink.
 
@@ -111,6 +112,15 @@ def run_stream(
     """
     cfg = cfg or PipelineConfig()
     routed = route_records(source, cfg)
+    if observe:
+        # A12 parity: per-batch in/valid/unknown counters computed
+        # inside the batch's own execution (observe = zero extra pass);
+        # surfaced via streaming.metrics.RouteMetricsListener
+        from terraform_aws_lambda_kinesis_to_s3_spark.streaming.metrics import (
+            observe_routes,
+        )
+
+        routed = observe_routes(routed, cfg)
     if dedup_watermark:
         # Replay dedup is a *processing-time* concern (the reference's
         # at-least-once retries arrive minutes apart, regardless of the

@@ -9,7 +9,11 @@ import json
 import os
 
 from terraform_aws_lambda_kinesis_to_s3_spark.config import PipelineConfig
-from terraform_aws_lambda_kinesis_to_s3_spark.streaming import run_stream, stream_source
+from terraform_aws_lambda_kinesis_to_s3_spark.streaming import (
+    RouteMetricsListener,
+    run_stream,
+    stream_source,
+)
 
 CFG = PipelineConfig(unknown_date="2024-06-01")
 
@@ -74,6 +78,34 @@ def test_stream_route_dedup_exactly_once(spark, tmp_path):
     q3 = run_stream(stream_source(spark, CFG, "file", src), out, ckpt, CFG)
     q3.awaitTermination(120)
     assert ("view", "2024-03", "07") in {(r[0], r[1], r[2]) for r in _read_sink(out)}
+
+
+def test_stream_route_metrics_listener(spark, tmp_path):
+    """A12 parity: per-batch in/valid/unknown counters observed during
+    an availableNow drain (VERDICT r1 item 9)."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    _write_batch(
+        src,
+        "b1.jsonl",
+        [
+            {"log_type": "purchase", "log_id": "p-1", "time": "2024-03-05T10:00:00Z"},
+            {"log_type": "click", "log_id": "c-1", "time": "2024-03-06T02:00:00Z"},
+            {"log_id": "x-1", "time": "2024-03-05T10:00:00Z"},  # missing type
+            "not json at all",
+        ],
+    )
+    listener = RouteMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        q = run_stream(stream_source(spark, CFG, "file", src), out, ckpt, CFG)
+        q.awaitTermination(120)
+        assert listener.wait_for(n_batches=1, timeout=30)
+        totals = listener.totals()
+        assert totals["n_in"] == 4
+        assert totals["n_valid"] == 2
+        assert totals["n_unknown"] == 2
+    finally:
+        spark.streams.removeListener(listener)
 
 
 def test_stream_kinesis_decode_path(spark, tmp_path):
