@@ -270,9 +270,13 @@ def cosine_near_dup_pairs(
         F.col("__blk").alias("bi"),
         F.explode(F.sequence(F.col("__blk"), F.lit(blocks - 1))).alias("bj"),
     )
+    # the right side re-aliases its columns: if both cogroup children
+    # carry the *same* attribute ids, Catalyst deduplicates them and
+    # prunes the right side's data columns out of the plan (observed
+    # under count(): rdf arrives with only the grouping keys)
     right = v.select(
-        "__id",
-        "__vec",
+        F.col("__id").alias("__rid"),
+        F.col("__vec").alias("__rvec"),
         F.explode(F.sequence(F.lit(0), F.col("__blk"))).alias("bi"),
         F.col("__blk").alias("bj"),
     )
@@ -283,9 +287,9 @@ def cosine_near_dup_pairs(
         if not len(ldf) or not len(rdf):
             return pd.DataFrame({"va": [], "vb": [], "cosine": []})
         ids_l = ldf["__id"].to_numpy()
-        ids_r = rdf["__id"].to_numpy()
+        ids_r = rdf["__rid"].to_numpy()
         L = np.stack([np.asarray(x, dtype=np.float64) for x in ldf["__vec"]])
-        R = np.stack([np.asarray(x, dtype=np.float64) for x in rdf["__vec"]])
+        R = np.stack([np.asarray(x, dtype=np.float64) for x in rdf["__rvec"]])
         S = (L @ R.T) / np.outer(np.linalg.norm(L, axis=1), np.linalg.norm(R, axis=1))
         li, ri = np.where(S >= threshold)
         va, vb = ids_l[li], ids_r[ri]
