@@ -73,6 +73,7 @@ HEADLINE = [
     "customers_above_nation_avg",
     "salted_group_counts",
     "embedding_near_dup",
+    "embedding_lsh_near_dup",
     "embedding_ivf_topk",
     "multimodal_features",
     "order_gap_days",

@@ -135,20 +135,16 @@ def plane_weights(dim: int = 64, planes: int = LSH_PLANES) -> list[list[float]]:
     ]
 
 
-def lsh_bucket_assign(
-    vectors: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = 64,
-    planes: int = LSH_PLANES,
-) -> DataFrame:
-    """(id, bucket): random-hyperplane LSH bucket per vector.
+def lsh_bucket_expr(
+    vec_col: str = "embedding", dim: int = 64, planes: int = LSH_PLANES
+) -> Column:
+    """Random-hyperplane LSH bucket id as a pure column expression.
 
     The hyperplane weights are md5-derived *literals* folded JVM-side
     (``zip_with`` + ``aggregate`` per plane) — zero joins, zero row
     inflation, one narrow projection per vector. At 100 TB this is a
-    map-only stage; the previous posexplode+join formulation inflated
-    rows 64x and shuffled twice for the same arithmetic.
+    map-only stage; a posexplode+join formulation inflates rows 64x
+    and shuffles twice for the same arithmetic.
     """
     W = plane_weights(dim, planes)
     vd = _as_double(F.col(vec_col))
@@ -158,7 +154,21 @@ def lsh_bucket_assign(
         bucket = bucket + F.when(s > 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return vectors.select(F.col(id_col).alias("vid"), bucket.alias("bucket"))
+    return bucket
+
+
+def lsh_bucket_assign(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """(id, bucket): random-hyperplane LSH bucket per vector."""
+    return vectors.select(
+        F.col(id_col).alias("vid"),
+        lsh_bucket_expr(vec_col, dim, planes).alias("bucket"),
+    )
 
 
 def lsh_bucket_counts(
@@ -172,6 +182,70 @@ def lsh_bucket_counts(
     one map-only bucket assignment plus a single small-key groupBy."""
     assigned = lsh_bucket_assign(vectors, id_col, vec_col, planes=planes)
     return assigned.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
+
+
+LSH_BANDS = 4  # bands of LSH_PLANES/LSH_BANDS planes each
+
+
+def lsh_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = LSH_PLANES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Sub-quadratic embedding near-dup: banded-LSH candidates + exact
+    cosine verify — the 100 TB path (``cosine_near_dup_pairs`` is the
+    exact all-pairs baseline).
+
+    The ``planes`` sign bits split into ``bands`` bands (same
+    amplification as MinHash banding: candidates agree on *all* planes
+    of *any* band — recall ``1-(1-p^r)^b`` with p the per-plane
+    agreement probability). Candidates are an equi-join on
+    (band, band_bits) — shuffle-partitioned by bucket, work scales
+    with bucket sizes, never |N|^2 — deduped, then verified with the
+    exact JVM cosine fold. Recall < 1 by LSH nature, but the method is
+    fully deterministic (md5-derived hyperplanes), so an oracle engine
+    reproduces the identical pair set: the approximate operator is
+    exactly testable.
+    """
+    r = planes // bands
+    tagged = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket_expr(vec_col, planes=planes).alias("bucket"),
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("bucket"), b * r)
+            .bitwiseAND(F.lit((1 << r) - 1))
+            .alias("bv"),
+        )
+        for b in range(bands)
+    ]
+    banded = tagged.select(
+        "vid", "vec", F.explode(F.array(*band_structs)).alias("bh")
+    ).select("vid", "vec", F.col("bh.band").alias("band"), F.col("bh.bv").alias("bv"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(F.col("a.vid").alias("va"), F.col("b.vid").alias("vb"))
+        .distinct()
+    )
+    va = tagged.select(F.col("vid").alias("va"), F.col("vec").alias("vec_a"))
+    vb = tagged.select(F.col("vid").alias("vb"), F.col("vec").alias("vec_b"))
+    cos = cosine(F.col("vec_a"), F.col("vec_b"))
+    return (
+        cand.join(va, "va")
+        .join(vb, "vb")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("va", "vb", F.round("cos", 4).alias("cosine"))
+    )
 
 
 def ivf_topk(

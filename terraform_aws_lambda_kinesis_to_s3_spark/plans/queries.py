@@ -985,6 +985,48 @@ SELECT bucket, COUNT(*) AS n_vectors FROM buckets GROUP BY 1
 """
 
 
+def q_lsh_near_dup(spark, sf):
+    """LSH-candidate + exact-verify near-dup — the sub-quadratic scale
+    path. Deterministic md5 hyperplanes make even this *approximate*
+    method exactly oracle-checkable: DuckDB reproduces the identical
+    bucket assignment and therefore the identical pair set."""
+    e = _t(spark, sf, "embeddings")
+    return S.lsh_near_dup_pairs(e, threshold=0.45)
+
+
+_LSH_R = S.LSH_PLANES // S.LSH_BANDS
+
+SQL_LSH_NEAR_DUP = f"""
+WITH w AS (
+  SELECT p, i,
+         CAST(concat('0x', substr(md5(concat(p, '_', i)), 1, 8)) AS UBIGINT) / 4294967296.0 - 0.5 AS w
+  FROM range(0, {S.LSH_PLANES}) tp(p), range(0, 64) ti(i)),
+comp AS (
+  SELECT vec_id AS vid, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) t(i)),
+signs AS (
+  SELECT c.vid, w.p, CASE WHEN SUM(c.x * w.w) > 0 THEN 1 ELSE 0 END AS bit
+  FROM comp c JOIN w ON c.i = w.i
+  GROUP BY 1, 2),
+bands AS (
+  SELECT vid, CAST(p // {_LSH_R} AS INT) AS band,
+         CAST(SUM(bit * CAST(POWER(2, p % {_LSH_R}) AS BIGINT)) AS BIGINT) AS bv
+  FROM signs GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.vid AS va, b.vid AS vb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.vid < b.vid)
+SELECT va, vb,
+       ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])), 4) AS cosine
+FROM cand
+JOIN embeddings ea ON ea.vec_id = va
+JOIN embeddings eb ON eb.vec_id = vb
+WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                             CAST(eb.embedding AS DOUBLE[])) >= 0.45
+"""
+
+
 def q_embedding_near_dup(spark, sf):
     """Embedding-cosine near-dup pairs — exact all-pairs baseline.
 
@@ -1616,6 +1658,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "embedding_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "embedding_lsh_near_dup": (q_lsh_near_dup, SQL_LSH_NEAR_DUP),
     "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
     # event analytics
     "events_sessionize": (q_sessionize, SQL_SESSIONIZE),
