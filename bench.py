@@ -38,6 +38,14 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q18_large_orders",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q12_priority_by_linestatus",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
     "top_customers_per_nation",
     "running_order_total",
     "rollup_region_nation",

@@ -369,6 +369,258 @@ LIMIT 100
 """
 
 
+def q4_order_priority(spark, sf):
+    """TPC-H Q4 shape: correlated EXISTS -> left-semi join with a
+    non-equi condition (any lineitem shipped after the order date).
+    The classic commitdate/receiptdate columns aren't in the synthetic
+    schema; the EXISTS-with-inequality skeleton is what's exercised."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    l = _t(spark, sf, "lineitem")
+    semi = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY 1
+"""
+
+
+def q10_returned_items(spark, sf):
+    """TPC-H Q10: revenue lost to returned items per customer, top 20."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    l = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf, "nation")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q12_priority_by_linestatus(spark, sf):
+    """TPC-H Q12 shape: CASE-conditional counts per line status (the
+    synthetic schema has no shipmode; the conditional-aggregation
+    skeleton over a joined date window is what's exercised)."""
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_Q12 = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+def q13_customer_distribution(spark, sf):
+    """TPC-H Q13: customers x order-count distribution via left outer
+    join (customers with zero orders land in the c_count=0 bucket)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") != "P")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+SQL_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_revenue(spark, sf):
+    """TPC-H Q14: promo revenue share (conditional ratio aggregate)."""
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = _t(spark, sf, "part")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast(DEC))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+SQL_Q14 = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+def q17_small_quantity_revenue(spark, sf):
+    """TPC-H Q17: revenue from small-quantity orders of a brand — the
+    correlated scalar subquery (per-part 0.2*avg quantity threshold)
+    expressed as an aggregate + equi-join, the scalable plan."""
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 15)
+    )
+    l = _t(spark, sf, "lineitem")
+    lp = l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == p.p_partkey)
+    thresh = lp.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias(
+            "q_thresh"
+        )
+    )
+    return (
+        lp.join(F.broadcast(thresh), lp.l_partkey == thresh.t_partkey)
+        .filter(F.col("l_quantity") < F.col("q_thresh"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+SQL_Q17 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#23' AND p_size <= 15
+  AND l_quantity < (SELECT 0.2 * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                    FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+def q19_discounted_revenue(spark, sf):
+    """TPC-H Q19: disjunction of conjunctive (brand, size, quantity)
+    ranges — exercises OR-predicate pushdown through a join."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return j.filter(cond).agg(_dsum(revenue, "revenue"))
+
+
+SQL_Q19 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+def q22_sales_opportunity(spark, sf):
+    """TPC-H Q22 shape: above-average-balance customers with no orders
+    (scalar subquery + NOT EXISTS anti-join), grouped by segment (the
+    synthetic schema has no phone country code)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        _dsum(_dec("c_acctbal"), "totacctbal"),
+    )
+
+
+SQL_Q22 = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
+
 def q_top_customers_per_nation(spark, sf):
     c = _t(spark, sf, "customer")
     n = _t(spark, sf, "nation")
@@ -1630,6 +1882,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q5_local_supplier_volume": (q5_local_supplier_volume, SQL_Q5),
     "q6_forecast_revenue": (q6_forecast_revenue, SQL_Q6),
     "q18_large_orders": (q18_large_orders, SQL_Q18),
+    "q4_order_priority": (q4_order_priority, SQL_Q4),
+    "q10_returned_items": (q10_returned_items, SQL_Q10),
+    "q12_priority_by_linestatus": (q12_priority_by_linestatus, SQL_Q12),
+    "q13_customer_distribution": (q13_customer_distribution, SQL_Q13),
+    "q14_promo_revenue": (q14_promo_revenue, SQL_Q14),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, SQL_Q17),
+    "q19_discounted_revenue": (q19_discounted_revenue, SQL_Q19),
+    "q22_sales_opportunity": (q22_sales_opportunity, SQL_Q22),
     "top_customers_per_nation": (q_top_customers_per_nation, SQL_TOP_CUSTOMERS),
     "running_order_total": (q_running_order_total, SQL_RUNNING_TOTAL),
     "rollup_region_nation": (q_rollup_region_nation, SQL_ROLLUP),
