@@ -594,11 +594,13 @@ WHERE p_partkey = l_partkey
 
 
 def q22_sales_opportunity(spark, sf):
-    """TPC-H Q22 shape: above-average-balance customers with no orders
-    (scalar subquery + NOT EXISTS anti-join), grouped by segment (the
-    synthetic schema has no phone country code)."""
+    """TPC-H Q22 shape: above-average-balance customers with no
+    *recent* orders (scalar subquery + NOT EXISTS anti-join), grouped
+    by segment (the synthetic schema has no phone country code; the
+    date cutoff keeps the anti-join non-trivial — at small SF every
+    customer has at least one all-time order)."""
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
         (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
     )
@@ -616,7 +618,8 @@ SELECT c_mktsegment, COUNT(*) AS numcust,
 FROM customer
 WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
                    FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY 1
 """
 
