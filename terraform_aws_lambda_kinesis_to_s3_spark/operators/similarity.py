@@ -184,7 +184,8 @@ def lsh_bucket_counts(
     return assigned.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
 
 
-LSH_BANDS = 4  # bands of LSH_PLANES/LSH_BANDS planes each
+LSH_BANDS = 4  # bands of LSH_ND_PLANES/LSH_BANDS planes each
+LSH_ND_PLANES = 16  # near-dup banding: 4 bands x 4 bits
 
 
 def lsh_near_dup_pairs(
@@ -192,7 +193,7 @@ def lsh_near_dup_pairs(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = LSH_PLANES,
+    planes: int = LSH_ND_PLANES,
     bands: int = LSH_BANDS,
 ) -> DataFrame:
     """Sub-quadratic embedding near-dup: banded-LSH candidates + exact
@@ -202,15 +203,20 @@ def lsh_near_dup_pairs(
     The ``planes`` sign bits split into ``bands`` bands (same
     amplification as MinHash banding: candidates agree on *all* planes
     of *any* band — recall ``1-(1-p^r)^b`` with p the per-plane
-    agreement probability). Candidates are an equi-join on
+    agreement probability; r = planes/bands trades recall against
+    candidate volume ~ b*N^2/2^r). Candidates are an equi-join on
     (band, band_bits) — shuffle-partitioned by bucket, work scales
-    with bucket sizes, never |N|^2 — deduped, then verified with the
-    exact JVM cosine fold. Recall < 1 by LSH nature, but the method is
-    fully deterministic (md5-derived hyperplanes), so an oracle engine
-    reproduces the identical pair set: the approximate operator is
-    exactly testable.
+    with bucket sizes, never |N|^2 — deduped, then verified with an
+    Arrow-batched NumPy cosine (BLAS beats a per-pair interpreted fold
+    ~10x on the verify stage). Recall < 1 by LSH nature, but the
+    method is fully deterministic (md5-derived hyperplanes), so an
+    oracle engine reproduces the identical pair set: the approximate
+    operator is exactly testable.
     """
+    import numpy as np
+
     r = planes // bands
+    id_type = vectors.schema[id_col].dataType.simpleString()
     tagged = vectors.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
@@ -228,24 +234,40 @@ def lsh_near_dup_pairs(
     banded = tagged.select(
         "vid", "vec", F.explode(F.array(*band_structs)).alias("bh")
     ).select("vid", "vec", F.col("bh.band").alias("band"), F.col("bh.bv").alias("bv"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(b, ["band", "bv"])
-        .filter(F.col("a.vid") < F.col("b.vid"))
-        .select(F.col("a.vid").alias("va"), F.col("b.vid").alias("vb"))
-        .distinct()
+
+    # one task per (band, bucket): stack the bucket's vectors once and
+    # take the whole upper triangle from a single BLAS matmul.
+    # Candidate pairs never materialize as shuffled rows — the only
+    # shuffle is the N*bands banded rows into their buckets. (A
+    # join-then-verify formulation shuffles |candidates| rows with
+    # vector payloads and re-converts both vectors per pair; the
+    # conversion alone dominates its runtime.)
+    def bucket_verify(key, pdf):
+        import pandas as pd  # noqa: PLC0415
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"va": [], "vb": [], "cosine": []})
+        ids = pdf["vid"].to_numpy()
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])
+        S_ = (M @ M.T) / np.outer(
+            np.linalg.norm(M, axis=1), np.linalg.norm(M, axis=1)
+        )
+        i, j = np.where(np.triu(S_ >= threshold, k=1))
+        va, vb = ids[i], ids[j]
+        return pd.DataFrame(
+            {
+                "va": np.minimum(va, vb),
+                "vb": np.maximum(va, vb),
+                "cosine": np.round(S_[i, j], 4),
+            }
+        )
+
+    verified = banded.groupBy("band", "bv").applyInPandas(
+        bucket_verify, f"va {id_type}, vb {id_type}, cosine double"
     )
-    va = tagged.select(F.col("vid").alias("va"), F.col("vec").alias("vec_a"))
-    vb = tagged.select(F.col("vid").alias("vb"), F.col("vec").alias("vec_b"))
-    cos = cosine(F.col("vec_a"), F.col("vec_b"))
-    return (
-        cand.join(va, "va")
-        .join(vb, "vb")
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= threshold)
-        .select("va", "vb", F.round("cos", 4).alias("cosine"))
-    )
+    # a pair agreeing on multiple bands verifies once per band — exact
+    # duplicate rows, deduped on the (tiny) verified set
+    return verified.distinct()
 
 
 def ivf_topk(

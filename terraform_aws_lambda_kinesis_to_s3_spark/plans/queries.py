@@ -1249,13 +1249,13 @@ def q_lsh_near_dup(spark, sf):
     return S.lsh_near_dup_pairs(e, threshold=0.45)
 
 
-_LSH_R = S.LSH_PLANES // S.LSH_BANDS
+_LSH_R = S.LSH_ND_PLANES // S.LSH_BANDS
 
 SQL_LSH_NEAR_DUP = f"""
 WITH w AS (
   SELECT p, i,
          CAST(concat('0x', substr(md5(concat(p, '_', i)), 1, 8)) AS UBIGINT) / 4294967296.0 - 0.5 AS w
-  FROM range(0, {S.LSH_PLANES}) tp(p), range(0, 64) ti(i)),
+  FROM range(0, {S.LSH_ND_PLANES}) tp(p), range(0, 64) ti(i)),
 comp AS (
   SELECT vec_id AS vid, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
   FROM embeddings, range(1, 65) t(i)),
