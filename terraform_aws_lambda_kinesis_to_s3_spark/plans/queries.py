@@ -624,6 +624,491 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H completion: the remaining 9 query shapes (q2 q7 q8 q9 q11 q15 q16
+# q20 q21). The synthetic schema has no partsupp table and no
+# commit/receipt dates, so q2/q9/q11/q16/q20 derive the (part, supplier)
+# supply relation from lineitem and q21 uses l_linestatus='O' as the
+# "still waiting" signal — each keeps its query's characteristic plan
+# pattern (correlated MIN, nested INs, double-correlated EXISTS, scalar
+# subquery in HAVING) rather than the literal column list.
+# ---------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape: cheapest EUROPE supplier per qualifying part.
+
+    Supply cost is derived per (part, supplier) from lineitem as exact
+    decimal sums divided once in double (deterministic cross-engine, so
+    the min-cost equality join reproduces in the oracle). The per-part
+    MIN is an aggregate joined back — the scalable form of Q2's
+    correlated subquery."""
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supply = l.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(_dec("l_extendedprice")).cast("double")
+            / F.sum(_dec("l_quantity")).cast("double")
+        ).alias("unit_cost")
+    )
+    eu = supply.join(
+        F.broadcast(p.select("p_partkey")), supply.l_partkey == F.col("p_partkey")
+    ).join(F.broadcast(eu_supp), supply.l_suppkey == F.col("s_suppkey"))
+    best = eu.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        eu.join(
+            F.broadcast(best),
+            (eu.p_partkey == best.b_partkey) & (eu.unit_cost == best.min_cost),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("unit_cost").alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+SQL_Q2 = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS unit_cost
+  FROM lineitem GROUP BY 1, 2)
+SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost AS supply_cost
+FROM supply, part, supplier, nation, region
+WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+  AND p_size = 15 AND p_type = 'STANDARD'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND unit_cost = (SELECT MIN(s2.unit_cost)
+                   FROM supply s2, supplier sp2, nation n2, region r2
+                   WHERE s2.l_partkey = p_partkey
+                     AND s2.l_suppkey = sp2.s_suppkey
+                     AND sp2.s_nationkey = n2.n_nationkey
+                     AND n2.n_regionkey = r2.r_regionkey
+                     AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q7_volume_shipping(spark, sf):
+    """TPC-H Q7: shipping volume between two nations by year, either
+    direction — the two-role nation join (supplier nation vs customer
+    nation from the same dimension)."""
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_dsum(volume, "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_Q7 = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem, orders, customer, supplier, nation sn, nation cn
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey
+  AND s_nationkey = sn.n_nationkey AND c_nationkey = cn.n_nationkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q8_market_share(spark, sf):
+    """TPC-H Q8: one nation's share of a region's market for a part
+    type, by order year — conditional-numerator ratio over a 6-way
+    join."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    nation_vol = F.when(
+        F.col("supp_nation") == "NATION_3", volume
+    ).otherwise(F.lit(0).cast(DEC))
+    return (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"), "left_semi"
+        )
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(nation_vol).cast("double") / F.sum(volume).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_Q8 = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS mkt_share
+FROM lineitem, orders, customer, supplier, part, nation cn, nation sn, region
+WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+  AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+  AND c_nationkey = cn.n_nationkey AND cn.n_regionkey = r_regionkey
+  AND s_nationkey = sn.n_nationkey
+  AND r_name = 'ASIA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q9_product_type_profit(spark, sf):
+    """TPC-H Q9 shape: profit by supplier nation and year for a part
+    family. partsupp's supplycost is proxied by p_retailprice (the only
+    cost-like column), so profit = revenue - retailprice*qty; the
+    LIKE-filtered part scan, 5-way join and (nation, year) rollup are
+    the exercised pattern."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    p = _t(spark, sf, "part").filter(F.col("p_name").like("%widget%"))
+    amount = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount")) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity")
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+               l.l_partkey == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(_dsum(amount, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+SQL_Q9 = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+FROM lineitem, orders, supplier, part, nation
+WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_stock(spark, sf):
+    """TPC-H Q11 shape: per-part supply value for one nation's
+    suppliers, kept when above a fraction of the nation's total — the
+    scalar-subquery-in-HAVING pattern. Value is sum(extendedprice) of
+    the nation's lineitems per part (no partsupp in the schema)."""
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_5")
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    lf = l.join(F.broadcast(nat_supp), l.l_suppkey == F.col("s_suppkey"), "left_semi")
+    per_part = lf.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice")).alias("val")
+    )
+    total = per_part.agg(
+        (F.sum("val").cast("double") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.col("val").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+SQL_Q11 = """
+SELECT l_partkey, CAST(val AS DOUBLE) AS value
+FROM (SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_5'
+      GROUP BY 1)
+WHERE CAST(val AS DOUBLE) >
+      (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) * 0.001
+       FROM lineitem, supplier, nation
+       WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         AND n_name = 'NATION_5')
+ORDER BY value DESC, l_partkey
+"""
+
+
+def q15_top_supplier(spark, sf):
+    """TPC-H Q15: supplier(s) with the maximum revenue in a quarter —
+    the revenue view + scalar MAX subquery, as agg + broadcast
+    max-join (exact decimal sums make the equality reproducible)."""
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf, "supplier")
+    volume = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    rev = l.groupBy("l_suppkey").agg(_dsum(volume, "total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_relationship(spark, sf):
+    """TPC-H Q16: how many suppliers can supply each (brand, type,
+    size) — distinct (part, supplier) pairs from lineitem stand in for
+    partsupp; suppliers with negative balance play the
+    complaints-excluded role (NOT IN → left-anti)."""
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 14, 19, 23, 36, 45)
+    )
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    ps = (
+        l.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        ps.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_potential_promotion(spark, sf):
+    """TPC-H Q20 shape: suppliers of one nation holding an outsized
+    share of a part family's 1996 shipments — the nested-IN chain
+    (name-LIKE parts -> per-(part,supplier) aggregate vs a correlated
+    per-part threshold -> supplier semi-join)."""
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
+    red = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    lr = l.join(F.broadcast(red), l.l_partkey == F.col("p_partkey"), "left_semi")
+    shipped = lr.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("qty_ps")
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty_ps").alias("qty_p")
+    )
+    big = (
+        shipped.join(F.broadcast(part_total), shipped.l_partkey == F.col("t_partkey"))
+        .filter(
+            F.col("qty_ps").cast("double") > F.lit(0.2) * F.col("qty_p").cast("double")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(F.broadcast(big), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_Q20 = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM (SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_ps
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY 1, 2) shipped
+    WHERE CAST(qty_ps AS DOUBLE) > 0.2 * (
+        SELECT CAST(SUM(s2.qty_ps) AS DOUBLE)
+        FROM (SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_ps
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY 1, 2) s2
+        WHERE s2.l_partkey = shipped.l_partkey))
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7')
+ORDER BY s_suppkey
+"""
+
+
+def q21_waiting_supplier(spark, sf):
+    """TPC-H Q21 shape: suppliers who alone are holding up finished
+    multi-supplier orders. With no commit/receipt dates in the schema,
+    l_linestatus = 'O' on an order with o_orderstatus = 'F' is the
+    "still open" signal; the EXISTS(other supplier) AND NOT
+    EXISTS(other open supplier) double correlation is kept as a
+    left-semi + left-anti pair with non-equi residuals."""
+    lines = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_linestatus"
+    )
+    fo = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_9")
+    other = lines.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_suppkey").alias("r_suppkey"),
+        F.col("l_linestatus").alias("r_status"),
+    )
+    l1 = lines.filter(F.col("l_linestatus") == "O").join(
+        fo, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    has_other = l1.join(
+        other,
+        (F.col("l_orderkey") == F.col("r_orderkey"))
+        & (F.col("l_suppkey") != F.col("r_suppkey")),
+        "left_semi",
+    )
+    sole_open = has_other.join(
+        other.filter(F.col("r_status") == "O"),
+        (F.col("l_orderkey") == F.col("r_orderkey"))
+        & (F.col("l_suppkey") != F.col("r_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_open.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey, "left_semi")
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+SQL_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1, orders, supplier, nation
+WHERE l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+  AND l1.l_linestatus = 'O'
+  AND l1.l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_9'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_linestatus = 'O')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 def q_top_customers_per_nation(spark, sf):
     c = _t(spark, sf, "customer")
     n = _t(spark, sf, "nation")
@@ -1893,6 +2378,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, SQL_Q17),
     "q19_discounted_revenue": (q19_discounted_revenue, SQL_Q19),
     "q22_sales_opportunity": (q22_sales_opportunity, SQL_Q22),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, SQL_Q2),
+    "q7_volume_shipping": (q7_volume_shipping, SQL_Q7),
+    "q8_market_share": (q8_market_share, SQL_Q8),
+    "q9_product_type_profit": (q9_product_type_profit, SQL_Q9),
+    "q11_important_stock": (q11_important_stock, SQL_Q11),
+    "q15_top_supplier": (q15_top_supplier, SQL_Q15),
+    "q16_supplier_relationship": (q16_supplier_relationship, SQL_Q16),
+    "q20_potential_promotion": (q20_potential_promotion, SQL_Q20),
+    "q21_waiting_supplier": (q21_waiting_supplier, SQL_Q21),
     "top_customers_per_nation": (q_top_customers_per_nation, SQL_TOP_CUSTOMERS),
     "running_order_total": (q_running_order_total, SQL_RUNNING_TOTAL),
     "rollup_region_nation": (q_rollup_region_nation, SQL_ROLLUP),
