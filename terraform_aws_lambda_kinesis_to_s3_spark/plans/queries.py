@@ -2352,6 +2352,231 @@ def q_schema_profile(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Training-pipeline additions: intra-document repetition, vocabulary,
+# train/test contamination, and time-series rollup / histogram / range
+# join over events. All corpus-level ratios are computed as exact
+# integer/decimal sums with a single final double division so both
+# engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def q_text_repetition(spark, sf):
+    """Gopher-style repetition signals per source: the fraction of
+    duplicated words and duplicated word-bigrams. Everything up to the
+    final division is integer arithmetic (JVM-side array ops, no UDF),
+    so the per-source ratios are engine-exact."""
+    d = _t(spark, sf, "documents").withColumn("toks", F.split("text", " "))
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks)-1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"
+    )
+    per_doc = d.select(
+        "source",
+        F.size("toks").alias("n_words"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_words"),
+        (F.size("toks") - 1).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+        (
+            F.lit(1.0)
+            - F.sum("n_distinct_words").cast("double")
+            / F.sum("n_words").cast("double")
+        ).alias("dup_word_frac"),
+        (
+            F.lit(1.0)
+            - F.sum("n_distinct_bigrams").cast("double")
+            / F.sum("n_bigrams").cast("double")
+        ).alias("dup_bigram_frac"),
+    )
+
+
+SQL_TEXT_REPETITION = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS sum_words,
+       1.0 - CAST(SUM(n_distinct_words) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE) AS dup_word_frac,
+       1.0 - CAST(SUM(n_distinct_bigrams) AS DOUBLE) / CAST(SUM(n_bigrams) AS DOUBLE) AS dup_bigram_frac
+FROM (SELECT source,
+             len(t) AS n_words,
+             len(list_distinct(t)) AS n_distinct_words,
+             len(t) - 1 AS n_bigrams,
+             len(list_distinct(list_transform(range(1, len(t)),
+                                              i -> t[i] || ' ' || t[i+1]))) AS n_distinct_bigrams
+      FROM (SELECT source, string_split(text, ' ') AS t FROM documents))
+GROUP BY 1
+"""
+
+
+def q_text_vocab_topk(spark, sf):
+    """Corpus vocabulary head: top-20 tokens by occurrence with
+    document frequency — explode + two-level count, the canonical
+    distributed term-frequency plan (map-side partial aggregation,
+    then a 20-row ordered take)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(20)
+    )
+
+
+SQL_TEXT_VOCAB_TOPK = """
+SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY 1
+ORDER BY n_occurrences DESC, token
+LIMIT 20
+"""
+
+
+def q_contamination_check(spark, sf):
+    """Train/test contamination: for each test-split document (md5
+    bucket 9, same split as ``dataset_split``), how many train-split
+    documents share at least one word-5-gram. Inverted-index shape:
+    distinct (doc, shingle) pairs equi-joined on the shingle — the
+    same candidate-generation plan MinHash-LSH uses, so it scales the
+    same way (no cross join; hot shingles are the skew knob)."""
+    d = (
+        _t(spark, sf, "documents")
+        .withColumn("toks", F.split("text", " "))
+        .withColumn("b", _md5_bucket(F.col("doc_id"), 10))
+    )
+    shingle = F.expr(
+        "transform(sequence(1, size(toks)-4),"
+        " i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1),"
+        " element_at(toks,i+2), element_at(toks,i+3), element_at(toks,i+4)))"
+    )
+    sh = d.select("doc_id", "b", F.explode(F.array_distinct(shingle)).alias("sh"))
+    train = sh.filter(F.col("b") <= 7).select(
+        F.col("doc_id").alias("train_id"), "sh"
+    )
+    test = sh.filter(F.col("b") == 9).select("doc_id", "sh")
+    return (
+        test.join(train, "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("train_id").alias("n_train_docs"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_CONTAMINATION = """
+WITH sh AS (
+  SELECT doc_id, b, unnest(list_distinct(list_transform(range(1, len(t) - 3),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS sh
+  FROM (SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 10 AS b,
+               string_split(text, ' ') AS t
+        FROM documents))
+SELECT test.doc_id, COUNT(DISTINCT train.doc_id) AS n_train_docs
+FROM (SELECT doc_id, sh FROM sh WHERE b = 9) test
+JOIN (SELECT doc_id, sh FROM sh WHERE b <= 7) train USING (sh)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_events_downsample_1h(spark, sf):
+    """Hypertable-style rollup: raw events downsampled to 1-hour
+    buckets per event type (count / sum / min / max). Decimal-exact
+    sum; the bucket key is computed JVM-side so partial aggregation
+    happens before the shuffle."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_ts"
+        ),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        _dsum(_dec("value"), "sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+SQL_EVENTS_DOWNSAMPLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_value_histogram(spark, sf):
+    """Fixed-width histogram over event values (bin = floor(v/25)) —
+    the one-pass distributed histogram plan."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 25).cast("long").alias("bin"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("bin")
+    )
+
+
+SQL_EVENTS_HISTOGRAM = """
+SELECT CAST(FLOOR(value / 25) AS BIGINT) AS bin, COUNT(*) AS n_events,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_events_range_join(spark, sf):
+    """Range join (conversion attribution): for each click, purchases
+    by the same user within the next 10 minutes. Equi-join on the user
+    key with the time range as a residual predicate — shuffles on the
+    key (never a cross join), AQE handles skewed users; at scale the
+    window bound keeps per-key candidate lists short."""
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return (
+        clicks.join(
+            buys,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("ts") > F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .groupBy("click_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            _dsum(_dec("value"), "sum_value"),
+        )
+        .orderBy("click_id")
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = """
+SELECT c.event_id AS click_id, COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2427,6 +2652,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "text_scrub": (q_text_scrub, SQL_TEXT_SCRUB),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "text_vocab_topk": (q_text_vocab_topk, SQL_TEXT_VOCAB_TOPK),
+    "contamination_check": (q_contamination_check, SQL_CONTAMINATION),
+    "events_downsample_1h": (q_events_downsample_1h, SQL_EVENTS_DOWNSAMPLE),
+    "events_value_histogram": (q_events_value_histogram, SQL_EVENTS_HISTOGRAM),
+    "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "customer_quartiles": (q_customer_quartiles, SQL_CUSTOMER_QUARTILES),
     "text_edit_distance": (q_text_edit_distance, SQL_TEXT_EDIT_DISTANCE),
