@@ -46,6 +46,15 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
     "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_supplier_relationship",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
     "top_customers_per_nation",
     "running_order_total",
     "rollup_region_nation",
@@ -61,6 +70,9 @@ HEADLINE = [
     "text_quality",
     "text_langid",
     "text_fingerprint",
+    "text_repetition",
+    "text_vocab_topk",
+    "contamination_check",
     # dedup (LSH scale path)
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -75,6 +87,9 @@ HEADLINE = [
     "events_sessionize",
     "events_tumbling_window",
     "events_asof_join",
+    "events_downsample_1h",
+    "events_value_histogram",
+    "events_range_join",
     # extended relational + scale paths
     "percentiles_by_priority",
     "grouping_sets_status_priority",
