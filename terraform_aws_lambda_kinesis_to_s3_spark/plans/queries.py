@@ -664,14 +664,12 @@ def q2_min_cost_supplier(spark, sf):
     eu = supply.join(
         F.broadcast(p.select("p_partkey")), supply.l_partkey == F.col("p_partkey")
     ).join(F.broadcast(eu_supp), supply.l_suppkey == F.col("s_suppkey"))
-    best = eu.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
+    # per-part MIN as a window over the already-aggregated (part,
+    # supplier) rows: one pass, no join-back, no second fact scan
+    w = Window.partitionBy("p_partkey")
     return (
-        eu.join(
-            F.broadcast(best),
-            (eu.p_partkey == best.b_partkey) & (eu.unit_cost == best.min_cost),
-        )
+        eu.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
         .select(
             "s_acctbal",
             "s_name",
@@ -1047,8 +1045,9 @@ def q21_waiting_supplier(spark, sf):
     multi-supplier orders. With no commit/receipt dates in the schema,
     l_linestatus = 'O' on an order with o_orderstatus = 'F' is the
     "still open" signal; the EXISTS(other supplier) AND NOT
-    EXISTS(other open supplier) double correlation is kept as a
-    left-semi + left-anti pair with non-equi residuals."""
+    EXISTS(other open supplier) double correlation folds into a
+    per-order (distinct suppliers, distinct open suppliers) aggregate
+    — the oracle keeps the literal EXISTS form."""
     lines = _t(spark, sf, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_linestatus"
     )
@@ -1059,26 +1058,24 @@ def q21_waiting_supplier(spark, sf):
     )
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_9")
-    other = lines.select(
-        F.col("l_orderkey").alias("r_orderkey"),
-        F.col("l_suppkey").alias("r_suppkey"),
-        F.col("l_linestatus").alias("r_status"),
+    # The EXISTS / NOT EXISTS pair folds into one per-order aggregate
+    # (distinct suppliers, distinct open suppliers): given my line is
+    # open, "another supplier exists" == n_supp >= 2 and "no other
+    # supplier is open" == n_open_supp == 1. One fact shuffle on
+    # l_orderkey + a co-partitioned join, instead of three fact scans
+    # feeding a semi and an anti join (the literal translation).
+    stats = lines.groupBy(F.col("l_orderkey").alias("k_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_linestatus") == "O", F.col("l_suppkey"))
+        ).alias("n_open_supp"),
     )
     l1 = lines.filter(F.col("l_linestatus") == "O").join(
         fo, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
     )
-    has_other = l1.join(
-        other,
-        (F.col("l_orderkey") == F.col("r_orderkey"))
-        & (F.col("l_suppkey") != F.col("r_suppkey")),
-        "left_semi",
-    )
-    sole_open = has_other.join(
-        other.filter(F.col("r_status") == "O"),
-        (F.col("l_orderkey") == F.col("r_orderkey"))
-        & (F.col("l_suppkey") != F.col("r_suppkey")),
-        "left_anti",
-    )
+    sole_open = l1.join(
+        stats, F.col("l_orderkey") == F.col("k_orderkey")
+    ).filter((F.col("n_supp") >= 2) & (F.col("n_open_supp") == 1))
     return (
         sole_open.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey, "left_semi")
