@@ -11,8 +11,9 @@ collision-free names (``README.md:13-14``). Spark equivalents:
   reference needed ``log_id`` in the object name for that).
 - **exact layout (compat)**: the reference's two-segment
   ``%log_type%/YYYY-MM/DD/`` path. Implemented as the same dynamic
-  write into a staging dir, then directory renames — metadata-only on
-  a filesystem, one COPY per object on S3 (use hive layout there).
+  write into a staging dir, then renames through the Hadoop
+  FileSystem API — metadata-only on file:// and HDFS, one COPY per
+  object on S3A (functional, but prefer the hive layout there).
 
 Payloads are written verbatim (``text`` writer, gzip codec), so output
 content round-trips the input JSON byte-for-byte — the reference never
@@ -22,7 +23,6 @@ re-serializes either (schema-free model, README.md:9).
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,20 +32,22 @@ from terraform_aws_lambda_kinesis_to_s3_spark.config import PipelineConfig
 _PARTITION_COLS = ("log_type", "ym", "dd")
 
 
-def _ensure_local(path: str, what: str) -> str:
-    """The restage/compact paths use OS-level renames, which only exist
-    on a local filesystem. On S3/HDFS a 'rename' is a copy per object —
-    raise a clear error instead of failing mid-way (or silently doing
-    N full-object copies); on those stores use the hive layout and a
-    committer-based rewrite instead."""
-    scheme, sep, rest = path.partition("://")
-    if sep and scheme != "file":
+def _jpath(spark: SparkSession, p: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(p)
+
+
+def _fs(spark: SparkSession, path: str, what: str):
+    """Resolve the Hadoop FileSystem for ``path`` — local, HDFS, or any
+    object-store connector on the classpath. Unknown schemes (e.g.
+    ``s3://`` without hadoop-aws deployed) fail here, before any data
+    is written."""
+    try:
+        return _jpath(spark, path).getFileSystem(spark._jsc.hadoopConfiguration())
+    except Exception as exc:  # py4j wraps the Java IOException
         raise ValueError(
-            f"{what} requires a local filesystem path (got scheme "
-            f"'{scheme}://'); on object stores keep the hive layout "
-            "(exact_layout=False) or compact via a table rewrite"
-        )
-    return rest if sep else path
+            f"{what}: no Hadoop FileSystem available for {path!r} "
+            f"(is the connector on the classpath?): {exc}"
+        ) from None
 
 
 def write_routed(
@@ -79,7 +81,7 @@ def write_routed(
     cfg = cfg or PipelineConfig()
     root = os.path.join(path, cfg.log_path_prefix) if cfg.log_path_prefix else path
     if exact_layout:
-        _ensure_local(root, "exact_layout restage")  # fail before writing
+        _fs(df.sparkSession, root, "exact_layout restage")  # fail before writing
     target = root if not exact_layout else root + "__stage"
     if cluster_output:
         n = df.sparkSession.sparkContext.defaultParallelism
@@ -108,31 +110,40 @@ def write_routed(
         ).format("text")
     writer.save(target)
     if exact_layout:
-        _restage_exact(target, root)
+        _restage_exact(df.sparkSession, target, root)
 
 
-def _restage_exact(stage: str, root: str) -> None:
-    """hive ``log_type=T/ym=M/dd=D`` -> exact ``T/M/D`` (renames only)."""
-    stage = _ensure_local(stage, "exact_layout restage")
-    root = _ensure_local(root, "exact_layout restage")
-    for lt in _hive_children(stage, "log_type="):
-        for ym in _hive_children(os.path.join(stage, lt), "ym="):
-            for dd in _hive_children(os.path.join(stage, lt, ym), "dd="):
-                src = os.path.join(stage, lt, ym, dd)
-                dst = os.path.join(
-                    root, lt.split("=", 1)[1], ym.split("=", 1)[1], dd.split("=", 1)[1]
-                )
-                os.makedirs(dst, exist_ok=True)
-                for f in os.listdir(src):
-                    if not f.startswith(("_", ".")):
-                        shutil.move(os.path.join(src, f), os.path.join(dst, f))
-    shutil.rmtree(stage, ignore_errors=True)
+def _restage_exact(spark: SparkSession, stage: str, root: str) -> None:
+    """hive ``log_type=T/ym=M/dd=D`` -> exact ``T/M/D`` via Hadoop
+    FileSystem renames — metadata-only on file://+HDFS, copy-per-object
+    on S3A. Driver-side loop over *directories* (one per partition),
+    never over data rows."""
+    fs = _fs(spark, stage, "exact_layout restage")
+    for lt in _hive_children(spark, fs, stage, "log_type="):
+        for ym in _hive_children(spark, fs, str(lt), "ym="):
+            for dd in _hive_children(spark, fs, str(ym), "dd="):
+                parts = [
+                    seg.split("=", 1)[1]
+                    for seg in (p.getName() for p in (lt, ym, dd))
+                ]
+                dst = _jpath(spark, "/".join([root, *parts]))
+                fs.mkdirs(dst)
+                for st in fs.listStatus(dd):
+                    name = st.getPath().getName()
+                    if not name.startswith(("_", ".")):
+                        fs.rename(st.getPath(), spark._jvm.org.apache.hadoop.fs.Path(dst, name))
+    fs.delete(_jpath(spark, stage), True)
 
 
-def _hive_children(d: str, prefix: str) -> list[str]:
-    if not os.path.isdir(d):
+def _hive_children(spark: SparkSession, fs, d: str, prefix: str):
+    p = _jpath(spark, str(d))
+    if not fs.exists(p):
         return []
-    return [c for c in os.listdir(d) if c.startswith(prefix)]
+    return [
+        st.getPath()
+        for st in fs.listStatus(p)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    ]
 
 
 def read_routed(
@@ -169,10 +180,13 @@ def compact_partitions(
     one task (so one file per directory) while different directories
     still spread across all cores. ``files_per_partition > 1`` salts
     the hash to split hot partitions.
-    """
-    import glob as _glob
 
-    root = _ensure_local(root, "compact_partitions")
+    The staging-dir swap goes through the Hadoop FileSystem API —
+    atomic directory renames on file://+HDFS; on S3A the swap is a
+    copy and readers can observe a partial listing mid-swap (prefer a
+    table format's commit protocol there).
+    """
+    fs = _fs(spark, root, "compact_partitions")
     df = (
         spark.read.format("text")
         .option("basePath", root)
@@ -192,13 +206,15 @@ def compact_partitions(
         .save(stage)
     )
     old = root + "__old"
-    os.rename(root, old)
-    os.rename(stage, root)
-    shutil.rmtree(old, ignore_errors=True)
-    return len(
-        [
-            f
-            for f in _glob.glob(f"{root}/**/*", recursive=True)
-            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
-        ]
-    )
+    root_p, stage_p, old_p = (_jpath(spark, p) for p in (root, stage, old))
+    fs.delete(old_p, True)
+    fs.rename(root_p, old_p)
+    fs.rename(stage_p, root_p)
+    fs.delete(old_p, True)
+    n_files = 0
+    it = fs.listFiles(root_p, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(("_", ".")):
+            n_files += 1
+    return n_files

@@ -349,21 +349,35 @@ def test_cluster_pairs_string_ids(spark):
     assert got2 == got
 
 
-def test_sink_rejects_remote_uri_for_exact_layout(spark, tmp_path):
+def test_sink_hadoop_fs_restage(spark, tmp_path):
+    """Exact-layout restage goes through the Hadoop FileSystem API:
+    an unknown scheme fails fast with a clear error BEFORE writing,
+    and an explicit file:// URI (the generic FS code path, not
+    os.rename) restages correctly."""
+    import glob as g
+
     import pytest as _pytest
 
     from terraform_aws_lambda_kinesis_to_s3_spark.sinks import write_routed
-    from terraform_aws_lambda_kinesis_to_s3_spark.sinks.partitioned_json import (
-        compact_partitions,
-    )
 
     df = spark.createDataFrame(
-        [("{}", "a", "2024-01", "01")], "payload string, route string, ym string, dd string"
+        [
+            (
+                json.dumps({"log_type": "a", "log_id": "9", "time": "2024-03-04T05:00:00Z"}),
+            )
+        ],
+        "payload string",
     )
-    with _pytest.raises(ValueError, match="local filesystem"):
-        write_routed(df, "s3://bucket/logs", exact_layout=True)
-    with _pytest.raises(ValueError, match="local filesystem"):
-        compact_partitions(spark, "hdfs://nn/logs")
+    routed = route_records(df, PipelineConfig())
+    # s3:// has no FileSystem on this classpath -> fail before any write
+    with _pytest.raises(ValueError, match="no Hadoop FileSystem"):
+        write_routed(routed, "s3://bucket/logs", exact_layout=True)
+    # file:// URI exercises the same Hadoop-FS rename path S3A/HDFS use
+    out = tmp_path / "exact_uri"
+    write_routed(routed, f"file://{out}", exact_layout=True, mode="overwrite")
+    files = g.glob(f"{out}/**/*.gz", recursive=True)
+    assert any("/a/2024-03/04/" in f for f in files)
+    assert not (out.parent / "exact_uri__stage").exists()
 
 
 def test_sink_parquet_variant(spark, tmp_path):
