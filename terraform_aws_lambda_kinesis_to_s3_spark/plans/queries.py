@@ -1884,6 +1884,27 @@ def q_multimodal_features(spark, sf):
     )
 
 
+# The mapInPandas pipeline is oracle-checkable because the stub decode
+# is deterministic byte math and the synthetic text is single-byte
+# ASCII (octet == char): feature 0 is the byte-mean of the first
+# len//8 bytes — reproducible in SQL via per-char unnest.
+SQL_MULTIMODAL = """
+WITH m AS (
+  SELECT doc_id, source, CAST(strlen(text) AS BIGINT) AS n_bytes,
+         GREATEST(1, strlen(text) // 8) AS step, text
+  FROM documents),
+f AS (
+  SELECT doc_id, ROUND(AVG(ascii(substr(text, CAST(i AS INT), 1))), 6) AS feat0
+  FROM m, unnest(range(1, step + 1)) AS t(i)
+  GROUP BY doc_id)
+SELECT source, COUNT(*) AS n_media,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       ROUND(AVG(feat0), 4) AS avg_feat0
+FROM m JOIN f USING (doc_id)
+GROUP BY 1
+"""
+
+
 def q_percentiles(spark, sf):
     """Interpolated percentiles of order value per priority."""
     o = _t(spark, sf, "orders")
@@ -1991,11 +2012,28 @@ def q_ivf_topk(spark, sf):
 
 def q_dedup_clusters(spark, sf):
     """Near-dup cluster assignment: minhash-LSH pairs -> connected
-    components (iterative min-label propagation; rows-only — iterative
-    algorithms are outside single-statement SQL). Consumes the shared
-    persisted pairs stage, so it pays only for the clustering."""
+    components, labeled by the component's min doc_id. Consumes the
+    shared persisted pairs stage, so it pays only for the clustering.
+    The label choice makes even this iterative operator oracle-exact:
+    DuckDB reproduces it as a recursive-CTE transitive closure + MIN
+    (fine at oracle scale; the Spark side is the one that scales)."""
     pairs = _minhash_verified_pairs(spark, sf).select("doc_a", "doc_b")
     return D.cluster_pairs(pairs).orderBy("doc_id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE lsh_pairs AS ({SQL_MINHASH_LSH}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+  UNION
+  SELECT doc_b, doc_a FROM lsh_pairs),
+closure(n, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT c.n, e.b FROM closure c JOIN edges e ON e.a = c.r)
+SELECT n AS doc_id, MIN(r) AS cluster_id
+FROM closure GROUP BY 1 ORDER BY 1
+"""
 
 
 def q_order_gap_days(spark, sf):
@@ -2663,13 +2701,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "customers_above_nation_avg": (q_above_nation_avg, SQL_ABOVE_NATION_AVG),
     "salted_group_counts": (q_salted_counts, SQL_SALTED_COUNTS),
     # iterative near-dup clustering (rows-only: iterative algorithm)
-    "dedup_clusters": (q_dedup_clusters, None),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     # approximate ANN (rows-only: recall<1 vs exact oracle by design)
     "embedding_ivf_topk": (q_ivf_topk, None),
     # schema-drift monitor (rows-only: schema string format is engine-specific)
     "pipeline_schema_profile": (q_schema_profile, None),
     # multimodal (mapInPandas — no SQL oracle, rows-only check)
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
 }
 
 
