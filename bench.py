@@ -73,6 +73,7 @@ HEADLINE = [
     "text_repetition",
     "text_vocab_topk",
     "contamination_check",
+    "corpus_curation",
     # dedup (LSH scale path)
     "dedup_minhash_lsh",
     "dedup_simhash",

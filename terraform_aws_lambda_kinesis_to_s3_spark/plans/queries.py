@@ -2611,6 +2611,86 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_corpus_curation(spark, sf):
+    """End-to-end curation funnel — the operators composed the way a
+    real training-data pipeline chains them: quality filter (score >=
+    0.55) -> language-ID agreement -> exact near-dup removal by
+    normalized fingerprint (keep lowest doc_id). One scan computes all
+    per-doc signals; the funnel counts are conditional aggregates; the
+    dedup stage is a window over fingerprint survivors. Per-source
+    survival counts are the output a curation run reports."""
+    d = _t(spark, sf, "documents", parallelize=True)
+    scored = (
+        X.quality_features(d)
+        .withColumn("predicted_lang", X.lang_id(F.col("text")))
+        .withColumn("fp", X.fingerprint(F.col("text")))
+    )
+    pass_q = F.col("quality_score") >= 0.55
+    pass_l = pass_q & (F.col("predicted_lang") == F.col("lang"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    final = (
+        scored.filter(pass_l)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_final"))
+    )
+    funnel = scored.groupBy("source").agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.when(pass_q, 1).otherwise(0)).alias("n_quality"),
+        F.sum(F.when(pass_l, 1).otherwise(0)).alias("n_lang"),
+    )
+    return (
+        funnel.join(final, "source", "left")
+        .na.fill({"n_final": 0})
+        .orderBy("source")
+    )
+
+
+SQL_CORPUS_CURATION = r"""
+WITH feats AS (
+  SELECT doc_id, source, lang, text,
+         len(string_split_regex(text, '\s+')) AS n_tok,
+         len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) AS n_stop,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         length(text) AS n_chars,
+         len(regexp_extract_all(lower(text), '\b(the|and|of)\b')) AS c_en,
+         len(regexp_extract_all(lower(text), '\b(der|die|und)\b')) AS c_de,
+         len(regexp_extract_all(lower(text), '\b(el|la|los)\b')) AS c_es,
+         len(regexp_extract_all(lower(text), '\b(le|les|et)\b')) AS c_fr,
+         len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS c_zh
+  FROM documents),
+scored AS (
+  SELECT doc_id, source, lang,
+         ROUND(LEAST(n_stop / GREATEST(n_tok, 1) * 2, 1.0) * 0.4
+               + LEAST(n_tok / 64.0, 1.0) * 0.4
+               + (1 - LEAST(n_punct / GREATEST(n_chars, 1) * 4, 1.0)) * 0.2, 6) AS quality_score,
+         CASE
+           WHEN c_zh = GREATEST(c_en, c_de, c_es, c_fr, c_zh) AND c_zh > 0 THEN 'zh'
+           WHEN c_en = GREATEST(c_en, c_de, c_es, c_fr, c_zh) AND c_en > 0 THEN 'en'
+           WHEN c_de = GREATEST(c_en, c_de, c_es, c_fr, c_zh) AND c_de > 0 THEN 'de'
+           WHEN c_es = GREATEST(c_en, c_de, c_es, c_fr, c_zh) AND c_es > 0 THEN 'es'
+           WHEN c_fr = GREATEST(c_en, c_de, c_es, c_fr, c_zh) AND c_fr > 0 THEN 'fr'
+           ELSE 'und' END AS predicted_lang,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM feats),
+surv AS (
+  SELECT source, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM scored WHERE quality_score >= 0.55 AND predicted_lang = lang),
+final AS (SELECT source, COUNT(*) AS n_final FROM surv WHERE rn = 1 GROUP BY 1),
+funnel AS (
+  SELECT source, COUNT(*) AS n_input,
+         SUM(CASE WHEN quality_score >= 0.55 THEN 1 ELSE 0 END) AS n_quality,
+         SUM(CASE WHEN quality_score >= 0.55 AND predicted_lang = lang
+                  THEN 1 ELSE 0 END) AS n_lang
+  FROM scored GROUP BY 1)
+SELECT funnel.source, n_input, n_quality, n_lang,
+       COALESCE(n_final, 0) AS n_final
+FROM funnel LEFT JOIN final USING (source)
+ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2693,6 +2773,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_downsample_1h": (q_events_downsample_1h, SQL_EVENTS_DOWNSAMPLE),
     "events_value_histogram": (q_events_value_histogram, SQL_EVENTS_HISTOGRAM),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
+    "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "customer_quartiles": (q_customer_quartiles, SQL_CUSTOMER_QUARTILES),
     "text_edit_distance": (q_text_edit_distance, SQL_TEXT_EDIT_DISTANCE),
