@@ -1,0 +1,74 @@
+"""Static-plan invariants over the whole query registry.
+
+The bar at 100 TB is not "returns the right rows" but "is the plan you
+would want": no accidental cross joins, filters pushed into the scans,
+joins equi-shaped. These assertions freeze the properties EXPLAINS.md
+documents, so a regression (e.g. a refactor that turns an equi join
+into a cartesian product) fails CI rather than surfacing as a 1000x
+slowdown on a cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import REGISTRY
+
+SF = "/root/testdata/sf0.01"
+
+#: queries whose plans legitimately contain a BroadcastNestedLoopJoin —
+#: every one is a broadcast of a 1-row scalar (q22 avg balance, q11
+#: value threshold) or a tiny bounded query/centroid set (embedding
+#: searches). Anything new showing a BNLJ must be justified here.
+BNLJ_OK = {
+    "q22_sales_opportunity",
+    "q11_important_stock",
+    "embedding_cosine_topk",
+    "embedding_centroid_assign",
+    "embedding_ivf_topk",
+}
+
+
+def _formatted_plan(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.mark.parametrize("name", list(REGISTRY), ids=list(REGISTRY))
+def test_no_accidental_cross_join(spark, name):
+    fn, _ = REGISTRY[name]
+    plan = _formatted_plan(fn(spark, SF))
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if name not in BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected nested-loop join — add to BNLJ_OK only "
+            "if the broadcast side is provably tiny"
+        )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q6_forecast_revenue", "q10_returned_items",
+     "q19_discounted_revenue", "q20_potential_promotion"],
+)
+def test_filters_reach_the_scan(spark, name):
+    """Date/flag predicates must appear as PushedFilters on the parquet
+    scan, not as post-scan Filter nodes only."""
+    fn, _ = REGISTRY[name]
+    plan = _formatted_plan(fn(spark, SF))
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "PushedFilters: []" not in ln
+    ]
+    assert pushed, f"{name}: no pushed filters reached any scan"
+
+
+def test_column_pruning_reaches_the_scan(spark):
+    """A 2-column aggregate must not read the full lineitem schema."""
+    fn, _ = REGISTRY["q6_forecast_revenue"]
+    plan = _formatted_plan(fn(spark, SF))
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("l_orderkey" not in ln for ln in reads), (
+        "q6 reads columns its aggregate never touches"
+    )
