@@ -50,3 +50,43 @@ def salted_agg(
         *[getattr(F, fn)(alias).alias(alias) for fn, alias in merges]
     )
     return merged
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_buckets: int = 16,
+    salt_cols: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant fact-dim equi join: salt the fact side, replicate
+    the dim side.
+
+    When one join key owns a disproportionate share of the fact rows, a
+    plain shuffle join pins that key's entire volume on one task. The
+    classic manual fix (for when the dim side is too big to broadcast
+    but AQE skew splitting doesn't apply — e.g. under a stateful
+    operator): the fact side gets a deterministic content salt in
+    [0, N), the dim side is exploded N-fold, and the join key becomes
+    (key, salt) — every hot key now spreads over N tasks. Exact same
+    rows as the unsalted join; the cost is an N-fold dim replication,
+    so pick N ~ (hot-key volume / target-task volume) and keep the dim
+    side the small one.
+    """
+    cols = salt_cols if salt_cols is not None else fact.columns
+    salted_fact = fact.withColumn(
+        "__salt",
+        F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(salt_buckets)).cast("int"),
+    )
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    joined = salted_fact.join(
+        replicated_dim,
+        (salted_fact[fact_key] == replicated_dim[dim_key])
+        & (salted_fact["__salt"] == replicated_dim["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")

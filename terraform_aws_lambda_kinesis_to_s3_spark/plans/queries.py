@@ -2611,6 +2611,34 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_salted_user_join(spark, sf):
+    """Skew-resistant fact-dim join (operators.skew.salted_join):
+    events (fact, potentially hot user keys) joined to a user dim with
+    a content salt on the fact side and an N-fold replicated dim — the
+    manual skew fix for when the dim is too big to broadcast and AQE
+    can't split (stateful downstream). Results must equal the plain
+    join the oracle runs."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf, "events")
+    dim = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_key"), "c_mktsegment"
+    )
+    j = salted_join(ev, dim, "user_id", "user_key", salt_buckets=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        _dsum(_dec("value"), "sum_value"),
+    )
+
+
+SQL_SALTED_USER_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1
+"""
+
+
 def q_corpus_curation(spark, sf):
     """End-to-end curation funnel — the operators composed the way a
     real training-data pipeline chains them: quality filter (score >=
@@ -2774,6 +2802,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_value_histogram": (q_events_value_histogram, SQL_EVENTS_HISTOGRAM),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
+    "salted_user_join": (q_salted_user_join, SQL_SALTED_USER_JOIN),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "customer_quartiles": (q_customer_quartiles, SQL_CUSTOMER_QUARTILES),
     "text_edit_distance": (q_text_edit_distance, SQL_TEXT_EDIT_DISTANCE),

@@ -239,6 +239,34 @@ def test_salted_agg_equals_plain_groupby(spark):
     assert salted == plain
 
 
+def test_salted_join_equals_plain_join(spark):
+    """salted_join returns exactly the plain join's rows, including a
+    deliberately hot key whose rows must spread over several salt
+    buckets."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [("hot", i) for i in range(200)] + [("cold%d" % i, i) for i in range(20)],
+        "k string, v int",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold3", "C3"), ("absent", "A")], "dk string, attr string"
+    )
+    got = sorted(
+        (r.k, r.v, r.attr)
+        for r in salted_join(fact, dim, "k", "dk", salt_buckets=8).collect()
+    )
+    want = sorted(
+        (r.k, r.v, r.attr) for r in fact.join(dim, fact.k == dim.dk).collect()
+    )
+    assert got == want and len(got) == 201
+    # the hot key's fact rows really do land in multiple salt buckets
+    salted = fact.withColumn(
+        "s", F.pmod(F.hash("k", "v"), F.lit(8))
+    ).filter(F.col("k") == "hot")
+    assert salted.select("s").distinct().count() > 1
+
+
 def test_cluster_pairs_connected_components(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
