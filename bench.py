@@ -104,6 +104,11 @@ HEADLINE = [
     "customer_quartiles",
     "text_edit_distance",
     "dedup_clusters",
+    "salted_user_join",
+    "kmv_distinct_users",
+    "weighted_doc_sample",
+    "cube_status_priority",
+    "events_moving_window",
 ]
 
 

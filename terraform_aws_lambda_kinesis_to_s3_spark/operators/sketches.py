@@ -1,0 +1,114 @@
+"""Deterministic cardinality / sampling sketches (Tier B).
+
+Training-data pipelines need distinct-count estimates and weighted
+samples over corpora far too large for exact ``COUNT(DISTINCT)`` or a
+driver-side sample. Spark's builtins (``approx_count_distinct`` /
+HyperLogLog++, ``sample()``) are engine-private and non-reproducible
+across engines and partitionings, so their results can't be
+oracle-checked and won't survive a rerun bit-for-bit. These operators
+instead build the sketch from an md5-derived uniform hash:
+
+- the estimate is a pure function of the DATA (stable across runs,
+  partition counts and engines — DuckDB computes the identical value),
+- everything stays JVM-side Catalyst (md5 / conv / window / agg),
+- each stage is bounded: no per-group state larger than O(k).
+
+KMV (k-minimum-values) estimator: hash every value to uniform (0,1);
+the k-th smallest hash h_(k) over a group's distinct values estimates
+the distinct count as (k-1)/h_(k) (Bar-Yossef et al. 2002, standard
+relative error ~1/sqrt(k-2)). Groups with fewer than k distinct values
+report the exact count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 16^15 — the md5 prefix domain; 15 hex chars fit a signed long.
+_HASH_DOMAIN = float(16**15)
+
+
+def uniform_hash(col: F.Column) -> F.Column:
+    """Map a value to a deterministic uniform double in [0, 1):
+    first 15 hex chars of md5 (60 bits — fits a long), divided by
+    16^15. Both sides of the division are exact in IEEE double up to
+    the final rounding, so any engine computes the identical double.
+    """
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+        / F.lit(_HASH_DOMAIN)
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 128,
+    prune_salts: int = 32,
+) -> DataFrame:
+    """Per-group distinct-count estimate via a k-minimum-values sketch.
+
+    Plan (all bounded, no O(group) state anywhere):
+      1. distinct (group, hash) — one hash-shuffle, map-side combine;
+      2. keep the k smallest hashes within each (group, salt) sub-bucket
+         (``row_number`` window over group x ``prune_salts`` salts) — the
+         per-task sort covers only a 1/salts slice of each group;
+      3. keep the k smallest of the surviving <= k*salts rows per group
+         (tiny second window);
+      4. estimate (k-1)/h_(k), or the exact count when the group has
+         fewer than k distinct values.
+
+    Returns ``group_cols + [n_distinct_est]`` with the estimate rounded
+    to 2 decimals (stable for oracle hashing).
+    """
+    h = uniform_hash(F.col(value_col)).alias("__h")
+    distinct = df.select(*group_cols, h).dropDuplicates([*group_cols, "__h"])
+    salted = distinct.withColumn(
+        "__salt", F.pmod(F.hash("__h"), F.lit(prune_salts))
+    )
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy("__h")
+    pruned = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__salt", "__rn")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("__h")
+    topk = pruned.withColumn("__rn", F.row_number().over(w2)).filter(
+        F.col("__rn") <= k
+    )
+    return topk.groupBy(*group_cols).agg(
+        F.round(
+            F.when(F.count("*") < k, F.count("*").cast("double")).otherwise(
+                F.lit(float(k - 1)) / F.max("__h")
+            ),
+            2,
+        ).alias("n_distinct_est")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    rate: float,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: row i is kept iff
+    ``uniform_hash(key_i) < rate * w_i / max(w)`` — inclusion
+    probability proportional to weight (the max-weight row is kept with
+    probability ``rate``), reproducible across runs and engines.
+
+    Map-only except a 1-row global-max broadcast; this is how you
+    importance-sample a 100 TB corpus by quality score without a
+    shuffle of the corpus itself.
+    """
+    maxw = df.agg(F.max(F.col(weight_col).cast("double")).alias("__maxw"))
+    u = uniform_hash(F.col(key_col))
+    return (
+        df.crossJoin(F.broadcast(maxw))
+        .filter(
+            u < F.lit(rate) * F.col(weight_col).cast("double") / F.col("__maxw")
+        )
+        .drop("__maxw")
+    )

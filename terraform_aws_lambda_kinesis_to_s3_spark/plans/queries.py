@@ -2719,6 +2719,128 @@ ORDER BY 1
 """
 
 
+def q_kmv_distinct_users(spark, sf):
+    """Distinct-count sketch (operators.sketches.kmv_distinct): per
+    event_type distinct-user estimate from the 128 smallest md5-uniform
+    hashes. Unlike approx_count_distinct (HLL++, engine-private), the
+    KMV estimate is a pure function of the data — DuckDB computes the
+    identical value, so an *approximate* operator gets an *exact*
+    oracle hash. Exact distinct count alongside shows the error."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import sketches as K
+
+    ev = _t(spark, sf, "events")
+    est = K.kmv_distinct(ev, ["event_type"], "user_id", k=128)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_distinct_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_distinct_est", "n_distinct_exact"
+    )
+
+
+SQL_KMV_DISTINCT_USERS = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           / POWER(16, 15) AS h
+  FROM events),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h),
+est AS (
+  SELECT event_type,
+         ROUND(CASE WHEN COUNT(*) < 128 THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE 127.0 / MAX(h) END, 2) AS n_distinct_est
+  FROM r WHERE rn <= 128 GROUP BY 1),
+exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_exact
+          FROM events GROUP BY 1)
+SELECT event_type, n_distinct_est, n_distinct_exact
+FROM est JOIN exact USING (event_type)
+"""
+
+
+def q_weighted_doc_sample(spark, sf):
+    """Importance sampling (operators.sketches.weighted_sample):
+    documents kept with probability proportional to n_chars (longest
+    doc kept with p=0.5) — the deterministic map-only way to
+    quality-weight a corpus sample at 100 TB. Aggregated per source."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import sketches as K
+
+    d = _t(spark, sf, "documents")
+    s = K.weighted_sample(d, "doc_id", "n_chars", rate=0.5)
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+SQL_WEIGHTED_DOC_SAMPLE = """
+SELECT source, COUNT(*) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        / POWER(16, 15)
+      < 0.5 * n_chars / (SELECT MAX(CAST(n_chars AS DOUBLE)) FROM documents)
+GROUP BY 1
+"""
+
+
+def q_cube_status_priority(spark, sf):
+    """CUBE over (status, priority): all four grouping combinations in
+    one pass (rollup's sibling; completes the grouping-analytics
+    surface alongside rollup_region_nation / grouping_sets)."""
+    o = _t(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        _dsum(_dec("o_totalprice"), "sum_price"),
+    )
+
+
+SQL_CUBE_STATUS_PRIORITY = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_events_moving_window(spark, sf):
+    """Time-RANGE window frame: per user, the trailing-1-hour event
+    count and value sum at every event (the time-series moving-window
+    primitive; rowsBetween can't express it when event spacing is
+    uneven). Frame bounds are on unix micros so both engines resolve
+    identical peers; sums stay decimal-exact until the final cast."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    per_event = ev.select(
+        "event_type",
+        F.count("*").over(w).alias("mv_n"),
+        F.sum(_dec("value")).over(w).alias("mv_sum"),
+    )
+    return per_event.groupBy("event_type").agg(
+        F.sum("mv_n").alias("sum_window_counts"),
+        _dsum(F.col("mv_sum"), "sum_window_values"),
+    )
+
+
+SQL_EVENTS_MOVING_WINDOW = """
+SELECT event_type,
+       CAST(SUM(mv_n) AS BIGINT) AS sum_window_counts,
+       CAST(SUM(mv_sum) AS DOUBLE) AS sum_window_values
+FROM (
+  SELECT event_type,
+         COUNT(*) OVER w AS mv_n,
+         SUM(CAST(value AS DECIMAL(12,2))) OVER w AS mv_sum
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2803,6 +2925,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "salted_user_join": (q_salted_user_join, SQL_SALTED_USER_JOIN),
+    "kmv_distinct_users": (q_kmv_distinct_users, SQL_KMV_DISTINCT_USERS),
+    "weighted_doc_sample": (q_weighted_doc_sample, SQL_WEIGHTED_DOC_SAMPLE),
+    "cube_status_priority": (q_cube_status_priority, SQL_CUBE_STATUS_PRIORITY),
+    "events_moving_window": (q_events_moving_window, SQL_EVENTS_MOVING_WINDOW),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "customer_quartiles": (q_customer_quartiles, SQL_CUSTOMER_QUARTILES),
     "text_edit_distance": (q_text_edit_distance, SQL_TEXT_EDIT_DISTANCE),

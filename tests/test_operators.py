@@ -505,3 +505,59 @@ def test_compact_partitions(spark, tmp_path):
     assert after == 1  # one (a, 2024-01, 02) partition -> one file
     back = read_routed(spark, out)
     assert back.count() == 120  # 3 appends x 40 rows, nothing lost
+
+
+def test_kmv_distinct_estimate(spark):
+    """KMV estimate lands within the sketch's expected error of the
+    true distinct count (~1/sqrt(k-2) relative sigma; md5 hashing makes
+    the exact estimate deterministic, so this never flakes)."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        # 5000 distinct values per group, each appearing twice
+        F.concat(F.col("id") % 2, F.lit("_"), (F.col("id") / 4).cast("long")).alias(
+            "v"
+        ),
+    )
+    got = {
+        r.g: r.n_distinct_est
+        for r in kmv_distinct(df, ["g"], "v", k=128).collect()
+    }
+    for g in ("0", "1"):
+        assert abs(got[g] - 5000) / 5000 < 0.25, got
+
+
+def test_kmv_small_group_is_exact(spark):
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [("a", f"v{i % 7}") for i in range(100)], "g string, v string"
+    )
+    [row] = kmv_distinct(df, ["g"], "v", k=128).collect()
+    assert row.n_distinct_est == 7.0
+
+
+def test_weighted_sample_proportional(spark):
+    """Inclusion probability tracks the weight: rows with weight 100
+    are sampled ~2x as often as rows with weight 50, and the sample is
+    a deterministic subset (rerun yields the identical ids)."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.sketches import (
+        weighted_sample,
+    )
+
+    df = spark.range(20_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, 100.0).otherwise(50.0).alias("w"),
+    )
+    s1 = {r.id for r in weighted_sample(df, "id", "w", rate=0.5).collect()}
+    s2 = {r.id for r in weighted_sample(df, "id", "w", rate=0.5).collect()}
+    assert s1 == s2
+    heavy = sum(1 for i in s1 if i % 2 == 0)
+    light = len(s1) - heavy
+    assert abs(heavy / 10_000 - 0.5) < 0.05
+    assert abs(light / 10_000 - 0.25) < 0.05
