@@ -109,6 +109,7 @@ HEADLINE = [
     "weighted_doc_sample",
     "cube_status_priority",
     "events_moving_window",
+    "events_session_window",
 ]
 
 

@@ -1815,6 +1815,48 @@ FROM gaps GROUP BY 1
 """
 
 
+def q_session_window_agg(spark, sf):
+    """Catalyst-native session windows (F.session_window, the builtin
+    the gap-based window-function sessionize can't use in streaming):
+    per-user session count, exact total session duration (micros; a
+    session spans first event .. last event + gap) and busiest session.
+    Oracle reproduces the islands with lag + running-sum."""
+    ev = _t(spark, sf, "events")
+    sess = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count("*").alias("n_ev"))
+    return sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.unix_micros("w.end") - F.unix_micros("w.start")).alias(
+            "sum_dur_us"
+        ),
+        F.max("n_ev").alias("max_session_events"),
+    )
+
+
+SQL_SESSION_WINDOW_AGG = """
+WITH flag AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+ids AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flag),
+sess AS (
+  SELECT user_id, sid, COUNT(*) AS n_ev,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) + 1800000000 AS dur
+  FROM ids GROUP BY 1, 2)
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(SUM(dur) AS BIGINT) AS sum_dur_us,
+       MAX(n_ev) AS max_session_events
+FROM sess GROUP BY 1
+"""
+
+
 def q_tumbling_windows(spark, sf):
     ev = _t(spark, sf, "events")
     return E.tumbling_counts(ev, hours=1)
@@ -2909,6 +2951,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
     # event analytics
     "events_sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "events_session_window": (q_session_window_agg, SQL_SESSION_WINDOW_AGG),
     "events_tumbling_window": (q_tumbling_windows, SQL_TUMBLING),
     "events_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     # extended relational coverage

@@ -36,3 +36,32 @@ def streaming_tumbling_counts(
             F.col("n_events"),
         )
     )
+
+
+def streaming_session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-key session windows via the Catalyst-native
+    ``session_window`` (dynamic-length windows that close when the key
+    goes quiet for ``gap``). A session emits once, when the watermark
+    passes its end; open-session state is one row per active (key,
+    session). The custom-logic sibling (per-session payloads, custom
+    merge) is ``sessions.streaming_sessionize``
+    (applyInPandasWithState); this is the declarative fast path."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col(key_col),
+            F.col("n_events"),
+        )
+    )

@@ -71,3 +71,55 @@ def test_watermark_drops_late_events(spark, tmp_path):
     ten = [r for r in rows if r[0] == "2024-01-01 10:00:00"]
     assert ten == [("2024-01-01 10:00:00", "a", 2)]
     assert ("2024-01-01 13:00:00", "b", 1) in rows
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """session_window sessions close on gap expiry: two bursts
+    separated by > gap become two sessions; the second emits only after
+    the watermark passes its end."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.streaming.windows import (
+        streaming_session_counts,
+    )
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+
+    def run():
+        stream = (
+            spark.readStream.schema("user_id string, ts string")
+            .json(src)
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        agg = streaming_session_counts(
+            stream, gap="30 minutes", watermark="30 minutes"
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # burst 1 (10:00-10:10), then silence past the 30-min gap, burst 2
+    _write(
+        src,
+        "b1.jsonl",
+        [
+            {"user_id": "u1", "ts": "2024-01-01 10:00:00"},
+            {"user_id": "u1", "ts": "2024-01-01 10:10:00"},
+            {"user_id": "u1", "ts": "2024-01-01 12:00:00"},
+        ],
+    )
+    run()
+    # advance the watermark far enough to close the 12:00 session too
+    _write(src, "b2.jsonl", [{"user_id": "u2", "ts": "2024-01-01 15:00:00"}])
+    run()
+
+    rows = sorted(
+        (str(r.session_start), r.user_id, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert ("2024-01-01 10:00:00", "u1", 2) in rows
+    assert ("2024-01-01 12:00:00", "u1", 1) in rows
