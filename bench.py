@@ -110,6 +110,7 @@ HEADLINE = [
     "cube_status_priority",
     "events_moving_window",
     "events_session_window",
+    "events_gap_fill",
 ]
 
 

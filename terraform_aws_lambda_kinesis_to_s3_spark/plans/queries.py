@@ -2761,6 +2761,54 @@ ORDER BY 1
 """
 
 
+def q_events_gap_fill(spark, sf):
+    """Time-series gap fill: downsample to hourly buckets per type,
+    then materialize EVERY hour in each type's span (sequence +
+    explode) and left-join the observed buckets back — missing hours
+    appear with zero counts, the dense-series primitive a rollup
+    consumer (charting, anomaly detection) needs. The grid side is
+    tiny (one row per type before explode); the join is
+    broadcast-able by construction."""
+    ev = _t(spark, sf, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("n_events"), _dsum(_dec("value"), "sum_value"))
+    spans = hourly.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .na.fill({"n_events": 0, "sum_value": 0.0})
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_GAP_FILL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s
+  FROM events GROUP BY 1, 2),
+spans AS (SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY 1),
+grid AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+         FROM spans)
+SELECT grid.event_type, strftime(grid.h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       COALESCE(n, 0) AS n_events, COALESCE(s, 0) AS sum_value
+FROM grid LEFT JOIN hourly ON grid.event_type = hourly.event_type
+                           AND grid.h = hourly.h
+"""
+
+
 def q_kmv_distinct_users(spark, sf):
     """Distinct-count sketch (operators.sketches.kmv_distinct): per
     event_type distinct-user estimate from the 128 smallest md5-uniform
@@ -2972,6 +3020,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "weighted_doc_sample": (q_weighted_doc_sample, SQL_WEIGHTED_DOC_SAMPLE),
     "cube_status_priority": (q_cube_status_priority, SQL_CUBE_STATUS_PRIORITY),
     "events_moving_window": (q_events_moving_window, SQL_EVENTS_MOVING_WINDOW),
+    "events_gap_fill": (q_events_gap_fill, SQL_EVENTS_GAP_FILL),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "customer_quartiles": (q_customer_quartiles, SQL_CUSTOMER_QUARTILES),
     "text_edit_distance": (q_text_edit_distance, SQL_TEXT_EDIT_DISTANCE),
