@@ -26,6 +26,8 @@ BNLJ_OK = {
     "embedding_cosine_topk",
     "embedding_centroid_assign",
     "embedding_ivf_topk",
+    # deliberate 1-row global-max broadcast (weighted Bernoulli sampler)
+    "weighted_doc_sample",
 }
 
 
