@@ -11,6 +11,7 @@ slowdown on a cluster.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import REGISTRY
 
@@ -74,3 +75,42 @@ def test_column_pruning_reaches_the_scan(spark):
     assert reads and all("l_orderkey" not in ln for ln in reads), (
         "q6 reads columns its aggregate never touches"
     )
+
+
+def test_sink_read_prunes_partitions(spark, tmp_path):
+    """A log_type/date filter on the routed sink must become a
+    PartitionFilter (directory-level pruning — at 100 TB the reader
+    lists one type/month subtree, not the whole lake), never a
+    post-scan Filter over all partitions."""
+    import json as _json
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.config import PipelineConfig
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.envelope import (
+        route_records,
+    )
+    from terraform_aws_lambda_kinesis_to_s3_spark.sinks import (
+        read_routed,
+        write_routed,
+    )
+
+    payloads = [
+        _json.dumps(
+            {"log_type": t, "log_id": str(i), "time": f"2024-0{m}-15T12:00:00Z"}
+        )
+        for i, (t, m) in enumerate(
+            [(t, m) for t in ("web", "api") for m in (1, 2)] * 5
+        )
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "payload string")
+    out = str(tmp_path / "sink")
+    write_routed(route_records(df, PipelineConfig()), out)
+
+    back = read_routed(spark, out).filter(
+        (F.col("log_type") == "web") & (F.col("ym") == "2024-01")
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and all(
+        "log_type" in ln and "ym" in ln for ln in pf
+    ), f"partition filters missing from scan:\n{plan}"
+    assert back.count() == 5  # web x 2024-01 only
