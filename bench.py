@@ -74,7 +74,9 @@ HEADLINE = [
     "text_vocab_topk",
     "contamination_check",
     "corpus_curation",
-    # dedup (LSH scale path)
+    # dedup (LSH scale path; DF-capped exact Jaccard is the bounded
+    # variant of the quadratic all-pairs excluded above)
+    "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_hamming",

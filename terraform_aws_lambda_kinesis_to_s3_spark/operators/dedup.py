@@ -214,9 +214,31 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (inverted-index equi-join)."""
+    """Exact n-gram Jaccard near-dup pairs (inverted-index equi-join).
+
+    The self-join's cost is sum(df^2) over shingle document
+    frequencies: one boilerplate shingle appearing in 1M docs creates
+    10^12 candidate rows. ``max_df`` is the standard fix — shingles in
+    more than ``max_df`` docs are dropped from the shingle space
+    (CountVectorizer-maxDF-style), and the Jaccard is computed over the
+    surviving shingles (both the intersection AND the set sizes), so
+    the result remains a well-defined, deterministic similarity on the
+    DF-filtered space. Hot shingles carry almost no pair information
+    (every doc shares them); their removal bounds the worst case at
+    sum(min(df, max_df)^2) while moving near-dup scores only slightly.
+    ``max_df=None`` keeps the exact unfiltered semantics.
+    """
     sh = doc_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("sa")
     b = sh.alias("sb")

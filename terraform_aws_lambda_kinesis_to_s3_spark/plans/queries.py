@@ -1474,6 +1474,34 @@ def q_ngram_jaccard_pairs(spark, sf):
     return D.ngram_jaccard_pairs(d, n=3, threshold=0.1)
 
 
+def q_ngram_jaccard_capped(spark, sf):
+    """DF-capped exact Jaccard (operators.dedup.ngram_jaccard_pairs
+    max_df): shingles in more than 2 docs are dropped from the shingle
+    space before the inverted-index self-join — the scale guard that
+    bounds the join's sum(df^2) blowup on boilerplate shingles. The
+    oracle reproduces the identical DF-filtered similarity space."""
+    d = _t(spark, sf, "documents", parallelize=True)
+    return D.ngram_jaccard_pairs(d, n=3, threshold=0.1, max_df=2)
+
+
+SQL_NGRAM_JACCARD_CAPPED = f"""
+WITH sh_all AS ({_SH_DUCK}),
+keep AS (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= 2),
+sh AS (SELECT sh_all.doc_id, sh_all.sh FROM sh_all JOIN keep USING (sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+"""
+
+
 SQL_NGRAM_JACCARD = f"""
 WITH sh AS ({_SH_DUCK}),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
@@ -2666,7 +2694,11 @@ def q_salted_user_join(spark, sf):
     dim = _t(spark, sf, "customer").select(
         F.col("c_custkey").alias("user_key"), "c_mktsegment"
     )
-    j = salted_join(ev, dim, "user_id", "user_key", salt_buckets=8)
+    # salt by the row-unique event_id: spreads a hot user over all
+    # buckets AND keeps unused columns (props) prunable from the scan
+    j = salted_join(
+        ev, dim, "user_id", "user_key", salt_buckets=8, salt_cols=["event_id"]
+    )
     return j.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"),
         _dsum(_dec("value"), "sum_value"),
@@ -2985,6 +3017,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     # dedup
     "dedup_ngram_jaccard": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
+    "dedup_ngram_jaccard_capped": (q_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED),
     "dedup_minhash_lsh": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "dedup_simhash_hamming": (q_simhash_hamming, SQL_SIMHASH_HAMMING),

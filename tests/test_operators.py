@@ -561,3 +561,34 @@ def test_weighted_sample_proportional(spark):
     light = len(s1) - heavy
     assert abs(heavy / 10_000 - 0.5) < 0.05
     assert abs(light / 10_000 - 0.25) < 0.05
+
+
+def test_ngram_jaccard_max_df_filters_hot_shingles(spark):
+    """max_df removes hot shingles from the similarity space: docs that
+    only share a boilerplate shingle (present in every doc) stop
+    pairing, while pairs sharing rare shingles keep their (recomputed)
+    score."""
+    docs = spark.createDataFrame(
+        [
+            # "common common common" shingle appears in all four docs
+            (1, "common common common alpha beta gamma"),
+            (2, "common common common alpha beta gamma"),
+            (3, "common common common delta epsilon zeta"),
+            (4, "common common common eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.05).collect()
+    }
+    # every pair shares the boilerplate shingle -> all 6 pairs
+    assert plain == {(a, b) for a in range(1, 5) for b in range(a + 1, 5)}
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.05, max_df=3).collect()
+    }
+    # the df=4 boilerplate shingle is dropped: only the true near-dup
+    # pair (1,2) survives, at full similarity over surviving shingles
+    assert set(capped) == {(1, 2)}
+    assert capped[(1, 2)] == 1.0
