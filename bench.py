@@ -113,6 +113,7 @@ HEADLINE = [
     "events_moving_window",
     "events_session_window",
     "events_gap_fill",
+    "events_stats_profile",
 ]
 
 

@@ -2713,6 +2713,35 @@ GROUP BY 1
 """
 
 
+def q_events_stats_profile(spark, sf):
+    """Statistical-aggregate surface: per-type dispersion (sample
+    stddev/variance) and linear association between value and
+    hour-of-day (Pearson corr + OLS slope). Hour-of-day keeps the
+    regressor bounded so both engines' one-pass moment accumulations
+    agree to well past the 6-decimal rounding."""
+    ev = _t(spark, sf, "events")
+    hr = F.hour("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.round(F.corr("value", hr), 6).alias("corr_value_hour"),
+        F.round(F.regr_slope(F.col("value"), hr), 6).alias("slope_value_hour"),
+    )
+
+
+SQL_EVENTS_STATS_PROFILE = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(STDDEV_SAMP(value), 6) AS sd_value,
+       ROUND(VAR_SAMP(value), 6) AS var_value,
+       ROUND(CORR(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE)), 6)
+         AS corr_value_hour,
+       ROUND(REGR_SLOPE(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE)), 6)
+         AS slope_value_hour
+FROM events GROUP BY 1
+"""
+
+
 def q_corpus_curation(spark, sf):
     """End-to-end curation funnel — the operators composed the way a
     real training-data pipeline chains them: quality filter (score >=
@@ -3054,6 +3083,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cube_status_priority": (q_cube_status_priority, SQL_CUBE_STATUS_PRIORITY),
     "events_moving_window": (q_events_moving_window, SQL_EVENTS_MOVING_WINDOW),
     "events_gap_fill": (q_events_gap_fill, SQL_EVENTS_GAP_FILL),
+    "events_stats_profile": (q_events_stats_profile, SQL_EVENTS_STATS_PROFILE),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "customer_quartiles": (q_customer_quartiles, SQL_CUSTOMER_QUARTILES),
     "text_edit_distance": (q_text_edit_distance, SQL_TEXT_EDIT_DISTANCE),
