@@ -150,3 +150,61 @@ def test_kpl_truncated_blob_passthrough():
     truncated = blob[: len(blob) - 40] + blob[-16:]  # keep magic + a trailer
     out = kpl_deaggregate_bytes(truncated)
     assert out == [truncated]  # passthrough, not partial payloads
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["hot", "k1", "k2", "k3"]),
+            st.integers(0, 10**6),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    buckets=st.sampled_from([1, 2, 8]),
+)
+def test_salted_join_equivalence_property(spark, rows, buckets):
+    """salted_join(fact, dim) == plain inner join for ANY fact
+    multiset and salt-bucket count (including duplicates and keys
+    absent from the dim)."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(rows, "k string, v long")
+    dim = spark.createDataFrame(
+        [("hot", 1), ("k1", 2), ("absent", 9)], "dk string, attr long"
+    )
+    got = sorted(
+        (r.k, r.v, r.attr)
+        for r in salted_join(fact, dim, "k", "dk", salt_buckets=buckets).collect()
+    )
+    want = sorted(
+        (r.k, r.v, r.attr) for r in fact.join(dim, fact.k == dim.dk).collect()
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_distinct=st.integers(1, 60),
+    dup_factor=st.integers(1, 3),
+)
+def test_kmv_exact_below_k_property(spark, n_distinct, dup_factor):
+    """With fewer than k distinct values the KMV sketch must report the
+    EXACT distinct count regardless of duplication."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    vals = [(f"v{i}",) for i in range(n_distinct)] * dup_factor
+    df = spark.createDataFrame(vals, "v string").withColumn("g", F.lit("all"))
+    [row] = kmv_distinct(df, ["g"], "v", k=128).collect()
+    assert row.n_distinct_est == float(n_distinct)
