@@ -114,6 +114,8 @@ HEADLINE = [
     "events_session_window",
     "events_gap_fill",
     "events_stats_profile",
+    "events_sliding_window",
+    "weighted_avg_udaf",
 ]
 
 

@@ -2713,6 +2713,71 @@ GROUP BY 1
 """
 
 
+def q_sliding_windows(spark, sf):
+    """Hopping windows (1h length, 30min slide): every event lands in
+    exactly two overlapping windows — the smoothing/trend variant of
+    the tumbling agg. Catalyst expands F.window into a 2-element
+    window array + explode; the oracle materializes the same two
+    half-hour-aligned candidate starts per event."""
+    ev = _t(spark, sf, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), _dsum(_dec("value"), "sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_SLIDING_WINDOWS = """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT event_type, value,
+         unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws
+  FROM events)
+GROUP BY 1, 2
+"""
+
+
+def q_weighted_avg_udaf(spark, sf):
+    """Arrow grouped-aggregate UDAF surface (the one Pandas-UDF shape
+    the engine's other operators don't exercise): n_chars-weighted mean
+    document length... weighted by itself this is the length-biased
+    mean (sum sq / sum) — a real curation statistic (the expected doc
+    length a token sees). Rounded to 4 so both engines' float
+    accumulation orders agree."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def length_biased_mean(n_chars: pd.Series) -> float:
+        import numpy as np
+
+        x = n_chars.to_numpy(dtype="float64")
+        return float(np.dot(x, x) / x.sum())
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.round(length_biased_mean("n_chars"), 4).alias("lb_mean_chars"))
+    )
+
+
+SQL_WEIGHTED_AVG_UDAF = """
+SELECT lang,
+       ROUND(SUM(CAST(n_chars AS DOUBLE) * n_chars) / SUM(CAST(n_chars AS DOUBLE)), 4)
+         AS lb_mean_chars
+FROM documents GROUP BY 1
+"""
+
+
 def q_events_stats_profile(spark, sf):
     """Statistical-aggregate surface: per-type dispersion (sample
     stddev/variance) and linear association between value and
@@ -3084,6 +3149,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_moving_window": (q_events_moving_window, SQL_EVENTS_MOVING_WINDOW),
     "events_gap_fill": (q_events_gap_fill, SQL_EVENTS_GAP_FILL),
     "events_stats_profile": (q_events_stats_profile, SQL_EVENTS_STATS_PROFILE),
+    "events_sliding_window": (q_sliding_windows, SQL_SLIDING_WINDOWS),
+    "weighted_avg_udaf": (q_weighted_avg_udaf, SQL_WEIGHTED_AVG_UDAF),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "customer_quartiles": (q_customer_quartiles, SQL_CUSTOMER_QUARTILES),
     "text_edit_distance": (q_text_edit_distance, SQL_TEXT_EDIT_DISTANCE),
