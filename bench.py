@@ -116,6 +116,7 @@ HEADLINE = [
     "events_stats_profile",
     "events_sliding_window",
     "weighted_avg_udaf",
+    "text_sentences_udtf",
 ]
 
 

@@ -2778,6 +2778,51 @@ FROM documents GROUP BY 1
 """
 
 
+def q_sentences_udtf(spark, sf):
+    """Python UDTF surface (Spark 4 table function + lateralJoin — the
+    row-expanding third of the UDF/UDAF/UDTF matrix): split documents
+    into sentences, then per-language sentence counts and exact char
+    sums. The split pattern is RE2-compatible (no lookbehind) so the
+    oracle's regexp_extract_all reproduces the identical sentence
+    list."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent: string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            import re
+
+            for m in re.findall(r"[^.!?]+[.!?]?", text):
+                s = m.strip()
+                if s:
+                    yield (s,)
+
+    d = _t(spark, sf, "documents")
+    # .outer() marks the argument as a lateral reference to the left
+    # side — without it the TVF call resolves against OneRowRelation
+    sent = d.lateralJoin(SplitSentences(F.col("text").outer()))
+    return sent.groupBy("lang").agg(
+        F.count("*").alias("n_sentences"),
+        F.sum(F.length("sent")).alias("sum_sent_chars"),
+    )
+
+
+SQL_SENTENCES_UDTF = r"""
+SELECT lang, COUNT(*) AS n_sentences,
+       CAST(SUM(length(s)) AS BIGINT) AS sum_sent_chars
+FROM (
+  SELECT lang,
+         unnest(list_filter(
+           list_transform(regexp_extract_all(text, '[^.!?]+[.!?]?'),
+                          x -> trim(x)),
+           x -> x <> '')) AS s
+  FROM documents)
+GROUP BY 1
+"""
+
+
 def q_events_stats_profile(spark, sf):
     """Statistical-aggregate surface: per-type dispersion (sample
     stddev/variance) and linear association between value and
@@ -3151,6 +3196,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_stats_profile": (q_events_stats_profile, SQL_EVENTS_STATS_PROFILE),
     "events_sliding_window": (q_sliding_windows, SQL_SLIDING_WINDOWS),
     "weighted_avg_udaf": (q_weighted_avg_udaf, SQL_WEIGHTED_AVG_UDAF),
+    "text_sentences_udtf": (q_sentences_udtf, SQL_SENTENCES_UDTF),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "customer_quartiles": (q_customer_quartiles, SQL_CUSTOMER_QUARTILES),
     "text_edit_distance": (q_text_edit_distance, SQL_TEXT_EDIT_DISTANCE),
