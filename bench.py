@@ -117,6 +117,15 @@ HEADLINE = [
     "events_sliding_window",
     "weighted_avg_udaf",
     "text_sentences_udtf",
+    # training-data prep: chunking / keywording / sketches / CDC
+    "doc_chunking",
+    "chunk_dedup",
+    "tfidf_top_terms",
+    "char_entropy",
+    "cms_heavy_hitters",
+    "scd2_user_history",
+    "events_zscore_outliers",
+    "embedding_quantize",
 ]
 
 

@@ -88,6 +88,85 @@ def kmv_distinct(
     )
 
 
+#: count-min sketch geometry (mirrored in oracle SQL)
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_bucket(col: F.Column, row: int, width: int = CMS_WIDTH) -> F.Column:
+    """Deterministic bucket of ``col`` in hash row ``row``: md5 of the
+    row-tagged value, first 8 hex chars mod width. Any engine computes
+    the identical bucket, so the sketch itself is oracle-checkable."""
+    tagged = F.concat(F.lit(f"r{row}|"), col.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(tagged), 1, 8), 16, 10).cast("long") % width
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch of a value stream (Cormode & Muthukrishnan 2005):
+    ``depth`` independent hash rows x ``width`` buckets; each cell holds
+    the count of values hashing into it.
+
+    The sketch is ONE aggregation of at most ``depth * width`` cells —
+    constant output size no matter the input scale; the per-row
+    explode(depth) is map-side. Point estimate for a value = min over
+    rows of its cell counts (biased high, never low).
+
+    Returns (row, bucket, cnt).
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("row"),
+                cms_bucket(F.col(value_col), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate counts for a (small) candidate set against a CMS
+    sketch: equi-join each candidate's ``depth`` cells, take the min.
+    The sketch and candidates are both tiny — Catalyst broadcasts."""
+    probes = candidates.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        cms_bucket(F.col(value_col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(value_col, "c.row", "c.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(value_col)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     key_col: str,

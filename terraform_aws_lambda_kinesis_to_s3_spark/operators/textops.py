@@ -95,6 +95,48 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
 
 
+#: sliding-window chunking defaults (mirrored in oracle SQL)
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+def token_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Sliding token-window chunking — the training-data prep step that
+    turns documents into fixed-size (overlapping) context windows.
+
+    One generate per row (posexplode of the start-offset sequence), no
+    joins, no shuffle: the plan is map-only and scales linearly with
+    input splits. The tail chunk keeps whatever tokens remain.
+
+    Returns (id_col, chunk_idx, chunk_text, n_chunk_tokens).
+    """
+    toks = tokens(F.col(text_col))
+    return (
+        df.select(id_col, toks.alias("_toks"))
+        .select(
+            id_col,
+            F.col("_toks"),
+            F.posexplode(
+                F.sequence(F.lit(1), F.greatest(F.size("_toks"), F.lit(1)), F.lit(stride))
+            ).alias("chunk_idx", "_start"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_join(F.slice("_toks", F.col("_start"), size), " ").alias("chunk_text"),
+            F.least(F.lit(size), F.size("_toks") - F.col("_start") + 1)
+            .cast("long")
+            .alias("n_chunk_tokens"),
+        )
+    )
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct n-word shingles of a text column (JVM-side: split +
     sequence + transform + slice — no explode until the caller wants

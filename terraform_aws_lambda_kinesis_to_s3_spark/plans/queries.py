@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from terraform_aws_lambda_kinesis_to_s3_spark.config import PipelineConfig
 from terraform_aws_lambda_kinesis_to_s3_spark.operators import dedup as D
+from terraform_aws_lambda_kinesis_to_s3_spark.operators import sketches as K
 from terraform_aws_lambda_kinesis_to_s3_spark.operators import events as E
 from terraform_aws_lambda_kinesis_to_s3_spark.operators import similarity as S
 from terraform_aws_lambda_kinesis_to_s3_spark.operators import textops as X
@@ -3102,6 +3103,324 @@ GROUP BY 1
 """
 
 
+def q_doc_chunking(spark, sf):
+    """Sliding token-window chunking (size 32, stride 24) — context
+    windows for training-data prep. Map-only plan: one posexplode of
+    the start-offset sequence per document, no join, no shuffle until
+    the driver's canonical sort."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 30)
+    return X.token_chunks(d).select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+SQL_DOC_CHUNKING = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE doc_id < 30),
+s AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks), 1), 24)) AS start
+      FROM t)
+SELECT doc_id,
+       CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+       CAST(least(32, len(toks) - start + 1) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(toks[start:start+31], ' ')) AS chunk_md5
+FROM s
+"""
+
+
+def q_chunk_dedup(spark, sf):
+    """Chunk-level exact dedup across the whole corpus: chunk every
+    document, group by chunk md5, report the dup profile in one row.
+    This is the span-level dedup pass (vs whole-doc fingerprints in
+    ``text_fingerprint``) a training pipeline runs to strip boilerplate
+    repeated across documents; the chunking stage is map-only and the
+    single shuffle is the hash-agg on chunk_md5."""
+    d = _t(spark, sf, "documents")
+    per_chunk = (
+        X.token_chunks(d)
+        .groupBy(F.md5("chunk_text").alias("chunk_md5"))
+        .agg(F.count("*").alias("n"))
+    )
+    return per_chunk.agg(
+        F.sum("n").cast("long").alias("total_chunks"),
+        F.count("*").cast("long").alias("distinct_chunks"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long").alias("dup_chunk_keys"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0))
+        .cast("long")
+        .alias("removable_chunks"),
+        F.max("n").cast("long").alias("max_dup"),
+    )
+
+
+SQL_CHUNK_DEDUP = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks), 1), 24)) AS start
+      FROM t),
+c AS (SELECT md5(array_to_string(toks[start:start+31], ' ')) AS chunk_md5 FROM s),
+g AS (SELECT chunk_md5, COUNT(*) AS n FROM c GROUP BY 1)
+SELECT CAST(SUM(n) AS BIGINT) AS total_chunks,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunk_keys,
+       CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS removable_chunks,
+       CAST(MAX(n) AS BIGINT) AS max_dup
+FROM g
+"""
+
+
+def q_tfidf_top_terms(spark, sf):
+    """Per-document top-3 TF-IDF terms (keyword extraction). Two
+    aggregations off one token explode (term frequency per doc,
+    document frequency per term) joined on the term; ranking uses only
+    integer keys (tf desc, df asc, term) so the float score never
+    decides order. The df side aggregates to O(vocab) rows —
+    broadcast-joined back; corpus scale-out cost is the one token
+    shuffle."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    total = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term")
+    )
+    return (
+        tf.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            F.col("rn").cast("long").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+total AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, total.n_docs,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, dfreq.df ASC, tf.term) AS rn
+  FROM tf JOIN dfreq USING (term) CROSS JOIN total
+  WHERE tf.doc_id < 50)
+SELECT doc_id, CAST(rn AS BIGINT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       ROUND(tf * LN(n_docs * 1.0 / df), 6) AS tfidf
+FROM ranked WHERE rn <= 3
+"""
+
+
+def q_char_entropy(spark, sf):
+    """Character-unigram Shannon entropy per document — the classic
+    cheap gibberish/quality signal. Identity ln n - (sum c*ln c)/n keeps
+    both engines on the same formula; rounded to 6."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 20)
+    ch = d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    per_char = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    return (
+        per_char.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_chars"),
+            F.count("*").cast("long").alias("distinct_chars"),
+            F.round(
+                F.log(F.sum("c"))
+                - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+                6,
+            ).alias("char_entropy"),
+        )
+    )
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+            FROM documents WHERE doc_id < 20),
+per_char AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+       ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS char_entropy
+FROM per_char
+GROUP BY 1
+"""
+
+
+def q_cms_heavy_hitters(spark, sf):
+    """Heavy hitters via a count-min sketch over the token stream: the
+    sketch is one bounded agg (4 x 256 cells regardless of input size);
+    estimates for the true top-10 tokens come from a broadcast probe.
+    md5-derived hashing makes the sketch itself a pure function of the
+    data, so DuckDB reproduces the identical estimates — an
+    approximate operator with an exact oracle. Estimate >= true count
+    always (CMS bias is one-sided)."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    sketch = K.cms_sketch(tok, "token")
+    top = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "token")
+        .limit(10)
+    )
+    est = K.cms_estimate(sketch, top.select("token"), "token")
+    return (
+        top.join(est, "token")
+        .select(
+            "token",
+            F.col("true_count").cast("long").alias("true_count"),
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        )
+        .orderBy(F.col("true_count").desc(), "token")
+    )
+
+
+SQL_CMS_HEAVY_HITTERS = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+cells AS (
+  SELECT r.r AS row,
+         CAST(concat('0x', substr(md5(concat('r', r.r, '|', token)), 1, 8)) AS UBIGINT)
+           % 256 AS bucket
+  FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r),
+sketch AS (SELECT row, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+top AS (SELECT token, COUNT(*) AS true_count FROM tok GROUP BY 1
+        ORDER BY true_count DESC, token LIMIT 10),
+probes AS (
+  SELECT token, true_count, r.r AS row,
+         CAST(concat('0x', substr(md5(concat('r', r.r, '|', token)), 1, 8)) AS UBIGINT)
+           % 256 AS bucket
+  FROM top CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r)
+SELECT token, CAST(true_count AS BIGINT) AS true_count,
+       CAST(MIN(cnt) AS BIGINT) AS cms_estimate
+FROM probes JOIN sketch USING (row, bucket)
+GROUP BY token, true_count
+ORDER BY true_count DESC, token
+"""
+
+
+def q_scd2_user_history(spark, sf):
+    """CDC change capture -> SCD2 versioned history: per user, collapse
+    the event stream to event_type transitions and emit versioned rows
+    with [valid_from, valid_to) ranges and an is_current flag — the
+    merge shape every incremental dimension load needs. Two window
+    passes over the same (user_id, ts) partitioning; Catalyst reuses
+    one sort+shuffle for both."""
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 3)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return chg.select(
+        "user_id",
+        F.row_number().over(w2).cast("long").alias("version_no"),
+        "event_type",
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(F.lead("ts").over(w2), fmt).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+SQL_SCD2_USER_HISTORY = """
+WITH chg AS (
+  SELECT * FROM (
+    SELECT user_id, event_id, ts, event_type,
+           LAG(event_type) OVER w AS prev_type
+    FROM events WHERE user_id < 3
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+  WHERE prev_type IS NULL OR prev_type <> event_type)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version_no,
+       event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(LEAD(ts) OVER w2, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       LEAD(ts) OVER w2 IS NULL AS is_current
+FROM chg
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_events_zscore_outliers(spark, sf):
+    """Statistical outlier filter: events whose value is > 3 sample
+    standard deviations from their type's mean. The per-type stats
+    aggregate to O(types) rows and broadcast back — the corpus-scale
+    anomaly-scan shape (one shuffle for stats, map-only scoring)."""
+    ev = _t(spark, sf, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs("z") > 3)
+        .select("event_id", "event_type", "value", F.round("z", 4).alias("zscore"))
+    )
+
+
+SQL_EVENTS_ZSCORE = """
+WITH stats AS (SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS sd
+               FROM events GROUP BY 1)
+SELECT event_id, event_type, value, ROUND((value - m) / sd, 4) AS zscore
+FROM events JOIN stats USING (event_type)
+WHERE ABS((value - m) / sd) > 3
+"""
+
+
+def q_embedding_quantize(spark, sf):
+    """Int8 scalar quantization of the embedding table (the compression
+    step before shipping vectors to an ANN index): per-dimension
+    min/max -> 255-level codes -> reconstruction-error profile per
+    dimension. The stats side is 64 rows, broadcast back; floor(x+0.5)
+    rounding is engine-agnostic (ROUND() half-rule differs between
+    engines)."""
+    e = _t(spark, sf, "embeddings")
+    comp = e.select(F.posexplode(S._as_double(F.col("embedding"))).alias("i", "x"))
+    stats = comp.groupBy("i").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    code = F.floor((F.col("x") - F.col("mn")) / scale + F.lit(0.5))
+    err = F.abs(F.col("x") - (F.col("mn") + code * scale))
+    return (
+        comp.join(F.broadcast(stats), "i")
+        .withColumn("err", err)
+        .groupBy("i")
+        .agg(
+            F.round(F.min("mn"), 6).alias("dim_min"),
+            F.round(F.max("mx"), 6).alias("dim_max"),
+            F.round(F.avg("err"), 8).alias("mean_abs_err"),
+            F.round(F.max("err"), 8).alias("max_abs_err"),
+        )
+        .select(F.col("i").cast("int").alias("dim"), "dim_min", "dim_max",
+                "mean_abs_err", "max_abs_err")
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH comp AS (SELECT i, CAST(embedding[i] AS DOUBLE) AS x
+              FROM embeddings, range(1, 65) t(i)),
+stats AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM comp GROUP BY 1)
+SELECT CAST(comp.i - 1 AS INT) AS dim,
+       ROUND(MIN(mn), 6) AS dim_min,
+       ROUND(MAX(mx), 6) AS dim_max,
+       ROUND(AVG(ABS(x - (mn + FLOOR((x - mn) / ((mx - mn) / 255.0) + 0.5)
+                               * ((mx - mn) / 255.0)))), 8) AS mean_abs_err,
+       ROUND(MAX(ABS(x - (mn + FLOOR((x - mn) / ((mx - mn) / 255.0) + 0.5)
+                               * ((mx - mn) / 255.0)))), 8) AS max_abs_err
+FROM comp JOIN stats ON comp.i = stats.i
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3204,6 +3523,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "grouping_sets_status_priority": (q_grouping_sets, SQL_GROUPING_SETS),
     "customers_above_nation_avg": (q_above_nation_avg, SQL_ABOVE_NATION_AVG),
     "salted_group_counts": (q_salted_counts, SQL_SALTED_COUNTS),
+    # training-data prep: chunking / keywording / quality / sketches
+    "doc_chunking": (q_doc_chunking, SQL_DOC_CHUNKING),
+    "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "scd2_user_history": (q_scd2_user_history, SQL_SCD2_USER_HISTORY),
+    "events_zscore_outliers": (q_events_zscore_outliers, SQL_EVENTS_ZSCORE),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     # approximate ANN (rows-only: recall<1 vs exact oracle by design)

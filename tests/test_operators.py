@@ -592,3 +592,51 @@ def test_ngram_jaccard_max_df_filters_hot_shingles(spark):
     # pair (1,2) survives, at full similarity over surviving shingles
     assert set(capped) == {(1, 2)}
     assert capped[(1, 2)] == 1.0
+
+
+def test_token_chunks_windows_and_tail(spark):
+    """Chunking covers every token, respects the stride, and the tail
+    chunk keeps the remainder (n_chunk_tokens < size only on the last
+    chunk of a doc)."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(80))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_chunk_tokens)
+        for r in X.token_chunks(docs, size=32, stride=24).collect()
+    }
+    # doc 1: 80 tokens -> starts at 0, 24, 48, 72 (1-based 1,25,49,73)
+    assert {i for (d, i) in rows if d == 1} == {0, 1, 2, 3}
+    text, n = rows[(1, 0)]
+    assert text.split(" ") == [f"w{i}" for i in range(32)] and n == 32
+    text, n = rows[(1, 3)]  # tail: tokens 72..79
+    assert text.split(" ") == [f"w{i}" for i in range(72, 80)] and n == 8
+    # doc 2: shorter than one window -> single tail chunk
+    assert rows[(2, 0)] == ("a b c", 3)
+    # overlap: chunk 1 starts 24 tokens in
+    assert rows[(1, 1)][0].split(" ")[0] == "w24"
+
+
+def test_cms_estimate_never_underestimates(spark):
+    """Count-min property: the sketch estimate is >= the true count for
+    EVERY key (one-sided error), and equals it for keys without bucket
+    collisions."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import sketches as K
+
+    tok = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+    )
+    sketch = K.cms_sketch(tok, "token")
+    cells = sketch.count()
+    assert cells <= K.CMS_DEPTH * K.CMS_WIDTH
+    truth = tok.groupBy("token").agg(F.count("*").alias("true_count"))
+    est = K.cms_estimate(sketch, truth.select("token"), "token")
+    joined = truth.join(est, "token").collect()
+    assert len(joined) > 0
+    assert all(r.cms_estimate >= r.true_count for r in joined)
+    # total mass per hash row equals the stream length
+    per_row = sketch.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+    n = tok.count()
+    assert all(r.s == n for r in per_row)
