@@ -29,6 +29,8 @@ BNLJ_OK = {
     "embedding_ivf_topk",
     # deliberate 1-row global-max broadcast (weighted Bernoulli sampler)
     "weighted_doc_sample",
+    # deliberate 1-row corpus-size broadcast (IDF denominator)
+    "tfidf_top_terms",
 }
 
 
