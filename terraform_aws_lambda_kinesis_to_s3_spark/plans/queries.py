@@ -3421,6 +3421,202 @@ GROUP BY 1
 """
 
 
+def q_kmeans_lloyd_step(spark, sf):
+    """One Lloyd iteration of spherical k-means over the embedding
+    table: seed centroids = per-label means, assign every vector to its
+    nearest centroid (cosine, ties on label), recompute means over the
+    assignment, and report per-cluster size and centroid shift (L2 of
+    new - old). The iterative-algorithm representative: each step is
+    two narrow shuffles (explode + mean) plus a broadcast argmax — the
+    loop re-broadcasts 64·K doubles per round, never re-shuffles the
+    corpus by anything but the small centroid id. Deterministic, so a
+    single step has an exact SQL oracle."""
+    e = _t(spark, sf, "embeddings")
+    cents = S.label_centroids(e)
+    assigned = S.assign_nearest_centroid(e, cents)
+    sizes = assigned.groupBy("assigned_label").agg(
+        F.count("*").cast("long").alias("n_vectors")
+    )
+    newc = S.label_centroids(
+        assigned.select(F.col("assigned_label").alias("label"), "embedding")
+    )
+    shift = S.l2_norm(
+        F.zip_with(F.col("new_c"), F.col("old_c"), lambda a, b: a - b)
+    )
+    return (
+        newc.select(
+            F.col("centroid_label").alias("assigned_label"),
+            F.col("centroid").alias("new_c"),
+        )
+        .join(
+            cents.select(
+                F.col("centroid_label").alias("assigned_label"),
+                F.col("centroid").alias("old_c"),
+            ),
+            "assigned_label",
+        )
+        .join(sizes, "assigned_label")
+        .select(
+            F.col("assigned_label").cast("int").alias("cluster"),
+            "n_vectors",
+            F.round(shift, 6).alias("centroid_shift"),
+        )
+    )
+
+
+SQL_KMEANS_LLOYD_STEP = """
+WITH comp AS (
+  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) t(i)),
+cents AS (SELECT label AS cl, i, AVG(x) AS m FROM comp GROUP BY 1, 2),
+dots AS (
+  SELECT c.vec_id, ct.cl, SUM(c.x * ct.m) AS dot,
+         SQRT(SUM(c.x * c.x)) AS nv, SQRT(SUM(ct.m * ct.m)) AS nc
+  FROM comp c JOIN cents ct ON c.i = ct.i GROUP BY 1, 2),
+assign AS (
+  SELECT vec_id, cl,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dot / (nv * nc) DESC, cl) AS rn
+  FROM dots),
+a AS (SELECT vec_id, cl FROM assign WHERE rn = 1),
+newc AS (
+  SELECT a.cl, c.i, AVG(c.x) AS m2
+  FROM a JOIN comp c ON a.vec_id = c.vec_id GROUP BY 1, 2),
+sizes AS (SELECT cl, COUNT(*) AS n_vectors FROM a GROUP BY 1)
+SELECT CAST(n.cl AS INT) AS cluster,
+       CAST(s.n_vectors AS BIGINT) AS n_vectors,
+       ROUND(SQRT(SUM((n.m2 - o.m) * (n.m2 - o.m))), 6) AS centroid_shift
+FROM newc n JOIN cents o ON n.cl = o.cl AND n.i = o.i
+JOIN sizes s ON s.cl = n.cl
+GROUP BY n.cl, s.n_vectors
+"""
+
+
+#: GPT-2-style BPE pre-tokenizer: contraction suffixes, space-prefixed
+#: word/number runs, punctuation runs, residual space runs. Kept to an
+#: ASCII class subset expressible identically in Java regex (Spark) and
+#: RE2 (DuckDB); both engines use leftmost-first alternation.
+BPE_PRETOKEN_PATTERN = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+def q_text_bpe_tokens(spark, sf):
+    """Token census under a BPE-style pre-tokenizer (the whitespace
+    tokenizer's realistic counterpart for LLM data budgeting): per
+    document, total tokens, per-category counts (word / number / punct
+    / contraction / space) and mean token length. One regexp scan per
+    doc, one explode, one aggregation — no joins; at corpus scale the
+    cost is the token shuffle, same as any token-level stat."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_PATTERN), 0)
+        ).alias("tok"),
+    )
+    cat = (
+        F.when(F.col("tok").rlike("^'"), "contraction")
+        .when(F.col("tok").rlike("^ ?[A-Za-z]"), "word")
+        .when(F.col("tok").rlike("^ ?[0-9]"), "number")
+        .when(F.col("tok").rlike("^ +$"), "space")
+        .otherwise("punct")
+    )
+    return (
+        tok.withColumn("cat", cat)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("cat") == "word", 1).otherwise(0))
+            .cast("long")
+            .alias("n_word"),
+            F.sum(F.when(F.col("cat") == "number", 1).otherwise(0))
+            .cast("long")
+            .alias("n_number"),
+            F.sum(F.when(F.col("cat") == "punct", 1).otherwise(0))
+            .cast("long")
+            .alias("n_punct"),
+            F.sum(F.when(F.col("cat") == "contraction", 1).otherwise(0))
+            .cast("long")
+            .alias("n_contraction"),
+            F.round(F.avg(F.length("tok")), 4).alias("avg_token_chars"),
+        )
+    )
+
+
+SQL_TEXT_BPE_TOKENS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{BPE_PRETOKEN_PATTERN.replace("'", "''")}')) AS tok
+  FROM documents WHERE doc_id < 40),
+cats AS (
+  SELECT doc_id, tok,
+         CASE WHEN regexp_matches(tok, '^''')       THEN 'contraction'
+              WHEN regexp_matches(tok, '^ ?[A-Za-z]') THEN 'word'
+              WHEN regexp_matches(tok, '^ ?[0-9]')  THEN 'number'
+              WHEN regexp_matches(tok, '^ +$')      THEN 'space'
+              ELSE 'punct' END AS cat
+  FROM tok)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN cat = 'word' THEN 1 ELSE 0 END) AS BIGINT) AS n_word,
+       CAST(SUM(CASE WHEN cat = 'number' THEN 1 ELSE 0 END) AS BIGINT) AS n_number,
+       CAST(SUM(CASE WHEN cat = 'punct' THEN 1 ELSE 0 END) AS BIGINT) AS n_punct,
+       CAST(SUM(CASE WHEN cat = 'contraction' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contraction,
+       ROUND(AVG(LENGTH(tok)), 4) AS avg_token_chars
+FROM cats GROUP BY 1
+"""
+
+
+def q_bigram_cond_prob(spark, sf):
+    """Bigram language-model table: top adjacent word pairs with count
+    and conditional probability P(w2 | w1). Order-preserving n-gram
+    extraction WITHOUT a window shuffle: bigrams come from zipping the
+    token array with its own tail (arrays_zip of two slices) inside the
+    row, so the only shuffles are the two count aggregations. The
+    denominator c(w1) is a window partial sum over the already-tiny
+    bigram-count table, not the corpus."""
+    d = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    pairs = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n - 1).alias("w1"),
+                F.slice(toks, 2, n - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    w1_total = Window.partitionBy("w1")
+    ranked = counts.withColumn("c1", F.sum("c12").over(w1_total))
+    # global top-15 via orderBy+limit -> TakeOrderedAndProject (per-
+    # partition heaps + driver merge), never a single-partition window
+    return (
+        ranked.orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(15)
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("pair_count"),
+            F.round(F.col("c12") / F.col("c1"), 6).alias("p_cond"),
+        )
+    )
+
+
+SQL_BIGRAM_COND_PROB = """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t),
+pairs AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM s),
+counts AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+ranked AS (
+  SELECT w1, w2, c12, SUM(c12) OVER (PARTITION BY w1) AS c1
+  FROM counts)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS pair_count,
+       ROUND(c12 * 1.0 / c1, 6) AS p_cond
+FROM ranked ORDER BY c12 DESC, w1, w2 LIMIT 15
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3532,6 +3728,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "scd2_user_history": (q_scd2_user_history, SQL_SCD2_USER_HISTORY),
     "events_zscore_outliers": (q_events_zscore_outliers, SQL_EVENTS_ZSCORE),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "kmeans_lloyd_step": (q_kmeans_lloyd_step, SQL_KMEANS_LLOYD_STEP),
+    "text_bpe_tokens": (q_text_bpe_tokens, SQL_TEXT_BPE_TOKENS),
+    "bigram_cond_prob": (q_bigram_cond_prob, SQL_BIGRAM_COND_PROB),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     # approximate ANN (rows-only: recall<1 vs exact oracle by design)
