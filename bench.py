@@ -126,6 +126,10 @@ HEADLINE = [
     "scd2_user_history",
     "events_zscore_outliers",
     "embedding_quantize",
+    "kmeans_lloyd_step",
+    "text_bpe_tokens",
+    "bigram_cond_prob",
+    "winnow_fingerprints",
 ]
 
 

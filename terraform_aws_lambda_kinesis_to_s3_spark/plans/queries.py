@@ -3617,6 +3617,80 @@ FROM ranked ORDER BY c12 DESC, w1, w2 LIMIT 15
 """
 
 
+#: winnowing constants shared by the Spark plan and the SQL oracle
+WINNOW_K = 3  # tokens per k-gram
+WINNOW_W = 4  # winnowing window (guarantee: any match >= w+k-1 tokens shares a fingerprint)
+
+
+def q_winnow_fingerprints(spark, sf):
+    """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD'03):
+    hash every k-token gram, slide a w-gram window and keep each
+    window's minimum hash; the distinct minima are the document's
+    fingerprint set. The hash is the hex md5 of the gram text, so the
+    lexicographic MIN is engine-identical and needs no int conversion.
+    Grams are built in-row (transform over sequence — no explode until
+    the window stage); the only shuffle is the per-doc window + the
+    final aggregation. Reports the fingerprint census per document —
+    the selection density ~2/(w+1) is the classic space bound."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 30)
+    toks = F.split("text", " ")
+    n_grams = F.size(toks) - F.lit(WINNOW_K - 1)
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —
+    # short docs must yield an empty gram array like the oracle's
+    # generate_series(1, 0) does
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, WINNOW_K))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.posexplode(grams).alias("i0", "h")).withColumn(
+        "i", F.col("i0") + 1  # 1-based, matching the oracle's series
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, WINNOW_W - 1)
+    fp = (
+        g.withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+        .withColumn("fp", F.min("h").over(win))
+        .filter(F.col("i") <= F.col("n") - WINNOW_W + 1)
+    )
+    return fp.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_grams"),
+        F.count("*").cast("long").alias("n_windows"),
+        F.countDistinct("fp").cast("long").alias("n_fingerprints"),
+        F.min("fp").alias("min_fingerprint"),
+    )
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id < 30),
+g AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(toks) - {WINNOW_K - 1}, 0))) AS i,
+         toks
+  FROM t),
+h AS (
+  SELECT doc_id, i,
+         md5(array_to_string(toks[i:i + {WINNOW_K - 1}], ' ')) AS h
+  FROM g),
+w AS (
+  SELECT doc_id, i,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+  FROM h)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+       MIN(fp) AS min_fingerprint
+FROM w WHERE i <= n - {WINNOW_W - 1}
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3731,6 +3805,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "kmeans_lloyd_step": (q_kmeans_lloyd_step, SQL_KMEANS_LLOYD_STEP),
     "text_bpe_tokens": (q_text_bpe_tokens, SQL_TEXT_BPE_TOKENS),
     "bigram_cond_prob": (q_bigram_cond_prob, SQL_BIGRAM_COND_PROB),
+    "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     # approximate ANN (rows-only: recall<1 vs exact oracle by design)
