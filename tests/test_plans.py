@@ -27,6 +27,8 @@ BNLJ_OK = {
     "embedding_cosine_topk",
     "embedding_centroid_assign",
     "embedding_ivf_topk",
+    # K-centroid broadcast argmax (same shape as embedding_centroid_assign)
+    "kmeans_lloyd_step",
     # deliberate 1-row global-max broadcast (weighted Bernoulli sampler)
     "weighted_doc_sample",
     # deliberate 1-row corpus-size broadcast (IDF denominator)
