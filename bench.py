@@ -130,6 +130,7 @@ HEADLINE = [
     "text_bpe_tokens",
     "bigram_cond_prob",
     "winnow_fingerprints",
+    "winnow_overlap_pairs",
 ]
 
 

@@ -3622,17 +3622,10 @@ WINNOW_K = 3  # tokens per k-gram
 WINNOW_W = 4  # winnowing window (guarantee: any match >= w+k-1 tokens shares a fingerprint)
 
 
-def q_winnow_fingerprints(spark, sf):
-    """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD'03):
-    hash every k-token gram, slide a w-gram window and keep each
-    window's minimum hash; the distinct minima are the document's
-    fingerprint set. The hash is the hex md5 of the gram text, so the
-    lexicographic MIN is engine-identical and needs no int conversion.
-    Grams are built in-row (transform over sequence — no explode until
-    the window stage); the only shuffle is the per-doc window + the
-    final aggregation. Reports the fingerprint census per document —
-    the selection density ~2/(w+1) is the classic space bound."""
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 30)
+def _winnow_windows(spark, sf, max_doc: int) -> DataFrame:
+    """Winnowing window stage: (doc_id, i, n, fp) for every valid
+    w-gram window, where fp is the window's minimum k-gram md5."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < max_doc)
     toks = F.split("text", " ")
     n_grams = F.size(toks) - F.lit(WINNOW_K - 1)
     # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —
@@ -3649,11 +3642,24 @@ def q_winnow_fingerprints(spark, sf):
         "i", F.col("i0") + 1  # 1-based, matching the oracle's series
     )
     win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, WINNOW_W - 1)
-    fp = (
+    return (
         g.withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
         .withColumn("fp", F.min("h").over(win))
         .filter(F.col("i") <= F.col("n") - WINNOW_W + 1)
     )
+
+
+def q_winnow_fingerprints(spark, sf):
+    """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD'03):
+    hash every k-token gram, slide a w-gram window and keep each
+    window's minimum hash; the distinct minima are the document's
+    fingerprint set. The hash is the hex md5 of the gram text, so the
+    lexicographic MIN is engine-identical and needs no int conversion.
+    Grams are built in-row (transform over sequence — no explode until
+    the window stage); the only shuffle is the per-doc window + the
+    final aggregation. Reports the fingerprint census per document —
+    the selection density ~2/(w+1) is the classic space bound."""
+    fp = _winnow_windows(spark, sf, max_doc=30)
     return fp.groupBy("doc_id").agg(
         F.max("n").cast("long").alias("n_grams"),
         F.count("*").cast("long").alias("n_windows"),
@@ -3688,6 +3694,95 @@ SELECT doc_id,
        MIN(fp) AS min_fingerprint
 FROM w WHERE i <= n - {WINNOW_W - 1}
 GROUP BY 1
+"""
+
+
+def q_winnow_overlap_pairs(spark, sf):
+    """Near-dup candidates from shared winnowing fingerprints: the
+    inverted-index self-join on the fingerprint (the standard
+    MOSS match step), kept sub-quadratic because each doc contributes
+    only ~2/(w+1) of its grams and truly-common fingerprints are rare
+    after dedup to distinct (doc, fp). A document-frequency cap (the
+    same guard as the capped Jaccard) drops boilerplate fingerprints
+    before the join, bounding per-key fan-out. Emits pairs sharing
+    >= 2 surviving fingerprints with the overlap coefficient
+    |A∩B| / min(|A|, |B|) (set sizes measured before the cap)."""
+    fp = _winnow_windows(spark, sf, max_doc=1 << 60).select(
+        "doc_id", "fp"
+    ).distinct()
+    sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 16)
+        .select("fp")
+    )
+    fp = fp.join(rare, "fp")
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    common = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
+                                     F.col("n_fp").alias("fp_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),
+                                     F.col("n_fp").alias("fp_b"))),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared") / F.least("fp_a", "fp_b"), 6
+            ).alias("overlap"),
+        )
+    )
+
+
+SQL_WINNOW_OVERLAP = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(toks) - {WINNOW_K - 1}, 0))) AS i,
+         toks
+  FROM t),
+h AS (
+  SELECT doc_id, i,
+         md5(array_to_string(toks[i:i + {WINNOW_K - 1}], ' ')) AS h
+  FROM g),
+w AS (
+  SELECT doc_id, i,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+  FROM h),
+fps_all AS (
+  SELECT DISTINCT doc_id, fp FROM w WHERE i <= n - {WINNOW_W - 1}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps_all GROUP BY 1),
+rare AS (SELECT fp FROM fps_all GROUP BY fp HAVING COUNT(*) <= 16),
+fps AS (SELECT f.doc_id, f.fp FROM fps_all f JOIN rare USING (fp)),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       ROUND(n_shared * 1.0 / LEAST(sa.n_fp, sb.n_fp), 6) AS overlap
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
 """
 
 
@@ -3806,6 +3901,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_bpe_tokens": (q_text_bpe_tokens, SQL_TEXT_BPE_TOKENS),
     "bigram_cond_prob": (q_bigram_cond_prob, SQL_BIGRAM_COND_PROB),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
+    "winnow_overlap_pairs": (q_winnow_overlap_pairs, SQL_WINNOW_OVERLAP),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     # approximate ANN (rows-only: recall<1 vs exact oracle by design)
