@@ -3622,10 +3622,12 @@ WINNOW_K = 3  # tokens per k-gram
 WINNOW_W = 4  # winnowing window (guarantee: any match >= w+k-1 tokens shares a fingerprint)
 
 
-def _winnow_windows(spark, sf, max_doc: int) -> DataFrame:
+def _winnow_windows(spark, sf, max_doc: int | None) -> DataFrame:
     """Winnowing window stage: (doc_id, i, n, fp) for every valid
     w-gram window, where fp is the window's minimum k-gram md5."""
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < max_doc)
+    d = _t(spark, sf, "documents")
+    if max_doc is not None:
+        d = d.filter(F.col("doc_id") < max_doc)
     toks = F.split("text", " ")
     n_grams = F.size(toks) - F.lit(WINNOW_K - 1)
     # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —
@@ -3707,7 +3709,7 @@ def q_winnow_overlap_pairs(spark, sf):
     before the join, bounding per-key fan-out. Emits pairs sharing
     >= 2 surviving fingerprints with the overlap coefficient
     |A∩B| / min(|A|, |B|) (set sizes measured before the cap)."""
-    fp = _winnow_windows(spark, sf, max_doc=1 << 60).select(
+    fp = _winnow_windows(spark, sf, max_doc=None).select(
         "doc_id", "fp"
     ).distinct()
     sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
