@@ -131,6 +131,8 @@ HEADLINE = [
     "bigram_cond_prob",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
+    "unigram_logprob_score",
+    "hard_negatives",
 ]
 
 

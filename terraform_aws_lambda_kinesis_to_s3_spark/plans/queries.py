@@ -3788,6 +3788,107 @@ JOIN sizes sb ON sb.doc_id = doc_b
 """
 
 
+def q_unigram_logprob_score(spark, sf):
+    """Unigram-LM cross-entropy per document — the perplexity-style
+    quality filter (CCNet's cheap stand-in: score docs by how
+    surprising their tokens are under a corpus LM). The LM here is the
+    corpus's own unigram distribution: p(t) = c(t)/T. Per doc:
+    H = -avg ln p(token). The term-probability table is O(vocab) and
+    equi-joined on the term; T is a 1-row broadcast. Corpus-scale cost
+    is one token shuffle for the LM + one for the scoring join."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    lm = tok.groupBy("term").agg(F.count("*").alias("c"))
+    total = lm.agg(F.sum("c").alias("t_total"))
+    scored = (
+        tok.filter(F.col("doc_id") < 40)
+        .join(lm, "term")
+        .crossJoin(F.broadcast(total))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(-F.avg(F.log(F.col("c") / F.col("t_total"))), 6).alias(
+            "cross_entropy"
+        ),
+        F.round(-F.min(F.log(F.col("c") / F.col("t_total"))), 6).alias(
+            "max_surprisal"
+        ),
+    )
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+lm AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+total AS (SELECT SUM(c) AS t_total FROM lm),
+scored AS (
+  SELECT tok.doc_id, lm.c, total.t_total
+  FROM tok JOIN lm USING (term) CROSS JOIN total
+  WHERE tok.doc_id < 40)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(-AVG(LN(c * 1.0 / t_total)), 6) AS cross_entropy,
+       ROUND(-MIN(LN(c * 1.0 / t_total)), 6) AS max_surprisal
+FROM scored GROUP BY 1
+"""
+
+
+def q_hard_negatives(spark, sf):
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-3 most-similar vectors with a DIFFERENT label
+    (the classic in-batch negative upgrade). Same broadcast-query /
+    stream-corpus shape as cosine_topk with a label-inequality
+    predicate pushed into the join."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qv"),
+    )
+    v = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("vv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neg_id")
+    )
+    return (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("query_label"))
+        .withColumn("cos", S.cosine(F.col("qv"), F.col("vv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "query_label",
+            "neg_id",
+            "neg_label",
+            F.round("cos", 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+SQL_HARD_NEGATIVES = """
+WITH q AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         v.vec_id AS neg_id, v.label AS neg_label,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(v.embedding AS DOUBLE[])) AS cos
+  FROM q CROSS JOIN embeddings v WHERE v.label <> q.label),
+ranked AS (
+  SELECT query_id, query_label, neg_id, neg_label, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neg_id) AS rank
+  FROM scored)
+SELECT query_id, query_label, neg_id, neg_label,
+       ROUND(cos, 4) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3904,6 +4005,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bigram_cond_prob": (q_bigram_cond_prob, SQL_BIGRAM_COND_PROB),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "winnow_overlap_pairs": (q_winnow_overlap_pairs, SQL_WINNOW_OVERLAP),
+    "unigram_logprob_score": (q_unigram_logprob_score, SQL_UNIGRAM_LOGPROB),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     # approximate ANN (rows-only: recall<1 vs exact oracle by design)

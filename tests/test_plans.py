@@ -33,6 +33,10 @@ BNLJ_OK = {
     "weighted_doc_sample",
     # deliberate 1-row corpus-size broadcast (IDF denominator)
     "tfidf_top_terms",
+    # deliberate 1-row corpus-token-total broadcast (LM denominator)
+    "unigram_logprob_score",
+    # tiny broadcast query side scored against the streamed corpus
+    "hard_negatives",
 }
 
 
