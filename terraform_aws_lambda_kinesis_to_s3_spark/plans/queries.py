@@ -3623,11 +3623,17 @@ WINNOW_W = 4  # winnowing window (guarantee: any match >= w+k-1 tokens shares a 
 
 
 def _winnow_windows(spark, sf, max_doc: int | None) -> DataFrame:
-    """Winnowing window stage: (doc_id, i, n, fp) for every valid
-    w-gram window, where fp is the window's minimum k-gram md5."""
+    """Winnowing window stage over the documents table."""
     d = _t(spark, sf, "documents")
     if max_doc is not None:
         d = d.filter(F.col("doc_id") < max_doc)
+    return winnow_windows_df(d)
+
+
+def winnow_windows_df(d: DataFrame) -> DataFrame:
+    """Winnowing window stage: (doc_id, i, n, fp) for every valid
+    w-gram window of any (doc_id, text) DataFrame, where fp is the
+    window's minimum k-gram md5."""
     toks = F.split("text", " ")
     n_grams = F.size(toks) - F.lit(WINNOW_K - 1)
     # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —

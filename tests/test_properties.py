@@ -208,3 +208,77 @@ def test_kmv_exact_below_k_property(spark, n_distinct, dup_factor):
     df = spark.createDataFrame(vals, "v string").withColumn("g", F.lit("all"))
     [row] = kmv_distinct(df, ["g"], "v", k=128).collect()
     assert row.n_distinct_est == float(n_distinct)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+)
+def test_winnowing_guarantee_property(spark, data):
+    """The winnowing guarantee (Schleimer et al., SIGMOD'03 thm.): any
+    two documents sharing a token run of length >= w + k - 1 share at
+    least one fingerprint. Plant a common run into two otherwise
+    random docs at random offsets and assert a shared fingerprint."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_windows_df,
+    )
+
+    vocab = [f"w{i}" for i in range(12)]
+    word = st.sampled_from(vocab)
+    run_len = WINNOW_W + WINNOW_K - 1
+    # the planted run uses tokens outside the vocab so random context
+    # cannot accidentally shorten or extend it
+    planted = [f"run{i}" for i in range(run_len)]
+    pads = [
+        data.draw(st.lists(word, min_size=0, max_size=15)) for _ in range(4)
+    ]
+    doc_a = " ".join(pads[0] + planted + pads[1])
+    doc_b = " ".join(pads[2] + planted + pads[3])
+    d = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b)], "doc_id long, text string"
+    )
+    w = winnow_windows_df(d)
+    fps = (
+        w.filter(F.col("i") <= F.col("n") - (WINNOW_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+        .collect()
+    )
+    a = {r.fp for r in fps if r.doc_id == 0}
+    b = {r.fp for r in fps if r.doc_id == 1}
+    assert a & b, "planted w+k-1 run must produce a shared fingerprint"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        max_size=120,
+    ),
+)
+def test_bpe_pretokenizer_lossless_property(spark, text):
+    """The BPE-style pre-tokenizer is a partition of the input: every
+    character lands in exactly one token, so concatenating the tokens
+    reconstructs the text byte-for-byte (no silent drops — the
+    property that makes token counts a valid data budget)."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import (
+        BPE_PRETOKEN_PATTERN,
+    )
+
+    d = spark.createDataFrame([(text,)], "text string")
+    row = d.select(
+        F.array_join(
+            F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_PATTERN), 0), ""
+        ).alias("rejoined")
+    ).collect()[0]
+    assert row.rejoined == text
