@@ -133,6 +133,15 @@ HEADLINE = [
     "winnow_overlap_pairs",
     "unigram_logprob_score",
     "hard_negatives",
+    # sketches / graph / layout (full triangle excluded like exact
+    # all-pairs Jaccard: wedge volume is quadratic in edges; the
+    # capped variant keeps the plan shape in the bench)
+    "hll_distinct_users",
+    "bloom_semi_events",
+    "graph_pagerank_parts",
+    "graph_triangle_parts_capped",
+    "events_zorder_stats",
+    "events_quantile_sketch",
 ]
 
 

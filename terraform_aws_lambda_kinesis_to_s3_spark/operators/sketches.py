@@ -88,6 +88,91 @@ def kmv_distinct(
     )
 
 
+#: HyperLogLog geometry: b register-index bits -> m = 2^b registers.
+HLL_B = 8
+HLL_M = 1 << HLL_B
+#: alpha_m bias constant for m >= 128 (Flajolet et al. 2007). Written as
+#: the same literal formula the oracle SQL uses so both engines compute
+#: the identical double.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_register_rank(col: F.Column) -> tuple[F.Column, F.Column]:
+    """(register, rank) of a value in a deterministic HyperLogLog:
+    md5 hex chars 1-2 (8 bits) pick one of 256 registers; chars 3-15
+    (52 bits) feed the rank = leading-zero-bits + 1 (1..53).
+
+    Leading zeros are counted on the HEX STRING (whole leading '0'
+    digits x 4, plus a CASE on the first non-zero digit) instead of
+    floor(log2(...)) — string counting is exact on every engine, while
+    log2 can round across an integer boundary at the bit edges.
+    """
+    h = F.md5(col.cast("string"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    stripped = F.regexp_replace(F.substring(h, 3, 13), "^0+", "")
+    first = F.substring(stripped, 1, 1)
+    in_digit = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rank = F.when(F.length(stripped) == 0, F.lit(53)).otherwise(
+        (F.lit(13) - F.length(stripped)) * 4 + in_digit + 1
+    )
+    return reg, rank
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group distinct-count estimate via a deterministic
+    HyperLogLog (Flajolet-Fuss-Gandouet-Meunier 2007) with the
+    small-range linear-counting correction.
+
+    Scale shape — this is THE cardinality sketch for 100 TB:
+      1. map-side: (register, rank) per row — no shuffle yet;
+      2. one hash-shuffle to groupBy(group, register) -> max(rank),
+         with map-side partial max, so at most |groups| x 256 rows
+         cross the wire regardless of input size;
+      3. |groups|-row final agg.
+    (Contrast KMV in this module: same guarantee but its top-k pruning
+    needs two window stages; HLL is a pure two-level agg.)
+
+    Cross-engine determinism: the harmonic-mean denominator
+    sum(2^-rank) is summed as an INTEGER numerator over denominator
+    2^53 (each term 2^(53-rank) is an exact long; 256 terms fit in 62
+    bits), so the estimate is a pure function of the data with no
+    float-summation-order dependence. DuckDB computes the identical
+    value; `SQL_HLL_DISTINCT_USERS` mirrors this construction.
+
+    Returns ``group_cols + [hll_est]`` (rounded to 2 decimals).
+    """
+    reg, rank = hll_register_rank(F.col(value_col))
+    m = HLL_M
+    per_reg = (
+        df.select(*group_cols, reg.alias("__reg"), rank.alias("__rank"))
+        .groupBy(*group_cols, "__reg")
+        .agg(F.max("__rank").alias("__mrank"))
+    )
+    two53 = F.lit(1 << 53).cast("long")
+    agg = per_reg.groupBy(*group_cols).agg(
+        F.sum(
+            # 2^(53 - rank) as an exact long (pow is exact for e <= 53)
+            F.pow(F.lit(2.0), F.lit(53) - F.col("__mrank")).cast("long")
+        ).alias("__numer_present"),
+        F.count("*").alias("__present"),
+    )
+    v = F.lit(m) - F.col("__present")  # zero registers
+    numer = F.col("__numer_present") + v.cast("long") * two53
+    raw = F.lit(HLL_ALPHA * m * m) * two53.cast("double") / numer.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 2).alias("hll_est"))
+
+
 #: count-min sketch geometry (mirrored in oracle SQL)
 CMS_DEPTH = 4
 CMS_WIDTH = 256

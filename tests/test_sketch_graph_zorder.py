@@ -1,0 +1,217 @@
+"""Unit/property tests for the round-2 batch-2 operators: deterministic
+HLL, Bloom semi-join, graph steps, Z-order clustering — the guarantees
+the oracle equality check can't see (error bounds, no-false-negatives,
+actual file skipping)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_s3_spark.operators import bloom as BL
+from terraform_aws_lambda_kinesis_to_s3_spark.operators import graph as G
+from terraform_aws_lambda_kinesis_to_s3_spark.operators import sketches as K
+from terraform_aws_lambda_kinesis_to_s3_spark.operators.zorder import (
+    Z_BITS,
+    zvalue,
+    zvalue_sql,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------- HLL
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """m=256 registers -> ~1.04/sqrt(m) = 6.5% standard error; assert
+    within 4 sigma on a 10k-distinct column (known cardinality)."""
+    df = spark.range(10_000).select(F.col("id").alias("v"), F.lit("g").alias("g"))
+    est = K.hll_distinct(df, ["g"], "v").collect()[0].hll_est
+    assert abs(est - 10_000) / 10_000 < 4 * 1.04 / (256**0.5)
+
+
+def test_hll_duplicate_invariance(spark):
+    """The sketch sees distinct values only: duplicating every row
+    must not move the estimate at all."""
+    base = spark.range(5_000).select(F.col("id").alias("v"), F.lit("g").alias("g"))
+    est1 = K.hll_distinct(base, ["g"], "v").collect()[0].hll_est
+    est2 = K.hll_distinct(base.union(base).union(base), ["g"], "v").collect()[0].hll_est
+    assert est1 == est2
+
+
+def test_hll_small_range_exactish(spark):
+    """Linear-counting regime: tiny cardinalities stay within ~2%."""
+    df = spark.range(50).select(F.col("id").alias("v"), F.lit("g").alias("g"))
+    est = K.hll_distinct(df, ["g"], "v").collect()[0].hll_est
+    assert abs(est - 50) <= 2
+
+
+# -------------------------------------------------------------- Bloom
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every key inserted into the filter must test positive — the
+    Bloom guarantee that makes exact-verify-on-survivors sound."""
+    keys = spark.range(500).select(F.col("id").alias("k"))
+    bloom = BL.bloom_build(keys, "k")
+    fact = spark.range(500).select(F.col("id").alias("k"))
+    assert BL.bloom_semi_filter(fact, "k", bloom).count() == 500
+
+
+def test_bloom_false_positive_rate_sane(spark):
+    """Disjoint probe domain: FP rate should be near the analytic
+    (1 - e^{-kn/m})^k — for n=500, m=4096, k=3 that's ~2.2%. Assert
+    under 3x the analytic value (the md5 hashes are not adversarial)."""
+    import math
+
+    keys = spark.range(500).select(F.col("id").alias("k"))
+    bloom = BL.bloom_build(keys, "k")
+    probe = spark.range(10_000, 30_000).select(F.col("id").alias("k"))
+    fp = BL.bloom_semi_filter(probe, "k", bloom).count() / 20_000
+    analytic = (1 - math.exp(-BL.BLOOM_K * 500 / BL.BLOOM_M)) ** BL.BLOOM_K
+    assert fp < 3 * analytic
+
+
+def test_bloom_filter_plan_is_map_only(spark):
+    """The fact side must not shuffle: the only exchange in the plan
+    feeds the broadcast build of the 1-row filter."""
+    fact = spark.range(1000).select(F.col("id").alias("k"))
+    bloom = BL.bloom_build(spark.range(100).select(F.col("id").alias("k")), "k")
+    plan = BL.bloom_semi_filter(fact, "k", bloom)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no hash-partition exchange anywhere (the filter agg is single-row)
+    assert "hashpartitioning" not in plan.lower()
+
+
+# -------------------------------------------------------------- Graph
+
+
+def test_pagerank_step_hand_graph(spark):
+    """Star a->{b,c} plus d->b: rank(b) = 0.15 + 0.85*(1/2 + 1) and
+    rank(c) = 0.15 + 0.85*(1/2)."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("d", "b")], "src string, dst string"
+    )
+    r = {row.node: row.rank for row in G.pagerank_step(edges).collect()}
+    assert r == pytest.approx({"b": 0.15 + 0.85 * 1.5, "c": 0.15 + 0.85 * 0.5})
+
+
+def test_pagerank_chained_iteration(spark):
+    """Second iteration consumes the first's ranks (2-cycle converges
+    toward rank 1.0 each)."""
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    r1 = G.pagerank_step(edges)
+    r2 = {row.node: row.rank for row in G.pagerank_step(edges, rank=r1).collect()}
+    assert r2 == pytest.approx({"a": 1.0, "b": 1.0})
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 minus one edge has exactly 2 triangles."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "src long, dst long"
+    )
+    row = G.triangle_count(edges).collect()[0]
+    assert row.n_triangles == 2
+    assert row.n_edges == 5
+
+
+def test_cooccurrence_edges_basket(spark):
+    """One basket {1,2,3} + one {3,4}: edges are the 3 ordered pairs of
+    the triangle plus (3,4); duplicates across baskets collapse."""
+    items = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (11, 3), (11, 4), (12, 3), (12, 4)],
+        "g long, item long",
+    )
+    edges = {(r.src, r.dst) for r in G.cooccurrence_edges(items, "g", "item").collect()}
+    assert edges == {(1, 2), (1, 3), (2, 3), (3, 4)}
+
+
+# ------------------------------------------------------------- Z-order
+
+
+def test_zvalue_interleaves_bits(spark):
+    """z(x=0b11, y=0) = 0b0101 = 5; z(0, 0b11) = 0b1010 = 10;
+    z(1,1) = 3; and the SQL emitter computes the identical values in
+    DuckDB."""
+    import duckdb
+
+    df = spark.createDataFrame([(3, 0), (0, 3), (1, 1)], "x long, y long")
+    got = [r.z for r in df.select(zvalue(F.col("x"), F.col("y")).alias("z")).orderBy("x", "y").collect()]
+    assert got == [10, 3, 5]
+    sql = zvalue_sql("x", "y")
+    duck = duckdb.sql(
+        f"SELECT {sql} AS z FROM (VALUES (3,0),(0,3),(1,1)) t(x,y) ORDER BY x, y"
+    ).fetchall()
+    assert [r[0] for r in duck] == [10, 3, 5]
+
+
+def test_zvalue_order_preserves_locality(spark):
+    """Monotone block property: the top byte of each dim is a prefix of
+    the z-value, so rows sharing a z>>16 block share both top bytes."""
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    blocks = (
+        df.select(
+            F.shiftright(zvalue(F.col("x"), F.col("y")), 16).alias("b"),
+            "x",
+            "y",
+        )
+        .groupBy("b")
+        .agg(
+            (F.max(F.shiftright(F.col("x"), 8)) - F.min(F.shiftright(F.col("x"), 8))).alias("dx"),
+            (F.max(F.shiftright(F.col("y"), 8)) - F.min(F.shiftright(F.col("y"), 8))).alias("dy"),
+        )
+        .agg(F.max("dx").alias("mx"), F.max("dy").alias("my"))
+        .collect()[0]
+    )
+    assert blocks.mx == 0 and blocks.my == 0
+
+
+def _rowgroup_prune_fraction(files: list[str], lo_u, hi_u, lo_v, hi_v) -> float:
+    """Fraction of parquet row groups whose (user_id, value) min/max
+    stats intersect the query rectangle — what a stats-based reader
+    must actually scan."""
+    import pyarrow.parquet as pq
+
+    hit = total = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            total += 1
+            cols = {
+                md.row_group(rg).column(i).path_in_schema: md.row_group(rg).column(i).statistics
+                for i in range(md.row_group(rg).num_columns)
+            }
+            su, sv = cols["user_id"], cols["value"]
+            if su.min <= hi_u and su.max >= lo_u and sv.min <= hi_v and sv.max >= lo_v:
+                hit += 1
+    assert total > 10, f"need many row groups to compare, got {total}"
+    return hit / total
+
+
+def test_zorder_layout_skips_rowgroups(spark, tmp_path):
+    """The point of Z-order: write events clustered by z(user_id,
+    floor(value)) and the fraction of row groups a 2-predicate query
+    rectangle touches (by real parquet footer stats) drops by >= 3x
+    vs the natural time-ordered layout."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").select("user_id", "value", "event_id")
+    z = zvalue(F.col("user_id"), F.floor("value"))
+
+    nat_dir, zed_dir = str(tmp_path / "nat"), str(tmp_path / "zed")
+    # coalesce(1) keeps the global sort (range partitions concatenate in
+    # order); maxRecordsPerFile then cuts ~25 sorted files = row groups.
+    common = lambda df: df.coalesce(1).write.option("maxRecordsPerFile", 400).mode("overwrite")
+    common(ev.orderBy("event_id")).parquet(nat_dir)
+    common(ev.orderBy(z)).parquet(zed_dir)
+
+    rect = dict(lo_u=100, hi_u=200, lo_v=10.0, hi_v=30.0)
+    nat = _rowgroup_prune_fraction(glob.glob(os.path.join(nat_dir, "*.parquet")), **rect)
+    zed = _rowgroup_prune_fraction(glob.glob(os.path.join(zed_dir, "*.parquet")), **rect)
+    assert nat >= 3 * zed, f"z-order should skip >=3x more: natural={nat:.2f} zorder={zed:.2f}"
