@@ -142,6 +142,12 @@ HEADLINE = [
     "graph_triangle_parts_capped",
     "events_zorder_stats",
     "events_quantile_sketch",
+    # function-surface parity suites + BPE training iteration
+    "window_functions_suite",
+    "string_functions_suite",
+    "array_functions_suite",
+    "date_functions_suite",
+    "bpe_merge_step",
 ]
 
 

@@ -13,7 +13,7 @@ class, score weights) is mirrored verbatim by the DuckDB oracle SQL in
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: stopwords for the quality score (mirrored in oracle SQL)
@@ -151,4 +151,94 @@ def shingles(col: Column, n: int = 3) -> Column:
                 lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
             )
         )
+    )
+
+
+# --------------------------------------------------------------- BPE step
+
+
+def bpe_top_pair_and_merge(words: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One exact BPE training iteration (Sennrich et al. 2016) as pure
+    relational algebra — no fold, no UDF, so Spark and any ANSI engine
+    compute bit-identical results.
+
+    Input: ``words(w, wcount)`` — the DISTINCT-word census. Everything
+    downstream is vocab-sized, not corpus-sized; that is the property
+    that makes BPE training distributable: the corpus is touched once
+    (census), each merge iteration runs over the vocabulary.
+
+    Greedy left-to-right non-overlapping merge is reproduced exactly
+    with windows: occurrence positions of the top pair, grouped into
+    consecutive runs (i - row_number), keep positions at EVEN offset
+    from their run start — for a != b runs are singletons (all kept);
+    for a == b (e.g. 'aaaaaa') this keeps 1st, 3rd, 5th ... exactly
+    like the reference tokenizer's scan loop.
+
+    Returns (top_pair(a, b, cnt), merged(w, wcount, i, tok)) where
+    ``merged`` is the post-merge token sequence of every word.
+    """
+    w_ = Window.partitionBy("w").orderBy("i")
+    chars = words.select(
+        "w",
+        "wcount",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            )
+        ).alias("i0", "ch"),
+    ).select("w", "wcount", (F.col("i0") + 1).alias("i"), "ch")
+    seq = chars.withColumn("nxt", F.lead("ch").over(w_))
+    census = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("ch").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.sum("wcount").alias("cnt"))
+    )
+    top = census.orderBy(F.col("cnt").desc(), "a", "b").limit(1)
+
+    occ = (
+        seq.crossJoin(F.broadcast(top.select("a", "b")))
+        .filter((F.col("ch") == F.col("a")) & (F.col("nxt") == F.col("b")))
+        .select("w", "i")
+    )
+    occ = occ.withColumn("grp", F.col("i") - F.row_number().over(w_))
+    run_w = Window.partitionBy("w", "grp")
+    taken = occ.withColumn("rmin", F.min("i").over(run_w)).filter(
+        (F.col("i") - F.col("rmin")) % 2 == 0
+    ).select("w", "i")
+
+    # taken shares lineage with seq — rename its columns BEFORE joining
+    # so the equi-join can't resolve both sides to the same attributes
+    # (the cogroup-attribute-dedup hazard documented in similarity.py).
+    tk = taken.select(
+        F.col("w").alias("tw"), F.col("i").alias("ti"), F.lit(True).alias("tkn")
+    )
+    merged = (
+        seq.join(tk, (F.col("w") == F.col("tw")) & (F.col("i") == F.col("ti")), "left")
+        .withColumn(
+            "tok",
+            F.when(F.col("tkn"), F.concat("ch", "nxt")).otherwise(F.col("ch")),
+        )
+        .drop("tw", "ti", "tkn")
+    )
+    tp = taken.select(
+        F.col("w").alias("pw"), (F.col("i") + 1).alias("pi")
+    )
+    merged = merged.join(
+        tp, (F.col("w") == F.col("pw")) & (F.col("i") == F.col("pi")), "left_anti"
+    ).select("w", "wcount", "i", "tok")
+    return top, merged
+
+
+def bpe_post_merge_census(merged: DataFrame, k: int = 15) -> DataFrame:
+    """Adjacent-pair census AFTER the merge (the next iteration's
+    input), top-k with deterministic tie-break."""
+    w_ = Window.partitionBy("w").orderBy("i")
+    seq2 = merged.withColumn("nxt", F.lead("tok").over(w_))
+    return (
+        seq2.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.sum("wcount").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "a", "b")
+        .limit(k)
     )

@@ -4212,6 +4212,231 @@ FROM cum GROUP BY event_type
 """
 
 
+def q_window_functions_suite(spark, sf):
+    """Analytic-function surface parity in one query: row_number,
+    ntile, percent_rank, cume_dist, lag/lead, first/last/nth_value
+    over a full-frame window — every function the relational core
+    claims, hash-checked against the oracle's implementations of the
+    same ANSI semantics. Bounded to 30 customers; ties broken by
+    o_orderkey so the frame is total-ordered (engine-stable)."""
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") < 30)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.lag(price, 1).over(w).alias("prev_price"),
+        F.lead(price, 1).over(w).alias("next_price"),
+        F.first(price).over(wf).alias("first_price"),
+        F.last(price).over(wf).alias("last_price"),
+        F.nth_value(price, 2).over(wf).alias("second_price"),
+    )
+
+
+SQL_WINDOW_FUNCTIONS = """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS rn,
+       ntile(4) OVER w AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cdist,
+       lag(o_totalprice, 1) OVER w AS prev_price,
+       lead(o_totalprice, 1) OVER w AS next_price,
+       first_value(o_totalprice) OVER wf AS first_price,
+       last_value(o_totalprice) OVER wf AS last_price,
+       nth_value(o_totalprice, 2) OVER wf AS second_price
+FROM orders WHERE o_custkey < 30
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_string_functions_suite(spark, sf):
+    """Scalar string-function parity: translate, pad, repeat, reverse,
+    position, ascii, token extraction, negative-index substring — the
+    workhorse functions of log scrubbing, all JVM-codegen (no UDF)."""
+    p = _t(spark, sf, "part").filter(F.col("p_partkey") < 50)
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.translate(name, "aeiou", "01234").alias("tr_name"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
+        F.repeat(F.substring(name, 1, 2), 2).alias("rep2"),
+        F.reverse(name).alias("rev_name"),
+        F.instr(name, "a").alias("pos_a"),
+        F.ascii(name).alias("first_byte"),
+        F.substring_index(name, " ", 1).alias("first_word"),
+        F.substring(name, -3, 3).alias("last3"),
+    )
+
+
+SQL_STRING_FUNCTIONS = """
+SELECT p_partkey,
+       translate(p_name, 'aeiou', '01234') AS tr_name,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+       repeat(substr(p_name, 1, 2), 2) AS rep2,
+       reverse(p_name) AS rev_name,
+       strpos(p_name, 'a') AS pos_a,
+       ascii(p_name) AS first_byte,
+       split_part(p_name, ' ', 1) AS first_word,
+       right(p_name, 3) AS last3
+FROM part WHERE p_partkey < 50
+"""
+
+
+def q_array_functions_suite(spark, sf):
+    """Higher-order array-function parity over tokenized documents:
+    size/distinct/sort/contains plus lambda filter-transform-aggregate
+    (Catalyst HOFs vs DuckDB list lambdas). These are the primitives
+    the dedup/text operators are built from, surfaced directly."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 20)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.element_at(F.array_sort(toks), 1).alias("first_sorted"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("total_len"),
+        F.concat_ws(" ", F.slice(toks, 2, 3)).alias("mid3"),
+    )
+
+
+SQL_ARRAY_FUNCTIONS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE doc_id < 20)
+SELECT doc_id,
+       len(toks) AS n_toks,
+       len(list_distinct(toks)) AS n_uniq,
+       list_sort(toks)[1] AS first_sorted,
+       list_contains(toks, 'spark') AS has_spark,
+       len(list_filter(toks, x -> length(x) > 4)) AS n_long,
+       list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                   (a, b) -> a + b) AS total_len,
+       array_to_string(list_slice(toks, 2, 4), ' ') AS mid3
+FROM t
+"""
+
+
+def q_date_functions_suite(spark, sf):
+    """Temporal-function parity: extraction (year..dayofyear, ISO
+    day-of-week, ISO week), boundary functions (last_day, date_trunc),
+    calendar arithmetic with end-of-month clamping (add_months), and
+    day arithmetic — the partition-key toolbox of A8/A9 surfaced as
+    ANSI-checkable scalars. Deterministic 1-in-97 key sample."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    dt = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(dt).alias("y"),
+        F.quarter(dt).alias("q"),
+        F.month(dt).alias("m"),
+        F.dayofmonth(dt).alias("d"),
+        F.dayofyear(dt).alias("doy"),
+        (F.weekday(dt) + 1).alias("iso_dow"),
+        F.weekofyear(dt).alias("iso_week"),
+        F.date_format(F.last_day(dt), "yyyy-MM-dd").alias("eom"),
+        F.date_format(F.add_months(dt, 1), "yyyy-MM-dd").alias("plus_month"),
+        F.date_format(F.date_trunc("quarter", dt), "yyyy-MM-dd").alias("q_start"),
+        F.datediff(dt, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+    )
+
+
+SQL_DATE_FUNCTIONS = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(day(o_orderdate) AS INT) AS d,
+       CAST(dayofyear(o_orderdate) AS INT) AS doy,
+       CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+       CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+       last_day(o_orderdate) AS eom,
+       CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus_month,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+       datediff('day', DATE '1995-01-01', o_orderdate) AS days_since_95
+FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+def q_bpe_merge_step(spark, sf):
+    """One exact BPE training iteration
+    (operators.textops.bpe_top_pair_and_merge): corpus word census ->
+    adjacent-character-pair census -> argmax pair (count desc, pair
+    asc) -> greedy left-to-right non-overlapping merge in every
+    distinct word -> top-15 of the NEXT iteration's pair census. The
+    corpus is touched exactly once (the census shuffle); every merge
+    iteration after that is vocabulary-sized — which is why BPE
+    tokenizer training distributes. True greedy semantics (odd runs of
+    identical symbols merge like the reference scan loop) is
+    reproduced relationally with run-grouping windows — no UDF, no
+    fold — so DuckDB computes the identical merge."""
+    d = _t(spark, sf, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("wcount"))
+    )
+    top, merged = X.bpe_top_pair_and_merge(words)
+    out = X.bpe_post_merge_census(merged, k=15)
+    return out.crossJoin(
+        F.broadcast(
+            top.select(F.concat("a", "b").alias("merged_pair"))
+        )
+    ).select("merged_pair", "a", "b", "cnt")
+
+
+SQL_BPE_MERGE_STEP = r"""
+WITH words AS (
+  SELECT w, COUNT(*) AS wcount FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+    FROM documents) WHERE w <> '' GROUP BY w),
+chars AS (
+  SELECT w, wcount, i, substr(w, i, 1) AS ch
+  FROM words, LATERAL unnest(generate_series(1, length(w))) t(i)),
+seq AS (
+  SELECT *, lead(ch) OVER (PARTITION BY w ORDER BY i) AS nxt FROM chars),
+census AS (
+  SELECT ch AS a, nxt AS b, SUM(wcount) AS cnt FROM seq
+  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+top AS (SELECT a, b FROM census ORDER BY cnt DESC, a, b LIMIT 1),
+occ AS (
+  SELECT s.w, s.i FROM seq s, top t
+  WHERE s.ch = t.a AND s.nxt = t.b),
+runs AS (
+  SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+  FROM occ),
+taken AS (
+  SELECT w, i FROM (
+    SELECT w, i, MIN(i) OVER (PARTITION BY w, grp) AS rmin FROM runs)
+  WHERE (i - rmin) % 2 = 0),
+toks AS (
+  SELECT s.w, s.wcount, s.i,
+         CASE WHEN tk.i IS NOT NULL THEN s.ch || s.nxt ELSE s.ch END AS tok
+  FROM seq s
+  LEFT JOIN taken tk ON tk.w = s.w AND tk.i = s.i
+  LEFT JOIN taken tp ON tp.w = s.w AND tp.i = s.i - 1
+  WHERE tp.i IS NULL),
+seq2 AS (
+  SELECT w, wcount, tok,
+         lead(tok) OVER (PARTITION BY w ORDER BY i) AS nxt FROM toks),
+c2 AS (
+  SELECT tok AS a, nxt AS b, CAST(SUM(wcount) AS BIGINT) AS cnt
+  FROM seq2 WHERE nxt IS NOT NULL GROUP BY 1, 2)
+SELECT (SELECT a || b FROM top) AS merged_pair, a, b, cnt
+FROM c2 ORDER BY cnt DESC, a, b LIMIT 15
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4341,6 +4566,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "events_zorder_stats": (q_events_zorder_stats, SQL_EVENTS_ZORDER),
     "events_quantile_sketch": (q_events_quantile_sketch, SQL_EVENTS_QUANTILE),
+    # scalar/analytic function-surface parity suites
+    "window_functions_suite": (q_window_functions_suite, SQL_WINDOW_FUNCTIONS),
+    "string_functions_suite": (q_string_functions_suite, SQL_STRING_FUNCTIONS),
+    "array_functions_suite": (q_array_functions_suite, SQL_ARRAY_FUNCTIONS),
+    "date_functions_suite": (q_date_functions_suite, SQL_DATE_FUNCTIONS),
+    "bpe_merge_step": (q_bpe_merge_step, SQL_BPE_MERGE_STEP),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     # approximate ANN (rows-only: recall<1 vs exact oracle by design)

@@ -215,3 +215,41 @@ def test_zorder_layout_skips_rowgroups(spark, tmp_path):
     nat = _rowgroup_prune_fraction(glob.glob(os.path.join(nat_dir, "*.parquet")), **rect)
     zed = _rowgroup_prune_fraction(glob.glob(os.path.join(zed_dir, "*.parquet")), **rect)
     assert nat >= 3 * zed, f"z-order should skip >=3x more: natural={nat:.2f} zorder={zed:.2f}"
+
+
+# ----------------------------------------------------------------- BPE
+
+
+def test_bpe_greedy_run_semantics(spark):
+    """Runs of identical symbols merge exactly like the reference
+    tokenizer's left-to-right scan: 'aaaaaa' -> [aa,aa,aa] (3 pairs),
+    'aaaaa' -> [aa,aa,a] — the case a naive replace()-based merge gets
+    wrong (it strands the middle of even runs >= 6)."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import textops as X
+
+    words = spark.createDataFrame(
+        [("aaaaaa", 1), ("aaaaa", 1)], "w string, wcount long"
+    )
+    top, merged = X.bpe_top_pair_and_merge(words)
+    assert top.collect()[0].a == "a" and top.collect()[0].b == "a"
+    out = {
+        r.w: [t.tok for t in merged.filter(F.col("w") == r.w).orderBy("i").collect()]
+        for r in words.collect()
+    }
+    assert out["aaaaaa"] == ["aa", "aa", "aa"]
+    assert out["aaaaa"] == ["aa", "aa", "a"]
+
+
+def test_bpe_merge_mixed_pair(spark):
+    """a != b occurrences all merge; bystanders untouched:
+    'banana' with top pair (a,n) -> [b,an,an,a]."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import textops as X
+
+    words = spark.createDataFrame([("banana", 2)], "w string, wcount long")
+    top, merged = X.bpe_top_pair_and_merge(words)
+    # census: (b,a)x1, (a,n)x2, (n,a)x2, each weighted by wcount=2 —
+    # tie between (a,n) and (n,a) breaks ascending -> (a,n)
+    t = top.collect()[0]
+    assert (t.a, t.b) == ("a", "n")
+    toks = [r.tok for r in merged.orderBy("i").collect()]
+    assert toks == ["b", "an", "an", "a"]
