@@ -37,6 +37,13 @@ BNLJ_OK = {
     "unigram_logprob_score",
     # tiny broadcast query side scored against the streamed corpus
     "hard_negatives",
+    # 1-row Bloom bit-set broadcast (the whole point: ship KBs, not rows)
+    "bloom_semi_events",
+    # 1-row aggregates (n_edges x n_wedges x n_triangles) cross-joined
+    "graph_triangle_parts",
+    "graph_triangle_parts_capped",
+    # 1-row argmax pair broadcast into the vocab-sized merge
+    "bpe_merge_step",
 }
 
 
