@@ -147,7 +147,20 @@ HEADLINE = [
     "string_functions_suite",
     "array_functions_suite",
     "date_functions_suite",
+    "math_functions_suite",
+    "conditional_functions_suite",
+    "bitwise_functions_suite",
+    "regex_functions_suite",
+    "map_functions_suite",
     "bpe_merge_step",
+    # event analytics batch 3 + training-data mixture/shuffle/survivors
+    "events_funnel",
+    "events_cohort_retention",
+    "events_ewma",
+    "join_types_suite",
+    "global_shuffle_shards",
+    "mixture_sample",
+    "dedup_survivors",
 ]
 
 

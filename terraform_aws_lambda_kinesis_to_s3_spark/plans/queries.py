@@ -4437,6 +4437,527 @@ FROM c2 ORDER BY cnt DESC, a, b LIMIT 15
 """
 
 
+def q_events_funnel(spark, sf):
+    """Ordered conversion funnel (view -> click -> purchase), the
+    product-analytics workhorse: for each user, the first view, the
+    first click strictly AFTER that view, and the first purchase
+    strictly after that click — ordered sequence matching, not mere
+    presence. One shuffle: groupBy(user_id) collects per-step
+    timestamp arrays (collect_list drops the non-matching nulls), and
+    the stepwise mins are in-row higher-order folds (array_min over
+    filter) — no joins, no windows. Per-user state is O(events per
+    user), the same bound sessionization carries; at 100 TB this is a
+    single hash-shuffle with no skew beyond the busiest user."""
+    ev = _t(spark, sf, "events")
+    us = F.unix_micros("ts")
+
+    def step(t: str) -> F.Column:
+        return F.collect_list(F.when(F.col("event_type") == t, us))
+
+    g = ev.groupBy("user_id").agg(
+        step("view").alias("v"), step("click").alias("c"), step("purchase").alias("p")
+    )
+    s1 = g.select("user_id", "c", "p", F.array_min("v").alias("fv"))
+    s2 = s1.select(
+        "user_id",
+        "p",
+        "fv",
+        F.array_min(F.filter("c", lambda t: t > F.col("fv"))).alias("fc"),
+    )
+    s3 = s2.select(
+        "user_id",
+        "fv",
+        "fc",
+        F.array_min(F.filter("p", lambda t: t > F.col("fc"))).alias("fp"),
+    )
+    return s3.agg(
+        F.count("*").alias("n_users"),
+        F.count("fv").alias("n_view"),
+        F.count("fc").alias("n_click"),
+        F.count("fp").alias("n_purchase"),
+        F.round(F.avg((F.col("fp") - F.col("fv")) / F.lit(1e6)), 6).alias(
+            "avg_view_to_purchase_sec"
+        ),
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH g AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS fv,
+         list(epoch_us(ts)) FILTER (WHERE event_type = 'click') AS c,
+         list(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS p
+  FROM events GROUP BY user_id),
+s2 AS (
+  SELECT user_id, p, fv,
+         list_min(list_filter(c, t -> t > fv)) AS fc FROM g),
+s3 AS (
+  SELECT user_id, fv, fc,
+         list_min(list_filter(p, t -> t > fc)) AS fp FROM s2)
+SELECT COUNT(*) AS n_users,
+       COUNT(fv) AS n_view,
+       COUNT(fc) AS n_click,
+       COUNT(fp) AS n_purchase,
+       ROUND(AVG((fp - fv) / 1e6), 6) AS avg_view_to_purchase_sec
+FROM s3
+"""
+
+
+def q_events_cohort_retention(spark, sf):
+    """Cohort retention triangle: users are cohorted by first-active
+    day; each later active day contributes to (cohort_day, day_offset)
+    with a distinct-user count. Two shuffles at scale: the per-user
+    min-date agg (map-side partial min) and the (cohort, offset)
+    distinct-count agg; the user->cohort attach is an equi-join on
+    user_id that co-partitions with the first agg's shuffle (AQE reuses
+    the exchange). Offsets capped at 30 to bound the output triangle."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    ret = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_d",
+            F.datediff("d", F.col("cohort_d")).alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 30)
+        .groupBy("cohort_d", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return ret.select(
+        F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "n_active",
+    )
+
+
+SQL_EVENTS_COHORT = """
+WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+f AS (SELECT user_id, MIN(d) AS cohort_d FROM e GROUP BY 1)
+SELECT strftime(f.cohort_d, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', f.cohort_d, e.d) AS INT) AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_active
+FROM e JOIN f USING (user_id)
+WHERE datediff('day', f.cohort_d, e.d) <= 30
+GROUP BY 1, 2
+"""
+
+
+def q_events_ewma(spark, sf):
+    """Exponentially weighted moving average over the hourly series,
+    per event type (alpha = 0.3). The hourly mean is decimal-exact
+    (sum of DECIMAL / count), so the fold input is bit-identical on
+    every engine; the EWMA recursion itself is an in-row left fold
+    (``aggregate`` over the hour-sorted array) — the per-type state
+    that crosses the shuffle is one row per (type, hour), never the
+    raw events. DuckDB's ``list_reduce`` seeds the fold with the first
+    element; the Spark fold seeds with element 1 over slice(2..) —
+    identical recursion, hash-identical doubles at 6 dp."""
+    ev = _t(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        (F.sum(_dec("value")).cast("double") / F.count("*")).alias("avg_v")
+    )
+    arr = F.array_sort(F.collect_list(F.struct("h", "avg_v")))
+    vals = F.transform(arr, lambda s: s["avg_v"])
+    ew = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return (
+        hourly.groupBy("event_type")
+        .agg(ew.alias("__ew"), F.size(arr).cast("long").alias("n_hours"))
+        .select("event_type", F.round("__ew", 6).alias("ewma"), "n_hours")
+    )
+
+
+SQL_EVENTS_EWMA = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_v
+  FROM events GROUP BY 1, 2)
+SELECT event_type,
+       ROUND(list_reduce(list(avg_v ORDER BY h),
+                         (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma,
+       COUNT(*) AS n_hours
+FROM hourly GROUP BY event_type
+"""
+
+
+def q_join_types_suite(spark, sf):
+    """Join-type surface parity in one query: a FULL OUTER join
+    between two deliberately offset aggregates (customer nations < 15
+    vs supplier nations >= 10), surfacing matched, left-only and
+    right-only rows. Completes the join matrix next to the semi
+    (customers_with_orders), anti (customers_without_orders), left
+    outer (q13), inequality (events_range_join) and as-of joins.
+    Both sides are 25-row aggregates — broadcast either way; at scale
+    a full outer of two large aggs is a single co-partitioned SMJ."""
+    c = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_nationkey") < 15)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_nationkey") >= 10)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    full = c.join(s, "nk", "full_outer")
+    side = (
+        F.when(F.col("n_cust").isNull(), "right_only")
+        .when(F.col("n_supp").isNull(), "left_only")
+        .otherwise("both")
+    )
+    return full.select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        side.alias("side"),
+    )
+
+
+SQL_JOIN_TYPES = """
+WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+           FROM customer WHERE c_nationkey < 15 GROUP BY 1),
+s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+      FROM supplier WHERE s_nationkey >= 10 GROUP BY 1)
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_supp, 0) AS n_supp,
+       CASE WHEN n_cust IS NULL THEN 'right_only'
+            WHEN n_supp IS NULL THEN 'left_only'
+            ELSE 'both' END AS side
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+"""
+
+
+def q_math_functions_suite(spark, sf):
+    """Numeric-scalar parity: abs/sign, floor/ceil, rounding, exact
+    integer mod, power/sqrt, exp/ln/log10 — the arithmetic surface the
+    quality/scoring operators depend on. All JVM-codegen; transcendental
+    results rounded to 6 dp so IEEE libm differences can't flip a
+    hash bit."""
+    l = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 200)
+    x = F.col("l_extendedprice")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(x - 30000).alias("abs_off"),
+        F.signum(x - 30000).alias("sgn"),
+        F.floor(x / 1000).cast("long").alias("k_floor"),
+        F.ceil(x / 1000).cast("long").alias("k_ceil"),
+        F.round(x / 7, 2).alias("div7_r2"),
+        (F.col("l_partkey") % 13).alias("mod13"),
+        F.round(F.sqrt(x), 6).alias("sqrt_p"),
+        F.round(F.pow(F.col("l_quantity"), 2), 6).alias("qty_sq"),
+        F.round(F.exp(F.col("l_discount")), 6).alias("exp_disc"),
+        F.round(F.log(x), 6).alias("ln_p"),
+        F.round(F.log10(x), 6).alias("log10_p"),
+    )
+
+
+SQL_MATH_FUNCTIONS = """
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - 30000) AS abs_off,
+       CAST(sign(l_extendedprice - 30000) AS DOUBLE) AS sgn,
+       CAST(floor(l_extendedprice / 1000) AS BIGINT) AS k_floor,
+       CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS k_ceil,
+       ROUND(l_extendedprice / 7, 2) AS div7_r2,
+       l_partkey % 13 AS mod13,
+       ROUND(sqrt(l_extendedprice), 6) AS sqrt_p,
+       ROUND(power(l_quantity, 2), 6) AS qty_sq,
+       ROUND(exp(l_discount), 6) AS exp_disc,
+       ROUND(ln(l_extendedprice), 6) AS ln_p,
+       ROUND(log10(l_extendedprice), 6) AS log10_p
+FROM lineitem WHERE l_orderkey < 200
+"""
+
+
+def q_conditional_functions_suite(spark, sf):
+    """Null-handling / conditional parity: coalesce, nullif, nvl2,
+    greatest/least (null-tolerant), searched CASE, and boolean
+    aggregation of the outcomes — the branching surface of the
+    routing/validation pipeline (A5/A11) expressed as checkable
+    scalars. Nulls are manufactured deterministically via nullif so
+    both engines branch on identical inputs."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") < 400)
+    # deterministic nulls: priority 3-URGENT -> NULL, clerk#...00x -> NULL
+    pri = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    return o.select(
+        "o_orderkey",
+        F.coalesce(pri, F.lit("(none)")).alias("pri_or_default"),
+        F.when(pri.isNull(), "was_null").otherwise("kept").alias("nvl2_ish"),
+        F.greatest("o_totalprice", F.lit(150000.0)).alias("hi"),
+        F.least("o_totalprice", F.lit(150000.0)).alias("lo"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        (F.col("o_orderstatus") == "O").cast("int").alias("is_open"),
+    )
+
+
+SQL_CONDITIONAL_FUNCTIONS = """
+SELECT o_orderkey,
+       COALESCE(NULLIF(o_orderpriority, '3-MEDIUM'), '(none)') AS pri_or_default,
+       CASE WHEN NULLIF(o_orderpriority, '3-MEDIUM') IS NULL
+            THEN 'was_null' ELSE 'kept' END AS nvl2_ish,
+       GREATEST(o_totalprice, 150000.0) AS hi,
+       LEAST(o_totalprice, 150000.0) AS lo,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'small' END AS bucket,
+       CAST(o_orderstatus = 'O' AS INT) AS is_open
+FROM orders WHERE o_orderkey < 400
+"""
+
+
+def q_bitwise_functions_suite(spark, sf):
+    """Bitwise parity: AND/OR/XOR, NOT, shifts, bit_count — the
+    primitives under SimHash/Bloom/Z-order, surfaced directly as
+    checkable scalars over integer keys."""
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") < 300)
+    k = F.col("c_custkey")
+    n = F.col("c_nationkey")
+    return c.select(
+        "c_custkey",
+        k.bitwiseAND(F.lit(0xFF)).alias("and_ff"),
+        k.bitwiseOR(n).alias("or_nk"),
+        k.bitwiseXOR(n).alias("xor_nk"),
+        F.bitwise_not(k).alias("not_k"),
+        F.shiftleft(n, 3).cast("long").alias("shl3"),
+        F.shiftright(k, 2).cast("long").alias("shr2"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+SQL_BITWISE_FUNCTIONS = """
+SELECT c_custkey,
+       c_custkey & 255 AS and_ff,
+       c_custkey | c_nationkey AS or_nk,
+       xor(c_custkey, c_nationkey) AS xor_nk,
+       ~c_custkey AS not_k,
+       CAST(c_nationkey << 3 AS BIGINT) AS shl3,
+       CAST(c_custkey >> 2 AS BIGINT) AS shr2,
+       CAST(bit_count(c_custkey) AS INT) AS popcount
+FROM customer WHERE c_custkey < 300
+"""
+
+
+def q_regex_functions_suite(spark, sf):
+    """Regex parity in the Java-regex ∩ RE2 ∩ PCRE common dialect:
+    group extraction, global replace, boolean match, match counting,
+    and split — the text-scrubbing surface (A4 key extraction,
+    textops scrub/langid) as checkable scalars."""
+    p = _t(spark, sf, "part").filter(F.col("p_partkey") < 80)
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(name, r"^(\w+)", 1).alias("first_word"),
+        F.regexp_extract(name, r"(\w+)$", 1).alias("last_word"),
+        F.regexp_replace(name, r"[aeiou]", "_").alias("devoweled"),
+        name.rlike(r"red|blue").cast("int").alias("has_color"),
+        F.size(F.regexp_extract_all(name, F.lit(r"[aeiou]"), 0)).alias(
+            "n_vowels"
+        ),
+        F.size(F.split(name, r"\s+")).alias("n_words"),
+    )
+
+
+SQL_REGEX_FUNCTIONS = """
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+       regexp_extract(p_name, '(\\w+)$', 1) AS last_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       CAST(regexp_matches(p_name, 'red|blue') AS INT) AS has_color,
+       CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+       CAST(len(regexp_split_to_array(p_name, '\\s+')) AS INT) AS n_words
+FROM part WHERE p_partkey < 80
+"""
+
+
+def q_map_functions_suite(spark, sf):
+    """Map-type parity: construction from arrays, key/value access,
+    cardinality, lambda transform over values — the key-value
+    column surface (config maps, feature maps) reduced to scalar
+    outputs both engines render identically."""
+    n = _t(spark, sf, "nation")
+    m = F.map_from_arrays(
+        F.array(F.lit("name"), F.lit("region")),
+        F.array(F.col("n_name"), F.col("n_regionkey").cast("string")),
+    )
+    return n.select(
+        "n_nationkey",
+        F.element_at(m, "name").alias("m_name"),
+        F.element_at(m, "region").alias("m_region"),
+        F.size(m).alias("m_card"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("m_keys"),
+        F.concat_ws("|", F.map_values(m)).alias("m_vals"),
+    )
+
+
+SQL_MAP_FUNCTIONS = """
+WITH t AS (
+  SELECT n_nationkey,
+         map(['name', 'region'],
+             [n_name, CAST(n_regionkey AS VARCHAR)]) AS m,
+         n_name, n_regionkey
+  FROM nation)
+SELECT n_nationkey,
+       map_extract(m, 'name')[1] AS m_name,
+       map_extract(m, 'region')[1] AS m_region,
+       CAST(cardinality(m) AS INT) AS m_card,
+       array_to_string(list_sort(map_keys(m)), ',') AS m_keys,
+       array_to_string(map_values(m), '|') AS m_vals
+FROM t
+"""
+
+
+def q_global_shuffle_shards(spark, sf):
+    """Deterministic global shuffle for training-data ordering: every
+    doc gets an md5 shuffle key; the first 16 bits pick one of 8
+    output shards and the full key orders docs WITHIN the shard. This
+    is the scale-correct corpus shuffle — a seeded permutation with no
+    global sort and no single-partition window: shard assignment is
+    map-only, within-shard order is a local sort per shard. The query
+    surfaces the permutation as per-shard aggregates (count, content
+    checksum, key range, head doc via min_by) so the oracle pins both
+    the partitioning and the order head exactly."""
+    d = _t(spark, sf, "documents")
+    h = F.md5(F.concat(F.lit("shuffle|"), F.col("doc_id").cast("string")))
+    shard = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 8
+    keyed = d.select(
+        shard.alias("shard"), h.alias("h"), "doc_id", "n_chars"
+    )
+    return keyed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("h").alias("first_key"),
+        F.max("h").alias("last_key"),
+        F.min_by("doc_id", "h").alias("head_doc"),
+    )
+
+
+SQL_GLOBAL_SHUFFLE = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         md5('shuffle|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+b AS (
+  SELECT doc_id, n_chars, h,
+         CAST(concat('0x', substr(h, 1, 4)) AS BIGINT) % 8 AS shard
+  FROM keyed)
+SELECT shard, COUNT(*) AS n_docs, SUM(doc_id) AS sum_doc_id,
+       SUM(n_chars) AS sum_chars,
+       MIN(h) AS first_key, MAX(h) AS last_key,
+       arg_min(doc_id, h) AS head_doc
+FROM b GROUP BY shard
+"""
+
+
+def q_mixture_sample(spark, sf):
+    """Temperature-based domain mixture sampling (the GPT-3/Pile
+    rebalancing rule): oversampled domains are downweighted by
+    keep-rate ∝ n^(alpha-1) with alpha = 0.5, i.e. rate_i =
+    min(1, C/sqrt(chars_i)) — small domains keep everything, big
+    domains are square-root-suppressed. The per-doc keep decision is a
+    deterministic md5-uniform draw (exact dyadic double in [0,1)), and
+    the rule deliberately avoids a cross-domain normalizing SUM of
+    doubles: sqrt and divide are IEEE-correctly-rounded single ops, so
+    the selection is bit-identical on every engine — no
+    float-summation-order dependence in the threshold. Shape at scale:
+    one per-source agg (tiny), broadcast back, map-only filter."""
+    d = _t(spark, sf, "documents")
+    per_src = d.groupBy("source").agg(F.sum("n_chars").alias("src_chars"))
+    rate = F.least(F.lit(1.0), F.lit(40.0) / F.sqrt(F.col("src_chars")))
+    rated = per_src.select("source", "src_chars", rate.alias("rate"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    sel = d.join(F.broadcast(rated), "source").filter(u < F.col("rate"))
+    return sel.groupBy("source").agg(
+        F.count("*").alias("n_selected"),
+        F.sum("n_chars").alias("sel_chars"),
+        F.round(F.first("rate"), 6).alias("keep_rate"),
+    )
+
+
+SQL_MIXTURE_SAMPLE = """
+WITH per_src AS (
+  SELECT source, SUM(n_chars) AS src_chars FROM documents GROUP BY 1),
+rated AS (
+  SELECT source, LEAST(1.0, 40.0 / sqrt(src_chars)) AS rate FROM per_src),
+drawn AS (
+  SELECT d.source, d.n_chars, r.rate,
+         CAST(concat('0x', substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) / 4294967296.0 AS u
+  FROM documents d JOIN rated r USING (source))
+SELECT source, COUNT(*) AS n_selected, SUM(n_chars) AS sel_chars,
+       ROUND(ANY_VALUE(rate), 6) AS keep_rate
+FROM drawn WHERE u < rate GROUP BY source
+"""
+
+
+def q_dedup_survivors(spark, sf):
+    """The end product of near-dup dedup: the surviving corpus. Every
+    doc in an LSH cluster except its canonical (min-doc_id) member is
+    dropped; singletons survive untouched. Consumes the shared
+    persisted pairs stage (same cache as dedup_minhash_lsh /
+    dedup_clusters), so the marginal cost is one anti-join — the
+    victim list is tiny relative to the corpus, so Spark broadcasts
+    it. Output: per-source survivor counts + kept chars (the dedup'd
+    dataset card)."""
+    d = _t(spark, sf, "documents")
+    clusters = D.cluster_pairs(
+        _minhash_verified_pairs(spark, sf).select("doc_a", "doc_b")
+    )
+    victims = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    survivors = d.join(victims, "doc_id", "left_anti")
+    return survivors.groupBy("source").agg(
+        F.count("*").alias("n_survivors"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
+SQL_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE lsh_pairs AS ({SQL_MINHASH_LSH}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+  UNION
+  SELECT doc_b, doc_a FROM lsh_pairs),
+closure(n, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT c.n, e.b FROM closure c JOIN edges e ON e.a = c.r),
+clusters AS (
+  SELECT n AS doc_id, MIN(r) AS cluster_id FROM closure GROUP BY 1),
+victims AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+SELECT source, COUNT(*) AS n_survivors, SUM(n_chars) AS kept_chars
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM victims v WHERE v.doc_id = d.doc_id)
+GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4566,11 +5087,28 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "events_zorder_stats": (q_events_zorder_stats, SQL_EVENTS_ZORDER),
     "events_quantile_sketch": (q_events_quantile_sketch, SQL_EVENTS_QUANTILE),
+    # event analytics (round 2 batch 3): funnel / cohort / EWMA
+    "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
+    "events_cohort_retention": (q_events_cohort_retention, SQL_EVENTS_COHORT),
+    "events_ewma": (q_events_ewma, SQL_EVENTS_EWMA),
+    "join_types_suite": (q_join_types_suite, SQL_JOIN_TYPES),
+    # training-data prep (round 2 batch 3)
+    "global_shuffle_shards": (q_global_shuffle_shards, SQL_GLOBAL_SHUFFLE),
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     # scalar/analytic function-surface parity suites
     "window_functions_suite": (q_window_functions_suite, SQL_WINDOW_FUNCTIONS),
     "string_functions_suite": (q_string_functions_suite, SQL_STRING_FUNCTIONS),
     "array_functions_suite": (q_array_functions_suite, SQL_ARRAY_FUNCTIONS),
     "date_functions_suite": (q_date_functions_suite, SQL_DATE_FUNCTIONS),
+    "math_functions_suite": (q_math_functions_suite, SQL_MATH_FUNCTIONS),
+    "conditional_functions_suite": (
+        q_conditional_functions_suite,
+        SQL_CONDITIONAL_FUNCTIONS,
+    ),
+    "bitwise_functions_suite": (q_bitwise_functions_suite, SQL_BITWISE_FUNCTIONS),
+    "regex_functions_suite": (q_regex_functions_suite, SQL_REGEX_FUNCTIONS),
+    "map_functions_suite": (q_map_functions_suite, SQL_MAP_FUNCTIONS),
     "bpe_merge_step": (q_bpe_merge_step, SQL_BPE_MERGE_STEP),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

@@ -37,6 +37,12 @@ def load_table(
             # integer division — `/` would round-trip through double and
             # lose sub-microsecond precision on 1e18-scale nanos
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
+            # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as
+            # TIMESTAMP_NTZ; with the session pinned to UTC the cast is a
+            # pure type-tag change (same instant, same rendering) and
+            # keeps unix_micros()/long-cast arithmetic working downstream
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
