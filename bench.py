@@ -161,6 +161,15 @@ HEADLINE = [
     "global_shuffle_shards",
     "mixture_sample",
     "dedup_survivors",
+    # batch 4: semantic dedup / importance / CDC / reshape / privacy
+    "semdedup_prune",
+    "dsir_importance",
+    "cdc_merge_upsert",
+    "topk_per_type_salted",
+    "domain_cap_sample",
+    "unpivot_status_metrics",
+    "column_profile_orders",
+    "privacy_k_anonymity",
 ]
 
 

@@ -270,6 +270,66 @@ def lsh_near_dup_pairs(
     return verified.distinct()
 
 
+def semdedup_flags(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = cluster the embedding space, then drop items that
+    are near-duplicates of another item *within the same cluster* —
+    the cross-cluster pairs LSH/all-pairs dedup would also score are
+    deliberately never computed, which is the whole scale trick:
+    pairwise work is O(sum over clusters of |c|^2), not O(N^2).
+
+    Keep policy: deterministic min-id — a vector is ``removed`` iff
+    some same-cluster vector with a smaller id has cosine >= threshold
+    to it (the paper keeps a random representative; min-id makes the
+    operator engine-reproducible and hence oracle-checkable).
+
+    Shape: one broadcast-argmax cluster assignment (no shuffle on the
+    big side), one shuffle into clusters, one BLAS gram matrix per
+    cluster inside ``applyInPandas``. Cluster size is the per-task
+    memory knob — at 100 TB you raise k until the largest cluster's
+    |c| x dim f64 block fits an executor (the paper runs k=50k over
+    LAION embeddings for exactly this reason).
+
+    Returns (id, cluster, removed: boolean).
+    """
+    import numpy as np
+
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    assigned = assign_nearest_centroid(vectors, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.col("assigned_label").alias("__cluster"),
+    )
+
+    def cluster_flags(key, pdf):
+        import pandas as pd  # noqa: PLC0415
+
+        ids = pdf["__id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in pdf["__vec"].iloc[order]]
+        )
+        S_ = (M @ M.T) / np.outer(
+            np.linalg.norm(M, axis=1), np.linalg.norm(M, axis=1)
+        )
+        # removed[j] = any i<j (strictly smaller id) with cos >= t
+        removed = (np.tril(S_ >= threshold, k=-1)).any(axis=1)
+        return pd.DataFrame(
+            {"id": ids, "cluster": key[0], "removed": removed}
+        )
+
+    return assigned.groupBy("__cluster").applyInPandas(
+        cluster_flags, f"id {id_type}, cluster int, removed boolean"
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -4959,6 +4959,458 @@ GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# Round 2 batch 4: semantic dedup, importance resampling, CDC merge,
+# skew-guarded top-k, per-domain caps, reshape / profiling / privacy
+# ---------------------------------------------------------------------------
+
+
+def q_semdedup_prune(spark, sf):
+    """SemDeDup census (similarity.semdedup_flags): cluster the
+    embedding space, drop within-cluster semantic near-dups — pairwise
+    work is O(sum |cluster|^2), never O(N^2); cluster count is the
+    per-task memory knob at 100 TB. Keep policy is deterministic
+    min-id, so the oracle reproduces the exact removal set."""
+    e = _t(spark, sf, "embeddings")
+    cents = S.label_centroids(e)
+    flags = S.semdedup_flags(e, cents, threshold=0.4)
+    return flags.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        F.count_if(F.col("removed")).alias("n_removed"),
+        F.count_if(~F.col("removed")).alias("n_kept"),
+    )
+
+
+SQL_SEMDEDUP = """
+WITH comp AS (
+  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) t(i)),
+cents AS (
+  SELECT label AS centroid_label, i, AVG(x) AS m FROM comp GROUP BY 1, 2),
+dots AS (
+  SELECT c.vec_id, ct.centroid_label,
+         SUM(c.x * ct.m) AS dot,
+         SQRT(SUM(c.x * c.x)) AS nv,
+         SQRT(SUM(ct.m * ct.m)) AS nc
+  FROM comp c JOIN cents ct ON c.i = ct.i
+  GROUP BY 1, 2),
+assigned AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, centroid_label AS cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot / (nv * nc) DESC, centroid_label) AS rn
+    FROM dots) WHERE rn = 1),
+pair_cos AS (
+  SELECT a.cluster, b.vec_id AS vb,
+         SUM(ca.x * cb.x)
+           / (SQRT(SUM(ca.x * ca.x)) * SQRT(SUM(cb.x * cb.x))) AS cos
+  FROM assigned a
+  JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN comp ca ON ca.vec_id = a.vec_id
+  JOIN comp cb ON cb.vec_id = b.vec_id AND cb.i = ca.i
+  GROUP BY a.cluster, a.vec_id, b.vec_id),
+removed AS (
+  SELECT DISTINCT cluster, vb AS vec_id FROM pair_cos WHERE cos >= 0.4)
+SELECT a.cluster, COUNT(*) AS n_vectors,
+       COUNT(r.vec_id) AS n_removed,
+       COUNT(*) - COUNT(r.vec_id) AS n_kept
+FROM assigned a LEFT JOIN removed r
+  ON r.cluster = a.cluster AND r.vec_id = a.vec_id
+GROUP BY 1
+"""
+
+
+DSIR_BUCKETS = 128
+
+
+def q_dsir_importance(spark, sf):
+    """DSIR-style importance weights (Xie et al. 2023, hashed n-gram
+    importance resampling): score raw documents by the log-likelihood
+    ratio of a target-domain hashed-bigram LM against the raw-corpus
+    LM — the cheap, trainable-model-free way to upweight target-like
+    data when selecting a pretraining corpus.
+
+    Features are word bigrams hashed to ``DSIR_BUCKETS`` buckets (md5,
+    engine-reproducible). Both bucket censuses are O(buckets) rows —
+    broadcast back; per-doc score = sum c_doc[b] * (ln p_target[b] -
+    ln p_raw[b]), Laplace-smoothed. Corpus-scale cost: one bigram
+    shuffle for the censuses + one per-(doc, bucket) count shuffle.
+    Bigrams come from an in-row zip of the token array with its tail —
+    no window, no positional shuffle."""
+    d = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n - 1).alias("w1"),
+                F.slice(toks, 2, n - 1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(" ", "bg.w1", "bg.w2")), 1, 4), 16, 10
+            ).cast("long")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    target = bg.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count("*").alias("ct")
+    )
+    raw = bg.groupBy("b").agg(F.count("*").alias("cr"))
+    nt = target.agg(F.sum("ct").alias("tt"))
+    nr = raw.agg(F.sum("cr").alias("tr"))
+    # dense bucket grid so smoothing covers never-seen target buckets
+    grid = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
+    feats = (
+        grid.join(target, "b", "left")
+        .join(raw, "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + 1)
+                    / (F.col("tt") + DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.coalesce("cr", F.lit(0)) + 1)
+                    / (F.col("tr") + DSIR_BUCKETS)
+                )
+            ).alias("llr"),
+        )
+    )
+    per_doc = bg.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    return (
+        per_doc.join(F.broadcast(feats), "b")
+        .filter(F.col("doc_id") < 60)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * F.col("llr")), 6).alias("dsir_score"),
+        )
+    )
+
+
+SQL_DSIR = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, lang, toks,
+             unnest(generate_series(1, len(toks) - 1)) AS i FROM t),
+bg AS (SELECT doc_id, lang,
+              CAST(concat('0x',
+                   substr(md5(concat(toks[i], ' ', toks[i + 1])), 1, 4))
+                   AS UBIGINT) % {DSIR_BUCKETS} AS b
+       FROM s),
+target AS (SELECT b, COUNT(*) AS ct FROM bg WHERE lang = 'en' GROUP BY 1),
+raw AS (SELECT b, COUNT(*) AS cr FROM bg GROUP BY 1),
+nt AS (SELECT SUM(ct) AS tt FROM target),
+nr AS (SELECT SUM(cr) AS tr FROM raw),
+grid AS (SELECT unnest(generate_series(0, {DSIR_BUCKETS - 1})) AS b),
+feats AS (
+  SELECT g.b,
+         LN((COALESCE(ct, 0) + 1) * 1.0 / (tt + {DSIR_BUCKETS}))
+       - LN((COALESCE(cr, 0) + 1) * 1.0 / (tr + {DSIR_BUCKETS})) AS llr
+  FROM grid g LEFT JOIN target ON target.b = g.b LEFT JOIN raw ON raw.b = g.b
+  CROSS JOIN nt CROSS JOIN nr),
+per_doc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(c * llr), 6) AS dsir_score
+FROM per_doc JOIN feats ON feats.b = per_doc.b
+WHERE doc_id < 60
+GROUP BY 1
+"""
+
+
+def q_cdc_merge_upsert(spark, sf):
+    """CDC upsert (MERGE INTO semantics): base snapshot = latest event
+    per user before the cutoff; update batch = events on/after it;
+    merged = updated users take their newest update, untouched users
+    keep the base row — the full-outer coalesce computes exactly WHEN
+    MATCHED UPDATE / WHEN NOT MATCHED INSERT. Latest-row extraction is
+    a per-user window on each side (hash shuffle on user_id; both
+    sides share the partitioning, so AQE plans one exchange each)."""
+    ev = _t(spark, sf, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "value")
+        )
+
+    base = latest(ev.filter(F.col("ts") < cutoff)).select(
+        "user_id",
+        F.col("event_type").alias("b_type"),
+        F.col("value").alias("b_value"),
+    )
+    upd = latest(ev.filter(F.col("ts") >= cutoff)).select(
+        "user_id",
+        F.col("event_type").alias("u_type"),
+        F.col("value").alias("u_value"),
+    )
+    return base.join(upd, "user_id", "full_outer").select(
+        "user_id",
+        F.coalesce("u_type", "b_type").alias("final_type"),
+        F.round(F.coalesce("u_value", "b_value"), 4).alias("final_value"),
+        F.col("u_type").isNotNull().alias("was_updated"),
+    )
+
+
+SQL_CDC_MERGE = """
+WITH base AS (
+  SELECT user_id, event_type AS b_type, value AS b_value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-16') WHERE rn = 1),
+upd AS (
+  SELECT user_id, event_type AS u_type, value AS u_value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-16') WHERE rn = 1)
+SELECT COALESCE(b.user_id, u.user_id) AS user_id,
+       COALESCE(u_type, b_type) AS final_type,
+       ROUND(COALESCE(u_value, b_value), 4) AS final_value,
+       u_type IS NOT NULL AS was_updated
+FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id
+"""
+
+
+def q_topk_per_type_salted(spark, sf):
+    """Skew-guarded per-group top-k. A naive window
+    ``partitionBy(group)`` puts every row of a hot group in ONE task —
+    the classic top-k straggler. Two phases instead: (1) per-
+    (group, salt) partial top-k, giving 16-way parallelism on the
+    hottest group; (2) final rank over the <= 16*k survivors per
+    group. Identical to the single-window answer because the global
+    top-k is contained in the union of per-salt top-ks (top-k is
+    merge-composable). Salt is content-derived (hash of the unique
+    id), so the plan is deterministic end-to-end."""
+    k = 3
+    ev = _t(spark, sf, "events")
+    salted = ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(16)))
+    w1 = Window.partitionBy("event_type", "salt").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    w2 = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    partial = salted.withColumn("prn", F.row_number().over(w1)).filter(
+        F.col("prn") <= k
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "event_type",
+            F.col("rank").cast("int").alias("rank"),
+            "event_id",
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
+SQL_TOPK_SALTED = """
+SELECT event_type, CAST(rank AS INTEGER) AS rank, event_id,
+       ROUND(value, 4) AS value
+FROM (SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rank
+      FROM events)
+WHERE rank <= 3
+"""
+
+
+def q_domain_cap_sample(spark, sf):
+    """Per-domain quota sampling: keep the first ``cap`` docs per
+    source in deterministic md5 order (the per-domain cap every corpus
+    mixer applies before weighting). Ranking is hierarchical — the
+    same two-level decomposition as sequence_packing: intra-rank
+    within (source, first-hex-digit bucket) plus per-bucket count
+    offsets. Because the bucket is a *prefix* of the sort key,
+    bucket-major order equals global md5 order exactly, and no source
+    ever serializes into a single task."""
+    cap = 10
+    d = _t(spark, sf, "documents")
+    d = d.withColumn("h", F.md5(F.col("doc_id").cast("string"))).withColumn(
+        "bkt", F.substring("h", 1, 1)
+    )
+    w_intra = Window.partitionBy("source", "bkt").orderBy("h", "doc_id")
+    totals = d.groupBy("source", "bkt").agg(F.count("*").alias("n"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "source", "bkt", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off")
+    )
+    return (
+        d.withColumn("ir", F.row_number().over(w_intra))
+        .join(F.broadcast(offsets), ["source", "bkt"])
+        .withColumn("rk", (F.col("ir") + F.col("off")).cast("int"))
+        .filter(F.col("rk") <= cap)
+        .select("source", "doc_id", "rk")
+    )
+
+
+SQL_DOMAIN_CAP = """
+SELECT source, doc_id, CAST(rk AS INTEGER) AS rk
+FROM (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents)
+WHERE rk <= 10
+"""
+
+
+def q_unpivot_status_metrics(spark, sf):
+    """Wide->long reshape (UNPIVOT / melt) over a per-status metric
+    table: the inverse of pivot, completing the reshape surface. The
+    wide aggregate is exact (decimal sums, division before the final
+    round), the unpivot itself is a zero-shuffle in-row expand."""
+    o = _t(spark, sf, "orders")
+    total = F.sum(_dec("o_totalprice"))
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        total.cast("double").alias("total_price"),
+        F.round(total.cast("double") / F.count("*"), 4).alias("avg_price"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["n_orders", "total_price", "avg_price"],
+        "metric",
+        "value",
+    )
+
+
+SQL_UNPIVOT_METRICS = """
+WITH wide AS (
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*), 4) AS avg_price
+  FROM orders GROUP BY 1)
+SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL
+SELECT o_orderstatus, 'total_price', total_price FROM wide
+UNION ALL
+SELECT o_orderstatus, 'avg_price', avg_price FROM wide
+"""
+
+
+def q_column_profile(spark, sf):
+    """Single-pass column profiler (the data-quality/ingest-audit
+    surface): per column null count, exact distinct count, numeric
+    min/max — ONE scan, one aggregate (Catalyst expands the multiple
+    distincts through a single Expand), then an in-row struct-array
+    explode reshapes wide->long. Profiling 100 TB must not scan once
+    per column; this plan reads the table exactly once."""
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    o = _t(spark, sf, "orders")
+    aggs = []
+    for c in num_cols + str_cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+    for c in num_cols:
+        aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+        aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+    row = o.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            (
+                F.col(f"{c}__min") if c in num_cols else F.lit(None).cast("double")
+            ).alias("min_num"),
+            (
+                F.col(f"{c}__max") if c in num_cols else F.lit(None).cast("double")
+            ).alias("max_num"),
+        )
+        for c in num_cols + str_cols
+    ]
+    return row.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+
+
+SQL_COLUMN_PROFILE = """
+SELECT 'o_orderkey' AS col_name,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+       CAST(MAX(o_orderkey) AS DOUBLE) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+       CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM orders
+"""
+
+
+def q_privacy_k_anonymity(spark, sf):
+    """k-anonymity audit over a quasi-identifier (event_type, day):
+    groups smaller than k are re-identification risks — the privacy
+    gate a dataset release pipeline runs. Two-level aggregation: the
+    grain count shuffles on the quasi-id, the audit rollup is a tiny
+    second shuffle."""
+    k = 60
+    ev = _t(spark, sf, "events")
+    groups = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    return groups.groupBy("event_type").agg(
+        F.count("*").alias("n_groups"),
+        F.count_if(F.col("n") < k).alias("n_small_groups"),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_at_risk"),
+    )
+
+
+SQL_K_ANONYMITY = """
+WITH groups AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, COUNT(*) AS n_groups,
+       COUNT(*) FILTER (WHERE n < 60) AS n_small_groups,
+       CAST(COALESCE(SUM(CASE WHEN n < 60 THEN n ELSE 0 END), 0) AS BIGINT)
+         AS rows_at_risk
+FROM groups GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -5110,6 +5562,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "regex_functions_suite": (q_regex_functions_suite, SQL_REGEX_FUNCTIONS),
     "map_functions_suite": (q_map_functions_suite, SQL_MAP_FUNCTIONS),
     "bpe_merge_step": (q_bpe_merge_step, SQL_BPE_MERGE_STEP),
+    # round 2 batch 4: semantic dedup / curation / reshape / privacy
+    "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP),
+    "dsir_importance": (q_dsir_importance, SQL_DSIR),
+    "cdc_merge_upsert": (q_cdc_merge_upsert, SQL_CDC_MERGE),
+    "topk_per_type_salted": (q_topk_per_type_salted, SQL_TOPK_SALTED),
+    "domain_cap_sample": (q_domain_cap_sample, SQL_DOMAIN_CAP),
+    "unpivot_status_metrics": (q_unpivot_status_metrics, SQL_UNPIVOT_METRICS),
+    "column_profile_orders": (q_column_profile, SQL_COLUMN_PROFILE),
+    "privacy_k_anonymity": (q_privacy_k_anonymity, SQL_K_ANONYMITY),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     # approximate ANN (rows-only: recall<1 vs exact oracle by design)

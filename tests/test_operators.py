@@ -640,3 +640,34 @@ def test_cms_estimate_never_underestimates(spark):
     per_row = sketch.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
     n = tok.count()
     assert all(r.s == n for r in per_row)
+
+
+def test_semdedup_min_id_policy(spark):
+    """SemDeDup keep policy: within a cluster, a vector is removed iff
+    a smaller-id same-cluster vector sits within the cosine threshold;
+    the smallest member of a duplicate group always survives, and
+    cross-cluster near-dups are never compared."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import similarity as S
+
+    # cluster A around +x: ids 1,2 identical (dup pair), 3 orthogonal-ish
+    # cluster B around +y: id 4 identical to 1 in direction but assigned
+    #   to B's centroid? -> no: build B's vectors near +y so 4,5 are dups
+    vecs = [
+        (1, [1.0, 0.05, 0.0, 0.0]),
+        (2, [1.0, 0.05, 0.0, 0.0]),      # dup of 1 -> removed
+        (3, [0.9, -0.4, 0.1, 0.0]),      # same cluster, far -> kept
+        (4, [0.05, 1.0, 0.0, 0.0]),
+        (5, [0.05, 1.0, 0.0, 0.0]),      # dup of 4 -> removed
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_label int, centroid array<double>",
+    )
+    flags = {
+        r.id: (r.cluster, r.removed)
+        for r in S.semdedup_flags(df, cents, threshold=0.95).collect()
+    }
+    assert flags[1] == (0, False) and flags[2] == (0, True)
+    assert flags[3] == (0, False)
+    assert flags[4] == (1, False) and flags[5] == (1, True)
