@@ -170,6 +170,12 @@ HEADLINE = [
     "unpivot_status_metrics",
     "column_profile_orders",
     "privacy_k_anonymity",
+    # fixed-dim linear algebra: gram scan scales with N; the power
+    # iteration's 8 chained matvec stages are constant scheduling
+    # overhead in local mode (the data is dim^2 rows at any SF)
+    "embedding_gram_matrix",
+    "embedding_power_iteration",
+    "incremental_agg_merge",
 ]
 
 

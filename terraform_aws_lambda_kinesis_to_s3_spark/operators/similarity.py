@@ -383,6 +383,82 @@ def ivf_topk(
     )
 
 
+def gram_matrix(
+    vectors: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Distributed Gram matrix G = X^T X (dim x dim) — the one-pass
+    reduction feeding PCA / power iteration / covariance analysis.
+
+    Each Arrow batch contributes a dim x dim partial product computed
+    with a single BLAS matmul inside ``mapInPandas``; partials reduce
+    through a (i, j)-keyed sum. Shuffle volume is
+    O(partitions * dim^2) rows — independent of N — so the plan is a
+    single corpus scan plus a tiny fixed-size aggregation regardless
+    of scale. (The posexplode x posexplode formulation inflates the
+    corpus dim^2-fold before the shuffle; never do that.)
+    """
+    import numpy as np
+
+    def partials(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            G = M.T @ M
+            ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "partial": G.ravel()}
+            )
+
+    parts = vectors.select(vec_col).mapInPandas(partials, "i int, j int, partial double")
+    return parts.groupBy("i", "j").agg(F.sum("partial").alias("g"))
+
+
+def power_iteration_top_eigvec(
+    gram: DataFrame, dim: int = 64, iters: int = 8
+) -> DataFrame:
+    """Top eigenvector of a (i, j, g) Gram relation by distributed
+    power iteration: v <- normalize(G v), starting from all-ones.
+
+    Each step is one equi-join of the O(dim^2) Gram against the
+    O(dim) vector (Spark broadcasts the vector side), a groupBy-i
+    sum, and a 1-row norm broadcast — the relational formulation of
+    the matvec, so the same loop works when dim^2 no longer fits one
+    machine. Two engines running the SAME fixed iteration agree
+    step-for-step whether or not the iteration has converged, which
+    is what makes an iterative algorithm exactly oracle-checkable.
+
+    Returns (i, v) — the unit-norm iterate after ``iters`` steps.
+    """
+    spark = gram.sparkSession
+    gram = gram.persist()
+    v = spark.range(dim).select(
+        F.col("id").cast("int").alias("j"), F.lit(1.0).alias("v")
+    )
+    # normalization via a single-partition window over the dim-row
+    # iterate (tiny by construction), NOT a 1-row-aggregate cross
+    # join: the cross join would reference the gv subtree twice and
+    # double the logical plan per step — O(2^iters) analysis cost —
+    # while the window keeps lineage growth linear in iters.
+    w_all = Window.partitionBy(F.lit(1))
+    for _ in range(iters):
+        gv = (
+            gram.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).alias("gv"))
+        )
+        v = gv.select(
+            F.col("i").alias("j"),
+            (
+                F.col("gv")
+                / F.sqrt(F.sum(F.col("gv") * F.col("gv")).over(w_all))
+            ).alias("v"),
+        )
+    return v.select(F.col("j").alias("i"), "v")
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.45,

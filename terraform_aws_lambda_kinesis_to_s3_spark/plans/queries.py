@@ -5410,6 +5410,110 @@ FROM groups GROUP BY 1
 """
 
 
+def q_embedding_gram(spark, sf):
+    """Distributed Gram matrix X^T X over the corpus embeddings
+    (similarity.gram_matrix): per-Arrow-batch BLAS partials reduced by
+    a fixed-size (i, j) sum — shuffle volume independent of N. The
+    primitive under PCA / covariance / whitening at 100 TB."""
+    e = _t(spark, sf, "embeddings")
+    g = S.gram_matrix(e)
+    return g.select("i", "j", F.round("g", 4).alias("g"))
+
+
+SQL_EMBEDDING_GRAM = """
+WITH comp AS (
+  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) t(i))
+SELECT a.i AS i, b.i AS j, ROUND(SUM(a.x * b.x), 4) AS g
+FROM comp a JOIN comp b ON a.vec_id = b.vec_id
+GROUP BY 1, 2
+"""
+
+
+POWER_ITERS = 8
+
+
+def q_embedding_power_iteration(spark, sf):
+    """Top eigenvector of the embedding Gram matrix by distributed
+    power iteration (similarity.power_iteration_top_eigvec) — the
+    second iterative-algorithm representative beside kmeans_lloyd_step.
+    Both engines run the SAME fixed 8-step iteration from the same
+    all-ones start, so the iterate matches exactly whether or not it
+    has converged."""
+    e = _t(spark, sf, "embeddings")
+    v = S.power_iteration_top_eigvec(S.gram_matrix(e), iters=POWER_ITERS)
+    return v.select("i", F.round("v", 6).alias("loading"))
+
+
+def _power_iteration_sql(iters: int) -> str:
+    parts = [
+        """WITH comp AS (
+  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) t(i)),
+g AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS g
+  FROM comp a JOIN comp b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2),
+v0 AS (SELECT unnest(generate_series(0, 63)) AS j, 1.0 AS v)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""gv{t} AS (
+  SELECT g.i, SUM(g.g * v{t - 1}.v) AS gv
+  FROM g JOIN v{t - 1} ON g.j = v{t - 1}.j GROUP BY 1),
+n{t} AS (SELECT SQRT(SUM(gv * gv)) AS n FROM gv{t}),
+v{t} AS (SELECT i AS j, gv / n AS v FROM gv{t} CROSS JOIN n{t})"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT j AS i, ROUND(v, 6) AS loading FROM v{iters}"
+    )
+
+
+SQL_POWER_ITERATION = _power_iteration_sql(POWER_ITERS)
+
+
+def q_incremental_agg_merge(spark, sf):
+    """Incremental materialized-aggregate maintenance: yesterday's
+    per-type state (count, sum) merges with today's delta by algebraic
+    combination — count/sum/avg form a commutative monoid, so the
+    merged state equals the full recompute WITHOUT rescanning history.
+    At 100 TB this is the difference between touching one day and
+    touching the lake; the oracle IS the full recompute, pinning the
+    equivalence. Derived metrics (avg) come off the merged state, never
+    averaged across partials."""
+    ev = _t(spark, sf, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+
+    def state(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.sum(_dec("value")).alias("s")
+        )
+
+    base = state(ev.filter(F.col("ts") < cutoff))
+    delta = state(ev.filter(F.col("ts") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("s").cast("double").alias("total_value"),
+        F.round(F.col("s").cast("double") / F.col("n"), 4).alias("avg_value"),
+    )
+
+
+SQL_INCREMENTAL_AGG = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4)
+         AS avg_value
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5571,6 +5675,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "unpivot_status_metrics": (q_unpivot_status_metrics, SQL_UNPIVOT_METRICS),
     "column_profile_orders": (q_column_profile, SQL_COLUMN_PROFILE),
     "privacy_k_anonymity": (q_privacy_k_anonymity, SQL_K_ANONYMITY),
+    "embedding_gram_matrix": (q_embedding_gram, SQL_EMBEDDING_GRAM),
+    "embedding_power_iteration": (
+        q_embedding_power_iteration,
+        SQL_POWER_ITERATION,
+    ),
+    "incremental_agg_merge": (q_incremental_agg_merge, SQL_INCREMENTAL_AGG),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     # approximate ANN (rows-only: recall<1 vs exact oracle by design)

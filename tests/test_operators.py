@@ -671,3 +671,26 @@ def test_semdedup_min_id_policy(spark):
     assert flags[1] == (0, False) and flags[2] == (0, True)
     assert flags[3] == (0, False)
     assert flags[4] == (1, False) and flags[5] == (1, True)
+
+
+def test_power_iteration_converges_to_top_eigvec(spark):
+    """Power iteration on a synthetic Gram matrix with a dominant
+    eigenvalue converges to numpy's top eigenvector (|cos| > 0.999
+    after a few steps) — semantic correctness beyond engine parity."""
+    import numpy as np
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import similarity as S
+
+    rng = [((i * 2654435761) % 1000) / 1000.0 - 0.5 for i in range(8 * 40)]
+    X = np.array(rng).reshape(40, 8)
+    X[:, 0] += 3.0  # plant a dominant direction
+    G = X.T @ X
+    gram = spark.createDataFrame(
+        [(i, j, float(G[i, j])) for i in range(8) for j in range(8)],
+        "i int, j int, g double",
+    )
+    v = S.power_iteration_top_eigvec(gram, dim=8, iters=12)
+    got = np.array([r.v for r in v.orderBy("i").collect()])
+    evals, evecs = np.linalg.eigh(G)
+    top = evecs[:, np.argmax(evals)]
+    assert abs(float(got @ top)) > 0.999

@@ -44,6 +44,10 @@ BNLJ_OK = {
     "graph_triangle_parts_capped",
     # 1-row argmax pair broadcast into the vocab-sized merge
     "bpe_merge_step",
+    # K-centroid broadcast argmax feeding the per-cluster gram verify
+    "semdedup_prune",
+    # two 1-row LM-total broadcasts (target + raw denominators)
+    "dsir_importance",
 }
 
 
