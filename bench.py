@@ -176,6 +176,10 @@ HEADLINE = [
     "embedding_gram_matrix",
     "embedding_power_iteration",
     "incremental_agg_merge",
+    "events_anomaly_mad",
+    "orders_yoy_growth",
+    "market_basket_pairs",
+    "embedding_pq_codes",
 ]
 
 

@@ -5514,6 +5514,235 @@ FROM events GROUP BY 1
 """
 
 
+def q_events_anomaly_mad(spark, sf):
+    """Robust anomaly detection via median/MAD (the outlier gate that
+    survives heavy tails, unlike z-scores whose mean/std are themselves
+    dragged by the outliers). Two tiny per-type statistic passes —
+    median, then median absolute deviation — each broadcast back onto
+    the stream; the flag is |x - med| > 3 * 1.4826 * MAD (the Gaussian
+    consistency constant). Three scans of the fact at 100 TB collapse
+    to two if the source is cached; the statistic tables are O(types)."""
+    ev = _t(spark, sf, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.round(F.first("med"), 4).alias("median"),
+        F.round(F.first("mad"), 4).alias("mad"),
+        F.count_if(F.col("dev") > 3 * 1.4826 * F.col("mad")).alias("n_outliers"),
+    )
+
+
+SQL_EVENTS_MAD = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1),
+dev AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS dev, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type),
+mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+  FROM dev GROUP BY 1)
+SELECT d.event_type, ROUND(MIN(d.med), 4) AS median,
+       ROUND(MIN(a.mad), 4) AS mad,
+       COUNT(*) FILTER (WHERE d.dev > 3 * 1.4826 * a.mad) AS n_outliers
+FROM dev d JOIN mad a ON d.event_type = a.event_type
+GROUP BY 1
+"""
+
+
+def q_orders_yoy_growth(spark, sf):
+    """Year-over-year revenue growth: the fact scan reduces to one row
+    per year (exact decimal sums), then lag/percent-change runs as a
+    window over the tiny aggregate — the heavy lifting is a single
+    map-side-combinable groupBy; the window never sees the fact."""
+    o = _t(spark, sf, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue")
+    )
+    w = Window.orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "yr",
+        F.round("revenue", 2).alias("revenue"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("yoy_pct"),
+    )
+
+
+SQL_YOY_GROWTH = """
+WITH yearly AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1)
+SELECT CAST(yr AS INTEGER) AS yr, ROUND(revenue, 2) AS revenue,
+       ROUND((revenue - lag(revenue) OVER (ORDER BY yr))
+             / lag(revenue) OVER (ORDER BY yr) * 100, 4) AS yoy_pct
+FROM yearly
+"""
+
+
+def q_market_basket_pairs(spark, sf):
+    """Market-basket co-occurrence with lift: which part pairs appear
+    in the same order more often than independence predicts. The pair
+    expansion is a self-equi-join on the order key — per-order work is
+    bounded by basket size squared (baskets are small by nature; a
+    document-frequency cap like the n-gram join's guards pathological
+    baskets). Lift joins two per-part order counts and a 1-row total;
+    global top-15 is TakeOrderedAndProject, never a single-partition
+    window."""
+    li = _t(spark, sf, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    part_orders = baskets.groupBy(F.col("l_partkey")).agg(
+        F.count("*").alias("c")
+    )
+    n_orders = baskets.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n")
+    )
+    scored = (
+        pairs.join(
+            part_orders.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca")),
+            "pa",
+        )
+        .join(
+            part_orders.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb")),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(F.col("c_ab") * F.col("n") / (F.col("ca") * F.col("cb")), 4).alias(
+                "lift"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("c_ab").desc(), F.col("lift").desc(), "pa", "pb"
+    ).limit(15)
+
+
+SQL_MARKET_BASKET = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS c_ab
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+part_orders AS (SELECT l_partkey, COUNT(*) AS c FROM baskets GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets)
+SELECT pa, pb, CAST(c_ab AS BIGINT) AS c_ab,
+       ROUND(c_ab * n.n * 1.0 / (ca.c * cb.c), 4) AS lift
+FROM pairs
+JOIN part_orders ca ON ca.l_partkey = pairs.pa
+JOIN part_orders cb ON cb.l_partkey = pairs.pb
+CROSS JOIN n
+ORDER BY c_ab DESC, lift DESC, pa, pb LIMIT 15
+"""
+
+
+PQ_SUBSPACES = 8  # 64 dims -> 8 subspaces of 8 dims
+PQ_CODES = 4  # labels 0..3 provide the deterministic codebook
+
+
+def q_embedding_pq_codes(spark, sf):
+    """Product quantization (the ANN compression IVF-PQ builds on):
+    split the 64-dim space into 8 subspaces, quantize each sub-vector
+    to its nearest sub-codebook entry — 64 floats become 8 small
+    codes. The codebook here is the label-mean centroids of labels
+    0..3 restricted to each subspace (deterministic, so the code
+    assignment is exactly oracle-checkable; a production codebook
+    would come from per-subspace k-means — kmeans_lloyd_step is that
+    training loop). Assignment is a broadcast join on (subspace) plus
+    an in-row argmin — one narrow pass over the vectors."""
+    e = _t(spark, sf, "embeddings")
+    cents = S.label_centroids(e.filter(F.col("label") < PQ_CODES))
+    width = 64 // PQ_SUBSPACES
+    sub_cents = cents.select(
+        F.col("centroid_label").alias("code"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("centroid", s * width + 1, width).alias("cv"),
+                    )
+                    for s in range(PQ_SUBSPACES)
+                ]
+            )
+        ).alias("sc"),
+    ).select("code", F.col("sc.s").alias("s"), F.col("sc.cv").alias("cv"))
+    sub_vecs = e.filter(F.col("vec_id") < 40).select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        S._as_double(
+                            F.slice("embedding", s * width + 1, width)
+                        ).alias("sv"),
+                    )
+                    for s in range(PQ_SUBSPACES)
+                ]
+            )
+        ).alias("sv"),
+    ).select("vec_id", F.col("sv.s").alias("s"), F.col("sv.sv").alias("sv"))
+    dist = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = sub_vecs.join(F.broadcast(sub_cents), "s").withColumn("d2", dist)
+    w = Window.partitionBy("vec_id", "s").orderBy(F.col("d2").asc(), F.col("code").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("s").alias("subspace"), F.col("code").alias("code"))
+    )
+
+
+SQL_PQ_CODES = f"""
+WITH comp AS (
+  SELECT vec_id, label, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) t(i)),
+cents AS (
+  SELECT label AS code, i, AVG(x) AS m
+  FROM comp WHERE label < {PQ_CODES} GROUP BY 1, 2),
+dists AS (
+  SELECT c.vec_id, c.i // {64 // PQ_SUBSPACES} AS s, ct.code,
+         SUM((c.x - ct.m) * (c.x - ct.m)) AS d2
+  FROM comp c JOIN cents ct ON c.i = ct.i
+  WHERE c.vec_id < 40
+  GROUP BY 1, 2, 3)
+SELECT vec_id, CAST(s AS INTEGER) AS subspace, code
+FROM (SELECT vec_id, s, code,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2 ASC, code ASC) AS rn
+      FROM dists)
+WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5681,6 +5910,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_POWER_ITERATION,
     ),
     "incremental_agg_merge": (q_incremental_agg_merge, SQL_INCREMENTAL_AGG),
+    "events_anomaly_mad": (q_events_anomaly_mad, SQL_EVENTS_MAD),
+    "orders_yoy_growth": (q_orders_yoy_growth, SQL_YOY_GROWTH),
+    "market_basket_pairs": (q_market_basket_pairs, SQL_MARKET_BASKET),
+    "embedding_pq_codes": (q_embedding_pq_codes, SQL_PQ_CODES),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     # approximate ANN (rows-only: recall<1 vs exact oracle by design)

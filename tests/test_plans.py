@@ -48,6 +48,8 @@ BNLJ_OK = {
     "semdedup_prune",
     # two 1-row LM-total broadcasts (target + raw denominators)
     "dsir_importance",
+    # 1-row basket-count broadcast (the lift denominator)
+    "market_basket_pairs",
 }
 
 
