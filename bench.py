@@ -180,6 +180,12 @@ HEADLINE = [
     "orders_yoy_growth",
     "market_basket_pairs",
     "embedding_pq_codes",
+    "events_throttle_first",
+    "rrf_fusion",
+    "ordered_string_agg",
+    "type_user_overlap",
+    "ab_test_welch",
+    "multimodal_meta_audit",
 ]
 
 

@@ -5660,6 +5660,326 @@ ORDER BY c_ab DESC, lift DESC, pa, pb LIMIT 15
 """
 
 
+def q_events_throttle_first(spark, sf):
+    """Keep-first throttling: one event per (user, 5-minute window) —
+    the rate-limit / debounce primitive of telemetry ingestion (the
+    batch analog of streaming dropDuplicatesWithinWatermark keyed on
+    (user, window)). Window ids are integer epoch arithmetic, so both
+    engines bucket identically; kept = row_number 1 by (ts, event_id).
+    One hash shuffle on (user, window); cardinality bounds state."""
+    ev = _t(spark, sf, "events")
+    wnd = F.floor(F.unix_micros("ts") / F.lit(300_000_000)).alias("wnd")
+    w = Window.partitionBy("user_id", "wnd").orderBy("ts", "event_id")
+    kept = (
+        ev.select("event_id", "user_id", "event_type", "ts", wnd)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("kept", F.col("rn") == 1)
+    )
+    return kept.groupBy("event_type").agg(
+        F.count_if(F.col("kept")).alias("n_kept"),
+        F.count_if(~F.col("kept")).alias("n_throttled"),
+    )
+
+
+SQL_THROTTLE_FIRST = """
+WITH ranked AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 300000000
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT event_type,
+       COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+       COUNT(*) FILTER (WHERE rn > 1) AS n_throttled
+FROM ranked GROUP BY 1
+"""
+
+
+def q_ordered_string_agg(spark, sf):
+    """Deterministic ordered string aggregation (LISTAGG/string_agg
+    parity): per region, the sorted '|'-joined nation list. Spark has
+    no ordered aggregate, so the guarantee comes from sorting INSIDE
+    the row after collect_list — array_sort is a per-group in-row op,
+    immune to shuffle arrival order (collect_list alone is not)."""
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias(
+                "nations"
+            ),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+SQL_ORDERED_STRING_AGG = """
+SELECT r_name, string_agg(n_name, '|' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
+def q_type_user_overlap(spark, sf):
+    """Audience-overlap matrix: for each event-type pair, the Jaccard
+    of their user sets — the 'same users?' question behind
+    cannibalization and funnel design. Inverted-index shape: the
+    distinct (type, user) relation joins itself on user (never a
+    users x users product); per-type set sizes broadcast back onto
+    the tiny pair table."""
+    ev = _t(spark, sf, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = tu.select(F.col("event_type").alias("ta"), "user_id")
+    b = tu.select(F.col("event_type").alias("tb"), "user_id")
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        both.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))),
+            "ta",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("tb"), F.col("n").alias("nb"))),
+            "tb",
+        )
+        .select(
+            "ta",
+            "tb",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both") / (F.col("na") + F.col("nb") - F.col("n_both")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_TYPE_USER_OVERLAP = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1),
+ovl AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n_both
+  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT ta, tb, CAST(n_both AS BIGINT) AS n_both,
+       ROUND(n_both * 1.0 / (sa.n + sb.n - n_both), 4) AS jaccard
+FROM ovl
+JOIN sizes sa ON sa.event_type = ovl.ta
+JOIN sizes sb ON sb.event_type = ovl.tb
+"""
+
+
+def q_ab_test_welch(spark, sf):
+    """Welch's t-test between two event-type value distributions —
+    the A/B-readout primitive. Everything reduces to six sufficient
+    statistics (n, mean, variance per arm) in ONE map-side-combinable
+    pass; the t statistic and Welch–Satterthwaite df are closed-form
+    arithmetic on that 2-row table. Variance is computed from raw
+    moments (sum, sum of squares) in exact decimal, so both engines
+    agree bit-for-bit before the final rounding."""
+    ev = _t(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(_dec("value")).cast("double").alias("s"),
+        F.sum(_dec("value") * _dec("value")).cast("double").alias("ss"),
+    )
+    a = stats.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("ss").alias("ssa")
+    )
+    b = stats.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("ss").alias("ssb")
+    )
+    j = a.crossJoin(b)
+    ma, mb = F.col("sa") / F.col("na"), F.col("sb") / F.col("nb")
+    va = (F.col("ssa") - F.col("sa") * F.col("sa") / F.col("na")) / (F.col("na") - 1)
+    vb = (F.col("ssb") - F.col("sb") * F.col("sb") / F.col("nb")) / (F.col("nb") - 1)
+    sea, seb = va / F.col("na"), vb / F.col("nb")
+    t = (ma - mb) / F.sqrt(sea + seb)
+    df = (sea + seb) * (sea + seb) / (
+        sea * sea / (F.col("na") - 1) + seb * seb / (F.col("nb") - 1)
+    )
+    return j.select(
+        F.round(ma - mb, 4).alias("mean_diff"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 2).alias("welch_df"),
+        F.col("na").cast("long").alias("n_click"),
+        F.col("nb").cast("long").alias("n_view"),
+    )
+
+
+SQL_AB_TEST_WELCH = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+              AS DOUBLE) AS ss
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+j AS (
+  SELECT a.n AS na, a.s AS sa, a.ss AS ssa, b.n AS nb, b.s AS sb, b.ss AS ssb
+  FROM (SELECT * FROM stats WHERE event_type = 'click') a
+  CROSS JOIN (SELECT * FROM stats WHERE event_type = 'view') b),
+d AS (
+  SELECT sa / na - sb / nb AS md,
+         (ssa - sa * sa / na) / (na - 1) / na AS sea,
+         (ssb - sb * sb / nb) / (nb - 1) / nb AS seb,
+         na, nb
+  FROM j)
+SELECT ROUND(md, 4) AS mean_diff,
+       ROUND(md / SQRT(sea + seb), 4) AS t_stat,
+       ROUND((sea + seb) * (sea + seb)
+             / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 2) AS welch_df,
+       CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_view
+FROM d
+"""
+
+
+def q_multimodal_meta_audit(spark, sf):
+    """Oracle-checked audit of the full multimodal plumbing: blobs
+    through extract_features (n_bytes), resize_media (fixed 8x8
+    thumbnails), and sample_frames (4 equal chunks) — all three
+    mapInPandas kernels — then per-source byte accounting. The stub
+    kernels are deterministic byte arithmetic, so DuckDB reproduces
+    every total from strlen alone: thumbnails are exactly 64 bytes,
+    and the 4 frame slices are each n_bytes // 4 (slices are bounded
+    by 4 * (n // 4) <= n, so no tail/fallback path fires for n >= 4).
+    This pins the plumbing invariants (batch shapes, per-row fan-out,
+    binary round-trip) with an exact cross-engine check even though
+    the real codecs are stubbed."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        attach_media,
+        extract_features,
+        resize_media,
+        sample_frames,
+    )
+
+    d = _t(spark, sf, "documents")
+    media = attach_media(d)
+    feats = extract_features(media).select("doc_id", "n_bytes")
+    thumbs = resize_media(media).select(
+        "doc_id", F.octet_length("thumb").alias("tb")
+    )
+    frames = (
+        sample_frames(media)
+        .groupBy("doc_id")
+        .agg(F.sum(F.octet_length("frame")).alias("fb"))
+    )
+    joined = (
+        d.select("doc_id", "source")
+        .join(feats, "doc_id")
+        .join(thumbs, "doc_id")
+        .join(frames, "doc_id")
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("sum_bytes"),
+        F.sum("fb").cast("long").alias("sum_frame_bytes"),
+        F.sum("tb").cast("long").alias("sum_thumb_bytes"),
+    )
+
+
+SQL_MULTIMODAL_AUDIT = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes,
+       CAST(SUM(4 * (strlen(text) // 4)) AS BIGINT) AS sum_frame_bytes,
+       CAST(COUNT(*) * 64 AS BIGINT) AS sum_thumb_bytes
+FROM documents GROUP BY source
+"""
+
+
+RRF_K = 60  # standard reciprocal-rank-fusion dampener
+
+
+def q_rrf_fusion(spark, sf):
+    """Reciprocal rank fusion — the standard hybrid-retrieval merge
+    (Cormack et al. 2009): combine two rankings of the same candidates
+    by summing 1/(k + rank). Here the two views are cosine (direction)
+    and raw dot product (direction x magnitude) against broadcast
+    query vectors; RRF rewards candidates ranked well under EITHER
+    scoring without comparing incomparable scores. Both rankings and
+    the fusion are per-query windows over the same scored scan — one
+    broadcast join, no rescoring."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    v = e.select(F.col("vec_id").alias("nn_id"), F.col("embedding").alias("vv"))
+    qd, vd = S._as_double(F.col("qv")), S._as_double(F.col("vv"))
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("nn_id") != F.col("query_id"))
+        .withColumn("cos", S.cosine(F.col("qv"), F.col("vv")))
+        .withColumn("dot", S.dot(qd, vd))
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("nn_id")
+    )
+    w_dot = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("nn_id")
+    )
+    fused = (
+        scored.withColumn("r_cos", F.row_number().over(w_cos))
+        .withColumn("r_dot", F.row_number().over(w_dot))
+        .withColumn(
+            "rrf",
+            1.0 / (RRF_K + F.col("r_cos")) + 1.0 / (RRF_K + F.col("r_dot")),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("nn_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "nn_id",
+            F.round("rrf", 6).alias("rrf"),
+        )
+    )
+
+
+SQL_RRF_FUSION = f"""
+WITH comp AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) t(i)),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS nn_id,
+         SUM(cq.x * cv.x)
+           / (SQRT(SUM(cq.x * cq.x)) * SQRT(SUM(cv.x * cv.x))) AS cos,
+         SUM(cq.x * cv.x) AS dot
+  FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+  JOIN comp cq ON cq.vec_id = q.vec_id
+  JOIN comp cv ON cv.vec_id = v.vec_id AND cv.i = cq.i
+  WHERE q.vec_id < 5
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, nn_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id)
+           AS r_cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, nn_id)
+           AS r_dot
+  FROM scored),
+fused AS (
+  SELECT query_id, nn_id,
+         1.0 / ({RRF_K} + r_cos) + 1.0 / ({RRF_K} + r_dot) AS rrf
+  FROM ranked)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, nn_id, ROUND(rrf, 6) AS rrf
+FROM (SELECT query_id, nn_id, rrf,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, nn_id) AS rank
+      FROM fused)
+WHERE rank <= 5
+"""
+
+
 PQ_SUBSPACES = 8  # 64 dims -> 8 subspaces of 8 dims
 PQ_CODES = 4  # labels 0..3 provide the deterministic codebook
 
@@ -5914,6 +6234,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "orders_yoy_growth": (q_orders_yoy_growth, SQL_YOY_GROWTH),
     "market_basket_pairs": (q_market_basket_pairs, SQL_MARKET_BASKET),
     "embedding_pq_codes": (q_embedding_pq_codes, SQL_PQ_CODES),
+    "events_throttle_first": (q_events_throttle_first, SQL_THROTTLE_FIRST),
+    "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
+    "ordered_string_agg": (q_ordered_string_agg, SQL_ORDERED_STRING_AGG),
+    "type_user_overlap": (q_type_user_overlap, SQL_TYPE_USER_OVERLAP),
+    "ab_test_welch": (q_ab_test_welch, SQL_AB_TEST_WELCH),
+    "multimodal_meta_audit": (q_multimodal_meta_audit, SQL_MULTIMODAL_AUDIT),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     # approximate ANN (rows-only: recall<1 vs exact oracle by design)

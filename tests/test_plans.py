@@ -50,6 +50,10 @@ BNLJ_OK = {
     "dsir_importance",
     # 1-row basket-count broadcast (the lift denominator)
     "market_basket_pairs",
+    # tiny broadcast query side scored against the streamed corpus
+    "rrf_fusion",
+    # two 1-row sufficient-statistic sides cross-joined (A/B arms)
+    "ab_test_welch",
 }
 
 
