@@ -186,6 +186,8 @@ HEADLINE = [
     "type_user_overlap",
     "ab_test_welch",
     "multimodal_meta_audit",
+    "user_transition_matrix",
+    "privacy_l_diversity",
 ]
 
 

@@ -5895,6 +5895,96 @@ FROM documents GROUP BY source
 """
 
 
+def q_user_transition_matrix(spark, sf):
+    """Markov transition counts between consecutive event types per
+    user — the path-analysis primitive. Each user's ordered event
+    sequence is assembled ONCE with a sorted in-row collect
+    (array_sort on (ts, event_id, type) structs beats a window: one
+    shuffle, no per-row sort-within-partition pass), then transitions
+    come from zipping the type array with its own tail — in-row, no
+    second shuffle. P(to | from) normalizes over the tiny transition
+    table."""
+    ev = _t(spark, sf, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    types = F.transform("seq", lambda s: s["event_type"])
+    n = F.size(types)
+    trans = seqs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(types, 1, n - 1).alias("from_type"),
+                F.slice(types, 2, n - 1).alias("to_type"),
+            )
+        ).alias("tr")
+    ).select(
+        F.col("tr.from_type").alias("from_type"),
+        F.col("tr.to_type").alias("to_type"),
+    )
+    counts = trans.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_trans")
+    )
+    w = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n_trans").cast("long").alias("n_trans"),
+        F.round(F.col("n_trans") / F.sum("n_trans").over(w), 4).alias("p_cond"),
+    )
+
+
+SQL_USER_TRANSITIONS = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events),
+counts AS (
+  SELECT event_type AS from_type, to_type, COUNT(*) AS n_trans
+  FROM ordered WHERE to_type IS NOT NULL
+  GROUP BY 1, 2)
+SELECT from_type, to_type, CAST(n_trans AS BIGINT) AS n_trans,
+       ROUND(n_trans * 1.0 / SUM(n_trans) OVER (PARTITION BY from_type), 4)
+         AS p_cond
+FROM counts
+"""
+
+
+def q_privacy_l_diversity(spark, sf):
+    """l-diversity audit — k-anonymity's complement: a quasi-id group
+    can be large (k-anonymous) yet still leak if everyone in it shares
+    the same sensitive value. Per (event_type, day) group, count
+    distinct sensitive values (the value decile); groups with fewer
+    than l=3 distinct deciles are flagged. Same two-level aggregation
+    shape as the k-anonymity gate."""
+    ev = _t(spark, sf, "events")
+    decile = F.least(F.floor(F.col("value") / 10), F.lit(9)).alias("decile")
+    groups = ev.select(
+        "event_type", F.to_date("ts").alias("day"), decile
+    ).groupBy("event_type", "day").agg(
+        F.count_distinct("decile").alias("n_sensitive")
+    )
+    return groups.groupBy("event_type").agg(
+        F.count("*").alias("n_groups"),
+        F.count_if(F.col("n_sensitive") < 3).alias("n_low_diversity"),
+        F.min("n_sensitive").cast("long").alias("min_diversity"),
+    )
+
+
+SQL_L_DIVERSITY = """
+WITH groups AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         COUNT(DISTINCT LEAST(FLOOR(value / 10), 9)) AS n_sensitive
+  FROM events GROUP BY 1, 2)
+SELECT event_type, COUNT(*) AS n_groups,
+       COUNT(*) FILTER (WHERE n_sensitive < 3) AS n_low_diversity,
+       CAST(MIN(n_sensitive) AS BIGINT) AS min_diversity
+FROM groups GROUP BY 1
+"""
+
+
 RRF_K = 60  # standard reciprocal-rank-fusion dampener
 
 
@@ -6240,6 +6330,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "type_user_overlap": (q_type_user_overlap, SQL_TYPE_USER_OVERLAP),
     "ab_test_welch": (q_ab_test_welch, SQL_AB_TEST_WELCH),
     "multimodal_meta_audit": (q_multimodal_meta_audit, SQL_MULTIMODAL_AUDIT),
+    "user_transition_matrix": (q_user_transition_matrix, SQL_USER_TRANSITIONS),
+    "privacy_l_diversity": (q_privacy_l_diversity, SQL_L_DIVERSITY),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     # approximate ANN (rows-only: recall<1 vs exact oracle by design)

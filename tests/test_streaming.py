@@ -181,3 +181,86 @@ def test_stream_exact_layout_foreachbatch(spark, tmp_path):
     assert any("/purchase/2024-03/05/" in f for f in files)
     assert any("/click/2024-04/06/" in f for f in files)
     assert not any("log_type=" in f for f in files)  # two-segment reference layout
+
+
+def test_stream_foreachbatch_cdc_upsert(spark, tmp_path):
+    """Streaming CDC upsert: each micro-batch merges into a keyed
+    parquet state table with last-writer-wins (MERGE INTO semantics
+    via full-outer coalesce, the same shape as the batch
+    cdc_merge_upsert operator). After draining two batches — the
+    second updating one key and inserting another — the state holds
+    exactly one row per key with the newest value."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def upsert(batch_df, batch_id):
+        latest = (
+            batch_df.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("k").orderBy(F.col("ts").desc())
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        try:
+            cur = batch_df.sparkSession.read.parquet(state)
+        except Exception:
+            latest.write.mode("overwrite").parquet(state)
+            return
+        upd = latest.select(
+            F.col("k"), F.col("v").alias("uv"), F.col("ts").alias("uts")
+        )
+        merged = (
+            cur.join(upd, "k", "full_outer")
+            .select(
+                "k",
+                F.coalesce("uv", "v").alias("v"),
+                F.coalesce("uts", "ts").alias("ts"),
+            )
+        )
+        # rewrite via a staging temp view to avoid reading+overwriting
+        # the same files in one job
+        merged.cache().count()
+        merged.write.mode("overwrite").parquet(state)
+        merged.unpersist()
+
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write(_json.dumps({"k": "a", "v": 1, "ts": 100}) + "\n")
+        f.write(_json.dumps({"k": "b", "v": 2, "ts": 101}) + "\n")
+
+    schema = "k string, v long, ts long"
+    q = (
+        spark.readStream.schema(schema)
+        .json(src)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        f.write(_json.dumps({"k": "b", "v": 20, "ts": 200}) + "\n")  # update
+        f.write(_json.dumps({"k": "c", "v": 3, "ts": 201}) + "\n")  # insert
+
+    q2 = (
+        spark.readStream.schema(schema)
+        .json(src)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    rows = {r.k: (r.v, r.ts) for r in spark.read.parquet(state).collect()}
+    assert rows == {"a": (1, 100), "b": (20, 200), "c": (3, 201)}
