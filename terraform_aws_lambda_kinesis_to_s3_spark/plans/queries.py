@@ -5862,7 +5862,9 @@ def q_multimodal_meta_audit(spark, sf):
     )
 
     d = _t(spark, sf, "documents")
-    media = attach_media(d)
+    # prune before the mapInPandas kernels: a python-UDF boundary blocks
+    # Catalyst column pruning, so hand it only (doc_id, text)
+    media = attach_media(d.select("doc_id", "text"))
     feats = extract_features(media).select("doc_id", "n_bytes")
     thumbs = resize_media(media).select(
         "doc_id", F.octet_length("thumb").alias("tb")
