@@ -282,3 +282,116 @@ def test_bpe_pretokenizer_lossless_property(spark, text):
         ).alias("rejoined")
     ).collect()[0]
     assert row.rejoined == text
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),        # group (hot: few groups)
+            st.integers(0, 50),       # value (ties likely)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(1, 4),
+)
+def test_salted_topk_equals_plain_window_property(spark, rows, k):
+    """Two-phase salted top-k == single-window top-k on arbitrary data
+    with heavy ties and hot groups (top-k is merge-composable: the
+    global top-k is contained in the union of per-salt top-ks)."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(i, g, float(v)) for i, (g, v) in enumerate(rows)],
+        "event_id long, grp int, value double",
+    )
+    w_plain = Window.partitionBy("grp").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    plain = (
+        df.withColumn("rank", F.row_number().over(w_plain))
+        .filter(F.col("rank") <= k)
+        .select("grp", "rank", "event_id")
+    )
+    salted = df.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(4)))
+    w1 = Window.partitionBy("grp", "salt").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    partial = salted.withColumn("prn", F.row_number().over(w1)).filter(
+        F.col("prn") <= k
+    )
+    two_phase = (
+        partial.withColumn("rank", F.row_number().over(w_plain))
+        .filter(F.col("rank") <= k)
+        .select("grp", "rank", "event_id")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, two_phase.collect())
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),      # user
+            st.integers(0, 1200),   # ts seconds
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+)
+def test_throttle_keeps_exactly_first_per_window_property(spark, events):
+    """Keep-first throttling: every (user, 5-min window) with >= 1
+    event keeps exactly one — its earliest by (ts, event_id)."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(events)],
+        "event_id long, user_id int, secs long",
+    )
+    wnd = F.floor(F.col("secs") / 300).alias("wnd")
+    w = Window.partitionBy("user_id", "wnd").orderBy("secs", "event_id")
+    kept = (
+        df.select("event_id", "user_id", "secs", wnd)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    import collections
+
+    expect = {}
+    for i, (u, t) in enumerate(events):
+        key = (u, t // 300)
+        if key not in expect or (t, i) < expect[key]:
+            expect[key] = (t, i)
+    got = {(r.user_id, r.wnd): (r.secs, r.event_id) for r in kept}
+    assert got == {k: v for k, v in expect.items()}
+
+
+def test_transition_counts_conservation(spark):
+    """Transition conservation: total transitions == sum over users of
+    (n_events - 1) — nothing dropped, nothing double-counted."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import (
+        q_user_transition_matrix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_user_transition_matrix(spark, sf)
+        .agg(F.sum("n_trans"))
+        .collect()[0][0]
+    )
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    per_user = ev.groupBy("user_id").count()
+    want = per_user.agg(F.sum(F.col("count") - 1)).collect()[0][0]
+    assert got == want
