@@ -188,6 +188,8 @@ HEADLINE = [
     "multimodal_meta_audit",
     "user_transition_matrix",
     "privacy_l_diversity",
+    "lsh_eval_pr",
+    "incremental_dedup_check",
 ]
 
 

@@ -5987,6 +5987,123 @@ FROM groups GROUP BY 1
 """
 
 
+def q_lsh_eval_pr(spark, sf):
+    """Recall evaluation of the banded-LSH near-dup path against the
+    exact all-pairs baseline — the eval harness an approximate-dedup
+    rollout needs before trusting the fast path. Both pair sets are
+    deterministic, so precision/recall are exactly oracle-checkable.
+    LSH verifies candidates with the same cosine threshold, so its
+    pairs are a subset of the exact set (precision 1 by construction
+    — asserted by the n_false_pos column); recall is the number the
+    banding parameters trade away."""
+    e = _t(spark, sf, "embeddings")
+    exact = S.cosine_near_dup_pairs(e, threshold=0.45).select("va", "vb").persist()
+    lsh = S.lsh_near_dup_pairs(e, threshold=0.45).select("va", "vb").persist()
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
+    n_hit = lsh.join(exact, ["va", "vb"], "left_semi").agg(
+        F.count("*").alias("n_true_pos")
+    )
+    return (
+        n_exact.crossJoin(n_lsh)
+        .crossJoin(n_hit)
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_lsh").cast("long").alias("n_lsh"),
+            F.col("n_true_pos").cast("long").alias("n_true_pos"),
+            (F.col("n_lsh") - F.col("n_true_pos")).cast("long").alias(
+                "n_false_pos"
+            ),
+            F.round(F.col("n_true_pos") / F.col("n_exact"), 4).alias("recall"),
+        )
+    )
+
+
+def _lsh_eval_sql() -> str:
+    """Compose the eval oracle by splicing the LSH near-dup oracle's
+    CTE chain (its `comp` CTE is reused by the exact-pairs side)."""
+    inner = SQL_LSH_NEAR_DUP.strip()
+    assert inner.startswith("WITH")
+    idx = inner.rindex("\nSELECT")
+    ctes, final = inner[len("WITH") :idx], inner[idx + 1 :]
+    return f"""WITH {ctes},
+lsh_pairs AS ({final}),
+exact_pairs AS (
+  SELECT ca.vid AS va, cb.vid AS vb
+  FROM comp ca JOIN comp cb ON ca.i = cb.i AND ca.vid < cb.vid
+  GROUP BY 1, 2
+  HAVING SUM(ca.x * cb.x)
+           / (SQRT(SUM(ca.x * ca.x)) * SQRT(SUM(cb.x * cb.x))) >= 0.45),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM exact_pairs) AS n_exact,
+         (SELECT COUNT(*) FROM lsh_pairs) AS n_lsh,
+         (SELECT COUNT(*) FROM lsh_pairs l
+          WHERE EXISTS (SELECT 1 FROM exact_pairs e
+                        WHERE e.va = l.va AND e.vb = l.vb)) AS n_true_pos)
+SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_lsh AS BIGINT) AS n_lsh,
+       CAST(n_true_pos AS BIGINT) AS n_true_pos,
+       CAST(n_lsh - n_true_pos AS BIGINT) AS n_false_pos,
+       ROUND(n_true_pos * 1.0 / n_exact, 4) AS recall
+FROM counts"""
+
+
+def q_incremental_dedup_check(spark, sf):
+    """Incremental ingestion dedup: flag arriving documents whose
+    normalized fingerprint already exists in the historical index —
+    the daily-batch version of corpus dedup (the history side is a
+    fingerprint INDEX, O(distinct fingerprints), never the raw
+    corpus). Split is md5-deterministic (~80% history / 20% fresh);
+    the arriving batch additionally replays one history bucket under
+    new doc ids — the re-delivery case the check exists for — so the
+    flag column is exercised on planted true positives. Membership is
+    a left-semi join on the fingerprint."""
+    d = _t(spark, sf, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 5
+    ).alias("bkt")
+    fp = X.fingerprint(F.col("text")).alias("fp")
+    tagged = d.select("doc_id", "source", fp, bucket)
+    history = tagged.filter(F.col("bkt") != 0).select("fp").distinct()
+    replayed = tagged.filter(F.col("bkt") == 1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "fp"
+    )
+    new = tagged.filter(F.col("bkt") == 0).select(
+        "doc_id", "source", "fp"
+    ).unionByName(replayed)
+    dup = new.join(history, "fp", "left_semi").select("doc_id")
+    return (
+        new.join(dup.withColumn("is_dup", F.lit(True)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_new"),
+            F.count_if(F.col("is_dup").isNotNull()).alias("n_already_seen"),
+        )
+    )
+
+
+SQL_INCREMENTAL_DEDUP = r"""
+WITH tagged AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS UBIGINT) % 5 AS bkt
+  FROM documents),
+history AS (SELECT DISTINCT fp FROM tagged WHERE bkt <> 0),
+new_docs AS (
+  SELECT doc_id, source, fp FROM tagged WHERE bkt = 0
+  UNION ALL
+  SELECT doc_id + 1000000, source, fp FROM tagged WHERE bkt = 1)
+SELECT source, COUNT(*) AS n_new,
+       COUNT(*) FILTER (WHERE EXISTS
+         (SELECT 1 FROM history h WHERE h.fp = new_docs.fp))
+         AS n_already_seen
+FROM new_docs GROUP BY 1
+"""
+
+
 RRF_K = 60  # standard reciprocal-rank-fusion dampener
 
 
@@ -6334,6 +6451,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_meta_audit": (q_multimodal_meta_audit, SQL_MULTIMODAL_AUDIT),
     "user_transition_matrix": (q_user_transition_matrix, SQL_USER_TRANSITIONS),
     "privacy_l_diversity": (q_privacy_l_diversity, SQL_L_DIVERSITY),
+    "lsh_eval_pr": (q_lsh_eval_pr, _lsh_eval_sql()),
+    "incremental_dedup_check": (q_incremental_dedup_check, SQL_INCREMENTAL_DEDUP),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     # approximate ANN (rows-only: recall<1 vs exact oracle by design)

@@ -54,6 +54,8 @@ BNLJ_OK = {
     "rrf_fusion",
     # two 1-row sufficient-statistic sides cross-joined (A/B arms)
     "ab_test_welch",
+    # three 1-row pair-count aggregates cross-joined (eval summary)
+    "lsh_eval_pr",
 }
 
 
