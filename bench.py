@@ -190,6 +190,7 @@ HEADLINE = [
     "privacy_l_diversity",
     "lsh_eval_pr",
     "incremental_dedup_check",
+    "quality_logreg_train",
 ]
 
 

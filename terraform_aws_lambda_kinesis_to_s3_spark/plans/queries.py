@@ -6104,6 +6104,100 @@ FROM new_docs GROUP BY 1
 """
 
 
+LOGREG_ITERS = 10
+LOGREG_LR = 1.0
+
+
+def q_quality_logreg_train(spark, sf):
+    """Trainable quality classifier: logistic regression by full-batch
+    gradient descent, entirely in DataFrame ops — the third iterative-
+    algorithm representative (beside kmeans_lloyd_step and power
+    iteration) and the shape of every 'train a cheap fasttext-style
+    filter on the corpus' pipeline step.
+
+    Features x = (bias, n_chars/1000, n_words/100); label y = (lang ==
+    'en'). Each step: gradient = avg((sigmoid(w.x) - y) * x) over the
+    persisted feature table (one scan per step — at 100 TB you cache
+    features once and each step is a single map-side-combinable agg),
+    then w' = w - lr * g computed IN the same 1-row aggregate (the
+    weight row is a broadcast cross join; constants surface through
+    min()). Lineage is linear in iterations. Fixed iteration count +
+    deterministic arithmetic = both engines land on the same weights,
+    converged or not."""
+    d = _t(spark, sf, "documents")
+    feats = d.select(
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.lit(1.0).alias("x1"),
+        (F.col("n_chars") / 1000.0).alias("x2"),
+        (F.size(F.split("text", " ")) / 100.0).alias("x3"),
+    ).persist()
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2"), F.lit(0.0).alias("w3")
+    )
+    for _ in range(LOGREG_ITERS):
+        j = feats.crossJoin(F.broadcast(w))
+        z = (
+            F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+            + F.col("w3") * F.col("x3")
+        )
+        p = 1.0 / (1.0 + F.exp(-z))
+        w = j.agg(
+            *[
+                (
+                    F.min(f"w{i}")
+                    - LOGREG_LR * F.avg((p - F.col("y")) * F.col(f"x{i}"))
+                ).alias(f"w{i}")
+                for i in (1, 2, 3)
+            ]
+        )
+    scored = feats.crossJoin(F.broadcast(w))
+    z = (
+        F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    p = 1.0 / (1.0 + F.exp(-z))
+    return scored.agg(
+        F.round(F.min("w1"), 4).alias("w_bias"),
+        F.round(F.min("w2"), 4).alias("w_chars"),
+        F.round(F.min("w3"), 4).alias("w_words"),
+        F.count_if((p >= 0.5) == (F.col("y") == 1.0)).alias("n_correct"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def _logreg_sql(iters: int) -> str:
+    parts = [
+        """WITH feats AS (
+  SELECT CAST(lang = 'en' AS DOUBLE) AS y, 1.0 AS x1,
+         n_chars / 1000.0 AS x2,
+         len(string_split(text, ' ')) / 100.0 AS x3
+  FROM documents),
+wa0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    ]
+    for t in range(1, iters + 1):
+        grads = ", ".join(
+            f"MIN(w{i}) - {LOGREG_LR} * AVG((1.0 / (1.0 + EXP(-(w1 * x1 + w2 * x2 + w3 * x3))) - y) * x{i}) AS w{i}"
+            for i in (1, 2, 3)
+        )
+        parts.append(f"wa{t} AS (SELECT {grads} FROM feats CROSS JOIN wa{t - 1})")
+    parts.append(
+        f"""final AS (
+  SELECT ROUND(MIN(w1), 4) AS w_bias, ROUND(MIN(w2), 4) AS w_chars,
+         ROUND(MIN(w3), 4) AS w_words,
+         COUNT(*) FILTER (WHERE
+           (1.0 / (1.0 + EXP(-(w1 * x1 + w2 * x2 + w3 * x3))) >= 0.5)
+             = (y = 1.0)) AS n_correct,
+         COUNT(*) AS n_docs
+  FROM feats CROSS JOIN wa{iters})"""
+    )
+    return ",\n".join(parts) + "\nSELECT * FROM final"
+
+
+SQL_QUALITY_LOGREG = _logreg_sql(LOGREG_ITERS)
+
+
 RRF_K = 60  # standard reciprocal-rank-fusion dampener
 
 
@@ -6452,6 +6546,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "user_transition_matrix": (q_user_transition_matrix, SQL_USER_TRANSITIONS),
     "privacy_l_diversity": (q_privacy_l_diversity, SQL_L_DIVERSITY),
     "lsh_eval_pr": (q_lsh_eval_pr, _lsh_eval_sql()),
+    "quality_logreg_train": (q_quality_logreg_train, SQL_QUALITY_LOGREG),
     "incremental_dedup_check": (q_incremental_dedup_check, SQL_INCREMENTAL_DEDUP),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

@@ -56,6 +56,8 @@ BNLJ_OK = {
     "ab_test_welch",
     # three 1-row pair-count aggregates cross-joined (eval summary)
     "lsh_eval_pr",
+    # per-step 1-row weight-vector broadcast in the GD training loop
+    "quality_logreg_train",
 }
 
 
