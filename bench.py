@@ -191,6 +191,7 @@ HEADLINE = [
     "lsh_eval_pr",
     "incremental_dedup_check",
     "quality_logreg_train",
+    "recursive_hierarchy",
 ]
 
 

@@ -6104,6 +6104,50 @@ FROM new_docs GROUP BY 1
 """
 
 
+def q_recursive_hierarchy(spark, sf):
+    """Recursive CTE (Spark 4's WITH RECURSIVE — the last big ANSI
+    surface): transitive closure over a derived customer hierarchy
+    (parent key = key / 10, roots < 10), computing each node's depth
+    and root. The engine iterates the recursive step to a fixpoint —
+    the declarative form of the label-propagation loops the dedup
+    clustering implements by hand. Unlike a fixed-step unroll, the
+    recursion depth here is data-driven; both engines reach the same
+    fixpoint because the step is deterministic."""
+    _t(spark, sf, "customer").createOrReplaceTempView("customer_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(custkey, root, depth) AS (
+          SELECT c_custkey, c_custkey, 0
+          FROM customer_rec WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, a.root, a.depth + 1
+          FROM customer_rec c JOIN anc a
+            ON CAST(FLOOR(c.c_custkey / 10) AS BIGINT) = a.custkey
+          WHERE c.c_custkey >= 10)
+        SELECT depth, COUNT(*) AS n_customers,
+               CAST(SUM(custkey) AS BIGINT) AS sum_custkey,
+               COUNT(DISTINCT root) AS n_roots
+        FROM anc GROUP BY depth
+        """
+    )
+
+
+SQL_RECURSIVE_HIERARCHY = """
+WITH RECURSIVE anc(custkey, root, depth) AS (
+  SELECT c_custkey, c_custkey, 0
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, a.root, a.depth + 1
+  FROM customer c JOIN anc a
+    ON CAST(FLOOR(c.c_custkey / 10) AS BIGINT) = a.custkey
+  WHERE c.c_custkey >= 10)
+SELECT depth, COUNT(*) AS n_customers,
+       CAST(SUM(custkey) AS BIGINT) AS sum_custkey,
+       COUNT(DISTINCT root) AS n_roots
+FROM anc GROUP BY depth
+"""
+
+
 LOGREG_ITERS = 10
 LOGREG_LR = 1.0
 
@@ -6547,6 +6591,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "privacy_l_diversity": (q_privacy_l_diversity, SQL_L_DIVERSITY),
     "lsh_eval_pr": (q_lsh_eval_pr, _lsh_eval_sql()),
     "quality_logreg_train": (q_quality_logreg_train, SQL_QUALITY_LOGREG),
+    "recursive_hierarchy": (q_recursive_hierarchy, SQL_RECURSIVE_HIERARCHY),
     "incremental_dedup_check": (q_incremental_dedup_check, SQL_INCREMENTAL_DEDUP),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
