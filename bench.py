@@ -192,6 +192,7 @@ HEADLINE = [
     "incremental_dedup_check",
     "quality_logreg_train",
     "recursive_hierarchy",
+    "variant_props_stats",
 ]
 
 

@@ -6104,6 +6104,41 @@ FROM new_docs GROUP BY 1
 """
 
 
+def q_variant_props_stats(spark, sf):
+    """Spark 4 VARIANT ingestion of semi-structured JSON: parse_json
+    once into the binary variant encoding, then typed variant_get
+    extraction — the schema-on-read path that replaces per-field
+    get_json_object re-parsing (one parse, N typed reads; at 100 TB
+    that's the difference between parsing the payload once and N
+    times). Aggregates the extracted typed field per event type."""
+    ev = _t(spark, sf, "events")
+    v = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_if(F.col("k").isNotNull()).alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("int").alias("min_k"),
+        F.max("k").cast("int").alias("max_k"),
+    )
+
+
+SQL_VARIANT_PROPS = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NOT NULL)
+         AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+         AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+         AS max_k
+FROM events GROUP BY 1
+"""
+
+
 def q_recursive_hierarchy(spark, sf):
     """Recursive CTE (Spark 4's WITH RECURSIVE — the last big ANSI
     surface): transitive closure over a derived customer hierarchy
@@ -6592,6 +6627,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lsh_eval_pr": (q_lsh_eval_pr, _lsh_eval_sql()),
     "quality_logreg_train": (q_quality_logreg_train, SQL_QUALITY_LOGREG),
     "recursive_hierarchy": (q_recursive_hierarchy, SQL_RECURSIVE_HIERARCHY),
+    "variant_props_stats": (q_variant_props_stats, SQL_VARIANT_PROPS),
     "incremental_dedup_check": (q_incremental_dedup_check, SQL_INCREMENTAL_DEDUP),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
