@@ -123,3 +123,62 @@ def test_streaming_session_window(spark, tmp_path):
     )
     assert ("2024-01-01 10:00:00", "u1", 2) in rows
     assert ("2024-01-01 12:00:00", "u1", 1) in rows
+
+
+def test_update_mode_emits_revised_counts(spark, tmp_path):
+    """Update output mode: a window's count is re-emitted each batch it
+    changes (vs append, which emits once on close) — the mode a live
+    dashboard sink consumes. The memory sink accumulates one row per
+    revision; the LAST revision per window must equal the true count,
+    and an early revision must exist for the window that grew."""
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "revisions")
+
+    def drain(tag):
+        stream = (
+            spark.readStream.schema("log_type string, ts string")
+            .json(src)
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "log_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "log_type", "n")
+        )
+
+        def collect_revisions(batch_df, batch_id):
+            batch_df.withColumn("tag", F.lit(tag)).write.mode(
+                "append"
+            ).parquet(sink)
+
+        q = (
+            agg.writeStream.foreachBatch(collect_revisions)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _write(src, "b1.json", [
+        {"log_type": "web", "ts": "2024-06-01T10:05:00"},
+        {"log_type": "web", "ts": "2024-06-01T10:10:00"},
+    ])
+    drain("b1")
+    first = {(r.ws.isoformat(), r.log_type): r.n
+             for r in spark.read.parquet(sink).filter("tag = 'b1'").collect()}
+    assert first[("2024-06-01T10:00:00", "web")] == 2
+
+    _write(src, "b2.json", [
+        {"log_type": "web", "ts": "2024-06-01T10:20:00"},  # same window grows
+        {"log_type": "api", "ts": "2024-06-01T11:05:00"},
+    ])
+    drain("b2")
+    second = {(r.ws.isoformat(), r.log_type): r.n
+              for r in spark.read.parquet(sink).filter("tag = 'b2'").collect()}
+    # the revised 10:00 window reflects ALL three events (state carried
+    # across restarts via the checkpoint), and the new window appears
+    assert second[("2024-06-01T10:00:00", "web")] == 3
+    assert second[("2024-06-01T11:00:00", "api")] == 1
