@@ -92,6 +92,100 @@ def doc_shingles(
     return toks.select("doc_id", F.explode(arr).alias("sh"))
 
 
+def shingle_arrays(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, sh_arr, n_sh): the per-doc DISTINCT shingle set as an
+    in-row array — built map-only, feeding the in-row minhash
+    signatures and the array-intersect Jaccard verify. Same shingle
+    space as ``doc_shingles`` (which explodes this array)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), r"\s+").alias("toks"),
+    )
+    t = F.col("toks")
+    count = F.size(t) - (n - 1)
+    arr = F.when(count < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            )
+        )
+    )
+    return toks.select("doc_id", arr.alias("sh_arr")).select(
+        "doc_id", "sh_arr", F.size("sh_arr").alias("n_sh")
+    )
+
+
+def minhash_signatures_inrow(arr_df: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """doc_id -> mh_0..mh_{k-1}, computed entirely IN-ROW: one md5 per
+    shingle into a base-hash array, then the K affine mins via
+    ``array_min`` over cheap integer transforms.
+
+    ZERO shuffles — at 100 TB the signature stage is map-only, where
+    the exploded ``groupBy(doc_id)`` formulation shuffles the whole
+    |shingles| index to compute the same minima. Identical values to
+    ``minhash_signatures`` (same base hash, same affine family, same
+    min semantics); docs with no shingles drop out in both.
+    """
+    based = arr_df.withColumn(
+        "hb",
+        F.transform(
+            "sh_arr",
+            lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"),
+        ),
+    )
+    # one-arg closure per hash fn: PySpark introspects lambda arity and
+    # binds a Column per parameter, so a `s=s` default arg would be
+    # misread as a second lambda variable
+    def _affine(s: int):
+        a, b = MINHASH_A[s], MINHASH_B[s]
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+
+    sig_cols = [
+        F.array_min(F.transform("hb", _affine(s))).alias(f"mh_{s}")
+        for s in range(k)
+    ]
+    return based.filter(F.col("n_sh") >= 1).select("doc_id", *sig_cols, "n_sh")
+
+
+def jaccard_on_pairs_arrays(
+    pairs: DataFrame, arr_df: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via in-row ``array_intersect``
+    of the per-doc shingle arrays. The (small) pair list broadcasts
+    into two joins against the array table, so the corpus side streams
+    map-only and only matching docs' arrays survive — the verify cost
+    scales with the candidate set, and no exploded index is ever
+    shuffled (contrast ``jaccard_on_pairs``, which self-joins the
+    shingle index)."""
+    a = arr_df.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_arr").alias("__sa"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = arr_df.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_arr").alias("__sb"),
+        F.col("n_sh").alias("n_b"),
+    )
+    j = F.broadcast(pairs).join(a, "doc_a").join(b, "doc_b")
+    out = (
+        j.withColumn("n_common", F.size(F.array_intersect("__sa", "__sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .drop("__sa", "__sb")
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
 def minhash_signatures(sh_df: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """doc_id -> mh_0..mh_{k-1} minhash signature.
 

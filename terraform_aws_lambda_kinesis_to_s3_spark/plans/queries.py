@@ -1535,14 +1535,16 @@ def _minhash_verified_pairs(spark, sf) -> DataFrame:
     if cached is not None:
         return cached
     d = _t(spark, sf, "documents", parallelize=True)
-    # the shingle index feeds signatures AND verification — persist it
-    # rather than re-exploding the corpus per consumer
-    sh = D.doc_shingles(d, n=3).persist()
-    sig = D.minhash_signatures(sh)
+    # in-row pipeline: the per-doc shingle ARRAY feeds map-only
+    # signatures and the array-intersect verify — no exploded index is
+    # ever shuffled (the signature stage used to shuffle |shingles|
+    # rows; now the only shuffles are the banded candidate join)
+    arrs = D.shingle_arrays(d, n=3).persist()
+    sig = D.minhash_signatures_inrow(arrs)
     bands = D.lsh_bands(sig)
     cand = D.lsh_candidate_pairs(bands)
     pairs = (
-        D.jaccard_on_pairs(cand, sh, threshold=0.05, sizes=sig.select("doc_id", "n_sh"))
+        D.jaccard_on_pairs_arrays(cand, arrs, threshold=0.05)
         .select("doc_a", "doc_b", "jaccard")
         .persist()
     )

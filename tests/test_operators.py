@@ -694,3 +694,34 @@ def test_power_iteration_converges_to_top_eigvec(spark):
     evals, evecs = np.linalg.eigh(G)
     top = evecs[:, np.argmax(evals)]
     assert abs(float(got @ top)) > 0.999
+
+
+def test_minhash_inrow_equals_exploded(spark):
+    """The map-only in-row minhash pipeline produces byte-identical
+    signatures and Jaccard verdicts to the exploded groupBy
+    formulation (same base hash, same affine family, same min)."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = D.doc_shingles(docs, n=3)
+    old = {
+        r.doc_id: tuple(r[f"mh_{s}"] for s in range(D.MINHASH_K))
+        for r in D.minhash_signatures(sh).collect()
+    }
+    arrs = D.shingle_arrays(docs, n=3)
+    new = {
+        r.doc_id: tuple(r[f"mh_{s}"] for s in range(D.MINHASH_K))
+        for r in D.minhash_signatures_inrow(arrs).collect()
+    }
+    assert old == new
+    # verify stage parity on the candidate pairs
+    cand = D.lsh_candidate_pairs(D.lsh_bands(D.minhash_signatures_inrow(arrs)))
+    via_index = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.jaccard_on_pairs(cand, sh).collect()
+    }
+    via_arrays = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.jaccard_on_pairs_arrays(cand, arrs).collect()
+    }
+    assert via_index == via_arrays
