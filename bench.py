@@ -193,6 +193,7 @@ HEADLINE = [
     "quality_logreg_train",
     "recursive_hierarchy",
     "variant_props_stats",
+    "point_in_time_join",
 ]
 
 

@@ -3354,6 +3354,72 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_point_in_time_join(spark, sf):
+    """Point-in-time join against the SCD2 dimension — the feature-
+    store primitive that prevents leakage: each fact row is enriched
+    with the dimension version that was in effect STRICTLY BEFORE its
+    own timestamp (the state the user was in when the purchase
+    happened — the fact's own state transition must not leak into its
+    features). The join is equi on the user key plus the prior-interval
+    predicate valid_from < ts <= valid_to; each fact matches at most
+    one version because the versions partition the timeline (a user's
+    first-ever event has no prior state and drops out). At scale this shape stays an equi-join with a residual
+    range filter (shuffle on user), and the union/carry-forward as-of
+    join (events.asof_join_backward) is the alternative when the
+    dimension is too granular to range-scan."""
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 3)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = chg.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state_type"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    j = facts.join(
+        dim,
+        (facts["user_id"] == dim["d_user"])
+        & (facts["ts"] > dim["valid_from"])
+        & (dim["valid_to"].isNull() | (facts["ts"] <= dim["valid_to"])),
+    )
+    return j.groupBy("state_type").agg(
+        F.count("*").alias("n_purchases"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+SQL_POINT_IN_TIME = """
+WITH ev AS (SELECT * FROM events WHERE user_id < 3),
+chg AS (
+  SELECT * FROM (
+    SELECT user_id, event_id, ts, event_type,
+           LAG(event_type) OVER w AS prev_type
+    FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+  WHERE prev_type IS NULL OR prev_type <> event_type),
+dim AS (
+  SELECT user_id AS d_user, event_type AS state_type, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM chg),
+facts AS (SELECT user_id, ts, event_id FROM ev
+          WHERE event_type = 'purchase')
+SELECT state_type, COUNT(*) AS n_purchases,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM facts JOIN dim
+  ON facts.user_id = dim.d_user
+ AND facts.ts > dim.valid_from
+ AND (dim.valid_to IS NULL OR facts.ts <= dim.valid_to)
+GROUP BY 1
+"""
+
+
 def q_events_zscore_outliers(spark, sf):
     """Statistical outlier filter: events whose value is > 3 sample
     standard deviations from their type's mean. The per-type stats
@@ -6630,6 +6696,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_logreg_train": (q_quality_logreg_train, SQL_QUALITY_LOGREG),
     "recursive_hierarchy": (q_recursive_hierarchy, SQL_RECURSIVE_HIERARCHY),
     "variant_props_stats": (q_variant_props_stats, SQL_VARIANT_PROPS),
+    "point_in_time_join": (q_point_in_time_join, SQL_POINT_IN_TIME),
     "incremental_dedup_check": (q_incremental_dedup_check, SQL_INCREMENTAL_DEDUP),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
