@@ -194,6 +194,7 @@ HEADLINE = [
     "recursive_hierarchy",
     "variant_props_stats",
     "point_in_time_join",
+    "feature_matrix_at_label",
 ]
 
 

@@ -3420,6 +3420,62 @@ GROUP BY 1
 """
 
 
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_feature_matrix_at_label(spark, sf):
+    """Training-matrix assembly with point-in-time-correct features:
+    for every label event (purchase), the user's cumulative count of
+    EACH event type strictly before the label's timestamp. All five
+    features are window sums over rowsBetween(unboundedPreceding, -1)
+    sharing ONE per-user sort — one shuffle total, no per-label scan,
+    no self-join; the -1 upper bound is the leakage guard (the label
+    row itself never feeds its own features)."""
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 3)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    feats = [
+        F.coalesce(
+            F.sum((F.col("event_type") == t).cast("long")).over(w), F.lit(0)
+        ).alias(f"n_{t}_before")
+        for t in EVENT_TYPES
+    ]
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type", *feats)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            *[f"n_{t}_before" for t in EVENT_TYPES],
+        )
+    )
+
+
+def _feature_matrix_sql() -> str:
+    feats = ",\n         ".join(
+        "COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) OVER w, 0)"
+        " AS n_{t}_before".format(t=t)
+        for t in EVENT_TYPES
+    )
+    return f"""
+WITH labeled AS (
+  SELECT user_id, event_id, event_type,
+         {feats}
+  FROM events WHERE user_id < 3
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT user_id, event_id,
+       {', '.join(f'CAST(n_{t}_before AS BIGINT) AS n_{t}_before' for t in EVENT_TYPES)}
+FROM labeled WHERE event_type = 'purchase'
+"""
+
+
+SQL_FEATURE_MATRIX = _feature_matrix_sql()
+
+
 def q_events_zscore_outliers(spark, sf):
     """Statistical outlier filter: events whose value is > 3 sample
     standard deviations from their type's mean. The per-type stats
@@ -6697,6 +6753,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "recursive_hierarchy": (q_recursive_hierarchy, SQL_RECURSIVE_HIERARCHY),
     "variant_props_stats": (q_variant_props_stats, SQL_VARIANT_PROPS),
     "point_in_time_join": (q_point_in_time_join, SQL_POINT_IN_TIME),
+    "feature_matrix_at_label": (q_feature_matrix_at_label, SQL_FEATURE_MATRIX),
     "incremental_dedup_check": (q_incremental_dedup_check, SQL_INCREMENTAL_DEDUP),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
