@@ -195,6 +195,7 @@ HEADLINE = [
     "variant_props_stats",
     "point_in_time_join",
     "feature_matrix_at_label",
+    "logreg_calibration",
 ]
 
 

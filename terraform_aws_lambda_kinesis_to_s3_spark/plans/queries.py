@@ -6311,24 +6311,20 @@ LOGREG_ITERS = 10
 LOGREG_LR = 1.0
 
 
-def q_quality_logreg_train(spark, sf):
-    """Trainable quality classifier: logistic regression by full-batch
-    gradient descent, entirely in DataFrame ops — the third iterative-
-    algorithm representative (beside kmeans_lloyd_step and power
-    iteration) and the shape of every 'train a cheap fasttext-style
-    filter on the corpus' pipeline step.
+_LOGREG_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
-    Features x = (bias, n_chars/1000, n_words/100); label y = (lang ==
-    'en'). Each step: gradient = avg((sigmoid(w.x) - y) * x) over the
-    persisted feature table (one scan per step — at 100 TB you cache
-    features once and each step is a single map-side-combinable agg),
-    then w' = w - lr * g computed IN the same 1-row aggregate (the
-    weight row is a broadcast cross join; constants surface through
-    min()). Lineage is linear in iterations. Fixed iteration count +
-    deterministic arithmetic = both engines land on the same weights,
-    converged or not."""
+
+def _logreg_feats_and_weights(spark, sf):
+    """(persisted feature table, 1-row trained weights) — shared by the
+    training readout and the calibration query (same cache pattern as
+    the LSH pairs stage: train once per session/sf)."""
+    key = (spark.sparkContext.applicationId, sf)
+    cached = _LOGREG_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = _t(spark, sf, "documents")
     feats = d.select(
+        F.col("doc_id"),
         (F.col("lang") == "en").cast("double").alias("y"),
         F.lit(1.0).alias("x1"),
         (F.col("n_chars") / 1000.0).alias("x2"),
@@ -6354,6 +6350,29 @@ def q_quality_logreg_train(spark, sf):
                 for i in (1, 2, 3)
             ]
         )
+    w = w.persist()
+    _LOGREG_CACHE[key] = (feats, w)
+    return feats, w
+
+
+def q_quality_logreg_train(spark, sf):
+    """Trainable quality classifier: logistic regression by full-batch
+    gradient descent, entirely in DataFrame ops — the third iterative-
+    algorithm representative (beside kmeans_lloyd_step and power
+    iteration) and the shape of every 'train a cheap fasttext-style
+    filter on the corpus' pipeline step.
+
+    Features x = (bias, n_chars/1000, n_words/100); label y = (lang ==
+    'en'). Each step: gradient = avg((sigmoid(w.x) - y) * x) over the
+    persisted feature table (one scan per step — at 100 TB you cache
+    features once and each step is a single map-side-combinable agg),
+    then w' = w - lr * g computed IN the same 1-row aggregate (the
+    weight row is a broadcast cross join; constants surface through
+    min()). Lineage is linear in iterations. Fixed iteration count +
+    deterministic arithmetic = both engines land on the same weights,
+    converged or not. Training is shared with the calibration query
+    via a per-(session, sf) cache."""
+    feats, w = _logreg_feats_and_weights(spark, sf)
     scored = feats.crossJoin(F.broadcast(w))
     z = (
         F.col("w1") * F.col("x1")
@@ -6373,7 +6392,7 @@ def q_quality_logreg_train(spark, sf):
 def _logreg_sql(iters: int) -> str:
     parts = [
         """WITH feats AS (
-  SELECT CAST(lang = 'en' AS DOUBLE) AS y, 1.0 AS x1,
+  SELECT doc_id, CAST(lang = 'en' AS DOUBLE) AS y, 1.0 AS x1,
          n_chars / 1000.0 AS x2,
          len(string_split(text, ' ')) / 100.0 AS x3
   FROM documents),
@@ -6399,6 +6418,61 @@ wa0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
 
 
 SQL_QUALITY_LOGREG = _logreg_sql(LOGREG_ITERS)
+
+
+def q_logreg_calibration(spark, sf):
+    """Reliability diagram for the trained quality classifier: bin the
+    predicted probabilities into deciles and compare mean prediction
+    against observed positive rate per bin — the calibration readout
+    every score-thresholding pipeline needs before it trusts a cutoff.
+    Bins are rank-based (ntile) so they spread regardless of how the
+    scores cluster; the global-order window is acceptable here because
+    a calibration readout runs on a sample by definition — at 100 TB
+    you'd bound it with a deterministic md5 sample first
+    (deterministic_sample is that primitive). Reuses the cached
+    trained weights."""
+    feats, w = _logreg_feats_and_weights(spark, sf)
+    z = (
+        F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    p = 1.0 / (1.0 + F.exp(-z))
+    scored = feats.crossJoin(F.broadcast(w)).withColumn("p", p)
+    # rank-based (equal-count) bins: fixed-width deciles collapse when
+    # an undertrained model clusters its scores; ntile always spreads.
+    # doc_id tie-break makes identical scores bin identically on any
+    # engine (identical integer features -> bit-identical p)
+    bin_ = F.ntile(10).over(Window.orderBy("p", "doc_id"))
+    return (
+        scored.withColumn("bin", bin_)
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("p"), 4).alias("mean_predicted"),
+            F.round(F.avg("y"), 4).alias("frac_positive"),
+        )
+    )
+
+
+def _logreg_calibration_sql(iters: int) -> str:
+    base = _logreg_sql(iters)
+    head = base.rsplit("final AS", 1)[0].rstrip().rstrip(",")
+    return f"""{head},
+scored AS (
+  SELECT doc_id, y,
+         1.0 / (1.0 + EXP(-(w1 * x1 + w2 * x2 + w3 * x3))) AS p
+  FROM feats CROSS JOIN wa{iters}),
+binned AS (
+  SELECT y, p, CAST(NTILE(10) OVER (ORDER BY p, doc_id) AS INTEGER) AS bin
+  FROM scored)
+SELECT bin, COUNT(*) AS n,
+       ROUND(AVG(p), 4) AS mean_predicted,
+       ROUND(AVG(y), 4) AS frac_positive
+FROM binned GROUP BY 1"""
+
+
+SQL_LOGREG_CALIBRATION = _logreg_calibration_sql(LOGREG_ITERS)
 
 
 RRF_K = 60  # standard reciprocal-rank-fusion dampener
@@ -6754,6 +6828,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "variant_props_stats": (q_variant_props_stats, SQL_VARIANT_PROPS),
     "point_in_time_join": (q_point_in_time_join, SQL_POINT_IN_TIME),
     "feature_matrix_at_label": (q_feature_matrix_at_label, SQL_FEATURE_MATRIX),
+    "logreg_calibration": (q_logreg_calibration, SQL_LOGREG_CALIBRATION),
     "incremental_dedup_check": (q_incremental_dedup_check, SQL_INCREMENTAL_DEDUP),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

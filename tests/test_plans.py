@@ -58,6 +58,8 @@ BNLJ_OK = {
     "lsh_eval_pr",
     # per-step 1-row weight-vector broadcast in the GD training loop
     "quality_logreg_train",
+    # the same 1-row trained-weights broadcast, scoring for calibration
+    "logreg_calibration",
 }
 
 
