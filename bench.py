@@ -196,6 +196,7 @@ HEADLINE = [
     "point_in_time_join",
     "feature_matrix_at_label",
     "logreg_calibration",
+    "bootstrap_ci_mean",
 ]
 
 

@@ -3420,6 +3420,109 @@ GROUP BY 1
 """
 
 
+BOOT_B = 20  # bootstrap replicas
+#: Poisson(1) CDF thresholds for the inverse-CDF draw (literals shared
+#: with the SQL oracle so both engines draw identical weights)
+import math as _math
+
+_POIS_CDF = []
+_acc = 0.0
+for _k in range(7):
+    _acc += _math.exp(-1.0) / _math.factorial(_k)
+    _POIS_CDF.append(_acc)
+
+
+def _poisson_weight(u):
+    """Inverse-CDF Poisson(1) draw from a uniform column (capped at 7)."""
+    w = F.lit(7)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS_CDF[k], F.lit(k)).otherwise(w)
+    return w
+
+
+def q_bootstrap_ci_mean(spark, sf):
+    """Poisson-bootstrap confidence interval for the mean click value —
+    THE distributed bootstrap (each row joins replica b with an
+    independent Poisson(1) weight, so resampling is one in-row explode
+    instead of B shuffled resamples; Chamandy et al.'s estimator,
+    standard at web scale). Weights are md5-derived (deterministic,
+    engine-reproducible), replica means are exact decimal sums, and
+    the percentile bracket runs over the tiny B-row replica table."""
+    ev = _t(spark, sf, "events").filter(F.col("event_type") == "click")
+    rep = ev.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("event_id"), F.col("b"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    rep = rep.withColumn("w", _poisson_weight(u))
+    means = rep.groupBy("b").agg(
+        (
+            F.sum(_dec("value") * F.col("w")).cast("double")
+            / F.sum("w")
+        ).alias("m")
+    )
+    est = ev.agg(
+        F.round(
+            (F.sum(_dec("value")).cast("double") / F.count("*")), 4
+        ).alias("mean_value"),
+        F.count("*").alias("n_rows"),
+    )
+    ci = means.agg(
+        F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
+        F.count("*").cast("long").alias("n_replicas"),
+    )
+    return est.crossJoin(ci)
+
+
+def _bootstrap_sql() -> str:
+    thresholds = ""
+    for k, c in enumerate(_POIS_CDF):
+        thresholds += f" WHEN u < {c!r} THEN {k}"
+    return f"""
+WITH clicks AS (
+  SELECT event_id, value FROM events WHERE event_type = 'click'),
+rep AS (
+  SELECT event_id, value, unnest(generate_series(0, {BOOT_B - 1})) AS b
+  FROM clicks),
+drawn AS (
+  SELECT value, b,
+         CASE{thresholds} ELSE 7 END AS w
+  FROM (SELECT value, b,
+               CAST(concat('0x', substr(md5(concat(event_id, '_', b)), 1, 8))
+                    AS UBIGINT) / 4294967296.0 AS u
+        FROM rep)),
+means AS (
+  SELECT b,
+         CAST(SUM(CAST(value AS DECIMAL(12,2)) * w) AS DOUBLE) / SUM(w) AS m
+  FROM drawn GROUP BY b),
+est AS (
+  SELECT ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*),
+               4) AS mean_value,
+         COUNT(*) AS n_rows
+  FROM clicks),
+ci AS (
+  SELECT ROUND(quantile_cont(m, 0.025), 4) AS ci_lo,
+         ROUND(quantile_cont(m, 0.975), 4) AS ci_hi,
+         CAST(COUNT(*) AS BIGINT) AS n_replicas
+  FROM means)
+SELECT * FROM est CROSS JOIN ci
+"""
+
+
+SQL_BOOTSTRAP_CI = _bootstrap_sql()
+
+
 EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
 
 
@@ -6829,6 +6932,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "point_in_time_join": (q_point_in_time_join, SQL_POINT_IN_TIME),
     "feature_matrix_at_label": (q_feature_matrix_at_label, SQL_FEATURE_MATRIX),
     "logreg_calibration": (q_logreg_calibration, SQL_LOGREG_CALIBRATION),
+    "bootstrap_ci_mean": (q_bootstrap_ci_mean, SQL_BOOTSTRAP_CI),
     "incremental_dedup_check": (q_incremental_dedup_check, SQL_INCREMENTAL_DEDUP),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

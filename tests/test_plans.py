@@ -60,6 +60,8 @@ BNLJ_OK = {
     "quality_logreg_train",
     # the same 1-row trained-weights broadcast, scoring for calibration
     "logreg_calibration",
+    # 1-row point estimate x 1-row CI bracket (bootstrap summary)
+    "bootstrap_ci_mean",
 }
 
 
