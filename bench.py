@@ -197,6 +197,7 @@ HEADLINE = [
     "feature_matrix_at_label",
     "logreg_calibration",
     "bootstrap_ci_mean",
+    "events_wau_stickiness",
 ]
 
 

@@ -3523,6 +3523,64 @@ SELECT * FROM est CROSS JOIN ci
 SQL_BOOTSTRAP_CI = _bootstrap_sql()
 
 
+def q_events_wau_stickiness(spark, sf):
+    """Rolling distinct users (DAU / trailing-7-day WAU / stickiness)
+    — the product-analytics metric a windowed COUNT(DISTINCT) cannot
+    express directly (distinct doesn't decompose over window frames).
+    The standard trick: reduce to the distinct (user, day) grain once,
+    then explode each activity day to the <= 7 rolling windows it
+    contributes to and count distinct per target day. Row inflation is
+    7x the per-user-day table (already tiny vs the fact), never 7x the
+    events. Only full windows (day >= min+6) are emitted."""
+    ev = _t(spark, sf, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+    )
+    wau = contrib.groupBy("wday").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    bounds = ud.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    return (
+        wau.join(dau, wau["wday"] == dau["day"])
+        .crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("wday") >= F.date_add(F.col("d0"), 6))
+            & (F.col("wday") <= F.col("d1"))
+        )
+        .select(
+            F.col("wday").cast("string").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+    )
+
+
+SQL_WAU_STICKINESS = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+contrib AS (
+  SELECT user_id, day + CAST(i AS INTEGER) AS wday
+  FROM ud, range(0, 7) t(i)),
+wau AS (SELECT wday, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY 1),
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud)
+SELECT CAST(dau.day AS VARCHAR) AS day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+       ROUND(dau * 1.0 / wau, 4) AS stickiness
+FROM wau JOIN dau ON wau.wday = dau.day
+CROSS JOIN bounds
+WHERE wau.wday >= d0 + CAST(6 AS INTEGER) AND wau.wday <= d1
+"""
+
+
 EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
 
 
@@ -6933,6 +6991,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "feature_matrix_at_label": (q_feature_matrix_at_label, SQL_FEATURE_MATRIX),
     "logreg_calibration": (q_logreg_calibration, SQL_LOGREG_CALIBRATION),
     "bootstrap_ci_mean": (q_bootstrap_ci_mean, SQL_BOOTSTRAP_CI),
+    "events_wau_stickiness": (q_events_wau_stickiness, SQL_WAU_STICKINESS),
     "incremental_dedup_check": (q_incremental_dedup_check, SQL_INCREMENTAL_DEDUP),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

@@ -62,6 +62,8 @@ BNLJ_OK = {
     "logreg_calibration",
     # 1-row point estimate x 1-row CI bracket (bootstrap summary)
     "bootstrap_ci_mean",
+    # 1-row min/max-day bounds broadcast (full-window filter)
+    "events_wau_stickiness",
 }
 
 
