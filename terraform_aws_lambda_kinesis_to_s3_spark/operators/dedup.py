@@ -159,7 +159,10 @@ def jaccard_on_pairs_arrays(
     map-only and only matching docs' arrays survive — the verify cost
     scales with the candidate set, and no exploded index is ever
     shuffled (contrast ``jaccard_on_pairs``, which self-joins the
-    shingle index)."""
+    shingle index).  Zero-overlap candidates (jaccard = 0.0) are
+    dropped even at threshold=0 so the output domain matches
+    ``jaccard_on_pairs``, whose inner equi-join on shingles can never
+    emit a pair with no common shingle."""
     a = arr_df.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh_arr").alias("__sa"),
@@ -183,6 +186,7 @@ def jaccard_on_pairs_arrays(
         )
         .drop("__sa", "__sb")
     )
+    out = out.filter(F.col("n_common") >= 1)
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 

@@ -103,19 +103,36 @@ def assign_nearest_centroid(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF cell assignment: nearest centroid by cosine (broadcast join +
-    per-vector argmax — no shuffle on the big side)."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-        "cos", cosine(F.col(vec_col), F.col("centroid"))
+    """IVF cell assignment: nearest centroid by cosine, computed as an
+    IN-ROW argmax — the centroid table collapses to a one-row array,
+    broadcast into a cross join, and ``array_max`` over per-centroid
+    (cos, -label) structs picks the winner (cos desc, label asc on
+    ties, matching a row_number window) without ever shuffling the
+    vector side.  Truly map-only: one narrow projection per vector,
+    zero exchanges on the big side (a ``Window.partitionBy(id)``
+    argmax would hash-shuffle the full vector table first)."""
+    cents = centroids.agg(
+        F.collect_list(
+            F.struct(
+                F.col("centroid_label").alias("label"),
+                F.col("centroid").alias("centroid"),
+            )
+        ).alias("__cents")
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cos").desc(), F.col("centroid_label").asc()
+    vec = F.col(vec_col)
+    best = F.array_max(
+        F.transform(
+            "__cents",
+            lambda c: F.struct(
+                cosine(vec, c["centroid"]).alias("cos"),
+                (-c["label"]).alias("neg_label"),
+            ),
+        )
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "centroid", "cos")
-        .withColumnRenamed("centroid_label", "assigned_label")
+        vectors.crossJoin(F.broadcast(cents))
+        .withColumn("assigned_label", (-best["neg_label"]))
+        .drop("__cents")
     )
 
 
@@ -406,6 +423,11 @@ def gram_matrix(
             if not len(pdf):
                 continue
             M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            if M.shape[1] != dim:
+                raise ValueError(
+                    f"gram_matrix: dim={dim} but {vec_col!r} vectors "
+                    f"have width {M.shape[1]}"
+                )
             G = M.T @ M
             ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
             yield pd.DataFrame(

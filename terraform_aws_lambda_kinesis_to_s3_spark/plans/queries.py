@@ -455,8 +455,8 @@ def q12_priority_by_linestatus(spark, sf):
 
 SQL_Q12 = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders, lineitem
 WHERE o_orderkey = l_orderkey
   AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -2926,9 +2926,10 @@ surv AS (
 final AS (SELECT source, COUNT(*) AS n_final FROM surv WHERE rn = 1 GROUP BY 1),
 funnel AS (
   SELECT source, COUNT(*) AS n_input,
-         SUM(CASE WHEN quality_score >= 0.55 THEN 1 ELSE 0 END) AS n_quality,
-         SUM(CASE WHEN quality_score >= 0.55 AND predicted_lang = lang
-                  THEN 1 ELSE 0 END) AS n_lang
+         CAST(SUM(CASE WHEN quality_score >= 0.55 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_quality,
+         CAST(SUM(CASE WHEN quality_score >= 0.55 AND predicted_lang = lang
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_lang
   FROM scored GROUP BY 1)
 SELECT funnel.source, n_input, n_quality, n_lang,
        COALESCE(n_final, 0) AS n_final
@@ -4022,15 +4023,18 @@ def q_winnow_overlap_pairs(spark, sf):
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+    # sizes is O(N_docs) rows — do NOT force-broadcast it (a corpus-scale
+    # driver/executor OOM); a plain shuffle join on doc_id is cheap next to
+    # the fingerprint self-join, and AQE may still pick BHJ at small SF.
     return (
         common.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
-                                     F.col("n_fp").alias("fp_a"))),
+            sizes.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n_fp").alias("fp_a")),
             "doc_a",
         )
         .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),
-                                     F.col("n_fp").alias("fp_b"))),
+            sizes.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n_fp").alias("fp_b")),
             "doc_b",
         )
         .select(
@@ -4486,7 +4490,7 @@ cum AS (
                         ROWS UNBOUNDED PRECEDING) AS cum,
          SUM(cnt) OVER (PARTITION BY event_type) AS n
   FROM hist)
-SELECT event_type, MAX(n) AS n,
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
        CAST(MIN(CASE WHEN cum >= CEIL(0.5 * CAST(n AS DOUBLE)) THEN bin END)
             AS DOUBLE) / 4.0 AS p50_est,
        CAST(MIN(CASE WHEN cum >= CEIL(0.95 * CAST(n AS DOUBLE)) THEN bin END)
@@ -5140,8 +5144,9 @@ b AS (
   SELECT doc_id, n_chars, h,
          CAST(concat('0x', substr(h, 1, 4)) AS BIGINT) % 8 AS shard
   FROM keyed)
-SELECT shard, COUNT(*) AS n_docs, SUM(doc_id) AS sum_doc_id,
-       SUM(n_chars) AS sum_chars,
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        MIN(h) AS first_key, MAX(h) AS last_key,
        arg_min(doc_id, h) AS head_doc
 FROM b GROUP BY shard
@@ -5194,7 +5199,8 @@ drawn AS (
          CAST(concat('0x', substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)),
                                   1, 8)) AS BIGINT) / 4294967296.0 AS u
   FROM documents d JOIN rated r USING (source))
-SELECT source, COUNT(*) AS n_selected, SUM(n_chars) AS sel_chars,
+SELECT source, COUNT(*) AS n_selected,
+       CAST(SUM(n_chars) AS BIGINT) AS sel_chars,
        ROUND(ANY_VALUE(rate), 6) AS keep_rate
 FROM drawn WHERE u < rate GROUP BY source
 """
@@ -5236,7 +5242,8 @@ closure(n, r) AS (
 clusters AS (
   SELECT n AS doc_id, MIN(r) AS cluster_id FROM closure GROUP BY 1),
 victims AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
-SELECT source, COUNT(*) AS n_survivors, SUM(n_chars) AS kept_chars
+SELECT source, COUNT(*) AS n_survivors,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
 FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM victims v WHERE v.doc_id = d.doc_id)
 GROUP BY source
@@ -5873,17 +5880,35 @@ FROM yearly
 """
 
 
+#: Max distinct parts per order admitted to the basket self-join (bounds
+#: per-key pair fan-out at k^2; TPC-H baskets are <=7 so results at test
+#: SFs are identical with or without the cap).
+MARKET_BASKET_CAP = 32
+
+
 def q_market_basket_pairs(spark, sf):
     """Market-basket co-occurrence with lift: which part pairs appear
     in the same order more often than independence predicts. The pair
     expansion is a self-equi-join on the order key — per-order work is
-    bounded by basket size squared (baskets are small by nature; a
-    document-frequency cap like the n-gram join's guards pathological
-    baskets). Lift joins two per-part order counts and a 1-row total;
+    bounded by basket size squared, and baskets above MARKET_BASKET_CAP
+    distinct parts are dropped before the join (the same guard shape as
+    the capped n-gram join). Lift joins two per-part order counts and a
+    1-row total;
     global top-15 is TakeOrderedAndProject, never a single-partition
     window."""
     li = _t(spark, sf, "lineitem")
     baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # Basket-size cap: one viral basket of k items lands k^2 pairs on a
+    # single join key — drop baskets above MARKET_BASKET_CAP before the
+    # self-join (TPC-H orders carry <=7 lines, so small-SF results are
+    # unchanged; at corpus scale this bounds per-key fan-out).
+    small = (
+        baskets.groupBy("l_orderkey")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") <= MARKET_BASKET_CAP)
+        .select("l_orderkey")
+    )
+    baskets = baskets.join(small, "l_orderkey")
     a = baskets.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
     )
@@ -5926,8 +5951,14 @@ def q_market_basket_pairs(spark, sf):
     ).limit(15)
 
 
-SQL_MARKET_BASKET = """
-WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+SQL_MARKET_BASKET = f"""
+WITH baskets_all AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+small AS (
+  SELECT l_orderkey FROM baskets_all
+  GROUP BY 1 HAVING COUNT(*) <= {MARKET_BASKET_CAP}),
+baskets AS (
+  SELECT b.l_orderkey, b.l_partkey
+  FROM baskets_all b JOIN small USING (l_orderkey)),
 pairs AS (
   SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS c_ab
   FROM baskets a JOIN baskets b
@@ -6395,11 +6426,15 @@ def q_variant_props_stats(spark, sf):
     extraction — the schema-on-read path that replaces per-field
     get_json_object re-parsing (one parse, N typed reads; at 100 TB
     that's the difference between parsing the payload once and N
-    times). Aggregates the extracted typed field per event type."""
+    times). Aggregates the extracted typed field per event type.
+    ``try_variant_get`` (not ``variant_get``) so a non-castable or JSON
+    null ``$.k`` yields SQL NULL instead of erroring; the oracle
+    mirrors that with TRY_CAST over the extracted string, so both
+    engines count exactly the rows with an int-typed k."""
     ev = _t(spark, sf, "events")
     v = ev.select(
         "event_type",
-        F.variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
     )
     return v.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
@@ -6412,14 +6447,16 @@ def q_variant_props_stats(spark, sf):
 
 SQL_VARIANT_PROPS = """
 SELECT event_type, COUNT(*) AS n_events,
-       COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NOT NULL)
+       COUNT(*) FILTER (
+         WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+               IS NOT NULL)
          AS n_with_k,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
-         AS sum_k,
-       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
-         AS min_k,
-       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
-         AS max_k
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS BIGINT) AS sum_k,
+       CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS INTEGER) AS min_k,
+       CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS INTEGER) AS max_k
 FROM events GROUP BY 1
 """
 
@@ -7004,9 +7041,67 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 }
 
 
+#: Queries with a green driver CORRECTNESS row from a past round
+#: (CORRECTNESS_r01 ∪ CORRECTNESS_r02).  The driver only hashes the first
+#: 50 entries of ``queries()`` each round, so ``_rotated_names`` floats
+#: never-driver-verified queries to the front of the dict (pipeline_route
+#: stays first — ``entry()`` uses it — and q12_priority_by_linestatus is
+#: re-queued because its r2 row was red on a since-fixed oracle dtype).
+#: Update this set each round from the new CORRECTNESS_r{N}.json.
+DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        "brand_number_extract", "customer_quartiles",
+        "customers_above_nation_avg", "customers_with_orders",
+        "customers_without_orders", "dataset_split", "dedup_dup_groups",
+        "dedup_exact_log_id", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard_capped", "dedup_simhash",
+        "dedup_simhash_hamming", "deterministic_sample", "distinct_aggs",
+        "embedding_centroid_assign", "embedding_cosine_topk",
+        "embedding_dim_stats", "embedding_lsh_buckets",
+        "embedding_near_dup", "embedding_norms", "events_asof_join",
+        "events_sessionize", "events_tumbling_window", "frequent_buyers",
+        "grouping_sets_status_priority", "json_extract_props",
+        "order_gap_days", "percentiles_by_priority",
+        "pipeline_tz_partition", "pipeline_unknown_routing",
+        "pipeline_whitelist", "pivot_priority_by_status",
+        "q10_returned_items", "q11_important_stock",
+        "q13_customer_distribution", "q14_promo_revenue",
+        "q15_top_supplier", "q16_supplier_relationship",
+        "q17_small_quantity_revenue", "q18_large_orders",
+        "q19_discounted_revenue", "q1_pricing_summary",
+        "q20_potential_promotion", "q21_waiting_supplier",
+        "q22_sales_opportunity", "q2_min_cost_supplier",
+        "q3_shipping_priority", "q4_order_priority",
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
+        "rollup_region_nation", "running_order_total", "sequence_packing",
+        "set_ops_nations", "stratified_sample", "text_edit_distance",
+        "text_fingerprint", "text_langid", "text_quality", "text_scrub",
+        "text_token_stats", "top_brands_by_revenue",
+        "top_customers_per_nation",
+    }
+)
+
+
+def _rotated_names() -> list[str]:
+    """Registry names ordered so the driver's first-50 CORRECTNESS window
+    lands on queries without a prior green driver row."""
+    names = list(REGISTRY)
+    front = ["pipeline_route"]
+    unverified = [
+        n for n in names if n not in DRIVER_VERIFIED and n not in front
+    ]
+    verified = [n for n in names if n in DRIVER_VERIFIED]
+    return front + unverified + verified
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in _rotated_names()}
 
 
 def oracle_queries() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: REGISTRY[name][1]
+        for name in _rotated_names()
+        if REGISTRY[name][1] is not None
+    }

@@ -43,11 +43,28 @@ def _norm_obj(v):
     return v
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Post-canonicalization dtype kind, with object columns re-inferred
+    (Decimal→float normalization leaves dtype=object).  Mirrors the
+    driver's dtype-sensitive frame hashing: an int64 Spark column vs a
+    float64 DuckDB column (HUGEINT SUM) must FAIL here, exactly like the
+    r2 driver red row on q12 (uncast SUM(CASE...))."""
+    inferred = s.infer_objects()
+    k = inferred.dtype.kind
+    return {"u": "i"}.get(k, k)
+
+
 def _compare(name, spark_pdf, duck_pdf):
     a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
     assert list(a.columns) == list(b.columns), (
         f"{name}: columns differ: {list(a.columns)} vs {list(b.columns)}"
     )
+    for c in a.columns:
+        ka, kb = _dtype_kind(a[c]), _dtype_kind(b[c])
+        assert ka == kb, (
+            f"{name}: col {c}: dtype kind {ka} (spark) != {kb} (oracle) — "
+            f"driver hash would mismatch; CAST the oracle SQL"
+        )
     assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
@@ -62,6 +79,16 @@ def _compare(name, spark_pdf, duck_pdf):
                 assert x == y or (x is None and y is None) or (
                     pd.isna(x) and pd.isna(y)
                 ), f"{name}: row {i} col {c}: {x!r} != {y!r}"
+
+
+def test_dtype_parity_catches_uncast_sum():
+    """The gate must go red on the exact failure mode that slipped to
+    the driver in r2 (q12): Spark int64 vs oracle float64 (DuckDB
+    HUGEINT SUM → pandas float) with identical values."""
+    a = pd.DataFrame({"k": ["x", "y"], "n": pd.array([1, 2], dtype="int64")})
+    b = pd.DataFrame({"k": ["x", "y"], "n": [1.0, 2.0]})
+    with pytest.raises(AssertionError, match="dtype kind"):
+        _compare("uncast_sum_fixture", a, b)
 
 
 ORACLE_CASES = [(n, fn, sql) for n, (fn, sql) in REGISTRY.items() if sql]

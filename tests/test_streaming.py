@@ -7,6 +7,7 @@ import glob
 import gzip
 import json
 import os
+import shutil
 
 from terraform_aws_lambda_kinesis_to_s3_spark.config import PipelineConfig
 from terraform_aws_lambda_kinesis_to_s3_spark.streaming import (
@@ -226,11 +227,15 @@ def test_stream_foreachbatch_cdc_upsert(spark, tmp_path):
                 F.coalesce("uts", "ts").alias("ts"),
             )
         )
-        # rewrite via a staging temp view to avoid reading+overwriting
-        # the same files in one job
-        merged.cache().count()
-        merged.write.mode("overwrite").parquet(state)
-        merged.unpersist()
+        # write to a staging dir, then atomically swap it in: overwriting
+        # the state dir we just read would recompute from deleted files
+        # if a cached partition were evicted mid-write
+        staging = state + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        old = state + ".old"
+        os.rename(state, old)
+        os.rename(staging, state)
+        shutil.rmtree(old)
 
     os.makedirs(src)
     with open(os.path.join(src, "b1.json"), "w") as f:
