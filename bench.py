@@ -198,10 +198,41 @@ HEADLINE = [
     "logreg_calibration",
     "bootstrap_ci_mean",
     "events_wau_stickiness",
+    # round 3: real image-header decode. (graph_triangle_degree_ordered
+    # is oracle-checked but bench-excluded like the full id-ordered
+    # triangle count: FULL-corpus wedge volume at sf0.1 is ~45 s of
+    # genuinely quadratic work; the capped variant above keeps the
+    # triangle plan shape in the bench.)
+    "multimodal_image_dims",
 ]
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names (or substrings) — bench just "
+        "these instead of the full headline set; keeps iteration on one "
+        "operator from paying the ~1 s/entry fixed overhead 150x over",
+    )
+    args = ap.parse_args()
+    headline = HEADLINE
+    if args.only:
+        pats = [p.strip() for p in args.only.split(",") if p.strip()]
+        headline = [n for n in HEADLINE if any(p in n for p in pats)]
+        missing = [
+            p
+            for p in pats
+            if not any(p in n for n in HEADLINE)
+            and p in REGISTRY  # registered but not in the headline set
+        ]
+        headline += missing
+        if not headline:
+            raise SystemExit(f"--only {args.only!r} matched no queries")
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
 
@@ -213,8 +244,15 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Fixed per-entry scheduling overhead (noop plan through the same
+    # write path): reported separately so a real regression in one
+    # query isn't buried under ~1 s/entry of constant cost at sf0.1.
+    t0 = time.perf_counter()
+    spark.range(1).write.format("noop").mode("overwrite").save()
+    overhead = round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn, _ = REGISTRY[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -236,30 +274,36 @@ def main() -> None:
     )
     from terraform_aws_lambda_kinesis_to_s3_spark.sinks import write_routed
 
-    tmp = tempfile.mkdtemp(prefix="bench_sink_")
-    try:
-        routed = route_records(
-            _events_payload(_t(spark, sf_dir, "events", parallelize=True)),
-            PipelineConfig(),
-        )
-        t0 = time.perf_counter()
-        write_routed(routed, tmp, mode="overwrite")
-        timings["pipeline_sink_write"] = round(time.perf_counter() - t0, 3)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    if args.only is None or "pipeline_sink_write" in args.only:
+        tmp = tempfile.mkdtemp(prefix="bench_sink_")
+        try:
+            routed = route_records(
+                _events_payload(_t(spark, sf_dir, "events", parallelize=True)),
+                PipelineConfig(),
+            )
+            t0 = time.perf_counter()
+            write_routed(routed, tmp, mode="overwrite")
+            timings["pipeline_sink_write"] = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-            }
-        )
+    # ONE compact line, flushed, newline-terminated — the driver's
+    # capture truncated a pretty-printed tail mid-JSON in r2
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir,
+            "n_queries": len(timings),
+            "overhead_sec_per_entry": overhead,
+        },
+        separators=(",", ":"),
     )
+    sys.stdout.write(line + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

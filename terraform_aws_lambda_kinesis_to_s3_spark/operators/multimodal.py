@@ -5,11 +5,13 @@ metadata struct; decode / feature-extract / resize / frame-sample run
 as Arrow-batched kernels over ``mapInPandas`` so each task streams
 record batches without materializing the whole partition.
 
-The decode step is STUBBED (this container has no image/audio codecs):
-``decode_stub`` produces a deterministic fake feature vector derived
-from the bytes. The Spark-side plumbing — schema, batch iteration,
-partition behavior, UDF signatures — is real and tested; swapping the
-stub for PIL/libav is a one-function change on the executor side.
+PNG and GIF header decode (``parse_image_header``) is REAL — pure-byte
+parsing, no codec library needed. Pixel decode for everything else is
+STUBBED (this container has no image/audio codecs): ``decode_stub``
+produces a deterministic fake feature vector derived from the bytes.
+The Spark-side plumbing — schema, batch iteration, partition behavior,
+UDF signatures — is real and tested; swapping the stub for PIL/libav
+is a one-function change on the executor side.
 """
 
 from __future__ import annotations
@@ -75,6 +77,113 @@ def decode_stub(blob: bytes) -> list[float]:
         chunk = blob[i * step : (i + 1) * step] or blob[-step:]
         feats.append(round(sum(chunk) / len(chunk), 6))
     return feats
+
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_image_header(blob: bytes) -> tuple[str, int, int] | None:
+    """REAL (non-stub) image codec for the two formats whose headers
+    are parseable with zero dependencies: PNG (IHDR width/height,
+    big-endian u32 at bytes 16..24 — PNG spec §11.2.2) and GIF
+    (logical-screen width/height, little-endian u16 at bytes 6..10 —
+    GIF89a spec §18).  Returns (mime, width, height), or None for
+    anything else (the stub seam keeps handling those).
+
+    This is the one decode path that is exercised for real in this
+    container; JPEG/audio/video stay behind ``decode_stub``.
+    """
+    if blob is None or len(blob) < 10:
+        return None
+    if (
+        len(blob) >= 24
+        and blob[:8] == PNG_SIGNATURE
+        and blob[12:16] == b"IHDR"
+    ):
+        return (
+            "image/png",
+            int.from_bytes(blob[16:20], "big"),
+            int.from_bytes(blob[20:24], "big"),
+        )
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            "image/gif",
+            int.from_bytes(blob[6:8], "little"),
+            int.from_bytes(blob[8:10], "little"),
+        )
+    return None
+
+
+def synth_png(width: int, height: int, n_filler: int = 0) -> bytes:
+    """Minimal spec-valid PNG prefix: signature + IHDR chunk (33 bytes)
+    + ``n_filler`` zero bytes. Deterministic, for tests/oracles."""
+    import struct
+    import zlib
+
+    ihdr_data = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    ihdr = (
+        struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr_data
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_data))
+    )
+    return PNG_SIGNATURE + ihdr + bytes(n_filler)
+
+
+def synth_gif(width: int, height: int, n_filler: int = 0) -> bytes:
+    """Minimal GIF89a prefix: header + logical screen descriptor (13
+    bytes) + ``n_filler`` zero bytes. Deterministic, for tests/oracles."""
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + bytes(3) + bytes(n_filler)
+
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def decode_image_meta(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """mapInPandas image-header audit using the REAL PNG/GIF codec:
+    binary blobs in, (mime, width, height, n_bytes) out.  Unknown
+    formats yield mime='unknown' with NULL dims rather than erroring —
+    an audit must classify, not crash."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, mimes, ws, hs, sizes = [], [], [], [], []
+            for did, b in zip(pdf[id_col], pdf[blob_col]):
+                blob = bytes(b)
+                parsed = parse_image_header(blob)
+                ids.append(did)
+                sizes.append(len(blob))
+                if parsed is None:
+                    mimes.append("unknown")
+                    ws.append(None)
+                    hs.append(None)
+                else:
+                    mimes.append(parsed[0])
+                    ws.append(parsed[1])
+                    hs.append(parsed[2])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "mime": mimes,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "n_bytes": sizes,
+                }
+            )
+
+    return df.mapInPandas(batches, IMAGE_META_SCHEMA)
 
 
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -1980,6 +1980,51 @@ GROUP BY 1
 """
 
 
+def q_multimodal_image_dims(spark, sf):
+    """REAL image decode through the multimodal seam: synthesize a
+    spec-valid PNG (even doc_id) or GIF89a (odd) blob per document with
+    doc_id-derived dimensions and filler, then run the Arrow-batched
+    header PARSER (operators.multimodal.parse_image_header — actual
+    byte-level PNG IHDR / GIF screen-descriptor parsing, no codec
+    library) over mapInPandas. The oracle independently predicts the
+    round-trip from the same doc_id arithmetic; parser unit tests pin
+    the byte layout against known fixtures (tests/test_operators.py)."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
+        multimodal as MM,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def synth(it):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, filler = 1 + did % 64, 1 + did % 48, did % 17
+                blobs.append(
+                    MM.synth_png(w, h, filler)
+                    if did % 2 == 0
+                    else MM.synth_gif(w, h, filler)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    with_blobs = d.mapInPandas(synth, "doc_id long, blob binary")
+    return MM.decode_image_meta(with_blobs)
+
+
+SQL_MULTIMODAL_IMAGE_DIMS = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/gif' END AS mime,
+       CAST(1 + doc_id % 64 AS INTEGER) AS width,
+       CAST(1 + doc_id % 48 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 13 END + doc_id % 17
+            AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 def q_percentiles(spark, sf):
     """Interpolated percentiles of order value per priority."""
     o = _t(spark, sf, "orders")
@@ -4392,6 +4437,44 @@ w AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
       FROM e e1 JOIN e e2 ON e1.dst = e2.src),
 t AS (SELECT COUNT(*) AS n_triangles FROM w
       WHERE EXISTS (SELECT 1 FROM e WHERE e.src = w.a AND e.dst = w.c))
+SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*) FROM w) AS n_wedges,
+       n_triangles
+FROM t
+"""
+
+
+def q_triangle_degree_ordered(spark, sf):
+    """Schank-Wagner degree-ordered triangle count
+    (operators.graph.triangle_count_degree_ordered) on the same
+    parts-co-occurrence graph as graph_triangle_parts: n_triangles is
+    identical, n_wedges is provably <= the id-ordered count — the
+    skew-proof formulation for power-law graphs, oracle-checkable
+    because the (degree, id) rank is deterministic."""
+    li = _t(spark, sf, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return G.triangle_count_degree_ordered(edges)
+
+
+SQL_TRIANGLE_DEGREE_ORDERED = """
+WITH b AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS src, c.p AS dst
+      FROM b a JOIN b c ON a.g = c.g AND a.p < c.p),
+d AS (SELECT node, COUNT(*) AS deg
+      FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+      GROUP BY 1),
+o AS (SELECT CASE WHEN (sa.deg, e.src) < (sb.deg, e.dst)
+                  THEN e.src ELSE e.dst END AS lo,
+             CASE WHEN (sa.deg, e.src) < (sb.deg, e.dst)
+                  THEN e.dst ELSE e.src END AS hi,
+             CASE WHEN (sa.deg, e.src) < (sb.deg, e.dst)
+                  THEN sb.deg ELSE sa.deg END AS hi_deg
+      FROM e JOIN d sa ON sa.node = e.src JOIN d sb ON sb.node = e.dst),
+w AS (SELECT o1.hi AS a, o2.hi AS b
+      FROM o o1 JOIN o o2 ON o1.lo = o2.lo
+      WHERE (o1.hi_deg, o1.hi) < (o2.hi_deg, o2.hi)),
+t AS (SELECT COUNT(*) AS n_triangles FROM w
+      WHERE EXISTS (SELECT 1 FROM o WHERE o.lo = w.a AND o.hi = w.b))
 SELECT (SELECT COUNT(*) FROM e) AS n_edges,
        (SELECT COUNT(*) FROM w) AS n_wedges,
        n_triangles
@@ -7030,6 +7113,17 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bootstrap_ci_mean": (q_bootstrap_ci_mean, SQL_BOOTSTRAP_CI),
     "events_wau_stickiness": (q_events_wau_stickiness, SQL_WAU_STICKINESS),
     "incremental_dedup_check": (q_incremental_dedup_check, SQL_INCREMENTAL_DEDUP),
+    # round 3: skew-proof graph + later additions (appended at the END
+    # of the registry so they don't displace the older never-verified
+    # queries from the driver's first-50 rotation window)
+    "graph_triangle_degree_ordered": (
+        q_triangle_degree_ordered,
+        SQL_TRIANGLE_DEGREE_ORDERED,
+    ),
+    "multimodal_image_dims": (
+        q_multimodal_image_dims,
+        SQL_MULTIMODAL_IMAGE_DIMS,
+    ),
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     # approximate ANN (rows-only: recall<1 vs exact oracle by design)

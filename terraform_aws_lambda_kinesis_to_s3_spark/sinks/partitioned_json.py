@@ -113,11 +113,34 @@ def write_routed(
         _restage_exact(df.sparkSession, target, root)
 
 
+#: Schemes where a Hadoop FS rename is a true metadata-only move.  On
+#: anything else (s3a://, gs://, abfs://, ...) rename is a client-side
+#: copy that several connectors also refuse (return False) for
+#: cross-directory moves — those go straight to the explicit
+#: copy-then-delete below, the portable object-store move.
+_RENAME_SCHEMES = frozenset({"", "file", "hdfs", "viewfs"})
+
+
+def _move_file(spark: SparkSession, fs, src, dst) -> None:
+    """Move one object: metadata rename where the filesystem supports
+    it, copy-then-delete everywhere else (and as the fallback when a
+    rename is refused)."""
+    scheme = src.toUri().getScheme() or ""
+    if scheme in _RENAME_SCHEMES and fs.rename(src, dst):
+        return
+    ok = spark._jvm.org.apache.hadoop.fs.FileUtil.copy(
+        fs, src, fs, dst, True, True, spark._jsc.hadoopConfiguration()
+    )
+    if not ok:
+        raise OSError(f"exact_layout restage: could not move {src} -> {dst}")
+
+
 def _restage_exact(spark: SparkSession, stage: str, root: str) -> None:
-    """hive ``log_type=T/ym=M/dd=D`` -> exact ``T/M/D`` via Hadoop
-    FileSystem renames — metadata-only on file://+HDFS, copy-per-object
-    on S3A. Driver-side loop over *directories* (one per partition),
-    never over data rows."""
+    """hive ``log_type=T/ym=M/dd=D`` -> exact ``T/M/D`` via
+    :func:`_move_file` — metadata-only renames on file://+HDFS, explicit
+    copy-then-delete on object stores (S3A et al., whose "rename" is a
+    copy anyway and may return False outright). Driver-side loop over
+    *directories* (one per partition), never over data rows."""
     fs = _fs(spark, stage, "exact_layout restage")
     for lt in _hive_children(spark, fs, stage, "log_type="):
         for ym in _hive_children(spark, fs, str(lt), "ym="):
@@ -131,7 +154,12 @@ def _restage_exact(spark: SparkSession, stage: str, root: str) -> None:
                 for st in fs.listStatus(dd):
                     name = st.getPath().getName()
                     if not name.startswith(("_", ".")):
-                        fs.rename(st.getPath(), spark._jvm.org.apache.hadoop.fs.Path(dst, name))
+                        _move_file(
+                            spark,
+                            fs,
+                            st.getPath(),
+                            spark._jvm.org.apache.hadoop.fs.Path(dst, name),
+                        )
     fs.delete(_jpath(spark, stage), True)
 
 

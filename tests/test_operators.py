@@ -151,6 +151,53 @@ def test_multimodal_plumbing(spark):
     assert out[0].mime == "application/octet-stream"
 
 
+def test_png_gif_header_parse_known_fixtures():
+    """The REAL codec must read dimensions from independently-produced
+    bytes: the canonical 1x1 transparent PNG (byte-for-byte the file
+    every png tool emits) and a hand-laid-out 3x5 GIF89a header —
+    fixtures written out as literals, not via our own synth helpers."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    png_1x1 = bytes.fromhex(
+        "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c489"
+        "0000000d49444154789c626001000000ffff03000006000557bfabd4"
+        "0000000049454e44ae426082"
+    )
+    assert parse_image_header(png_1x1) == ("image/png", 1, 1)
+    gif_3x5 = b"GIF89a" + bytes([3, 0, 5, 0]) + bytes(3)
+    assert parse_image_header(gif_3x5) == ("image/gif", 3, 5)
+    assert parse_image_header(b"not an image at all") is None
+    assert parse_image_header(b"") is None
+
+
+def test_image_synth_parse_roundtrip(spark):
+    """synth_png/synth_gif blobs round-trip through decode_image_meta
+    (the mapInPandas Arrow path), including the unknown-format row."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        decode_image_meta,
+        synth_gif,
+        synth_png,
+    )
+
+    rows = [
+        (1, bytearray(synth_png(640, 480, 5))),
+        (2, bytearray(synth_gif(64, 48))),
+        (3, bytearray(b"\x00\x01plainbytes")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = {r.doc_id: r for r in decode_image_meta(df).collect()}
+    assert (out[1].mime, out[1].width, out[1].height, out[1].n_bytes) == (
+        "image/png", 640, 480, 38,
+    )
+    assert (out[2].mime, out[2].width, out[2].height, out[2].n_bytes) == (
+        "image/gif", 64, 48, 13,
+    )
+    assert out[3].mime == "unknown"
+    assert out[3].width is None and out[3].height is None
+
+
 def test_sink_roundtrip_hive_and_exact(spark, tmp_path):
     payloads = [
         json.dumps({"log_type": "a", "log_id": "1", "time": "2024-01-02T03:00:00Z"}),
@@ -406,6 +453,19 @@ def test_sink_hadoop_fs_restage(spark, tmp_path):
     files = g.glob(f"{out}/**/*.gz", recursive=True)
     assert any("/a/2024-03/04/" in f for f in files)
     assert not (out.parent / "exact_uri__stage").exists()
+
+    # non-local scheme (locally mounted fake remote fs) must restage via
+    # the copy-then-delete path object stores need, not rename
+    hconf = spark._jsc.hadoopConfiguration()
+    hconf.set("fs.fake.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    try:
+        rout = tmp_path / "exact_remote"
+        write_routed(routed, f"fake://{rout}", exact_layout=True, mode="overwrite")
+        rfiles = g.glob(f"{rout}/**/*.gz", recursive=True)
+        assert any("/a/2024-03/04/" in f for f in rfiles)
+        assert not (rout.parent / "exact_remote__stage").exists()
+    finally:
+        hconf.unset("fs.fake.impl")
 
 
 def test_sink_parquet_variant(spark, tmp_path):

@@ -119,6 +119,23 @@ def test_triangle_count_hand_graph(spark):
     assert row.n_edges == 5
 
 
+def test_triangle_degree_ordered_agrees(spark):
+    """Degree-ordered counting finds the same triangles as id-ordered
+    with fewer wedges on a skewed graph.  Hub 3 (degree 4) has a
+    middling id, so id-ordering forms in(3)*out(3) = 2*2 = 4 wedges at
+    the hub (5 total); degree-ordering ranks the hub last, every hub
+    edge points into it, and only 1 wedge forms (at low-degree node 1)."""
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4), (3, 5), (1, 2)], "src long, dst long"
+    )
+    base = G.triangle_count(edges).collect()[0]
+    do = G.triangle_count_degree_ordered(edges).collect()[0]
+    assert do.n_triangles == base.n_triangles == 1
+    assert do.n_edges == base.n_edges == 5
+    assert base.n_wedges == 5
+    assert do.n_wedges == 1
+
+
 def test_cooccurrence_edges_basket(spark):
     """One basket {1,2,3} + one {3,4}: edges are the 3 ordered pairs of
     the triangle plus (3,4); duplicates across baskets collapse."""
