@@ -204,6 +204,11 @@ HEADLINE = [
     # genuinely quadratic work; the capped variant above keeps the
     # triangle plan shape in the bench.)
     "multimodal_image_dims",
+    # round 3: corpus-quality / dedup-metric / sampling additions
+    "gopher_quality_flags",
+    "dup_ngram_coverage",
+    "perplexity_bucket_sample",
+    "ivf_eval_recall",
 ]
 
 

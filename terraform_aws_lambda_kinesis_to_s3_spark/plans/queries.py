@@ -6924,6 +6924,282 @@ WHERE rn = 1
 """
 
 
+def q_ivf_eval_recall(spark, sf):
+    """Recall@k accounting for the IVF probe path against the exact
+    brute-force baseline — the companion eval to ``lsh_eval_pr`` for
+    the cell-probed ANN index (embedding_ivf_topk itself is rows-only
+    because recall<1 by design; THIS query pins exactly how much
+    recall nprobe=3 buys, as a hard oracle-checked number). Both
+    sides share deterministic tie-breaks (cos desc, id asc), so the
+    hit counts are engine-exact."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    cents = S.label_centroids(e)
+    exact = S.cosine_topk(e, q, k=5).select("query_id", "nn_id").persist()
+    ivf = S.ivf_topk(e, q, cents, k=5, nprobe=3).select("query_id", "nn_id").persist()
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_ivf = ivf.agg(F.count("*").alias("n_ivf"))
+    n_hit = ivf.join(exact, ["query_id", "nn_id"], "left_semi").agg(
+        F.count("*").alias("n_true_pos")
+    )
+    return (
+        n_exact.crossJoin(n_ivf)
+        .crossJoin(n_hit)
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_ivf").cast("long").alias("n_ivf"),
+            F.col("n_true_pos").cast("long").alias("n_true_pos"),
+            F.round(F.col("n_true_pos") / F.col("n_exact"), 4).alias("recall"),
+        )
+    )
+
+
+SQL_IVF_EVAL_RECALL = """
+WITH comp AS (
+  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) t(i)),
+cents AS (SELECT label AS cell, i, AVG(x) AS m FROM comp GROUP BY 1, 2),
+dots AS (
+  SELECT c.vec_id, ct.cell,
+         SUM(c.x * ct.m) / (SQRT(SUM(c.x * c.x)) * SQRT(SUM(ct.m * ct.m))) AS cos
+  FROM comp c JOIN cents ct ON c.i = ct.i
+  GROUP BY 1, 2),
+cellmap AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+    FROM dots) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+    FROM dots WHERE vec_id < 10) WHERE rn <= 3),
+ivf AS (
+  SELECT query_id, nn_id FROM (
+    SELECT s.query_id, s.nn_id,
+           row_number() OVER (PARTITION BY s.query_id
+                              ORDER BY s.cos DESC, s.nn_id) AS rank
+    FROM (
+      SELECT p.query_id, m.vec_id AS nn_id,
+             list_cosine_similarity(CAST(qv.embedding AS DOUBLE[]),
+                                    CAST(nv.embedding AS DOUBLE[])) AS cos
+      FROM probes p
+      JOIN cellmap m USING (cell)
+      JOIN embeddings qv ON qv.vec_id = p.query_id
+      JOIN embeddings nv ON nv.vec_id = m.vec_id
+      WHERE m.vec_id <> p.query_id) s)
+  WHERE rank <= 5),
+exact AS (
+  SELECT query_id, nn_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS nn_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_cosine_similarity(
+                                CAST(q.embedding AS DOUBLE[]),
+                                CAST(v.embedding AS DOUBLE[])) DESC,
+                              v.vec_id) AS rank
+    FROM embeddings q CROSS JOIN embeddings v
+    WHERE q.vec_id < 10 AND v.vec_id <> q.vec_id)
+  WHERE rank <= 5)
+SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT COUNT(*) FROM ivf) AS BIGINT) AS n_ivf,
+       CAST((SELECT COUNT(*) FROM ivf i JOIN exact e
+             ON i.query_id = e.query_id AND i.nn_id = e.nn_id) AS BIGINT) AS n_true_pos,
+       ROUND((SELECT COUNT(*) FROM ivf i JOIN exact e
+              ON i.query_id = e.query_id AND i.nn_id = e.nn_id) * 1.0
+             / (SELECT COUNT(*) FROM exact), 4) AS recall
+"""
+
+
+#: Gopher-rule knobs (Rae et al. 2021, appendix A1.1), adapted to the
+#: word-level synthetic corpus (no punctuation/lines in the fixture).
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 40, 100_000
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+def q_gopher_quality_flags(spark, sf):
+    """Gopher-style document quality rules, evaluated per doc and
+    aggregated per source: word-count bounds, mean word length in
+    [3, 10], >=2 stopword hits, duplicated-word fraction <= 0.7.
+    Every rule is a pure Catalyst array expression over one split()
+    (no UDF, map-only until the final per-source agg) — at corpus
+    scale this is a single narrow pass over the text shards, the
+    cheapest possible quality gate."""
+    d = _t(spark, sf, "documents").withColumn("toks", F.split("text", " "))
+    n_words = F.size("toks")
+    sum_len = F.expr("aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x)")
+    mean_len = sum_len.cast("double") / n_words
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    n_stop = F.expr(f"size(filter(toks, t -> t in ({stop_list})))")
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / n_words
+    flags = d.select(
+        "source",
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).alias("r_words"),
+        mean_len.between(3.0, 10.0).alias("r_word_len"),
+        (n_stop >= 2).alias("r_stopwords"),
+        (dup_frac <= 0.7).alias("r_dup_words"),
+    )
+    pass_all = (
+        F.col("r_words") & F.col("r_word_len") & F.col("r_stopwords") & F.col("r_dup_words")
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("r_words").cast("long")).alias("n_pass_words"),
+        F.sum(F.col("r_word_len").cast("long")).alias("n_pass_word_len"),
+        F.sum(F.col("r_stopwords").cast("long")).alias("n_pass_stopwords"),
+        F.sum(F.col("r_dup_words").cast("long")).alias("n_pass_dup_words"),
+        F.sum(pass_all.cast("long")).alias("n_pass_all"),
+    )
+
+
+SQL_GOPHER_FLAGS = f"""
+WITH f AS (
+  SELECT source,
+         len(t) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS r_words,
+         CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t)
+           BETWEEN 3.0 AND 10.0 AS r_word_len,
+         len(list_filter(t, x -> x IN ({", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)}))) >= 2 AS r_stopwords,
+         1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) <= 0.7 AS r_dup_words
+  FROM (SELECT source, string_split(text, ' ') AS t FROM documents))
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN r_words THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_words,
+       CAST(SUM(CASE WHEN r_word_len THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_word_len,
+       CAST(SUM(CASE WHEN r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_stopwords,
+       CAST(SUM(CASE WHEN r_dup_words THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_dup_words,
+       CAST(SUM(CASE WHEN r_words AND r_word_len AND r_stopwords AND r_dup_words
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+FROM f GROUP BY 1
+"""
+
+
+DUP_SPAN_N = 5  # word-n-gram width for duplicated-span coverage
+
+
+def q_dup_ngram_coverage(spark, sf):
+    """Exact-substring dedup metric (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): per document, the
+    fraction of token positions covered by a word-5-gram that occurs
+    at least twice in the corpus. Plan shape: positions explode ->
+    gram-frequency shuffle -> semi-equi-join of duplicated grams back
+    onto positions -> covered-position dedup. Both shuffles key on the
+    gram / (doc, pos) — never all-pairs; hot grams are bounded because
+    a gram's join fan-out equals its corpus frequency, the quantity
+    this metric exists to measure."""
+    n = DUP_SPAN_N
+    d = _t(spark, sf, "documents").withColumn("toks", F.split("text", " "))
+    # sequence(1, 0) in Spark DESCENDS — guard short docs to an empty array
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"case when size(toks) >= {n} then"
+                f" transform(sequence(1, size(toks) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(toks, i, {n})))"
+                f" else array() end"
+            )
+        ).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    dup = grams.groupBy("gram").count().filter(F.col("count") >= 2).select("gram")
+    covered = (
+        grams.join(dup, "gram")
+        .select("doc_id", F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("p"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered"))
+    )
+    per_doc = d.select("doc_id", F.size("toks").alias("n_tokens"))
+    return per_doc.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("covered", F.lit(0)).cast("long").alias("covered"),
+        F.round(
+            F.coalesce("covered", F.lit(0)).cast("double") / F.col("n_tokens"), 6
+        ).alias("dup_span_frac"),
+    )
+
+
+SQL_DUP_NGRAM_COVERAGE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         array_to_string(t[i:i + {DUP_SPAN_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, t,
+               unnest(range(1, greatest(len(t) - {DUP_SPAN_N - 2}, 1))) AS i
+        FROM toks)),
+dup AS (SELECT gram FROM grams GROUP BY 1 HAVING COUNT(*) >= 2),
+covered AS (
+  SELECT doc_id, COUNT(*) AS covered FROM (
+    SELECT DISTINCT doc_id, p FROM (
+      SELECT g.doc_id, unnest(range(g.pos, g.pos + {DUP_SPAN_N})) AS p
+      FROM grams g JOIN dup USING (gram)))
+  GROUP BY 1)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered,
+       ROUND(CAST(COALESCE(c.covered, 0) AS DOUBLE) / len(t.t), 6) AS dup_span_frac
+FROM toks t LEFT JOIN covered c USING (doc_id)
+"""
+
+
+def q_perplexity_bucket_sample(spark, sf):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document by unigram-LM cross-entropy, ntile into 3 buckets
+    (head = most fluent), keep head entirely, middle at 50%, tail at
+    10% via deterministic md5 selection. The LM table is O(vocab) and
+    the keep decision is a pure hash of doc_id — reproducible across
+    runs/engines/partitionings. The ntile is one global sort of the
+    per-doc score table (O(N_docs), tiny next to the token shuffle);
+    at corpus scale swap ntile for approx quantile cut-points to keep
+    the scores table unsorted."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    lm = tok.groupBy("term").agg(F.count("*").alias("c"))
+    total = lm.agg(F.sum("c").alias("t_total"))
+    ce = (
+        tok.join(lm, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(-F.avg(F.log(F.col("c") / F.col("t_total"))), 6).alias("ce"))
+    )
+    bucket = F.ntile(3).over(Window.orderBy(F.col("ce").asc(), F.col("doc_id").asc()))
+    hash_pct = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    keep_rate = F.when(F.col("bucket") == 1, 100).when(F.col("bucket") == 2, 50).otherwise(10)
+    scored = ce.withColumn("bucket", bucket).withColumn(
+        "kept", (hash_pct < keep_rate).cast("long")
+    )
+    return scored.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("kept").alias("n_kept"),
+        F.round(F.avg("ce"), 6).alias("avg_ce"),
+        F.round(F.min("ce"), 6).alias("min_ce"),
+        F.round(F.max("ce"), 6).alias("max_ce"),
+    )
+
+
+SQL_PERPLEXITY_BUCKET = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+lm AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+total AS (SELECT SUM(c) AS t_total FROM lm),
+ce AS (
+  SELECT doc_id, ROUND(-AVG(LN(c * 1.0 / t_total)), 6) AS ce
+  FROM tok JOIN lm USING (term) CROSS JOIN total
+  GROUP BY 1),
+scored AS (
+  SELECT doc_id, ce, ntile(3) OVER (ORDER BY ce ASC, doc_id ASC) AS bucket
+  FROM ce)
+SELECT bucket, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 100
+                     < (CASE bucket WHEN 1 THEN 100 WHEN 2 THEN 50 ELSE 10 END)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(AVG(ce), 6) AS avg_ce,
+       ROUND(MIN(ce), 6) AS min_ce,
+       ROUND(MAX(ce), 6) AS max_ce
+FROM scored GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6974,6 +7250,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # text analysis
     "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKENS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "gopher_quality_flags": (q_gopher_quality_flags, SQL_GOPHER_FLAGS),
+    "dup_ngram_coverage": (q_dup_ngram_coverage, SQL_DUP_NGRAM_COVERAGE),
+    "perplexity_bucket_sample": (q_perplexity_bucket_sample, SQL_PERPLEXITY_BUCKET),
+    "ivf_eval_recall": (q_ivf_eval_recall, SQL_IVF_EVAL_RECALL),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     # dedup
@@ -7177,15 +7457,69 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 )
 
 
+#: Unverified queries that must land inside the driver's first-50 window
+#: THIS round, ahead of registry insertion order: the round-2 LLM-pipeline
+#: batch the round-2 verdict named explicitly, plus every query whose
+#: semantics or oracle changed this round (dtype casts, scale-hazard fixes,
+#: try_variant_get null alignment) and the round-3 additions — a green
+#: driver row on a since-changed query is the only hard confirmation of
+#: the fix.  Remaining unverified queries follow in registry order and
+#: rotate into the window next round.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # re-queued: r2 row was red on a since-fixed oracle dtype
+    "q12_priority_by_linestatus",
+    # round-2 LLM-pipeline batch (verdict-named)
+    "semdedup_prune",
+    "dsir_importance",
+    "kmeans_lloyd_step",
+    "bpe_merge_step",
+    "quality_logreg_train",
+    "point_in_time_join",
+    "feature_matrix_at_label",
+    "logreg_calibration",
+    "bootstrap_ci_mean",
+    "events_wau_stickiness",
+    "embedding_gram_matrix",
+    "embedding_power_iteration",
+    "embedding_pq_codes",
+    "embedding_quantize",
+    "rrf_fusion",
+    "lsh_eval_pr",
+    "text_bpe_tokens",
+    "unigram_logprob_score",
+    "sequence_packing",
+    # changed this round (scale-hazard / null-semantics fixes)
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
+    "market_basket_pairs",
+    "variant_props_stats",
+    "dedup_survivors",
+    "corpus_curation",
+    "mixture_sample",
+    "global_shuffle_shards",
+    "events_quantile_sketch",
+    # new this round
+    "graph_triangle_degree_ordered",
+    "multimodal_image_dims",
+    "gopher_quality_flags",
+    "dup_ngram_coverage",
+    "perplexity_bucket_sample",
+    "ivf_eval_recall",
+)
+
+
 def _rotated_names() -> list[str]:
     """Registry names ordered so the driver's first-50 CORRECTNESS window
-    lands on queries without a prior green driver row."""
+    lands on queries without a prior green driver row, highest-value first
+    (see DRIVER_PRIORITY)."""
     names = list(REGISTRY)
-    front = ["pipeline_route"]
+    front = ["pipeline_route"] + [n for n in DRIVER_PRIORITY if n in names]
     unverified = [
         n for n in names if n not in DRIVER_VERIFIED and n not in front
     ]
-    verified = [n for n in names if n in DRIVER_VERIFIED]
+    verified = [
+        n for n in names if n in DRIVER_VERIFIED and n not in front
+    ]
     return front + unverified + verified
 
 

@@ -454,18 +454,24 @@ def test_sink_hadoop_fs_restage(spark, tmp_path):
     assert any("/a/2024-03/04/" in f for f in files)
     assert not (out.parent / "exact_uri__stage").exists()
 
-    # non-local scheme (locally mounted fake remote fs) must restage via
-    # the copy-then-delete path object stores need, not rename
-    hconf = spark._jsc.hadoopConfiguration()
-    hconf.set("fs.fake.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    # Object stores (s3a://, gs://, ...) must restage via copy-then-delete,
+    # not rename.  No non-file FileSystem exists on this classpath
+    # (RawLocalFileSystem.checkPath rejects remapped schemes), so drop
+    # "file" from the rename allowlist and run the full restage on a local
+    # path: the real FileUtil.copy + delete branch executes end-to-end,
+    # with only the scheme-set membership faked.
+    from terraform_aws_lambda_kinesis_to_s3_spark.sinks import partitioned_json as pj
+
+    orig = pj._RENAME_SCHEMES
+    pj._RENAME_SCHEMES = frozenset({"hdfs", "viewfs"})
     try:
         rout = tmp_path / "exact_remote"
-        write_routed(routed, f"fake://{rout}", exact_layout=True, mode="overwrite")
+        write_routed(routed, str(rout), exact_layout=True, mode="overwrite")
         rfiles = g.glob(f"{rout}/**/*.gz", recursive=True)
         assert any("/a/2024-03/04/" in f for f in rfiles)
         assert not (rout.parent / "exact_remote__stage").exists()
     finally:
-        hconf.unset("fs.fake.impl")
+        pj._RENAME_SCHEMES = orig
 
 
 def test_sink_parquet_variant(spark, tmp_path):
@@ -785,3 +791,68 @@ def test_minhash_inrow_equals_exploded(spark):
         for r in D.jaccard_on_pairs_arrays(cand, arrs).collect()
     }
     assert via_index == via_arrays
+
+
+def test_dup_ngram_coverage_short_docs_and_semantics(spark):
+    """Duplicated-span coverage: docs shorter than the gram width must
+    yield zero grams (Spark's sequence(1, 0) DESCENDS — the guard
+    matters), a corpus-unique doc gets coverage 0, and two identical
+    docs are fully covered."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import (
+        q_dup_ngram_coverage,
+    )
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f", "en", "s", 11),      # dup of 2 -> fully covered
+            (2, "a b c d e f", "en", "s", 11),
+            (3, "one two three", "en", "s", 13),    # < 5 words -> no grams
+            (4, "u v w x y z q r s t", "en", "s", 19),  # unique -> 0 covered
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = Q._t
+    Q._t = lambda spark, sf, name, **kw: docs
+    try:
+        got = {r.doc_id: (r.covered, r.dup_span_frac) for r in
+               q_dup_ngram_coverage(spark, "ignored").collect()}
+    finally:
+        Q._t = orig
+    assert got[1] == (6, 1.0) and got[2] == (6, 1.0)
+    assert got[3] == (0, 0.0)
+    assert got[4] == (0, 0.0)
+
+
+def test_gopher_flags_rules(spark):
+    """Each Gopher rule flips on the fixture engineered to violate
+    exactly one of them."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import (
+        GOPHER_MIN_WORDS,
+        q_gopher_quality_flags,
+    )
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    good_words = ("the a " + "word " * (GOPHER_MIN_WORDS // 2)).split()
+    base = " ".join(good_words + [f"w{i}" for i in range(GOPHER_MIN_WORDS)])
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "pass_all", len(base)),
+            (2, "the a cat dog", "en", "too_short", 13),
+            (3, " ".join(["the", "a"] + ["supercalifragilistic"] * GOPHER_MIN_WORDS),
+             "en", "long_words", 99),
+            (4, " ".join(["word"] * (GOPHER_MIN_WORDS * 2)), "en", "no_stop", 99),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = Q._t
+    Q._t = lambda spark, sf, name, **kw: docs
+    try:
+        rows = {r.source: r for r in q_gopher_quality_flags(spark, "x").collect()}
+    finally:
+        Q._t = orig
+    assert rows["pass_all"].n_pass_all == 1
+    assert rows["too_short"].n_pass_words == 0
+    assert rows["long_words"].n_pass_word_len == 0
+    assert rows["no_stop"].n_pass_stopwords == 0
+    assert rows["no_stop"].n_pass_dup_words == 0  # all-same word too

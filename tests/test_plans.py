@@ -42,6 +42,7 @@ BNLJ_OK = {
     # 1-row aggregates (n_edges x n_wedges x n_triangles) cross-joined
     "graph_triangle_parts",
     "graph_triangle_parts_capped",
+    "graph_triangle_degree_ordered",
     # 1-row argmax pair broadcast into the vocab-sized merge
     "bpe_merge_step",
     # K-centroid broadcast argmax feeding the per-cluster gram verify
@@ -64,6 +65,10 @@ BNLJ_OK = {
     "bootstrap_ci_mean",
     # 1-row min/max-day bounds broadcast (full-window filter)
     "events_wau_stickiness",
+    # 1-row corpus-token-total broadcast (LM denominator, CCNet buckets)
+    "perplexity_bucket_sample",
+    # K-centroid broadcast argmax + three 1-row count aggregates (eval)
+    "ivf_eval_recall",
 }
 
 
