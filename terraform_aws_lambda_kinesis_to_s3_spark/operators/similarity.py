@@ -347,6 +347,88 @@ def semdedup_flags(
     )
 
 
+def cosine_topk_blas(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k with per-batch BLAS scoring — the scale
+    path for the exact ANN baseline.
+
+    ``cosine_topk`` scores through Catalyst array lambdas (interpreted
+    per element: ~64 closure evals per candidate); this variant ships
+    the tiny query matrix to every task and scores each Arrow batch
+    with ONE normalized matmul, then prunes to the per-(batch, query)
+    top-(k+1) under the same (-cos, id) total order the final window
+    uses. Any global top-k candidate has at most k predecessors inside
+    its own batch, so per-batch top-(k+1) provably preserves the exact
+    result (the +1 absorbs the query's self-match, excluded after).
+    Shuffle volume is O(batches * |queries| * k) rows, independent of
+    corpus size.
+
+    Queries are the broadcast side by contract (they are collected to
+    the driver to form the matrix) — same smallness assumption the
+    Catalyst version's ``F.broadcast(q)`` makes.
+    """
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("cosine_topk_blas: empty query set")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bq = vectors.sparkSession.sparkContext.broadcast((qids, Qn))
+
+    def score(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        q_ids, q_mat = bq.value
+        kk = k + 1
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S_ = Mn @ q_mat.T  # candidates x queries
+            take = min(kk, len(ids))
+            out_q, out_id, out_cos = [], [], []
+            for j in range(len(q_ids)):
+                # exact per-batch order: cos desc, candidate id asc
+                order = np.lexsort((ids, -S_[:, j]))[:take]
+                out_q.append(np.full(take, q_ids[j]))
+                out_id.append(ids[order])
+                out_cos.append(S_[order, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "nn_id": np.concatenate(out_id),
+                    "cos": np.concatenate(out_cos),
+                }
+            )
+
+    cand = vectors.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, nn_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("nn_id").asc()
+    )
+    return (
+        cand.filter(F.col("nn_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "nn_id",
+            F.round("cos", 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -1652,8 +1652,12 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 
 
 def q_cosine_topk(spark, sf):
+    """Exact brute-force top-5 via the BLAS batch scorer (one matmul
+    per Arrow batch + per-batch top-k pruning; see cosine_topk_blas).
+    The Catalyst-lambda formulation (S.cosine_topk) is kept as the
+    reference implementation and pinned equivalent by unit test."""
     e = _t(spark, sf, "embeddings")
-    return S.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    return S.cosine_topk_blas(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
 SQL_COSINE_TOPK = """
@@ -4048,9 +4052,12 @@ def q_winnow_overlap_pairs(spark, sf):
     before the join, bounding per-key fan-out. Emits pairs sharing
     >= 2 surviving fingerprints with the overlap coefficient
     |A∩B| / min(|A|, |B|) (set sizes measured before the cap)."""
+    # The rolling-hash windowing stage feeds four consumers (sizes, the
+    # df cap, both join sides) — persist the distinct (doc, fp) set so
+    # the shingle/hash computation runs once, not per consumer.
     fp = _winnow_windows(spark, sf, max_doc=None).select(
         "doc_id", "fp"
-    ).distinct()
+    ).distinct().persist()
     sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     rare = (
         fp.groupBy("fp")
@@ -5991,7 +5998,10 @@ def q_market_basket_pairs(spark, sf):
         .filter(F.col("bsz") <= MARKET_BASKET_CAP)
         .select("l_orderkey")
     )
-    baskets = baskets.join(small, "l_orderkey")
+    # The capped-baskets stage feeds four consumers (both pair sides,
+    # per-part counts, the order total) — persist it so the distinct +
+    # cap semi-join runs once instead of being re-planned per consumer.
+    baskets = baskets.join(small, "l_orderkey").persist()
     a = baskets.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
     )
@@ -6396,25 +6406,23 @@ def q_lsh_eval_pr(spark, sf):
     — asserted by the n_false_pos column); recall is the number the
     banding parameters trade away."""
     e = _t(spark, sf, "embeddings")
-    exact = S.cosine_near_dup_pairs(e, threshold=0.45).select("va", "vb").persist()
-    lsh = S.lsh_near_dup_pairs(e, threshold=0.45).select("va", "vb").persist()
-    n_exact = exact.agg(F.count("*").alias("n_exact"))
-    n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
-    n_hit = lsh.join(exact, ["va", "vb"], "left_semi").agg(
-        F.count("*").alias("n_true_pos")
+    exact = S.cosine_near_dup_pairs(e, threshold=0.45).select("va", "vb")
+    lsh = S.lsh_near_dup_pairs(e, threshold=0.45).select("va", "vb")
+    # One full-outer join + one aggregation: each pair set is computed
+    # exactly once (the persist-then-three-aggregates shape evaluated
+    # the exact side twice when subtrees raced the cache within the
+    # single action) and the 1-row cross joins disappear.
+    j = exact.withColumn("e", F.lit(1)).join(
+        lsh.withColumn("v", F.lit(1)), ["va", "vb"], "full"
     )
-    return (
-        n_exact.crossJoin(n_lsh)
-        .crossJoin(n_hit)
-        .select(
-            F.col("n_exact").cast("long").alias("n_exact"),
-            F.col("n_lsh").cast("long").alias("n_lsh"),
-            F.col("n_true_pos").cast("long").alias("n_true_pos"),
-            (F.col("n_lsh") - F.col("n_true_pos")).cast("long").alias(
-                "n_false_pos"
-            ),
-            F.round(F.col("n_true_pos") / F.col("n_exact"), 4).alias("recall"),
-        )
+    return j.agg(
+        F.sum("e").cast("long").alias("n_exact"),
+        F.sum("v").cast("long").alias("n_lsh"),
+        F.sum(F.col("e") * F.col("v")).cast("long").alias("n_true_pos"),
+        (F.sum("v") - F.sum(F.col("e") * F.col("v"))).cast("long").alias(
+            "n_false_pos"
+        ),
+        F.round(F.sum(F.col("e") * F.col("v")) / F.sum("e"), 4).alias("recall"),
     )
 
 
@@ -6935,22 +6943,21 @@ def q_ivf_eval_recall(spark, sf):
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     cents = S.label_centroids(e)
-    exact = S.cosine_topk(e, q, k=5).select("query_id", "nn_id").persist()
-    ivf = S.ivf_topk(e, q, cents, k=5, nprobe=3).select("query_id", "nn_id").persist()
-    n_exact = exact.agg(F.count("*").alias("n_exact"))
-    n_ivf = ivf.agg(F.count("*").alias("n_ivf"))
-    n_hit = ivf.join(exact, ["query_id", "nn_id"], "left_semi").agg(
-        F.count("*").alias("n_true_pos")
+    exact = S.cosine_topk_blas(e, q, k=5).select("query_id", "nn_id")
+    ivf = S.ivf_topk(e, q, cents, k=5, nprobe=3).select("query_id", "nn_id")
+    # One full-outer join + one aggregation scores all three counts in a
+    # single pass over each side — no persisted subtree evaluated twice,
+    # no 1-row cross joins.
+    j = exact.withColumn("e", F.lit(1)).join(
+        ivf.withColumn("v", F.lit(1)), ["query_id", "nn_id"], "full"
     )
-    return (
-        n_exact.crossJoin(n_ivf)
-        .crossJoin(n_hit)
-        .select(
-            F.col("n_exact").cast("long").alias("n_exact"),
-            F.col("n_ivf").cast("long").alias("n_ivf"),
-            F.col("n_true_pos").cast("long").alias("n_true_pos"),
-            F.round(F.col("n_true_pos") / F.col("n_exact"), 4).alias("recall"),
-        )
+    return j.agg(
+        F.sum("e").cast("long").alias("n_exact"),
+        F.sum("v").cast("long").alias("n_ivf"),
+        F.sum(F.col("e") * F.col("v")).cast("long").alias("n_true_pos"),
+        F.round(
+            F.sum(F.col("e") * F.col("v")) / F.sum("e"), 4
+        ).alias("recall"),
     )
 
 
@@ -7505,6 +7512,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dup_ngram_coverage",
     "perplexity_bucket_sample",
     "ivf_eval_recall",
+    # re-queued: implementation switched to the BLAS batch scorer
+    "embedding_cosine_topk",
 )
 
 

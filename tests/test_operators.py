@@ -856,3 +856,29 @@ def test_gopher_flags_rules(spark):
     assert rows["long_words"].n_pass_word_len == 0
     assert rows["no_stop"].n_pass_stopwords == 0
     assert rows["no_stop"].n_pass_dup_words == 0  # all-same word too
+
+
+def test_cosine_topk_blas_equals_catalyst(spark):
+    """The BLAS batch scorer must reproduce the Catalyst-lambda
+    brute-force top-k exactly — ids, ranks, and 4-dp cosines — across
+    multiple Arrow batches (forced small batch size exercises the
+    per-batch pruning + global merge path)."""
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = vecs.filter(F.col("vec_id") < 7)
+    small_batches = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+    try:
+        got = {
+            (r.query_id, r.rank): (r.nn_id, r.cosine)
+            for r in S.cosine_topk_blas(vecs, q, k=5).collect()
+        }
+    finally:
+        if small_batches is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", small_batches)
+    want = {
+        (r.query_id, r.rank): (r.nn_id, r.cosine)
+        for r in S.cosine_topk(vecs, q, k=5).collect()
+    }
+    assert got == want
