@@ -292,6 +292,32 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    # Envelope-throughput headline vs the reference's 1k records/s/shard
+    # platform ceiling: replay 1M synthetic payloads through the full
+    # parse -> validate -> route chain (JVM-only path, noop-materialized).
+    envelope_rps = None
+    if args.only is None:
+        import pyspark.sql.functions as F
+
+        n_replay = 1_000_000
+        payload = F.concat(
+            F.lit('{"log_type":"t'),
+            (F.col("id") % 8).cast("string"),
+            F.lit('","log_id":"'),
+            F.col("id").cast("string"),
+            F.lit('","time":"2024-06-0'),
+            (F.col("id") % 9 + 1).cast("string"),
+            F.lit('T12:34:56Z","v":'),
+            (F.col("id") % 1000).cast("string"),
+            F.lit("}"),
+        )
+        replay = spark.range(n_replay).select(payload.alias("payload"))
+        t0 = time.perf_counter()
+        route_records(replay, PipelineConfig()).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        envelope_rps = round(n_replay / (time.perf_counter() - t0))
+
     total = round(sum(timings.values()), 3)
     # ONE compact line, flushed, newline-terminated — the driver's
     # capture truncated a pretty-printed tail mid-JSON in r2
@@ -304,6 +330,7 @@ def main() -> None:
             "sf": sf_dir,
             "n_queries": len(timings),
             "overhead_sec_per_entry": overhead,
+            "envelope_records_per_sec": envelope_rps,
         },
         separators=(",", ":"),
     )

@@ -395,3 +395,52 @@ def test_transition_counts_conservation(spark):
     per_user = ev.groupBy("user_id").count()
     want = per_user.agg(F.sum(F.col("count") - 1)).collect()[0][0]
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_dup_ngram_coverage_invariants_property(spark, data):
+    """Duplicated-span coverage invariants on random corpora: covered
+    is within [0, n_tokens] for every doc; a doc duplicated verbatim
+    is fully covered (if it has >= n tokens); and a doc whose tokens
+    are disjoint from every other doc has coverage 0."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import (
+        DUP_SPAN_N,
+        q_dup_ngram_coverage,
+    )
+
+    vocab = [f"w{i}" for i in range(6)]
+    word = st.sampled_from(vocab)
+    texts = data.draw(
+        st.lists(
+            st.lists(word, min_size=1, max_size=20).map(" ".join),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    dup = data.draw(st.lists(word, min_size=DUP_SPAN_N, max_size=12).map(" ".join))
+    unique = " ".join(f"u{i}" for i in range(DUP_SPAN_N + 2))
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    base = len(rows)
+    rows += [(base, dup, "en", "s", len(dup)), (base + 1, dup, "en", "s", len(dup))]
+    rows += [(base + 2, unique, "en", "s", len(unique))]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = Q._t
+    Q._t = lambda spark, sf, name, **kw: docs
+    try:
+        got = {r.doc_id: r for r in q_dup_ngram_coverage(spark, "x").collect()}
+    finally:
+        Q._t = orig
+    assert len(got) == len(rows)  # LEFT join keeps zero-coverage docs
+    for r in got.values():
+        assert 0 <= r.covered <= r.n_tokens
+    assert got[base].covered == got[base].n_tokens  # verbatim dup pair
+    assert got[base + 1].covered == got[base + 1].n_tokens
+    assert got[base + 2].covered == 0  # disjoint-vocab doc
