@@ -521,22 +521,44 @@ def gram_matrix(
 
 
 def power_iteration_top_eigvec(
-    gram: DataFrame, dim: int = 64, iters: int = 8
+    gram: DataFrame, dim: int = 64, iters: int = 8, max_local_dim: int = 4096
 ) -> DataFrame:
-    """Top eigenvector of a (i, j, g) Gram relation by distributed
-    power iteration: v <- normalize(G v), starting from all-ones.
+    """Top eigenvector of a (i, j, g) Gram relation by power iteration:
+    v <- normalize(G v), starting from all-ones.
 
-    Each step is one equi-join of the O(dim^2) Gram against the
-    O(dim) vector (Spark broadcasts the vector side), a groupBy-i
-    sum, and a 1-row norm broadcast — the relational formulation of
-    the matvec, so the same loop works when dim^2 no longer fits one
-    machine. Two engines running the SAME fixed iteration agree
-    step-for-step whether or not the iteration has converged, which
-    is what makes an iterative algorithm exactly oracle-checkable.
+    Dual regime. The Gram is O(dim^2) REGARDLESS of corpus size — the
+    N-dependent work already happened in ``gram_matrix``'s one-pass
+    reduction — so for any realistic embedding width (dim <= 4096 is
+    128 MB) the iteration runs on the driver: one collect of dim^2
+    rows, ``iters`` BLAS matvecs, one createDataFrame back. Scheduling
+    3*iters distributed stages to avoid a 32 KB driver matrix buys
+    nothing and costs seconds of pure stage latency. Past
+    ``max_local_dim`` the relational formulation takes over: per step,
+    one equi-join of the Gram against the O(dim) vector (broadcast),
+    a groupBy-i sum, and a window normalization — the same loop shape,
+    distributed.
+
+    Two engines running the SAME fixed iteration agree step-for-step
+    whether or not the iteration has converged, which is what makes an
+    iterative algorithm exactly oracle-checkable (both regimes pass
+    the same 6-dp oracle).
 
     Returns (i, v) — the unit-norm iterate after ``iters`` steps.
     """
     spark = gram.sparkSession
+    if dim <= max_local_dim:
+        import numpy as np
+
+        G = np.zeros((dim, dim))
+        for r in gram.collect():
+            G[r["i"], r["j"]] = r["g"]
+        v = np.ones(dim)
+        for _ in range(iters):
+            v = G @ v
+            v = v / np.linalg.norm(v)
+        return spark.createDataFrame(
+            [(int(i), float(x)) for i, x in enumerate(v)], "i int, v double"
+        )
     gram = gram.persist()
     v = spark.range(dim).select(
         F.col("id").cast("int").alias("j"), F.lit(1.0).alias("v")

@@ -882,3 +882,29 @@ def test_cosine_topk_blas_equals_catalyst(spark):
         for r in S.cosine_topk(vecs, q, k=5).collect()
     }
     assert got == want
+
+
+def test_power_iteration_regimes_agree(spark):
+    """The distributed relational matvec loop (max_local_dim=0 forces
+    it) must produce the same unit-norm iterate as the driver-side
+    BLAS regime to 9 dp."""
+    import numpy as np
+
+    rng = [((i * 2654435761) % 1000) / 1000.0 - 0.5 for i in range(8 * 40)]
+    X = np.array(rng).reshape(40, 8)
+    X[:, 0] += 3.0
+    G = X.T @ X
+    gram = spark.createDataFrame(
+        [(i, j, float(G[i, j])) for i in range(8) for j in range(8)],
+        "i int, j int, g double",
+    )
+    local = {r.i: r.v for r in S.power_iteration_top_eigvec(gram, dim=8, iters=6).collect()}
+    dist = {
+        r.i: r.v
+        for r in S.power_iteration_top_eigvec(
+            gram, dim=8, iters=6, max_local_dim=0
+        ).collect()
+    }
+    assert set(local) == set(dist)
+    for i in local:
+        assert abs(local[i] - dist[i]) < 1e-9
