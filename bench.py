@@ -207,6 +207,7 @@ HEADLINE = [
     # round 3: corpus-quality / dedup-metric / sampling additions
     "gopher_quality_flags",
     "dup_ngram_coverage",
+    "dedup_span_removal",
     "perplexity_bucket_sample",
     "ivf_eval_recall",
 ]

@@ -7147,6 +7147,115 @@ FROM toks t LEFT JOIN covered c USING (doc_id)
 """
 
 
+def q_dedup_span_removal(spark, sf):
+    """Duplicated-span REMOVAL — the transformation the coverage metric
+    (dup_ngram_coverage) measures the need for: rebuild each document
+    keeping the corpus-wide FIRST occurrence (min doc_id, then min
+    pos) of every duplicated word-5-gram and dropping token positions
+    covered only by repeat occurrences (Lee et al. 2021's remove-all-
+    but-first policy, word-level). Every step is keyed — gram-frequency
+    agg, first-occurrence agg, occurrence join, covered-position
+    dedup, per-doc ordered reassembly — never all-pairs; the final
+    string rebuild is one groupBy(doc) over kept positions."""
+    n = DUP_SPAN_N
+    d = _t(spark, sf, "documents").withColumn("toks", F.split("text", " "))
+    toks = d.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    # gram occurrences feed both the first-occurrence aggregate and the
+    # removal join — persist so the explode runs once
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"case when size(toks) >= {n} then"
+                f" transform(sequence(1, size(toks) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(toks, i, {n})))"
+                f" else array() end"
+            )
+        ).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram").persist()
+    dup_first = (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("c"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .filter(F.col("c") >= 2)
+        .select("gram", "first")
+    )
+    # repeat occurrences of duplicated grams -> positions to remove
+    removed = (
+        grams.join(dup_first, "gram")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select(
+            "doc_id",
+            F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+        .withColumn("rm", F.lit(1))
+    )
+    kept = toks.join(removed, ["doc_id", "pos"], "left").filter(
+        F.col("rm").isNull()
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_deduped"),
+    )
+    per_doc = d.select("doc_id", F.size("toks").alias("n_tokens"))
+    return per_doc.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+    )
+
+
+SQL_DEDUP_SPAN_REMOVAL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+toks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM t)),
+grams AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         array_to_string(t[i:i + {DUP_SPAN_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, t,
+               unnest(range(1, greatest(len(t) - {DUP_SPAN_N - 2}, 1))) AS i
+        FROM t)),
+dup_first AS (
+  SELECT gram,
+         MIN(struct_pack(d := doc_id, p := pos)) AS first
+  FROM grams GROUP BY 1 HAVING COUNT(*) >= 2),
+removed AS (
+  SELECT DISTINCT doc_id, p AS pos FROM (
+    SELECT g.doc_id, unnest(range(g.pos, g.pos + {DUP_SPAN_N})) AS p
+    FROM grams g JOIN dup_first d USING (gram)
+    WHERE g.doc_id <> d.first.d OR g.pos <> d.first.p)),
+kept AS (
+  SELECT k.doc_id, k.pos, k.tok
+  FROM toks k LEFT JOIN removed r ON k.doc_id = r.doc_id AND k.pos = r.pos
+  WHERE r.doc_id IS NULL),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS text_deduped
+  FROM kept GROUP BY 1)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(r.text_deduped, '') AS text_deduped
+FROM t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_perplexity_bucket_sample(spark, sf):
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
     every document by unigram-LM cross-entropy, ntile into 3 buckets
@@ -7259,6 +7368,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "gopher_quality_flags": (q_gopher_quality_flags, SQL_GOPHER_FLAGS),
     "dup_ngram_coverage": (q_dup_ngram_coverage, SQL_DUP_NGRAM_COVERAGE),
+    "dedup_span_removal": (q_dedup_span_removal, SQL_DEDUP_SPAN_REMOVAL),
     "perplexity_bucket_sample": (q_perplexity_bucket_sample, SQL_PERPLEXITY_BUCKET),
     "ivf_eval_recall": (q_ivf_eval_recall, SQL_IVF_EVAL_RECALL),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
@@ -7510,6 +7620,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_image_dims",
     "gopher_quality_flags",
     "dup_ngram_coverage",
+    "dedup_span_removal",
     "perplexity_bucket_sample",
     "ivf_eval_recall",
     # re-queued: implementation switched to the BLAS batch scorer

@@ -908,3 +908,31 @@ def test_power_iteration_regimes_agree(spark):
     assert set(local) == set(dist)
     for i in local:
         assert abs(local[i] - dist[i]) < 1e-9
+
+
+def test_dedup_span_removal_first_occurrence_kept(spark):
+    """Remove-all-but-first: of two identical docs the lower doc_id
+    survives verbatim and the other collapses to empty; a unique doc
+    is untouched; reconstruction preserves original token order."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import (
+        q_dedup_span_removal,
+    )
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g", "en", "s", 13),
+            (2, "a b c d e f g", "en", "s", 13),
+            (3, "p q r s t u v w", "en", "s", 15),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = Q._t
+    Q._t = lambda spark, sf, name, **kw: docs
+    try:
+        got = {r.doc_id: r for r in q_dedup_span_removal(spark, "x").collect()}
+    finally:
+        Q._t = orig
+    assert got[1].text_deduped == "a b c d e f g" and got[1].n_kept == 7
+    assert got[2].text_deduped == "" and got[2].n_kept == 0
+    assert got[3].text_deduped == "p q r s t u v w" and got[3].n_kept == 8
