@@ -444,3 +444,34 @@ def test_dup_ngram_coverage_invariants_property(spark, data):
     assert got[base].covered == got[base].n_tokens  # verbatim dup pair
     assert got[base + 1].covered == got[base + 1].n_tokens
     assert got[base + 2].covered == 0  # disjoint-vocab doc
+
+
+@given(blob=st.binary(min_size=0, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_image_header_parse_never_crashes(blob):
+    """The zero-dependency image codec must be total over arbitrary
+    bytes: any input yields None or a well-formed (mime, w, h) with
+    positive dims — no exceptions on truncated/corrupt headers."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    out = parse_image_header(blob)
+    assert out is None or (
+        out[0] in ("image/png", "image/gif") and out[1] >= 0 and out[2] >= 0
+    )
+
+
+@given(blob=st.binary(min_size=0, max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_image_header_parse_prefix_fuzz(blob):
+    """Valid magic + random tail: PNG/GIF prefixes followed by
+    arbitrary bytes must still never raise (truncated IHDR / screen
+    descriptor paths)."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    for magic in (b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a"):
+        out = parse_image_header(magic + blob)
+        assert out is None or out[1] >= 0
