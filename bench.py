@@ -236,7 +236,11 @@ def main() -> None:
             and p in REGISTRY  # registered but not in the headline set
         ]
         headline += missing
-        if not headline:
+        # pipeline_sink_write is a bench-only entry (not in REGISTRY) —
+        # handled by its dedicated branch below, so it must survive the
+        # matched-no-queries check
+        sink_only = any(p in "pipeline_sink_write" for p in pats)
+        if not headline and not sink_only:
             raise SystemExit(f"--only {args.only!r} matched no queries")
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

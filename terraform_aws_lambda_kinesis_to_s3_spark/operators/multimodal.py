@@ -100,11 +100,14 @@ def parse_image_header(blob: bytes) -> tuple[str, int, int] | None:
         and blob[:8] == PNG_SIGNATURE
         and blob[12:16] == b"IHDR"
     ):
-        return (
-            "image/png",
-            int.from_bytes(blob[16:20], "big"),
-            int.from_bytes(blob[20:24], "big"),
-        )
+        w = int.from_bytes(blob[16:20], "big")
+        h = int.from_bytes(blob[20:24], "big")
+        # PNG spec §11.2.2: dimensions must not exceed 2^31 - 1; a raw
+        # u32 above that is a corrupt header, not an image (and would
+        # overflow the Int32 meta columns downstream)
+        if w > 0x7FFFFFFF or h > 0x7FFFFFFF:
+            return None
+        return ("image/png", w, h)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return (
             "image/gif",
@@ -161,7 +164,8 @@ def decode_image_meta(
         for pdf in it:
             ids, mimes, ws, hs, sizes = [], [], [], [], []
             for did, b in zip(pdf[id_col], pdf[blob_col]):
-                blob = bytes(b)
+                # NULL binary columns arrive as None — classify, don't crash
+                blob = b"" if b is None else bytes(b)
                 parsed = parse_image_header(blob)
                 ids.append(did)
                 sizes.append(len(blob))

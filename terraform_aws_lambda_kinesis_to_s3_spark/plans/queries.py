@@ -6408,21 +6408,23 @@ def q_lsh_eval_pr(spark, sf):
     e = _t(spark, sf, "embeddings")
     exact = S.cosine_near_dup_pairs(e, threshold=0.45).select("va", "vb")
     lsh = S.lsh_near_dup_pairs(e, threshold=0.45).select("va", "vb")
-    # One full-outer join + one aggregation: each pair set is computed
-    # exactly once (the persist-then-three-aggregates shape evaluated
-    # the exact side twice when subtrees raced the cache within the
-    # single action) and the 1-row cross joins disappear.
+    # One full-outer join + one aggregation: all four counts come from a
+    # single pass over each pair set (the previous shape planned the
+    # exact side under two separate aggregates plus 1-row cross joins).
     j = exact.withColumn("e", F.lit(1)).join(
         lsh.withColumn("v", F.lit(1)), ["va", "vb"], "full"
     )
+    # coalesce: SUM over all-NULL products is NULL, but an empty
+    # intersection must count 0 (matching the oracle's COUNT)
+    hits = F.coalesce(F.sum(F.col("e") * F.col("v")), F.lit(0))
     return j.agg(
-        F.sum("e").cast("long").alias("n_exact"),
-        F.sum("v").cast("long").alias("n_lsh"),
-        F.sum(F.col("e") * F.col("v")).cast("long").alias("n_true_pos"),
-        (F.sum("v") - F.sum(F.col("e") * F.col("v"))).cast("long").alias(
+        F.coalesce(F.sum("e"), F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("n_lsh"),
+        hits.cast("long").alias("n_true_pos"),
+        (F.coalesce(F.sum("v"), F.lit(0)) - hits).cast("long").alias(
             "n_false_pos"
         ),
-        F.round(F.sum(F.col("e") * F.col("v")) / F.sum("e"), 4).alias("recall"),
+        F.round(hits / F.sum("e"), 4).alias("recall"),
     )
 
 
@@ -6951,13 +6953,14 @@ def q_ivf_eval_recall(spark, sf):
     j = exact.withColumn("e", F.lit(1)).join(
         ivf.withColumn("v", F.lit(1)), ["query_id", "nn_id"], "full"
     )
+    # coalesce: SUM over all-NULL products is NULL, but an empty
+    # intersection must count 0 (matching the oracle's COUNT)
+    hits = F.coalesce(F.sum(F.col("e") * F.col("v")), F.lit(0))
     return j.agg(
-        F.sum("e").cast("long").alias("n_exact"),
-        F.sum("v").cast("long").alias("n_ivf"),
-        F.sum(F.col("e") * F.col("v")).cast("long").alias("n_true_pos"),
-        F.round(
-            F.sum(F.col("e") * F.col("v")) / F.sum("e"), 4
-        ).alias("recall"),
+        F.coalesce(F.sum("e"), F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("n_ivf"),
+        hits.cast("long").alias("n_true_pos"),
+        F.round(hits / F.sum("e"), 4).alias("recall"),
     )
 
 
@@ -7078,7 +7081,27 @@ FROM f GROUP BY 1
 """
 
 
-DUP_SPAN_N = 5  # word-n-gram width for duplicated-span coverage
+DUP_SPAN_N = 5  # word-n-gram width for duplicated-span coverage/removal
+
+
+def _word_ngram_positions(d: DataFrame, n: int) -> DataFrame:
+    """(doc_id, pos, gram) for every word-n-gram, 1-based positions.
+    Expects a ``toks`` array column. ``sequence(1, 0)`` in Spark
+    DESCENDS, so docs shorter than ``n`` are guarded to an empty
+    array (zero grams) instead of emitting bogus descending slices.
+    Shared by dup_ngram_coverage and dedup_span_removal so the guard
+    cannot silently diverge between the metric and the transform."""
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"case when size(toks) >= {n} then"
+                f" transform(sequence(1, size(toks) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(toks, i, {n})))"
+                f" else array() end"
+            )
+        ).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
 
 
 def q_dup_ngram_coverage(spark, sf):
@@ -7093,18 +7116,7 @@ def q_dup_ngram_coverage(spark, sf):
     this metric exists to measure."""
     n = DUP_SPAN_N
     d = _t(spark, sf, "documents").withColumn("toks", F.split("text", " "))
-    # sequence(1, 0) in Spark DESCENDS — guard short docs to an empty array
-    grams = d.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"case when size(toks) >= {n} then"
-                f" transform(sequence(1, size(toks) - {n - 1}),"
-                f" i -> concat_ws(' ', slice(toks, i, {n})))"
-                f" else array() end"
-            )
-        ).alias("pos0", "gram"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    grams = _word_ngram_positions(d, n)
     dup = grams.groupBy("gram").count().filter(F.col("count") >= 2).select("gram")
     covered = (
         grams.join(dup, "gram")
@@ -7164,17 +7176,7 @@ def q_dedup_span_removal(spark, sf):
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
     # gram occurrences feed both the first-occurrence aggregate and the
     # removal join — persist so the explode runs once
-    grams = d.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"case when size(toks) >= {n} then"
-                f" transform(sequence(1, size(toks) - {n - 1}),"
-                f" i -> concat_ws(' ', slice(toks, i, {n})))"
-                f" else array() end"
-            )
-        ).alias("pos0", "gram"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram").persist()
+    grams = _word_ngram_positions(d, n).persist()
     dup_first = (
         grams.groupBy("gram")
         .agg(
@@ -7604,7 +7606,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "lsh_eval_pr",
     "text_bpe_tokens",
     "unigram_logprob_score",
+    # re-queued: its green row is from r1, BEFORE the r2 de-serialization
+    # rewrite (hierarchical two-level cumsum) — the old row doesn't cover
+    # the current implementation
     "sequence_packing",
+    # re-queued: assign_nearest_centroid was rewritten this round
+    # (window argmax -> map-only in-row array_max)
+    "embedding_centroid_assign",
     # changed this round (scale-hazard / null-semantics fixes)
     "winnow_fingerprints",
     "winnow_overlap_pairs",

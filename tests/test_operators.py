@@ -936,3 +936,24 @@ def test_dedup_span_removal_first_occurrence_kept(spark):
     assert got[1].text_deduped == "a b c d e f g" and got[1].n_kept == 7
     assert got[2].text_deduped == "" and got[2].n_kept == 0
     assert got[3].text_deduped == "p q r s t u v w" and got[3].n_kept == 8
+
+
+def test_decode_image_meta_null_blob_and_huge_dims(spark):
+    """Audit totality: a NULL binary column and a corrupt PNG header
+    claiming dims > 2^31-1 must classify as unknown, not crash the
+    task (PNG spec caps dims at 2^31-1)."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        decode_image_meta,
+        synth_png,
+    )
+
+    bad_png = bytearray(synth_png(1, 1))
+    bad_png[16:20] = (0x80000000).to_bytes(4, "big")  # width 2^31
+    df = spark.createDataFrame(
+        [(1, None), (2, bytes(bad_png)), (3, bytearray(synth_png(9, 4)))],
+        "doc_id long, blob binary",
+    )
+    out = {r.doc_id: r for r in decode_image_meta(df).collect()}
+    assert out[1].mime == "unknown" and out[1].n_bytes == 0
+    assert out[2].mime == "unknown" and out[2].width is None
+    assert (out[3].mime, out[3].width, out[3].height) == ("image/png", 9, 4)

@@ -125,14 +125,17 @@ def test_stream_batch_size_bounds_micro_batches(spark, tmp_path):
     _write_batch(src, "f1.jsonl", recs(1, 3))
     _write_batch(src, "f2.jsonl", recs(2, 4))
 
-    def drain(cfg, tag):
+    def drain(cfg, tag, n_batches):
         out, ckpt = str(tmp_path / f"out{tag}"), str(tmp_path / f"ckpt{tag}")
         listener = RouteMetricsListener()
         spark.streams.addListener(listener)
         try:
             q = run_stream(stream_source(spark, cfg, "file", src), out, ckpt, cfg)
             q.awaitTermination(120)
-            listener.wait_for(n_batches=1, timeout=30)
+            # listener events arrive on an async bus thread — wait for
+            # ALL expected micro-batches, not just the first, or the
+            # assertion below races the delivery
+            listener.wait_for(n_batches=n_batches, timeout=30)
             # availableNow has fully drained; collect per-batch sizes
             return sorted(
                 int(b["n_in"]) for b in listener.batches if int(b["n_in"]) > 0
@@ -140,9 +143,13 @@ def test_stream_batch_size_bounds_micro_batches(spark, tmp_path):
         finally:
             spark.streams.removeListener(listener)
 
-    one_file = drain(PipelineConfig(unknown_date="2024-06-01", batch_size=100), "a")
+    one_file = drain(
+        PipelineConfig(unknown_date="2024-06-01", batch_size=100), "a", 3
+    )
     assert one_file == [2, 3, 4]  # one micro-batch per file
-    all_files = drain(PipelineConfig(unknown_date="2024-06-01", batch_size=300), "b")
+    all_files = drain(
+        PipelineConfig(unknown_date="2024-06-01", batch_size=300), "b", 1
+    )
     assert all_files == [9]  # single batch holds all three files
 
 
