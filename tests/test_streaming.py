@@ -313,3 +313,78 @@ def test_stream_foreachbatch_cdc_upsert(spark, tmp_path):
 
     rows = {r.k: (r.v, r.ts) for r in spark.read.parquet(state).collect()}
     assert rows == {"a": (1, 100), "b": (20, 200), "c": (3, 201)}
+
+
+def test_stream_kinesis_branch_end_to_end(spark, tmp_path):
+    """The REAL format("kinesis") branch of stream_source, executed
+    end-to-end against the Python-DataSource stream emulator (same
+    format name + connector schema): KPL-aggregated, gzipped and
+    CloudWatch-wrapped blobs land routed in the sink, and
+    startingPosition=LATEST drains nothing — closing the
+    connector-branch-never-executed gap as far as a jarless
+    environment allows."""
+    import gzip as _gzip
+    import json as _json
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.functions.decoders import (
+        kpl_aggregate_bytes,
+    )
+    from terraform_aws_lambda_kinesis_to_s3_spark.sources.kinesis_emulator import (
+        register_kinesis_emulator,
+        set_stream_records,
+    )
+
+    def rec(log_id, lt="purchase", t="2024-03-05T10:00:00Z"):
+        return _json.dumps({"log_type": lt, "log_id": log_id, "time": t}).encode()
+
+    cw = {
+        "messageType": "DATA_MESSAGE",
+        "owner": "1", "logGroup": "g", "logStream": "s",
+        "logEvents": [
+            {"id": "1", "timestamp": 1, "message": rec("cw-1", "view").decode()},
+        ],
+    }
+    blobs = [
+        kpl_aggregate_bytes([rec("k-1"), _gzip.compress(rec("k-2", "click"))]),
+        _gzip.compress(_json.dumps(cw).encode()),
+        rec("p-1", "click", "2024-04-01T00:00:00Z"),
+    ]
+    register_kinesis_emulator(spark)
+    set_stream_records("logs", blobs)
+    cfg = PipelineConfig(
+        unknown_date="2024-06-01",
+        kinesis_stream_arn="arn:aws:kinesis:us-east-1:1:stream/logs",
+    )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = run_stream(stream_source(spark, cfg, "kinesis"), out, ckpt, cfg)
+    q.awaitTermination(120)
+    rows = _read_sink(out)
+    got = {(_json.loads(r[3])["log_id"], r[0], r[1], r[2]) for r in rows}
+    assert got == {
+        ("k-1", "purchase", "2024-03", "05"),
+        ("k-2", "click", "2024-03", "05"),
+        ("cw-1", "view", "2024-03", "05"),
+        ("p-1", "click", "2024-04", "01"),
+    }
+
+    # incremental arrival, SAME checkpoint: only the new record lands
+    set_stream_records("logs", [rec("k-3", "view", "2024-05-02T08:00:00Z")],
+                       append=True)
+    q_inc = run_stream(stream_source(spark, cfg, "kinesis"), out, ckpt, cfg)
+    q_inc.awaitTermination(120)
+    rows2 = _read_sink(out)
+    got2 = {(_json.loads(r[3])["log_id"], r[0], r[1], r[2]) for r in rows2}
+    assert got2 == got | {("k-3", "view", "2024-05", "02")}
+    assert len(rows2) == len(rows) + 1  # earlier records not reprocessed
+
+    # LATEST starts past existing records: a fresh drain sees nothing
+    cfg2 = PipelineConfig(
+        unknown_date="2024-06-01",
+        kinesis_stream_arn="arn:aws:kinesis:us-east-1:1:stream/logs",
+        starting_position="LATEST",
+    )
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    q2 = run_stream(stream_source(spark, cfg2, "kinesis"), out2, ckpt2, cfg2)
+    q2.awaitTermination(120)
+    assert _read_sink(out2) == []
