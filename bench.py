@@ -236,12 +236,15 @@ def main() -> None:
             and p in REGISTRY  # registered but not in the headline set
         ]
         headline += missing
-        # pipeline_sink_write is a bench-only entry (not in REGISTRY) —
-        # handled by its dedicated branch below, so it must survive the
-        # matched-no-queries check
-        sink_only = any(p in "pipeline_sink_write" for p in pats)
-        if not headline and not sink_only:
+        # pipeline_sink_write is a bench-only entry (not in REGISTRY);
+        # ONE predicate decides both its survival past this check and
+        # its execution below — two divergent matchers invited silent
+        # empty runs
+        sink_requested = any(p in "pipeline_sink_write" for p in pats)
+        if not headline and not sink_requested:
             raise SystemExit(f"--only {args.only!r} matched no queries")
+    else:
+        sink_requested = True
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
@@ -284,7 +287,7 @@ def main() -> None:
     )
     from terraform_aws_lambda_kinesis_to_s3_spark.sinks import write_routed
 
-    if args.only is None or "pipeline_sink_write" in args.only:
+    if sink_requested:
         tmp = tempfile.mkdtemp(prefix="bench_sink_")
         try:
             routed = route_records(

@@ -102,18 +102,18 @@ def parse_image_header(blob: bytes) -> tuple[str, int, int] | None:
     ):
         w = int.from_bytes(blob[16:20], "big")
         h = int.from_bytes(blob[20:24], "big")
-        # PNG spec §11.2.2: dimensions must not exceed 2^31 - 1; a raw
-        # u32 above that is a corrupt header, not an image (and would
-        # overflow the Int32 meta columns downstream)
-        if w > 0x7FFFFFFF or h > 0x7FFFFFFF:
+        # PNG spec §11.2.2: dimensions are 1..2^31-1; zero and raw-u32
+        # values above 2^31-1 are corrupt headers, not images (and the
+        # latter would overflow the Int32 meta columns downstream)
+        if not (1 <= w <= 0x7FFFFFFF and 1 <= h <= 0x7FFFFFFF):
             return None
         return ("image/png", w, h)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
-        return (
-            "image/gif",
-            int.from_bytes(blob[6:8], "little"),
-            int.from_bytes(blob[8:10], "little"),
-        )
+        w = int.from_bytes(blob[6:8], "little")
+        h = int.from_bytes(blob[8:10], "little")
+        if w == 0 or h == 0:  # zero screen dims: corrupt, not an image
+            return None
+        return ("image/gif", w, h)
     return None
 
 

@@ -529,14 +529,18 @@ def power_iteration_top_eigvec(
     Dual regime. The Gram is O(dim^2) REGARDLESS of corpus size — the
     N-dependent work already happened in ``gram_matrix``'s one-pass
     reduction — so for any realistic embedding width (dim <= 4096 is
-    128 MB) the iteration runs on the driver: one collect of dim^2
-    rows, ``iters`` BLAS matvecs, one createDataFrame back. Scheduling
-    3*iters distributed stages to avoid a 32 KB driver matrix buys
-    nothing and costs seconds of pure stage latency. Past
-    ``max_local_dim`` the relational formulation takes over: per step,
-    one equi-join of the Gram against the O(dim) vector (broadcast),
-    a groupBy-i sum, and a window normalization — the same loop shape,
-    distributed.
+    128 MB of doubles) the whole iteration is ``iters`` BLAS matvecs
+    inside ONE single-partition ``mapInPandas`` task over the gram:
+    lazy (nothing runs at plan-construction/explain time), one
+    dim^2-row exchange, zero driver collect. Scheduling 3*iters
+    distributed stages to avoid a 32 KB matrix buys nothing and costs
+    seconds of pure stage latency. Past ``max_local_dim`` the
+    relational formulation takes over: per step, one equi-join of the
+    Gram against the O(dim) vector (broadcast), a groupBy-i sum, and
+    a window normalization — the same loop shape, distributed.
+    Out-of-range (i, j) entries are ignored in the local regime (the
+    distributed joins drop them); an empty gram yields an empty
+    result in both.
 
     Two engines running the SAME fixed iteration agree step-for-step
     whether or not the iteration has converged, which is what makes an
@@ -549,16 +553,28 @@ def power_iteration_top_eigvec(
     if dim <= max_local_dim:
         import numpy as np
 
-        G = np.zeros((dim, dim))
-        for r in gram.collect():
-            G[r["i"], r["j"]] = r["g"]
-        v = np.ones(dim)
-        for _ in range(iters):
-            v = G @ v
-            v = v / np.linalg.norm(v)
-        return spark.createDataFrame(
-            [(int(i), float(x)) for i, x in enumerate(v)], "i int, v double"
-        )
+        def iterate(batches):
+            import pandas as pd  # noqa: PLC0415
+
+            G = np.zeros((dim, dim))
+            seen = False
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                seen = True
+                ii = pdf["i"].to_numpy()
+                jj = pdf["j"].to_numpy()
+                ok = (ii >= 0) & (ii < dim) & (jj >= 0) & (jj < dim)
+                G[ii[ok], jj[ok]] = pdf["g"].to_numpy()[ok]
+            if not seen:
+                return
+            v = np.ones(dim)
+            for _ in range(iters):
+                v = G @ v
+                v = v / np.linalg.norm(v)
+            yield pd.DataFrame({"i": np.arange(dim, dtype="int32"), "v": v})
+
+        return gram.repartition(1).mapInPandas(iterate, "i int, v double")
     gram = gram.persist()
     v = spark.range(dim).select(
         F.col("id").cast("int").alias("j"), F.lit(1.0).alias("v")

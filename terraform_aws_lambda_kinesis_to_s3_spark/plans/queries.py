@@ -7198,11 +7198,8 @@ def q_dedup_span_removal(spark, sf):
             F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("pos"),
         )
         .distinct()
-        .withColumn("rm", F.lit(1))
     )
-    kept = toks.join(removed, ["doc_id", "pos"], "left").filter(
-        F.col("rm").isNull()
-    )
+    kept = toks.join(removed, ["doc_id", "pos"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
         F.concat_ws(

@@ -957,3 +957,23 @@ def test_decode_image_meta_null_blob_and_huge_dims(spark):
     assert out[1].mime == "unknown" and out[1].n_bytes == 0
     assert out[2].mime == "unknown" and out[2].width is None
     assert (out[3].mime, out[3].width, out[3].height) == ("image/png", 9, 4)
+
+
+def test_power_iteration_lazy_and_empty_gram(spark):
+    """The local BLAS regime must stay lazy (no jobs at plan build —
+    it runs inside mapInPandas, not a driver collect), return an empty
+    result on an empty gram (matching the distributed regime), and
+    ignore out-of-range (i, j) entries instead of crashing."""
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    empty = spark.createDataFrame([], "i int, j int, g double")
+    df = S.power_iteration_top_eigvec(empty, dim=8, iters=3)
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before  # construction ran zero jobs
+    assert df.count() == 0
+
+    oob = spark.createDataFrame(
+        [(0, 0, 4.0), (99, 0, 1.0), (0, -1, 1.0)], "i int, j int, g double"
+    )
+    got = {r.i: r.v for r in S.power_iteration_top_eigvec(oob, dim=2, iters=2).collect()}
+    assert got[0] == 1.0 and got[1] == 0.0  # only the in-range entry counted

@@ -458,7 +458,7 @@ def test_image_header_parse_never_crashes(blob):
 
     out = parse_image_header(blob)
     assert out is None or (
-        out[0] in ("image/png", "image/gif") and out[1] >= 0 and out[2] >= 0
+        out[0] in ("image/png", "image/gif") and out[1] > 0 and out[2] > 0
     )
 
 
@@ -474,4 +474,4 @@ def test_image_header_parse_prefix_fuzz(blob):
 
     for magic in (b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a"):
         out = parse_image_header(magic + blob)
-        assert out is None or out[1] >= 0
+        assert out is None or (out[1] > 0 and out[2] > 0)
