@@ -7020,6 +7020,58 @@ SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
 """
 
 
+def q_minhash_eval_recall(spark, sf):
+    """Recall accounting for the MinHash-LSH TEXT dedup path against
+    the exact all-pairs n-gram Jaccard ground truth at the same
+    threshold — completing the eval trio (lsh_eval_pr: hyperplane LSH
+    on embeddings; ivf_eval_recall: IVF cells; this: the banded
+    MinHash scheme production dedup runs on). The verify stage
+    computes EXACT Jaccard on candidates, so LSH pairs are a subset of
+    the ground truth (n_false_pos asserts 0 by construction); recall
+    is what the banding parameters trade away. Bench-excluded: the
+    ground-truth side is the quadratic all-pairs join (oracle scale
+    only); the LSH side is the scale path."""
+    d = _t(spark, sf, "documents", parallelize=True)
+    exact = D.ngram_jaccard_pairs(d, n=3, threshold=0.1).select("doc_a", "doc_b")
+    lsh = (
+        _minhash_verified_pairs(spark, sf)
+        .filter(F.col("jaccard") >= 0.1)
+        .select("doc_a", "doc_b")
+    )
+    j = exact.withColumn("e", F.lit(1)).join(
+        lsh.withColumn("v", F.lit(1)), ["doc_a", "doc_b"], "full"
+    )
+    hits = F.coalesce(F.sum(F.col("e") * F.col("v")), F.lit(0))
+    return j.agg(
+        F.coalesce(F.sum("e"), F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("n_lsh"),
+        hits.cast("long").alias("n_true_pos"),
+        (F.coalesce(F.sum("v"), F.lit(0)) - hits).cast("long").alias(
+            "n_false_pos"
+        ),
+        F.round(hits / F.sum("e"), 4).alias("recall"),
+    )
+
+
+def _minhash_eval_sql() -> str:
+    """Both sides' full CTE chains nest as parenthesized subqueries, so
+    their internal CTE names cannot collide."""
+    return f"""
+WITH lsh AS (
+  SELECT doc_a, doc_b FROM ({SQL_MINHASH_LSH}) WHERE jaccard >= 0.1),
+exact AS (
+  SELECT doc_a, doc_b FROM ({SQL_NGRAM_JACCARD})),
+hit AS (
+  SELECT COUNT(*) AS n FROM lsh l
+  JOIN exact e ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b)
+SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+       CAST((SELECT n FROM hit) AS BIGINT) AS n_true_pos,
+       CAST((SELECT COUNT(*) FROM lsh) - (SELECT n FROM hit) AS BIGINT) AS n_false_pos,
+       ROUND((SELECT n FROM hit) * 1.0 / (SELECT COUNT(*) FROM exact), 4) AS recall
+"""
+
+
 #: Gopher-rule knobs (Rae et al. 2021, appendix A1.1), adapted to the
 #: word-level synthetic corpus (no punctuation/lines in the fixture).
 GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 40, 100_000
@@ -7370,6 +7422,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_span_removal": (q_dedup_span_removal, SQL_DEDUP_SPAN_REMOVAL),
     "perplexity_bucket_sample": (q_perplexity_bucket_sample, SQL_PERPLEXITY_BUCKET),
     "ivf_eval_recall": (q_ivf_eval_recall, SQL_IVF_EVAL_RECALL),
+    "minhash_eval_recall": (q_minhash_eval_recall, _minhash_eval_sql()),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     # dedup
@@ -7628,6 +7681,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_span_removal",
     "perplexity_bucket_sample",
     "ivf_eval_recall",
+    "minhash_eval_recall",
     # re-queued: implementation switched to the BLAS batch scorer
     "embedding_cosine_topk",
 )
