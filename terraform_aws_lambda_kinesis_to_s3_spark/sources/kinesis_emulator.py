@@ -39,7 +39,11 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 _EPOCH = datetime.datetime(2024, 1, 1)
 
@@ -49,18 +53,29 @@ KINESIS_SCHEMA = (
 )
 
 
-def _shard_dir(stream_name: str) -> str:
+def _stream_dir(stream_name: str) -> str:
     return os.path.join(
         tempfile.gettempdir(), "spark_kinesis_emulator", stream_name
     )
 
 
+def _shard_dir(stream_name: str, shard: int) -> str:
+    return os.path.join(_stream_dir(stream_name), f"shard-{shard}")
+
+
 def set_stream_records(
-    stream_name: str, blobs: list[bytes], append: bool = False
+    stream_name: str,
+    blobs: list[bytes],
+    append: bool = False,
+    shard: int = 0,
 ) -> None:
-    """(Re)load — or, with ``append``, extend — the emulated
-    single-shard stream with raw record blobs."""
-    d = _shard_dir(stream_name)
+    """(Re)load — or, with ``append``, extend — one shard of the
+    emulated stream with raw record blobs. Call once per shard for a
+    multi-shard stream (shards map to input partitions, the
+    reference's one-Lambda-per-shard parallelism)."""
+    if not append and shard == 0:
+        shutil.rmtree(_stream_dir(stream_name), ignore_errors=True)
+    d = _shard_dir(stream_name, shard)
     if not append:
         shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
@@ -70,8 +85,25 @@ def set_stream_records(
             f.write(b)
 
 
-def _read_shard(stream_name: str) -> list[bytes]:
-    files = sorted(glob.glob(os.path.join(_shard_dir(stream_name), "*.bin")))
+def _shards(stream_name: str) -> list[int]:
+    pat = os.path.join(_stream_dir(stream_name), "shard-*")
+    out = []
+    for p in sorted(glob.glob(pat)):
+        try:
+            out.append(int(os.path.basename(p).split("-", 1)[1]))
+        except ValueError:
+            continue
+    return out or [0]
+
+
+def _shard_len(stream_name: str, shard: int) -> int:
+    return len(glob.glob(os.path.join(_shard_dir(stream_name, shard), "*.bin")))
+
+
+def _read_shard(stream_name: str, shard: int, lo: int, hi: int) -> list[bytes]:
+    files = sorted(
+        glob.glob(os.path.join(_shard_dir(stream_name, shard), "*.bin"))
+    )[lo:hi]
     out = []
     for p in files:
         with open(p, "rb") as f:
@@ -79,36 +111,59 @@ def _read_shard(stream_name: str) -> list[bytes]:
     return out
 
 
-class _EmulatedShardReader(SimpleDataSourceStreamReader):
+class _ShardSlice(InputPartition):
+    """One (shard, seq-range) slice — the executor-side read unit, so
+    shard parallelism maps 1:1 to Spark input partitions exactly as
+    Kinesis shards map to the reference's per-shard Lambdas."""
+
+    def __init__(self, stream: str, shard: int, lo: int, hi: int):
+        self.stream, self.shard, self.lo, self.hi = stream, shard, lo, hi
+
+
+class _EmulatedStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         # DataSource options arrive lower-cased
         self.stream = options.get("streamname", "")
-        start = (options.get("startingposition") or "TRIM_HORIZON").upper()
-        self._start0 = (
-            len(_read_shard(self.stream)) if start == "LATEST" else 0
+        self._latest_start = (
+            (options.get("startingposition") or "TRIM_HORIZON").upper()
+            == "LATEST"
         )
 
     def initialOffset(self):
-        return {"seq": self._start0}
+        # offsets are JSON dicts: shard id (string key) -> next seq
+        return {
+            str(s): (_shard_len(self.stream, s) if self._latest_start else 0)
+            for s in _shards(self.stream)
+        }
 
-    def _rows(self, blobs: list[bytes], lo: int, hi: int):
-        # must be a concrete (picklable) sequence — the runner pickles
-        # prefetched rows for replay; generators can't be pickled
-        return [
-            (b, self.stream, "shard-0", str(i), _EPOCH)
-            for i, b in enumerate(blobs[lo:hi], start=lo)
-        ]
+    def latestOffset(self):
+        return {str(s): _shard_len(self.stream, s) for s in _shards(self.stream)}
 
-    def read(self, start):
-        blobs = _read_shard(self.stream)
-        lo = start["seq"]
-        # iter(): the runner wants an iterator over picklable rows
-        return iter(self._rows(blobs, lo, len(blobs))), {"seq": len(blobs)}
+    def partitions(self, start, end):
+        parts = []
+        for s, hi in end.items():
+            lo = start.get(s, 0)
+            if hi > lo:
+                parts.append(_ShardSlice(self.stream, int(s), lo, hi))
+        # Spark requires >= 1 partition per micro-batch plan
+        return parts or [_ShardSlice(self.stream, 0, 0, 0)]
 
-    def readBetweenOffsets(self, start, end):
-        return iter(
-            self._rows(_read_shard(self.stream), start["seq"], end["seq"])
+    def read(self, partition: _ShardSlice):
+        # executor-side: yield connector-schema tuples for this slice
+        blobs = _read_shard(
+            partition.stream, partition.shard, partition.lo, partition.hi
         )
+        for i, b in enumerate(blobs, start=partition.lo):
+            yield (
+                b,
+                partition.stream,
+                f"shard-{partition.shard}",
+                str(i),
+                _EPOCH,
+            )
+
+    def commit(self, end):
+        pass  # shard files are immutable; nothing to clean up
 
 
 class KinesisEmulatorDataSource(DataSource):
@@ -121,8 +176,8 @@ class KinesisEmulatorDataSource(DataSource):
     def schema(self) -> str:
         return KINESIS_SCHEMA
 
-    def simpleStreamReader(self, schema):  # noqa: ARG002 — fixed schema
-        return _EmulatedShardReader(dict(self.options))
+    def streamReader(self, schema):  # noqa: ARG002 — fixed schema
+        return _EmulatedStreamReader(dict(self.options))
 
 
 def register_kinesis_emulator(spark) -> None:

@@ -388,3 +388,44 @@ def test_stream_kinesis_branch_end_to_end(spark, tmp_path):
     q2 = run_stream(stream_source(spark, cfg2, "kinesis"), out2, ckpt2, cfg2)
     q2.awaitTermination(120)
     assert _read_sink(out2) == []
+
+
+def test_stream_kinesis_emulator_multi_shard(spark, tmp_path):
+    """Multi-shard stream: each shard maps to its own input partition
+    (the reference's one-Lambda-per-shard parallelism, main.tf:56-62);
+    records from all shards land routed, and a second drain over the
+    same checkpoint after one shard advances processes only the new
+    record."""
+    import json as _json
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.sources.kinesis_emulator import (
+        register_kinesis_emulator,
+        set_stream_records,
+    )
+
+    def rec(log_id, lt):
+        return _json.dumps(
+            {"log_type": lt, "log_id": log_id, "time": "2024-03-05T10:00:00Z"}
+        ).encode()
+
+    register_kinesis_emulator(spark)
+    set_stream_records("msh", [rec("s0-a", "click"), rec("s0-b", "click")], shard=0)
+    set_stream_records("msh", [rec("s1-a", "view")], shard=1)
+    cfg = PipelineConfig(
+        unknown_date="2024-06-01",
+        kinesis_stream_arn="arn:aws:kinesis:us-east-1:1:stream/msh",
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = run_stream(stream_source(spark, cfg, "kinesis"), out, ckpt, cfg)
+    q.awaitTermination(120)
+    got = {_json.loads(r[3])["log_id"] for r in _read_sink(out)}
+    assert got == {"s0-a", "s0-b", "s1-a"}
+
+    set_stream_records("msh", [rec("s1-b", "view")], shard=1, append=True)
+    q2 = run_stream(stream_source(spark, cfg, "kinesis"), out, ckpt, cfg)
+    q2.awaitTermination(120)
+    rows = _read_sink(out)
+    assert {_json.loads(r[3])["log_id"] for r in rows} == {
+        "s0-a", "s0-b", "s1-a", "s1-b"
+    }
+    assert len(rows) == 4  # shard-0 records not reprocessed
