@@ -5987,39 +5987,39 @@ def q_market_basket_pairs(spark, sf):
     global top-15 is TakeOrderedAndProject, never a single-partition
     window."""
     li = _t(spark, sf, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    # Basket-size cap: one viral basket of k items lands k^2 pairs on a
-    # single join key — drop baskets above MARKET_BASKET_CAP before the
-    # self-join (TPC-H orders carry <=7 lines, so small-SF results are
-    # unchanged; at corpus scale this bounds per-key fan-out).
-    small = (
-        baskets.groupBy("l_orderkey")
-        .agg(F.count("*").alias("bsz"))
-        .filter(F.col("bsz") <= MARKET_BASKET_CAP)
-        .select("l_orderkey")
+    # ONE groupBy builds each order's sorted distinct-part array; the
+    # size cap drops viral baskets (TPC-H orders carry <=7 lines, so
+    # small-SF results are unchanged; at corpus scale this bounds the
+    # in-row expansion). With the cap in place, pair generation is an
+    # IN-ROW combination explode — <= C(cap, 2) structs per order,
+    # no self-join and no second pass over the baskets (the old
+    # distinct + size semi-join + a|b self-equi-join needed two more
+    # shuffles of the same rows).
+    basket = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= MARKET_BASKET_CAP)
+        .persist()
     )
-    # The capped-baskets stage feeds four consumers (both pair sides,
-    # per-part counts, the order total) — persist it so the distinct +
-    # cap semi-join runs once instead of being re-planned per consumer.
-    baskets = baskets.join(small, "l_orderkey").persist()
-    a = baskets.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
-    )
-    b = baskets.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    # parts is sorted asc, so pairing each element with its successors
+    # yields exactly the pa < pb pairs
+    pair_structs = F.expr(
+        "flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)),"
+        " y -> struct(x AS pa, y AS pb))))"
     )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
+        basket.select(F.explode(pair_structs).alias("p"))
+        .select("p.pa", "p.pb")
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("c_ab"))
     )
-    part_orders = baskets.groupBy(F.col("l_partkey")).agg(
-        F.count("*").alias("c")
+    part_orders = (
+        basket.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
     )
-    n_orders = baskets.select("l_orderkey").distinct().agg(
-        F.count("*").alias("n")
-    )
+    n_orders = basket.agg(F.count("*").alias("n"))
     scored = (
         pairs.join(
             part_orders.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca")),
