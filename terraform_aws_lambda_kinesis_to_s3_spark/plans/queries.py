@@ -4043,34 +4043,39 @@ GROUP BY 1
 
 
 def q_winnow_overlap_pairs(spark, sf):
-    """Near-dup candidates from shared winnowing fingerprints: the
-    inverted-index self-join on the fingerprint (the standard
-    MOSS match step), kept sub-quadratic because each doc contributes
-    only ~2/(w+1) of its grams and truly-common fingerprints are rare
-    after dedup to distinct (doc, fp). A document-frequency cap (the
-    same guard as the capped Jaccard) drops boilerplate fingerprints
-    before the join, bounding per-key fan-out. Emits pairs sharing
-    >= 2 surviving fingerprints with the overlap coefficient
-    |A∩B| / min(|A|, |B|) (set sizes measured before the cap)."""
-    # The rolling-hash windowing stage feeds four consumers (sizes, the
-    # df cap, both join sides) — persist the distinct (doc, fp) set so
-    # the shingle/hash computation runs once, not per consumer.
+    """Near-dup candidates from shared winnowing fingerprints (the
+    standard MOSS match step), kept sub-quadratic because each doc
+    contributes only ~2/(w+1) of its grams and truly-common
+    fingerprints are rare after dedup to distinct (doc, fp). The
+    document-frequency cap (df <= 16, the same guard as the capped
+    Jaccard) bounds each fingerprint's posting list, which makes pair
+    generation an IN-ROW combination explode over the per-fingerprint
+    doc array — <= C(16, 2) structs per posting list, replacing the
+    df-filter + inverted-index self-equi-join (two more shuffles of
+    the same rows). Emits pairs sharing >= 2 surviving fingerprints
+    with the overlap coefficient |A∩B| / min(|A|, |B|) (set sizes
+    measured before the cap)."""
+    # The rolling-hash windowing stage feeds both the per-doc sizes and
+    # the posting lists — persist the distinct (doc, fp) set so the
+    # shingle/hash computation runs once, not per consumer.
     fp = _winnow_windows(spark, sf, max_doc=None).select(
         "doc_id", "fp"
     ).distinct().persist()
     sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
-    rare = (
+    postings = (
         fp.groupBy("fp")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= 16)
-        .select("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs").between(2, 16))
     )
-    fp = fp.join(rare, "fp")
-    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    # docs is sorted asc, so successor pairing yields doc_a < doc_b
+    pair_structs = F.expr(
+        "flatten(transform(docs, (x, i) ->"
+        " transform(slice(docs, i + 2, size(docs)),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     common = (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        postings.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
