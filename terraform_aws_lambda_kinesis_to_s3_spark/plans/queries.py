@@ -7373,6 +7373,359 @@ FROM scored GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Tier B — corpus-mixture and model-eval operators (round 3, session 2)
+# ---------------------------------------------------------------------------
+
+
+def _inrow_word_ngrams(n: int, toks: str = "toks") -> str:
+    """SQL fragment: the word-n-gram array of ``toks``, guarded to an
+    empty array for docs shorter than ``n`` (Spark's ``sequence(1, 0)``
+    DESCENDS — same hazard _word_ngram_positions guards)."""
+    return (
+        f"case when size({toks}) >= {n} then"
+        f" transform(sequence(1, size({toks}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({toks}, i, {n})))"
+        f" else cast(array() as array<string>) end"
+    )
+
+
+def q_text_top_ngram_frac(spark, sf):
+    """Gopher repetition rules (Rae et al. 2021, A1.1 "repetition
+    signals"): per document, the fraction of characters contained in
+    occurrences of the MOST frequent word-2-gram and word-3-gram, then
+    per-source means and Gopher-threshold flag counts (top-2-gram
+    frac > 0.20, top-3-gram frac > 0.18 ⇒ filtered).
+
+    Unlike dup_ngram_coverage (corpus-wide gram frequencies, needs a
+    shuffle), the top-n-gram mode is a PER-DOC statistic, so the whole
+    computation is in-row Catalyst lambdas over one split(): O(g²)
+    comparisons per doc but ZERO shuffles until the final tiny
+    per-source agg — the cheapest possible shape, and at 100 TB it is
+    one narrow map pass. Ties on the max count break to the
+    lexicographically largest gram (array_max), which both engines
+    reproduce exactly; the char fraction only needs the gram's length,
+    so any deterministic tie-break yields the same answer when tied
+    grams have equal length and a stable one when not."""
+    d = _t(spark, sf, "documents").withColumn("toks", F.split("text", " "))
+    for n in (2, 3):
+        grams = _inrow_word_ngrams(n)
+        d = (
+            d.withColumn(f"g{n}", F.expr(grams))
+            .withColumn(
+                f"mc{n}",
+                F.expr(
+                    f"case when size(g{n}) = 0 then 0 else"
+                    f" array_max(transform(array_distinct(g{n}),"
+                    f" g -> size(filter(g{n}, x -> x = g)))) end"
+                ),
+            )
+            .withColumn(
+                f"frac{n}",
+                F.expr(
+                    f"case when size(g{n}) = 0 then 0.0 else"
+                    f" cast(mc{n} * length(array_max(filter(array_distinct(g{n}),"
+                    f" g -> size(filter(g{n}, x -> x = g)) = mc{n}))) as double)"
+                    f" / length(text) end"
+                ),
+            )
+        )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("frac2"), 6).alias("avg_top2_frac"),
+        F.sum((F.col("frac2") > 0.20).cast("long")).alias("n_flag_top2"),
+        F.round(F.avg("frac3"), 6).alias("avg_top3_frac"),
+        F.sum((F.col("frac3") > 0.18).cast("long")).alias("n_flag_top3"),
+    )
+
+
+SQL_TOP_NGRAM_FRAC = """
+WITH base AS (SELECT source, text, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT source, text,
+         CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)),
+              i -> array_to_string(list_slice(t, i, i + 1), ' ')) ELSE [] END AS g2,
+         CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+              i -> array_to_string(list_slice(t, i, i + 2), ' ')) ELSE [] END AS g3
+  FROM base),
+m AS (
+  SELECT source, text, g2, g3,
+         CASE WHEN len(g2) = 0 THEN 0 ELSE
+           list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) END AS mc2,
+         CASE WHEN len(g3) = 0 THEN 0 ELSE
+           list_max(list_transform(list_distinct(g3), x -> len(list_filter(g3, y -> y = x)))) END AS mc3
+  FROM g),
+f AS (
+  SELECT source,
+         CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+           CAST(mc2 * len(list_max(list_filter(list_distinct(g2),
+                x -> len(list_filter(g2, y -> y = x)) = mc2))) AS DOUBLE) / len(text) END AS frac2,
+         CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+           CAST(mc3 * len(list_max(list_filter(list_distinct(g3),
+                x -> len(list_filter(g3, y -> y = x)) = mc3))) AS DOUBLE) / len(text) END AS frac3
+  FROM m)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(frac2), 6) AS avg_top2_frac,
+       CAST(SUM(CASE WHEN frac2 > 0.20 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_top2,
+       ROUND(AVG(frac3), 6) AS avg_top3_frac,
+       CAST(SUM(CASE WHEN frac3 > 0.18 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_top3
+FROM f GROUP BY 1
+"""
+
+
+def q_corpus_kl_divergence(spark, sf):
+    """Per-source distribution shift: KL(p_source ‖ p_corpus) over
+    unigram term distributions — the standard corpus-mixture diagnostic
+    (which sources deviate most from the blend they feed). No smoothing
+    is needed: every term of a source is by construction in the corpus,
+    so q(t) > 0 wherever p(t) > 0.
+
+    Plan shape: one (source, term) count shuffle (map-side partials),
+    then the corpus marginal is RE-AGGREGATED from that table (vocab ×
+    sources rows, never re-reading the corpus) and joined back on term.
+    The per-source totals table is O(n_sources) and broadcast; the
+    term join is left to AQE (vocab can be huge at corpus scale — a
+    forced broadcast would be the winnow_overlap_pairs hazard the r2
+    verdict flagged)."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    sc = tok.groupBy("source", "term").agg(F.count("*").alias("c"))
+    stot = sc.groupBy("source").agg(F.sum("c").alias("s_total"))
+    corp = sc.groupBy("term").agg(F.sum("c").alias("cc"))
+    ctot = corp.agg(F.sum("cc").alias("t_total"))
+    p = F.col("c").cast("double") / F.col("s_total")
+    q = F.col("cc").cast("double") / F.col("t_total")
+    return (
+        sc.join(corp, "term")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.max("s_total").alias("n_tokens"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+        )
+    )
+
+
+SQL_CORPUS_KL = """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+sc AS (SELECT source, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+stot AS (SELECT source, SUM(c) AS s_total FROM sc GROUP BY 1),
+corp AS (SELECT term, SUM(c) AS cc FROM sc GROUP BY 1),
+ctot AS (SELECT SUM(cc) AS t_total FROM corp)
+SELECT sc.source, COUNT(DISTINCT sc.term) AS n_terms,
+       CAST(MAX(s_total) AS BIGINT) AS n_tokens,
+       ROUND(SUM((c * 1.0 / s_total) * LN((c * 1.0 / s_total) / (cc * 1.0 / t_total))), 6) AS kl_vs_corpus
+FROM sc JOIN corp USING (term) JOIN stot ON sc.source = stot.source CROSS JOIN ctot
+GROUP BY 1
+"""
+
+
+MIXTURE_TEMPERATURE = 0.3  # α for temperature-scaled sampling (mT5/XLM-R use 0.3)
+
+
+def q_temperature_mixture(spark, sf):
+    """Temperature-scaled mixture weights (Conneau et al. XLM-R §3.1 /
+    mT5): sampling share w_s ∝ n_s^α flattens the raw token-count
+    distribution so low-resource sources are upsampled; the
+    upsample_factor column (temp_share / raw_share) is exactly the
+    per-source duplication factor a sampler must apply. Two tiny aggs
+    and a broadcast of a 1-row totals table — the corpus pass is the
+    per-source token count only."""
+    d = _t(spark, sf, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("grand"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(MIXTURE_TEMPERATURE))).alias(
+            "temp_norm"
+        ),
+    )
+    raw = F.col("n_tokens").cast("double") / F.col("grand")
+    temp = (
+        F.pow(F.col("n_tokens").cast("double"), F.lit(MIXTURE_TEMPERATURE))
+        / F.col("temp_norm")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(raw, 6).alias("raw_share"),
+        F.round(temp, 6).alias("temp_share"),
+        F.round(temp / raw, 6).alias("upsample_factor"),
+    )
+
+
+SQL_TEMPERATURE_MIXTURE = f"""
+WITH per AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+tot AS (SELECT SUM(n_tokens) AS grand,
+               SUM(POW(n_tokens, {MIXTURE_TEMPERATURE})) AS temp_norm FROM per)
+SELECT source, n_tokens,
+       ROUND(n_tokens / grand, 6) AS raw_share,
+       ROUND(POW(n_tokens, {MIXTURE_TEMPERATURE}) / temp_norm, 6) AS temp_share,
+       ROUND((POW(n_tokens, {MIXTURE_TEMPERATURE}) / temp_norm) / (n_tokens / grand), 6) AS upsample_factor
+FROM per CROSS JOIN tot
+"""
+
+
+FASTTEXT_BUCKETS = 1024  # hashed-feature width of the linear quality scorer
+
+
+def q_quality_fasttext_score(spark, sf):
+    """fastText-shaped quality-classifier INFERENCE at corpus scale:
+    hashed bag of word uni+bigrams → broadcast weight-vector join →
+    per-doc mean-pool → sigmoid. This is the production plan for "run
+    a small trained classifier over 100 TB": the model (a
+    FASTTEXT_BUCKETS-row weight table) broadcasts to every task, the
+    feature explode and bucket hash are map-only, and the only shuffle
+    is the per-doc mean — keyed on doc_id, map-side partials.
+
+    The weights here are a DETERMINISTIC md5-derived stand-in for a
+    trained model (so the DuckDB oracle reproduces the exact scores);
+    quality_logreg_train shows the training side with real learned
+    weights. Bag (with-multiplicity) semantics, matching fastText's
+    mean-of-feature-vectors pooling."""
+    d = _t(spark, sf, "documents").withColumn("toks", F.split("text", " "))
+    feats = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "concat(toks, case when size(toks) >= 2 then"
+                " transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), '_', element_at(toks, i + 1)))"
+                " else cast(array() as array<string>) end)"
+            )
+        ).alias("feat"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10).cast("long")
+        % FASTTEXT_BUCKETS
+    )
+    w = (
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+        - 0.5
+    )
+    weights = spark.range(FASTTEXT_BUCKETS).select(
+        F.col("id").alias("bucket"), w.alias("w")
+    )
+    scored = (
+        feats.withColumn("bucket", bucket)
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "source")
+        .agg((F.lit(1.0) / (F.lit(1.0) + F.exp(-F.avg("w") * 8))).alias("score"))
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.sum((F.col("score") > 0.5).cast("long")).alias("n_positive"),
+    )
+
+
+SQL_FASTTEXT = f"""
+WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+feats AS (
+  SELECT doc_id, source,
+         unnest(list_concat(t, CASE WHEN len(t) >= 2 THEN
+           list_transform(range(1, len(t)), i -> t[i] || '_' || t[i+1]) ELSE [] END)) AS feat
+  FROM base),
+weights AS (
+  SELECT i AS bucket,
+         CAST(CAST(concat('0x', substr(md5(CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE)
+           / 4294967296.0 - 0.5 AS w
+  FROM range(0, {FASTTEXT_BUCKETS}) t(i)),
+scored AS (
+  SELECT doc_id, source, 1.0 / (1.0 + EXP(-AVG(w) * 8)) AS score
+  FROM feats JOIN weights
+    ON CAST(concat('0x', substr(md5(feat), 1, 8)) AS UBIGINT) % {FASTTEXT_BUCKETS} = bucket
+  GROUP BY 1, 2)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(score), 6) AS avg_score,
+       CAST(SUM(CASE WHEN score > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+FROM scored GROUP BY 1
+"""
+
+
+def q_knn_label_eval(spark, sf):
+    """Embedding-quality eval: leave-one-out 3-NN cosine majority-vote
+    label prediction over a deterministic 20% probe sample
+    (vec_id % 5 = 0), accuracy per true label. Completes the eval suite
+    (lsh_eval_pr / ivf_eval_recall / minhash_eval_recall measure the
+    ANN approximations; this measures the EMBEDDINGS themselves).
+
+    Neighbor search is the exact BLAS batch scorer (shuffle volume
+    O(batches × |probe| × k), independent of corpus size); the probe
+    set is the broadcast side by cosine_topk_blas's contract, which the
+    %-sample keeps small by construction. Majority vote is a struct-max
+    (count desc, label asc tie-break) — reproduced exactly by the
+    oracle's row_number ordering."""
+    e = _t(spark, sf, "embeddings")
+    probe = e.filter(F.col("vec_id") % 5 == 0)
+    nn = S.cosine_topk_blas(e, probe, k=3)
+    lab = e.select("vec_id", "label")
+    votes = (
+        nn.join(
+            F.broadcast(
+                lab.withColumnRenamed("vec_id", "nn_id").withColumnRenamed(
+                    "label", "nn_label"
+                )
+            ),
+            "nn_id",
+        )
+        .groupBy("query_id", "nn_label")
+        .agg(F.count("*").alias("v"))
+    )
+    pick = (
+        votes.groupBy("query_id")
+        .agg(F.max(F.struct(F.col("v"), (-F.col("nn_label")).alias("neg"))).alias("m"))
+        .select("query_id", (-F.col("m.neg")).cast("int").alias("pred_label"))
+    )
+    truth = lab.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "true_label"
+    )
+    correct = (F.col("pred_label") == F.col("true_label")).cast("long")
+    return (
+        pick.join(truth, "query_id")
+        .groupBy("true_label")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(correct).alias("n_correct"),
+            F.round(F.sum(correct) / F.count("*"), 6).alias("accuracy"),
+        )
+    )
+
+
+SQL_KNN_EVAL = """
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS nn_id, v.label AS nn_label,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])) AS cos
+  FROM q CROSS JOIN embeddings v WHERE v.vec_id <> q.vec_id),
+ranked AS (
+  SELECT query_id, nn_id, nn_label,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+  FROM scored),
+votes AS (
+  SELECT query_id, nn_label, COUNT(*) AS v FROM ranked WHERE rank <= 3 GROUP BY 1, 2),
+pick AS (
+  SELECT query_id, nn_label AS pred_label,
+         row_number() OVER (PARTITION BY query_id ORDER BY v DESC, nn_label ASC) AS r
+  FROM votes)
+SELECT t.label AS true_label, COUNT(*) AS n_queries,
+       CAST(SUM(CASE WHEN p.pred_label = t.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       ROUND(SUM(CASE WHEN p.pred_label = t.label THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS accuracy
+FROM pick p JOIN embeddings t ON p.query_id = t.vec_id
+WHERE p.r = 1
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -7428,6 +7781,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "perplexity_bucket_sample": (q_perplexity_bucket_sample, SQL_PERPLEXITY_BUCKET),
     "ivf_eval_recall": (q_ivf_eval_recall, SQL_IVF_EVAL_RECALL),
     "minhash_eval_recall": (q_minhash_eval_recall, _minhash_eval_sql()),
+    # corpus-mixture / model-eval (round 3, session 2)
+    "text_top_ngram_frac": (q_text_top_ngram_frac, SQL_TOP_NGRAM_FRAC),
+    "corpus_kl_divergence": (q_corpus_kl_divergence, SQL_CORPUS_KL),
+    "temperature_mixture_weights": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
+    "quality_fasttext_score": (q_quality_fasttext_score, SQL_FASTTEXT),
+    "knn_label_eval": (q_knn_label_eval, SQL_KNN_EVAL),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     # dedup

@@ -977,3 +977,138 @@ def test_power_iteration_lazy_and_empty_gram(spark):
     )
     got = {r.i: r.v for r in S.power_iteration_top_eigvec(oob, dim=2, iters=2).collect()}
     assert got[0] == 1.0 and got[1] == 0.0  # only the in-range entry counted
+
+
+def _with_docs(spark, Q, rows, fn, *args, **kw):
+    """Run a registry query fn against an in-memory documents fixture."""
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = Q._t
+    Q._t = lambda spark, sf, name, **k: docs
+    try:
+        return fn(spark, "ignored", *args, **kw).collect()
+    finally:
+        Q._t = orig
+
+
+def test_top_ngram_frac_semantics(spark):
+    """Gopher top-n-gram char fraction: repeated bigram dominates, a
+    one-word doc hits the empty-gram guard (frac 0), and the flag
+    thresholds (0.20 / 0.18) count correctly."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        # "x y x y x": top bigram ("x y" or "y x", both len 3) occurs 2x
+        # -> frac2 = 2*3/9; top trigram 2x of len 5 -> frac3 = 2*5/9
+        (1, "x y x y x", "en", "rep", 9),
+        (2, "solo", "en", "short", 4),  # no bigrams -> frac 0, unflagged
+    ]
+    got = {r.source: r for r in _with_docs(spark, Q, rows, Q.q_text_top_ngram_frac)}
+    assert math.isclose(got["rep"].avg_top2_frac, 2 * 3 / 9, abs_tol=1e-6)
+    assert math.isclose(got["rep"].avg_top3_frac, 2 * 5 / 9, abs_tol=1e-6)
+    assert got["rep"].n_flag_top2 == 1 and got["rep"].n_flag_top3 == 1
+    assert got["short"].avg_top2_frac == 0.0
+    assert got["short"].n_flag_top2 == 0 and got["short"].n_flag_top3 == 0
+
+
+def test_corpus_kl_zero_for_matching_distribution(spark):
+    """KL(p_source || p_corpus) is 0 when every source has the corpus
+    distribution, positive for a skewed source, never negative."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    same = [
+        (1, "a a b", "en", "s1", 5),
+        (2, "a a b", "en", "s2", 5),
+    ]
+    got = {r.source: r.kl_vs_corpus for r in
+           _with_docs(spark, Q, same, Q.q_corpus_kl_divergence)}
+    assert got["s1"] == 0.0 and got["s2"] == 0.0
+
+    skew = [
+        (1, "a a a a", "en", "heavy_a", 7),
+        (2, "b b b b", "en", "heavy_b", 7),
+        (3, "a b a b", "en", "mixed", 7),
+    ]
+    got = {r.source: r.kl_vs_corpus for r in
+           _with_docs(spark, Q, skew, Q.q_corpus_kl_divergence)}
+    assert got["heavy_a"] > 0 and got["heavy_b"] > 0
+    assert all(v >= 0 for v in got.values())
+    assert got["mixed"] < got["heavy_a"]  # mixed matches corpus better
+
+
+def test_temperature_mixture_invariants(spark):
+    """Both share columns sum to 1; temperature flattening upsamples
+    the smallest source (factor > 1) and downsamples the largest."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        (1, " ".join(["w"] * 100), "big", "big", 199),
+        (2, " ".join(["w"] * 10), "small", "small", 19),
+    ]
+    rows = [(i, t, "en", s, n) for i, t, _, s, n in rows]
+    out = {r.source: r for r in _with_docs(spark, Q, rows, Q.q_temperature_mixture)}
+    assert math.isclose(sum(r.raw_share for r in out.values()), 1.0, abs_tol=1e-5)
+    assert math.isclose(sum(r.temp_share for r in out.values()), 1.0, abs_tol=1e-5)
+    assert out["small"].upsample_factor > 1.0
+    assert out["big"].upsample_factor < 1.0
+
+
+def test_fasttext_score_matches_hand_rolled_weights(spark):
+    """The md5 bucket/weight scheme must reproduce a hand-computed
+    score exactly (same scheme the DuckDB oracle runs), and scores are
+    valid probabilities."""
+    import hashlib
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    feats = ["alpha", "beta", "alpha_beta"]  # doc "alpha beta"
+    ws = [h32(str(h32(f) % Q.FASTTEXT_BUCKETS)) / 4294967296.0 - 0.5 for f in feats]
+    mean = sum(ws) / len(ws)
+    expected = 1.0 / (1.0 + math.exp(-mean * 8))
+
+    rows = [(1, "alpha beta", "en", "s", 10)]
+    got = _with_docs(spark, Q, rows, Q.q_quality_fasttext_score)[0]
+    assert math.isclose(got.avg_score, expected, abs_tol=1e-6)
+    assert 0.0 < got.avg_score < 1.0
+    assert got.n_positive == (1 if expected > 0.5 else 0)
+
+
+def test_knn_label_eval_majority_and_tiebreak(spark):
+    """3-NN vote: clear majority wins; a 1-1-1 tie breaks to the
+    smallest label (struct-max on (count, -label))."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    # probe ids are vec_id % 5 == 0 -> 0 and 5.
+    # Geometry (2-D): probe 0 at 0deg; ids 1,2,3 within ~10deg (labels
+    # 2,1,1 -> majority 1 = its true label); probe 5 at 90deg with ids
+    # 6,7,8 nearby carrying labels 3,2,1 -> 1-1-1 tie -> pick label 1,
+    # but its true label is 3 -> incorrect.
+    import math as m
+
+    def vec(deg):
+        r = m.radians(deg)
+        return [float(m.cos(r)), float(m.sin(r))]
+
+    rows = [
+        (0, vec(0), 1),
+        (1, vec(4), 2),
+        (2, vec(6), 1),
+        (3, vec(8), 1),
+        (5, vec(90), 3),
+        (6, vec(86), 3),
+        (7, vec(93), 2),
+        (8, vec(95), 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    orig = Q._t
+    Q._t = lambda spark, sf, name, **k: emb
+    try:
+        got = {r.true_label: r for r in Q.q_knn_label_eval(spark, "x").collect()}
+    finally:
+        Q._t = orig
+    assert got[1].n_queries == 1 and got[1].n_correct == 1  # majority vote
+    assert got[3].n_queries == 1 and got[3].n_correct == 0  # tie -> label 1
