@@ -210,6 +210,15 @@ HEADLINE = [
     "dedup_span_removal",
     "perplexity_bucket_sample",
     "ivf_eval_recall",
+    # round 3 session 2: corpus-mixture / model-eval additions
+    "text_top_ngram_frac",
+    "corpus_kl_divergence",
+    "temperature_mixture_weights",
+    "quality_fasttext_score",
+    "knn_label_eval",
+    "bpe_encode_tokens",
+    "events_winsorize",
+    "mrl_truncation_eval",
 ]
 
 

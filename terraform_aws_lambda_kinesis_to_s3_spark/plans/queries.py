@@ -7700,6 +7700,199 @@ def q_knn_label_eval(spark, sf):
     )
 
 
+#: Fixed BPE merge ranks applied by the encoder, in order. A LITERAL
+#: model (like the fastText stand-in weights) so the DuckDB oracle can
+#: replay the exact same merges; bpe_merge_step / text_bpe_tokens show
+#: the LEARNING side (pair census over the corpus) that would produce
+#: this table in production.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("r", "e"), ("o", "n"), ("s", "t"), ("a", "t"),
+)
+BPE_SEP = "~"  # token separator; corpus text is [a-z ] so '~' never collides
+
+
+def _bpe_word_expr(w: str) -> str:
+    """SQL fragment encoding one word: char-split, then apply each
+    merge in rank order via replace() — both engines scan left-to-right
+    over non-overlapping occurrences, which IS the BPE merge rule, so
+    'a a a' under merge (a,a) becomes [aa, a] in both."""
+    s = f"array_join(filter(split({w}, ''), c -> c <> ''), '{BPE_SEP}')"
+    for a, b in BPE_MERGES:
+        s = f"replace({s}, '{a}{BPE_SEP}{b}', '{a}{b}')"
+    return s
+
+
+def q_bpe_encode_tokens(spark, sf):
+    """BPE tokenizer APPLY at corpus scale: encode every word with a
+    fixed merge table (BPE_MERGES) and report per-source token budget,
+    fertility (tokens/word) and chars/token — the numbers a training
+    run needs before it can size a data mixture.
+
+    The encode is one in-row Catalyst expression per word (char join +
+    one replace() per merge rank, folded left-to-right exactly like
+    BPE's non-overlapping merge rule) — zero shuffles until the
+    per-source agg, zero UDFs, and the merge loop unrolls at plan
+    build so whole-stage codegen sees a flat expression. At 100 TB
+    this is a single narrow map pass; a real 32k-merge vocab would
+    swap the unrolled replaces for one Arrow-batched pandas_udf with
+    the same word-level contract (the oracle pins that contract)."""
+    d = _t(spark, sf, "documents").withColumn("toks", F.split("text", " "))
+    enc = F.expr(
+        f"transform(toks, w -> size(split({_bpe_word_expr('w')}, '{BPE_SEP}')))"
+    )
+    per_doc = d.select(
+        "source",
+        F.size("toks").alias("n_words"),
+        F.expr(
+            "aggregate(transform(toks, w -> length(w)), 0, (a, x) -> a + x)"
+        ).alias("n_chars_w"),
+        F.aggregate(enc, F.lit(0), lambda a, x: a + x).alias("n_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.sum("n_words").cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars_w").cast("double") / F.sum("n_tokens").cast("double"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+def _bpe_word_sql(w: str) -> str:
+    s = f"array_to_string(string_split({w}, ''), '{BPE_SEP}')"
+    for a, b in BPE_MERGES:
+        s = f"replace({s}, '{a}{BPE_SEP}{b}', '{a}{b}')"
+    return s
+
+
+SQL_BPE_ENCODE = f"""
+WITH base AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+per AS (
+  SELECT source,
+         len(t) AS n_words,
+         list_sum(list_transform(t, w -> len(w))) AS n_chars_w,
+         list_sum(list_transform(t, w -> len(string_split({_bpe_word_sql('w')}, '{BPE_SEP}')))) AS n_tokens
+  FROM base)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_words), 6) AS fertility,
+       ROUND(CAST(SUM(n_chars_w) AS DOUBLE) / SUM(n_tokens), 6) AS chars_per_token
+FROM per GROUP BY 1
+"""
+
+
+def q_events_winsorize(spark, sf):
+    """Per-type winsorization (clip to [p01, p99]) — the standard
+    outlier guard before a metric feeds a model or a dashboard. The
+    percentile table is O(n_types) and broadcast back onto the fact
+    scan; both aggs key on event_type with map-side partials. The
+    percentiles here are EXACT (per-group sort) so the oracle matches
+    bit-for-bit; at 100 TB the one-line swap is approx_percentile
+    (t-digest, no sort), same plan otherwise."""
+    ev = _t(spark, sf, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    clipped = ev.join(F.broadcast(pct), "event_type").withColumn(
+        "wvalue", F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("mean_raw"),
+        F.round(F.avg("wvalue"), 6).alias("mean_winsorized"),
+        F.sum((F.col("value") != F.col("wvalue")).cast("long")).alias("n_clipped"),
+        F.round(F.max("p01"), 6).alias("p01"),
+        F.round(F.max("p99"), 6).alias("p99"),
+    )
+
+
+SQL_EVENTS_WINSORIZE = """
+WITH pct AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS p01,
+         quantile_cont(value, 0.99) AS p99
+  FROM events GROUP BY 1),
+c AS (
+  SELECT e.event_type, value,
+         LEAST(GREATEST(value, p01), p99) AS wvalue, p01, p99
+  FROM events e JOIN pct USING (event_type))
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(AVG(value), 6) AS mean_raw,
+       ROUND(AVG(wvalue), 6) AS mean_winsorized,
+       CAST(SUM(CASE WHEN value <> wvalue THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       ROUND(MAX(p01), 6) AS p01,
+       ROUND(MAX(p99), 6) AS p99
+FROM c GROUP BY 1
+"""
+
+
+MRL_DIM = 16  # truncation width for the matryoshka-style eval
+
+
+def q_mrl_truncation_eval(spark, sf):
+    """Matryoshka-style dimension-truncation eval: recall@5 of top-k
+    search on the FIRST 16 of 64 dims vs the full-width exact answer —
+    the measurement behind "can we store/search a 4× cheaper prefix of
+    the embedding?". Runs both exact BLAS searches over the same 20%
+    probe sample and joins their (query, neighbor) sets; the probe
+    count enters relationally (1-row cross join), so building the plan
+    launches no jobs. Completes the eval suite: lsh/ivf/minhash grade
+    the INDEX, knn_label_eval the embeddings, this grades a STORAGE
+    layout."""
+    e = _t(spark, sf, "embeddings")
+    probe = e.filter(F.col("vec_id") % 5 == 0)
+    trunc = F.expr(f"slice(embedding, 1, {MRL_DIM})")
+    full = S.cosine_topk_blas(e, probe, k=5).select("query_id", "nn_id")
+    tr = S.cosine_topk_blas(
+        e.select("vec_id", trunc.alias("embedding")),
+        probe.select("vec_id", trunc.alias("embedding")),
+        k=5,
+    ).select(F.col("query_id").alias("tq"), F.col("nn_id").alias("tn"))
+    hits = full.join(
+        tr, (F.col("query_id") == F.col("tq")) & (F.col("nn_id") == F.col("tn"))
+    )
+    denom = probe.agg(F.count("*").alias("n_queries"))
+    return (
+        hits.agg(F.count("*").alias("n_hits"))
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "n_queries",
+            "n_hits",
+            F.round(F.col("n_hits") / (F.col("n_queries") * 5.0), 6).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
+SQL_MRL_EVAL = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+full_s AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS nn_id,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])) DESC,
+           v.vec_id) AS rank
+  FROM q CROSS JOIN embeddings v WHERE v.vec_id <> q.vec_id),
+tr_s AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS nn_id,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           list_cosine_similarity(CAST(q.embedding[1:{MRL_DIM}] AS DOUBLE[]),
+                                  CAST(v.embedding[1:{MRL_DIM}] AS DOUBLE[])) DESC,
+           v.vec_id) AS rank
+  FROM q CROSS JOIN embeddings v WHERE v.vec_id <> q.vec_id),
+f AS (SELECT query_id, nn_id FROM full_s WHERE rank <= 5),
+t AS (SELECT query_id, nn_id FROM tr_s WHERE rank <= 5)
+SELECT (SELECT COUNT(*) FROM q) AS n_queries,
+       COUNT(*) AS n_hits,
+       ROUND(COUNT(*) / ((SELECT COUNT(*) FROM q) * 5.0), 6) AS recall_at_5
+FROM f JOIN t USING (query_id, nn_id)
+"""
+
+
 SQL_KNN_EVAL = """
 WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 = 0),
 scored AS (
@@ -7787,6 +7980,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "temperature_mixture_weights": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
     "quality_fasttext_score": (q_quality_fasttext_score, SQL_FASTTEXT),
     "knn_label_eval": (q_knn_label_eval, SQL_KNN_EVAL),
+    "bpe_encode_tokens": (q_bpe_encode_tokens, SQL_BPE_ENCODE),
+    "events_winsorize": (q_events_winsorize, SQL_EVENTS_WINSORIZE),
+    "mrl_truncation_eval": (q_mrl_truncation_eval, SQL_MRL_EVAL),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     # dedup

@@ -1112,3 +1112,76 @@ def test_knn_label_eval_majority_and_tiebreak(spark):
         Q._t = orig
     assert got[1].n_queries == 1 and got[1].n_correct == 1  # majority vote
     assert got[3].n_queries == 1 and got[3].n_correct == 0  # tie -> label 1
+
+
+def test_bpe_encode_merge_semantics(spark):
+    """The replace-fold must apply merges in rank order with BPE's
+    left-to-right non-overlapping rule: 'the' collapses to one token
+    (t+h -> th, th+e -> the... no — 'the' = [th, e] after rank-0/1
+    gives ['the'] only if ('th','e') is ranked; verify via counts),
+    and a word with no merge pairs stays char-level."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        (1, "the", "en", "s_the", 3),    # t~h~e -> th~e -> the : 1 token
+        (2, "xyz", "en", "s_xyz", 3),    # no merges apply: 3 tokens
+        (3, "thethe", "en", "s_thethe", 6),  # -> the|the : 2 tokens
+    ]
+    got = {r.source: r for r in _with_docs(spark, Q, rows, Q.q_bpe_encode_tokens)}
+    assert got["s_the"].total_tokens == 1
+    assert got["s_xyz"].total_tokens == 3
+    assert got["s_thethe"].total_tokens == 2
+    assert got["s_the"].fertility == 1.0
+    assert got["s_xyz"].chars_per_token == 1.0
+
+
+def test_events_winsorize_clips_only_tails(spark):
+    """Values inside [p01, p99] are untouched; the extreme tail is
+    clipped and counted; the winsorized mean moves toward the center."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+    from datetime import datetime
+
+    rows = [(i, datetime(2024, 1, 1), 1, "t", float(v), "{}")
+            for i, v in enumerate([0.0] + [50.0] * 98 + [10000.0])]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string"
+    )
+    orig = Q._t
+    Q._t = lambda spark, sf, name, **k: ev
+    try:
+        r = Q.q_events_winsorize(spark, "x").collect()[0]
+    finally:
+        Q._t = orig
+    assert r.n_events == 100
+    assert r.n_clipped == 2  # both extremes move to the interpolated bounds
+    assert r.mean_winsorized < r.mean_raw  # the huge outlier dominated
+    assert r.p01 > 0.0 and r.p99 < 10000.0
+
+
+def test_mrl_truncation_eval_bounds_and_identity(spark):
+    """Recall is 1.0 when truncation keeps all informative dims (pad
+    the tail with zeros so the 16-dim prefix IS the full vector)."""
+    import math as m
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    # irregular angles: no two candidates are symmetric about a probe,
+    # so no cosine ties at the rank-5 boundary (a symmetric circle has
+    # exact ties there, which 1-ulp BLAS differences between the 64-dim
+    # and 16-dim matmuls may legitimately break differently)
+    angles = [0, 11, 35, 52, 80, 103, 151, 170, 195, 224, 267, 301]
+    rows = []
+    for i, deg in enumerate(angles):
+        r = m.radians(deg)
+        v = [float(m.cos(r)), float(m.sin(r))] + [0.0] * 62
+        rows.append((i, v, i % 3))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    orig = Q._t
+    Q._t = lambda spark, sf, name, **k: emb
+    try:
+        r = Q.q_mrl_truncation_eval(spark, "x").collect()[0]
+    finally:
+        Q._t = orig
+    assert r.n_queries == 3  # vec_id 0, 5, 10
+    assert r.recall_at_5 == 1.0
