@@ -219,6 +219,8 @@ HEADLINE = [
     "bpe_encode_tokens",
     "events_winsorize",
     "mrl_truncation_eval",
+    "vocab_growth_curve",
+    "customer_rfm_segments",
 ]
 
 

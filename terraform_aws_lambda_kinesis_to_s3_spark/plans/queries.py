@@ -7700,6 +7700,126 @@ def q_knn_label_eval(spark, sf):
     )
 
 
+def q_vocab_growth_curve(spark, sf):
+    """Heaps'-law vocabulary growth: cumulative distinct-term count as
+    the corpus grows (doc_id order, decile grain) plus the implied
+    Heaps exponent ln(V)/ln(N) per decile — the curve that tells a
+    tokenizer/mixture planner whether more data still buys new vocab.
+
+    Cumulative COUNT(DISTINCT) doesn't decompose over a window frame
+    (same non-decomposability events_wau_stickiness works around), so
+    the scalable form is: attribute each term to the FIRST decile it
+    appears in (one shuffle on term, map-side min), then a 10-row
+    running sum. The decile assignment itself is one narrow sort of
+    (doc_id) — at corpus scale the ntile would swap for width_bucket
+    over a known id range (map-only), same downstream plan."""
+    d = _t(spark, sf, "documents")
+    dec = d.select(
+        "doc_id", "text", F.ntile(10).over(Window.orderBy("doc_id")).alias("decile")
+    )
+    tok = dec.select("decile", F.explode(F.split("text", " ")).alias("term"))
+    new_terms = (
+        tok.groupBy("term")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_new_terms"))
+    )
+    per_dec = (
+        tok.groupBy("decile")
+        .agg(F.count("*").alias("n_tokens"))
+        .join(dec.groupBy("decile").agg(F.count("*").alias("n_docs")), "decile")
+        # LEFT: a decile may introduce no new vocabulary at all (the
+        # saturated tail of the Heaps curve) and must still be a row
+        .join(new_terms, "decile", "left")
+        .withColumn("n_new_terms", F.coalesce("n_new_terms", F.lit(0)))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_dec.select(
+            "decile",
+            "n_docs",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum("n_new_terms").over(w).cast("long").alias("cum_vocab"),
+        ).withColumn(
+            "heaps_beta", F.round(F.log("cum_vocab") / F.log("cum_tokens"), 6)
+        )
+    )
+
+
+SQL_VOCAB_GROWTH = """
+WITH dec AS (
+  SELECT doc_id, text, ntile(10) OVER (ORDER BY doc_id) AS decile FROM documents),
+tok AS (SELECT decile, unnest(string_split(text, ' ')) AS term FROM dec),
+first AS (SELECT term, MIN(decile) AS first_decile FROM tok GROUP BY 1),
+newt AS (SELECT first_decile AS decile, COUNT(*) AS n_new_terms FROM first GROUP BY 1),
+per AS (
+  SELECT t.decile, MAX(d.n_docs) AS n_docs, COUNT(*) AS n_tokens
+  FROM tok t JOIN (SELECT decile, COUNT(*) AS n_docs FROM dec GROUP BY 1) d
+    ON t.decile = d.decile
+  GROUP BY 1)
+SELECT per.decile, n_docs,
+       CAST(SUM(n_tokens) OVER (ORDER BY per.decile) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(n_new_terms, 0)) OVER (ORDER BY per.decile) AS BIGINT) AS cum_vocab,
+       ROUND(LN(SUM(COALESCE(n_new_terms, 0)) OVER (ORDER BY per.decile))
+             / LN(SUM(n_tokens) OVER (ORDER BY per.decile)), 6) AS heaps_beta
+FROM per LEFT JOIN newt ON per.decile = newt.decile
+"""
+
+
+def q_customer_rfm_segments(spark, sf):
+    """RFM segmentation: per-customer recency / frequency / monetary
+    quartiles (ntile(4), metric + custkey tie-break so both engines
+    rank identically), rolled up to segment counts and mean spend —
+    the classic customer-analytics cube. The per-customer reduction is
+    one shuffle on o_custkey; the three ntiles share the small
+    per-customer table (global sorts over customers, not orders — at
+    100 TB the quartile CUT-POINTS would come from approx_percentile
+    and the ntiles become map-only width_buckets, same output
+    contract)."""
+    o = _t(spark, sf, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("recency_days", F.datediff("anchor", "last_order"))
+    )
+    r = F.ntile(4).over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey")))
+    fq = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
+    m = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+    seg = per_cust.select(
+        "o_custkey", "monetary", r.alias("r_q"), fq.alias("f_q"), m.alias("m_q")
+    )
+    return seg.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+    )
+
+
+SQL_RFM = """
+WITH anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
+per AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(o_orderdate), (SELECT a FROM anchor)) AS recency_days,
+         COUNT(*) AS frequency,
+         ROUND(SUM(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY 1),
+seg AS (
+  SELECT o_custkey, monetary,
+         ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS r_q,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+  FROM per)
+SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+       ROUND(AVG(monetary), 2) AS avg_monetary
+FROM seg GROUP BY 1, 2, 3
+"""
+
+
 #: Fixed BPE merge ranks applied by the encoder, in order. A LITERAL
 #: model (like the fastText stand-in weights) so the DuckDB oracle can
 #: replay the exact same merges; bpe_merge_step / text_bpe_tokens show
@@ -7983,6 +8103,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bpe_encode_tokens": (q_bpe_encode_tokens, SQL_BPE_ENCODE),
     "events_winsorize": (q_events_winsorize, SQL_EVENTS_WINSORIZE),
     "mrl_truncation_eval": (q_mrl_truncation_eval, SQL_MRL_EVAL),
+    "vocab_growth_curve": (q_vocab_growth_curve, SQL_VOCAB_GROWTH),
+    "customer_rfm_segments": (q_customer_rfm_segments, SQL_RFM),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     # dedup

@@ -1185,3 +1185,53 @@ def test_mrl_truncation_eval_bounds_and_identity(spark):
         Q._t = orig
     assert r.n_queries == 3  # vec_id 0, 5, 10
     assert r.recall_at_5 == 1.0
+
+
+def test_vocab_growth_monotone_and_totals(spark):
+    """cum_vocab and cum_tokens are non-decreasing; the last decile's
+    cum_vocab equals the corpus distinct-term count and cum_tokens the
+    corpus token count."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [(i, f"w{i % 4} common w{i % 7}", "en", "s", 10) for i in range(40)]
+    out = sorted(
+        _with_docs(spark, Q, rows, Q.q_vocab_growth_curve), key=lambda r: r.decile
+    )
+    assert [r.decile for r in out] == list(range(1, 11))
+    for a, b in zip(out, out[1:]):
+        assert b.cum_tokens >= a.cum_tokens and b.cum_vocab >= a.cum_vocab
+    # corpus truth: terms are w0..w3, common, w0..w6 -> distinct = 4+1+7 - overlap(w0..w3)=8
+    assert out[-1].cum_vocab == 8
+    assert out[-1].cum_tokens == 40 * 3
+
+
+def test_rfm_segments_partition_customers(spark):
+    """Every customer lands in exactly one segment; quartile sizes are
+    balanced (ntile) and counts sum to the customer total."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = []
+    oid = 0
+    for ck in range(1, 9):
+        for j in range(ck):  # customer k has k orders
+            rows.append(
+                (oid, ck, "O", 100.0 * ck, datetime(2024, 1, ck), "1-URGENT")
+            )
+            oid += 1
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    orig = Q._t
+    Q._t = lambda spark, sf, name, **k: orders
+    try:
+        segs = Q.q_customer_rfm_segments(spark, "x").collect()
+    finally:
+        Q._t = orig
+    assert sum(r.n_customers for r in segs) == 8
+    # customer 8: most recent, most frequent, highest spend -> (1,1,1)
+    top = [r for r in segs if (r.r_q, r.f_q, r.m_q) == (1, 1, 1)]
+    assert top and top[0].n_customers >= 1
