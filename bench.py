@@ -221,6 +221,7 @@ HEADLINE = [
     "mrl_truncation_eval",
     "vocab_growth_curve",
     "customer_rfm_segments",
+    "multimodal_audio_meta",
 ]
 
 

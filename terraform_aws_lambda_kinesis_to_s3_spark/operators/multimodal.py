@@ -5,10 +5,11 @@ metadata struct; decode / feature-extract / resize / frame-sample run
 as Arrow-batched kernels over ``mapInPandas`` so each task streams
 record batches without materializing the whole partition.
 
-PNG and GIF header decode (``parse_image_header``) is REAL — pure-byte
-parsing, no codec library needed. Pixel decode for everything else is
-STUBBED (this container has no image/audio codecs): ``decode_stub``
-produces a deterministic fake feature vector derived from the bytes.
+PNG and GIF header decode (``parse_image_header``) and PCM WAV header
+decode (``parse_wav_header``) are REAL — pure-byte parsing, no codec
+library needed. Pixel/sample decode for everything else is STUBBED
+(this container has no image/audio codecs): ``decode_stub`` produces
+a deterministic fake feature vector derived from the bytes.
 The Spark-side plumbing — schema, batch iteration, partition behavior,
 UDF signatures — is real and tested; swapping the stub for PIL/libav
 is a one-function change on the executor side.
@@ -188,6 +189,122 @@ def decode_image_meta(
             )
 
     return df.mapInPandas(batches, IMAGE_META_SCHEMA)
+
+
+def parse_wav_header(blob: bytes) -> tuple[int, int, int, int] | None:
+    """REAL (non-stub) audio codec for the one container whose header
+    is parseable with zero dependencies: RIFF/WAVE PCM (RIFF spec /
+    WAVE fmt chunk: channels u16le @22, sample rate u32le @24, bits
+    u16le @34 for a canonical fmt-first layout; the data chunk is
+    located by walking the chunk list, not assumed at a fixed offset).
+    Returns (sample_rate, n_channels, bits_per_sample, n_frames), or
+    None for anything that is not a well-formed PCM WAV."""
+    if blob is None or len(blob) < 44:
+        return None
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        csize = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        body = blob[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = (
+                int.from_bytes(body[2:4], "little"),  # channels
+                int.from_bytes(body[4:8], "little"),  # sample rate
+                int.from_bytes(body[14:16], "little"),  # bits/sample
+            )
+        elif cid == b"data":
+            data_size = csize
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        return None
+    n_channels, sample_rate, bits = fmt
+    if n_channels == 0 or sample_rate == 0 or bits not in (8, 16, 24, 32):
+        return None
+    frame_bytes = n_channels * (bits // 8)
+    return (sample_rate, n_channels, bits, data_size // frame_bytes)
+
+
+def synth_wav(
+    sample_rate: int, n_channels: int, bits: int, n_frames: int
+) -> bytes:
+    """Minimal spec-valid PCM WAV: RIFF header + fmt chunk + data chunk
+    of ``n_frames`` zero frames. Deterministic, for tests/oracles."""
+    import struct
+
+    frame_bytes = n_channels * (bits // 8)
+    data = bytes(n_frames * frame_bytes)
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        n_channels,
+        sample_rate,
+        sample_rate * frame_bytes,
+        frame_bytes,
+        bits,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio_meta(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """mapInPandas audio-header audit using the REAL WAV codec: binary
+    blobs in, (mime, sample_rate, channels, bits, frames, duration)
+    out.  Non-WAV blobs classify as mime='unknown' with NULL fields —
+    same classify-don't-crash contract as decode_image_meta."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, mimes, srs, chs, bts, frs, durs = [], [], [], [], [], [], []
+            for did, b in zip(pdf[id_col], pdf[blob_col]):
+                blob = b"" if b is None else bytes(b)
+                parsed = parse_wav_header(blob)
+                ids.append(did)
+                if parsed is None:
+                    mimes.append("unknown")
+                    srs.append(None)
+                    chs.append(None)
+                    bts.append(None)
+                    frs.append(None)
+                    durs.append(None)
+                else:
+                    sr, ch, bits, n_frames = parsed
+                    mimes.append("audio/wav")
+                    srs.append(sr)
+                    chs.append(ch)
+                    bts.append(bits)
+                    frs.append(n_frames)
+                    durs.append(round(n_frames * 1000.0 / sr, 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "mime": mimes,
+                    "sample_rate": pd.array(srs, dtype="Int32"),
+                    "n_channels": pd.array(chs, dtype="Int32"),
+                    "bits": pd.array(bts, dtype="Int32"),
+                    "n_frames": pd.array(frs, dtype="Int64"),
+                    "duration_ms": durs,
+                }
+            )
+
+    return df.mapInPandas(batches, AUDIO_META_SCHEMA)
 
 
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -2029,6 +2029,61 @@ FROM documents
 """
 
 
+def q_multimodal_audio_meta(spark, sf):
+    """REAL audio decode through the multimodal seam: synthesize a
+    spec-valid PCM WAV blob per document with doc_id-derived format
+    parameters (three sample rates, mono/stereo, 16-bit, variable
+    frame counts; every 7th doc is a corrupt non-WAV blob), then run
+    the Arrow-batched header PARSER
+    (operators.multimodal.parse_wav_header — actual RIFF chunk-walk,
+    no codec library) over mapInPandas. The oracle independently
+    predicts the round-trip from the same doc_id arithmetic, including
+    the classified-not-crashed corrupt rows; parser unit tests pin the
+    byte layout against a hand-laid-out fixture."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
+        multimodal as MM,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def synth(it):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 7 == 0:
+                    blobs.append(b"\x00corrupt" + bytes(did % 5))
+                    continue
+                sr = (8000, 16000, 44100)[did % 3]
+                ch = 1 + did % 2
+                blobs.append(MM.synth_wav(sr, ch, 16, 100 + did % 50))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    with_blobs = d.mapInPandas(synth, "doc_id long, blob binary")
+    return MM.decode_audio_meta(with_blobs)
+
+
+SQL_MULTIMODAL_AUDIO_META = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN 'unknown' ELSE 'audio/wav' END AS mime,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                      ELSE 44100 END AS INTEGER) END AS sample_rate,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE CAST(1 + doc_id % 2 AS INTEGER) END AS n_channels,
+       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(16 AS INTEGER) END AS bits,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE CAST(100 + doc_id % 50 AS BIGINT) END AS n_frames,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE ROUND((100 + doc_id % 50) * 1000.0 /
+                 (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  ELSE 44100 END), 6) END AS duration_ms
+FROM documents
+"""
+
+
 def q_percentiles(spark, sf):
     """Interpolated percentiles of order value per priority."""
     o = _t(spark, sf, "orders")
@@ -8101,6 +8156,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mrl_truncation_eval": (q_mrl_truncation_eval, SQL_MRL_EVAL),
     "vocab_growth_curve": (q_vocab_growth_curve, SQL_VOCAB_GROWTH),
     "customer_rfm_segments": (q_customer_rfm_segments, SQL_RFM),
+    "multimodal_audio_meta": (q_multimodal_audio_meta, SQL_MULTIMODAL_AUDIO_META),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     # dedup

@@ -1235,3 +1235,51 @@ def test_rfm_segments_partition_customers(spark):
     # customer 8: most recent, most frequent, highest spend -> (1,1,1)
     top = [r for r in segs if (r.r_q, r.f_q, r.m_q) == (1, 1, 1)]
     assert top and top[0].n_customers >= 1
+
+
+def test_wav_header_parse_known_fixture_and_corrupt():
+    """The WAV parser must read a hand-laid-out canonical header
+    (44100 Hz stereo 16-bit, 10 frames) and reject malformed bytes:
+    truncation, wrong magic, zero rate, odd bit depths, missing data
+    chunk."""
+    import struct
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        parse_wav_header,
+        synth_wav,
+    )
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", 40) + bytes(40)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert parse_wav_header(wav) == (44100, 2, 16, 10)
+    # synth round-trips through the parser
+    assert parse_wav_header(synth_wav(8000, 1, 16, 123)) == (8000, 1, 16, 123)
+    assert parse_wav_header(b"RIFF" + bytes(8)) is None  # truncated
+    assert parse_wav_header(b"RIFX" + wav[4:]) is None  # wrong magic
+    zero_rate = struct.pack("<HHIIHH", 1, 2, 0, 0, 4, 16)
+    bad = b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + zero_rate + b"data" + struct.pack("<I", 0)
+    assert parse_wav_header(bad) is None
+    assert parse_wav_header(wav[:30]) is None  # no data chunk reachable
+
+
+def test_wav_parser_fuzz_never_raises():
+    """Arbitrary bytes (including magic-prefixed garbage) must parse to
+    a tuple or None — never raise (the audit classifies, not crashes)."""
+    import random
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        parse_wav_header,
+    )
+
+    rng = random.Random(7)
+    for trial in range(300):
+        n = rng.randrange(0, 120)
+        blob = bytes(rng.randrange(256) for _ in range(n))
+        if trial % 3 == 0:
+            blob = b"RIFF" + blob
+        if trial % 5 == 0:
+            blob = b"RIFF" + blob[4:8].ljust(4, b"\0") + b"WAVE" + blob
+        out = parse_wav_header(blob)
+        assert out is None or (len(out) == 4 and all(isinstance(x, int) for x in out))
