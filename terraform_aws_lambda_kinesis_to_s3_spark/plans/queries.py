@@ -7539,7 +7539,10 @@ def q_corpus_kl_divergence(spark, sf):
     verdict flagged)."""
     d = _t(spark, sf, "documents")
     tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
-    sc = tok.groupBy("source", "term").agg(F.count("*").alias("c"))
+    # three consumers (stot, corp, the main join) derive from the same
+    # (source, term) census — persist it so the corpus is scanned ONCE,
+    # not re-tokenized per branch (Catalyst does not dedupe subplans)
+    sc = tok.groupBy("source", "term").agg(F.count("*").alias("c")).persist()
     stot = sc.groupBy("source").agg(F.sum("c").alias("s_total"))
     corp = sc.groupBy("term").agg(F.sum("c").alias("cc"))
     ctot = corp.agg(F.sum("cc").alias("t_total"))
