@@ -222,6 +222,8 @@ HEADLINE = [
     "vocab_growth_curve",
     "customer_rfm_segments",
     "multimodal_audio_meta",
+    "zipf_rank_slope",
+    "doc_hash_embedding",
 ]
 
 

@@ -7820,6 +7820,109 @@ FROM per LEFT JOIN newt ON per.decile = newt.decile
 """
 
 
+def q_zipf_rank_slope(spark, sf):
+    """Zipf's-law fit over the term rank-frequency head: regr_slope /
+    intercept / r² of ln(freq) ~ ln(rank) for the top-1000 terms — the
+    companion diagnostic to vocab_growth_curve (Heaps). A corpus whose
+    slope drifts far from −1 (or whose r² collapses) is usually
+    boilerplate- or template-heavy — a cheap global health check.
+
+    One term-count shuffle (map-side partials), then the global
+    rank-order is a single window over the VOCAB (not the corpus) and
+    the regression is one fixed-size aggregate over ≤1000 rows. At
+    100 TB the vocab-wide single-partition window would swap for a
+    top-k-by-count pre-filter (two-phase top-k, as topk_per_type_salted
+    does) — same 1000 surviving rows, same fit."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("term"))
+    counts = tok.groupBy("term").agg(F.count("*").alias("c"))
+    ranked = counts.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("term").asc()))
+        .alias("rank"),
+    ).filter(F.col("rank") <= 1000)
+    return ranked.agg(
+        F.count("*").alias("n_terms_used"),
+        F.round(F.expr("regr_slope(ln(c), ln(rank))"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_intercept(ln(c), ln(rank))"), 6).alias(
+            "zipf_intercept"
+        ),
+        F.round(F.expr("regr_r2(ln(c), ln(rank))"), 6).alias("r2"),
+    )
+
+
+SQL_ZIPF = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+counts AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS rank FROM counts)
+SELECT COUNT(*) AS n_terms_used,
+       ROUND(regr_slope(LN(c), LN(rank)), 6) AS zipf_slope,
+       ROUND(regr_intercept(LN(c), LN(rank)), 6) AS zipf_intercept,
+       ROUND(regr_r2(LN(c), LN(rank)), 6) AS r2
+FROM ranked WHERE rank <= 1000
+"""
+
+
+HASH_EMBED_DIM = 64  # feature-hashing width for text → vector
+
+
+def q_doc_hash_embedding(spark, sf):
+    """Feature-hashed document embeddings (the hashing trick: signed
+    md5 bucket per token, same construction as HashingTF + a sign bit)
+    — the zero-model featurizer that turns `documents` into the
+    `embeddings` modality. The vectors stay SPARSE end-to-end:
+    (doc, bucket, value) component rows, never a dense array — so the
+    two shuffles are proportional to nonzeros, and a downstream
+    consumer can pivot to dense per batch. Output is the per-source
+    audit (mean L2 norm, mean nnz) a featurization run reports."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("term"))
+    h = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+    signed = tok.select(
+        "doc_id",
+        "source",
+        (h % HASH_EMBED_DIM).alias("bucket"),
+        F.when((h / F.lit(HASH_EMBED_DIM)).cast("long") % 2 == 0, 1)
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    comp = signed.groupBy("doc_id", "source", "bucket").agg(F.sum("sign").alias("v"))
+    per_doc = comp.groupBy("doc_id", "source").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("l2"),
+        F.sum((F.col("v") != 0).cast("long")).alias("nnz"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("l2"), 6).alias("avg_l2"),
+        F.round(F.avg("nnz"), 6).alias("avg_nnz"),
+    )
+
+
+SQL_DOC_HASH_EMBED = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),
+signed AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(term), 1, 8)) AS UBIGINT) % {HASH_EMBED_DIM} AS bucket,
+         CASE WHEN (CAST(concat('0x', substr(md5(term), 1, 8)) AS UBIGINT) // {HASH_EMBED_DIM}) % 2 = 0
+              THEN 1 ELSE -1 END AS sign
+  FROM tok),
+comp AS (
+  SELECT doc_id, source, bucket, SUM(sign) AS v
+  FROM signed GROUP BY 1, 2, 3),
+per_doc AS (
+  SELECT doc_id, source, SQRT(SUM(v * v)) AS l2,
+         SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS nnz
+  FROM comp GROUP BY 1, 2)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(l2), 6) AS avg_l2,
+       ROUND(AVG(nnz), 6) AS avg_nnz
+FROM per_doc GROUP BY 1
+"""
+
+
 def q_customer_rfm_segments(spark, sf):
     """RFM segmentation: per-customer recency / frequency / monetary
     quartiles (ntile(4), metric + custkey tie-break so both engines
@@ -8160,6 +8263,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "vocab_growth_curve": (q_vocab_growth_curve, SQL_VOCAB_GROWTH),
     "customer_rfm_segments": (q_customer_rfm_segments, SQL_RFM),
     "multimodal_audio_meta": (q_multimodal_audio_meta, SQL_MULTIMODAL_AUDIO_META),
+    "zipf_rank_slope": (q_zipf_rank_slope, SQL_ZIPF),
+    "doc_hash_embedding": (q_doc_hash_embedding, SQL_DOC_HASH_EMBED),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     # dedup

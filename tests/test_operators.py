@@ -1283,3 +1283,39 @@ def test_wav_parser_fuzz_never_raises():
             blob = b"RIFF" + blob[4:8].ljust(4, b"\0") + b"WAVE" + blob
         out = parse_wav_header(blob)
         assert out is None or (len(out) == 4 and all(isinstance(x, int) for x in out))
+
+
+def test_zipf_slope_exact_powerlaw(spark):
+    """A corpus whose frequencies are exactly c = 64 / rank must fit
+    slope -1 with r² = 1."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    # term at rank r appears 420/r times (420 = lcm(1..7), so every
+    # count is integral and c*rank is constant -> exact Zipf)
+    words = []
+    for r in range(1, 8):
+        words += [f"t{r:03d}"] * (420 // r)
+    rows = [(1, " ".join(words), "en", "s", 999)]
+    got = _with_docs(spark, Q, rows, Q.q_zipf_rank_slope)[0]
+    assert got.n_terms_used == 7
+    assert math.isclose(got.zipf_slope, -1.0, abs_tol=1e-6)
+    assert math.isclose(got.r2, 1.0, abs_tol=1e-6)
+
+
+def test_doc_hash_embedding_invariants(spark):
+    """Identical docs hash to identical vectors (same L2/nnz); a doc of
+    one repeated token has nnz <= 1 and L2 = token count when the sign
+    survives; nnz never exceeds the hashing width."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        (1, "alpha beta gamma delta", "en", "pair", 22),
+        (2, "alpha beta gamma delta", "en", "pair", 22),
+        (3, "solo solo solo solo solo", "en", "mono", 24),
+    ]
+    got = {r.source: r for r in _with_docs(spark, Q, rows, Q.q_doc_hash_embedding)}
+    assert got["pair"].n_docs == 2
+    # identical docs -> identical vectors -> the avg equals each
+    assert got["pair"].avg_nnz <= Q.HASH_EMBED_DIM
+    assert got["mono"].avg_nnz == 1.0
+    assert math.isclose(got["mono"].avg_l2, 5.0, abs_tol=1e-9)
