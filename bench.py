@@ -224,6 +224,9 @@ HEADLINE = [
     "multimodal_audio_meta",
     "zipf_rank_slope",
     "doc_hash_embedding",
+    "dedup_containment",
+    "open_lineitem_backlog",
+    "skipgram_negative_pairs",
 ]
 
 

@@ -367,6 +367,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs (Broder's C(A,B) =
+    |A∩B| / |A| over n-gram shingle sets): the metric that catches a
+    SHORT doc quoted inside a LONG one, which symmetric Jaccard dilutes
+    (|A∩B|/|A∪B| → 0 as the long side grows). Same inverted-index
+    equi-join and ``max_df`` DF-cap as ngram_jaccard_pairs — the
+    candidate plan is shared shape, only the scoring differs — and a
+    pair survives when EITHER direction's containment clears the
+    threshold. Emits both directions so the caller can tell container
+    from contained."""
+    sh = doc_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("sa"), sh.alias("sb")
+    common = (
+        a.join(b, F.col("sa.sh") == F.col("sb.sh"))
+        .filter(F.col("sa.doc_id") < F.col("sb.doc_id"))
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = F.col("n_common") / F.col("na.n_sh")
+    cb = F.col("n_common") / F.col("nb.n_sh")
+    return (
+        common.join(sizes.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(F.greatest(ca, cb) >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """32-bit SimHash per doc from per-token md5 bits.
 

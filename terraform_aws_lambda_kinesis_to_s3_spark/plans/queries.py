@@ -7820,6 +7820,142 @@ FROM per LEFT JOIN newt ON per.decile = newt.decile
 """
 
 
+def q_containment_pairs(spark, sf):
+    """Asymmetric containment dedup (operators.dedup.containment_pairs):
+    catches short-doc-quoted-in-long-doc pairs that symmetric Jaccard
+    dilutes toward zero. DF-capped (df<=2) inverted-index join, same
+    sub-quadratic candidate shape as the Jaccard/capped entries; the
+    oracle replays the identical DF-filtered shingle space."""
+    d = _t(spark, sf, "documents", parallelize=True)
+    return D.containment_pairs(d, n=3, threshold=0.5, max_df=2)
+
+
+SQL_CONTAINMENT = f"""
+WITH sh0 AS ({_SH_DUCK}),
+keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 2),
+sh AS (SELECT * FROM sh0 WHERE sh IN (SELECT sh FROM keep)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(n_common * 1.0 / sa.n_sh, 6) AS containment_a,
+       ROUND(n_common * 1.0 / sb.n_sh, 6) AS containment_b
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE GREATEST(n_common * 1.0 / sa.n_sh, n_common * 1.0 / sb.n_sh) >= 0.5
+"""
+
+
+def q_open_lineitem_backlog(spark, sf):
+    """Interval-concurrency sweep-line: how many line items are OPEN
+    (ordered, not yet shipped) on each date, reported as monthly
+    peak/min. The classic scalable form: each interval maps to a +1
+    open / -1 close delta (map-only after the orderkey equi-join),
+    deltas reduce per date, and the running sum over the DATE-grain
+    table (O(distinct dates), not O(rows)) is the concurrency curve —
+    never a per-interval range explode or a self-join. The date-axis
+    window is single-partition but bounded by calendar cardinality."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.to_date("o_orderdate").alias("open_d"),
+        F.to_date("l_shipdate").alias("close_d"),
+    )
+    deltas = j.select(F.col("open_d").alias("d"), F.lit(1).alias("delta")).unionAll(
+        j.select(F.col("close_d").alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    curve = daily.select("d", F.sum("net").over(w).cast("long").alias("open_items"))
+    return (
+        curve.groupBy(F.date_format("d", "yyyy-MM").alias("ym"))
+        .agg(
+            F.max("open_items").alias("peak_open"),
+            F.min("open_items").alias("min_open"),
+        )
+        .orderBy("ym")
+    )
+
+
+SQL_BACKLOG = """
+WITH j AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS open_d, CAST(l.l_shipdate AS DATE) AS close_d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+deltas AS (
+  SELECT open_d AS d, 1 AS delta FROM j
+  UNION ALL
+  SELECT close_d AS d, -1 AS delta FROM j),
+daily AS (SELECT d, SUM(delta) AS net FROM deltas GROUP BY 1),
+curve AS (
+  SELECT d, CAST(SUM(net) OVER (ORDER BY d) AS BIGINT) AS open_items FROM daily)
+SELECT strftime(d, '%Y-%m') AS ym,
+       MAX(open_items) AS peak_open,
+       MIN(open_items) AS min_open
+FROM curve GROUP BY 1 ORDER BY 1
+"""
+
+
+SKIPGRAM_WINDOW = 2  # word2vec-style context radius
+NEG_VOCAB = 997  # prime negative-sampling id space
+
+
+def q_skipgram_negative_pairs(spark, sf):
+    """word2vec training-data prep at corpus scale: (center, context)
+    skip-gram pairs within a ±2 window plus a DETERMINISTIC md5
+    negative id per pair (so the oracle reproduces the sample exactly —
+    production would draw from the unigram^0.75 table the same way
+    DSIR's buckets broadcast). The window explode is in-row (posexplode
+    + a bounded transform slice), map-only until the per-source audit
+    agg; pair volume is 2·window·tokens, linear in the corpus."""
+    d = _t(spark, sf, "documents").withColumn("toks", F.split("text", " "))
+    pos = d.select(
+        "source",
+        F.posexplode("toks").alias("i", "center"),
+        F.col("toks"),
+    ).select(
+        "source",
+        "center",
+        F.explode(
+            F.expr(
+                f"filter(transform(sequence(greatest(0, i - {SKIPGRAM_WINDOW}),"
+                f" least(size(toks) - 1, i + {SKIPGRAM_WINDOW})),"
+                f" j -> if(j = i, null, element_at(toks, j + 1))), x -> x is not null)"
+            )
+        ).alias("context"),
+    )
+    neg = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", "center", "context")), 1, 8), 16, 10
+        ).cast("long")
+        % NEG_VOCAB
+    )
+    pairs = pos.withColumn("neg_id", neg)
+    return pairs.groupBy("source").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("center", "context").alias("n_distinct_pairs"),
+        F.countDistinct("neg_id").alias("n_distinct_negs"),
+    )
+
+
+SQL_SKIPGRAM = f"""
+WITH base AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT source, t[i] AS center, t[j] AS context
+  FROM base,
+       LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i),
+       LATERAL (SELECT unnest(range(GREATEST(1, i - {SKIPGRAM_WINDOW}),
+                                    LEAST(len(t), i + {SKIPGRAM_WINDOW}) + 1)) AS j)
+  WHERE j <> i)
+SELECT source, COUNT(*) AS n_pairs,
+       COUNT(DISTINCT center || '|' || context) AS n_distinct_pairs,
+       COUNT(DISTINCT CAST(concat('0x', substr(md5(center || '|' || context), 1, 8)) AS UBIGINT) % {NEG_VOCAB}) AS n_distinct_negs
+FROM pos GROUP BY 1
+"""
+
+
 def q_zipf_rank_slope(spark, sf):
     """Zipf's-law fit over the term rank-frequency head: regr_slope /
     intercept / r² of ln(freq) ~ ln(rank) for the top-1000 terms — the
@@ -8265,6 +8401,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_audio_meta": (q_multimodal_audio_meta, SQL_MULTIMODAL_AUDIO_META),
     "zipf_rank_slope": (q_zipf_rank_slope, SQL_ZIPF),
     "doc_hash_embedding": (q_doc_hash_embedding, SQL_DOC_HASH_EMBED),
+    "dedup_containment": (q_containment_pairs, SQL_CONTAINMENT),
+    "open_lineitem_backlog": (q_open_lineitem_backlog, SQL_BACKLOG),
+    "skipgram_negative_pairs": (q_skipgram_negative_pairs, SQL_SKIPGRAM),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     # dedup

@@ -1319,3 +1319,64 @@ def test_doc_hash_embedding_invariants(spark):
     assert got["pair"].avg_nnz <= Q.HASH_EMBED_DIM
     assert got["mono"].avg_nnz == 1.0
     assert math.isclose(got["mono"].avg_l2, 5.0, abs_tol=1e-9)
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one has containment 1.0
+    but low Jaccard — the asymmetric metric must emit the pair and
+    label the directions correctly."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_doc = short + " " + " ".join(f"filler{i} pad{i} junk{i}" for i in range(12))
+    df = _docs(spark, [long_doc, short])
+    pairs = D.containment_pairs(df, n=3, threshold=0.9).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.doc_a, p.doc_b) == (0, 1)
+    assert p.containment_b == 1.0  # the short doc is fully contained
+    assert p.containment_a < 0.5
+    jac = D.ngram_jaccard_pairs(df, n=3, threshold=0.9).collect()
+    assert jac == []  # symmetric Jaccard dilutes the same pair away
+
+
+def test_backlog_sweep_line_semantics(spark):
+    """Two overlapping intervals peak at 2 open items; after both
+    close the curve returns to 0."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 1.0, datetime(2024, 1, 1), "x"),
+         (2, 1, "O", 1.0, datetime(2024, 1, 5), "x")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 10)),
+         (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", datetime(2024, 2, 3))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    orig = Q._t
+    Q._t = lambda spark, sf, name, **k: orders if name == "orders" else lineitem
+    try:
+        rows = {r.ym: r for r in Q.q_open_lineitem_backlog(spark, "x").collect()}
+    finally:
+        Q._t = orig
+    assert rows["2024-01"].peak_open == 2  # both open between Jan 5 and Jan 10
+    assert rows["2024-02"].min_open == 0  # all shipped by Feb 3
+
+
+def test_skipgram_window_pair_count(spark):
+    """A w-token doc with window 2 yields exactly
+    sum(min(i+2, w-1) - max(i-2, 0)) pairs; every pair's negative id is
+    in [0, NEG_VOCAB)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [(1, "a b c d e", "en", "s", 9)]
+    got = _with_docs(spark, Q, rows, Q.q_skipgram_negative_pairs)[0]
+    # 5 tokens, window 2: positions contribute 2,3,4,3,2 = 14 pairs
+    assert got.n_pairs == 14
+    assert got.n_distinct_negs <= got.n_distinct_pairs
