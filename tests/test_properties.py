@@ -475,3 +475,134 @@ def test_image_header_parse_prefix_fuzz(blob):
     for magic in (b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a"):
         out = parse_image_header(magic + blob)
         assert out is None or (out[1] > 0 and out[2] > 0)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_bpe_encode_bounds_property(spark, data):
+    """BPE encode invariants on random word-soup corpora: per source,
+    n_words <= total_tokens <= total word chars (each merge only ever
+    shrinks a word's token count, and a word never exceeds char-level);
+    fertility >= 1; chars_per_token >= 1."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    # include merge-heavy material ('the', 'and', 'rest') and arbitrary
+    # lowercase words
+    word = st.one_of(
+        st.sampled_from(["the", "and", "rest", "at", "in", "xyz"]),
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=8),
+    )
+    texts = data.draw(
+        st.lists(
+            st.lists(word, min_size=1, max_size=15).map(" ".join),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    rows = [(i, t, "en", f"s{i % 2}", len(t)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = Q._t
+    Q._t = lambda spark, sf, name, **kw: docs
+    try:
+        out = Q.q_bpe_encode_tokens(spark, "x").collect()
+    finally:
+        Q._t = orig
+    by_src = {}
+    for i, t in enumerate(texts):
+        s = f"s{i % 2}"
+        w = t.split(" ")
+        a = by_src.setdefault(s, [0, 0])
+        a[0] += len(w)
+        a[1] += sum(len(x) for x in w)
+    for r in out:
+        n_words, n_chars = by_src[r.source]
+        assert n_words <= r.total_tokens <= n_chars
+        assert r.fertility >= 1.0
+        assert r.chars_per_token >= 1.0
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_corpus_kl_nonnegative_property(spark, data):
+    """Gibbs' inequality on random corpora: KL(p_source || p_corpus)
+    >= 0 for every source, and == 0 when only one source exists."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    word = st.sampled_from([f"w{i}" for i in range(5)])
+    n_sources = data.draw(st.integers(min_value=1, max_value=3))
+    texts = data.draw(
+        st.lists(
+            st.lists(word, min_size=1, max_size=12).map(" ".join),
+            min_size=n_sources,
+            max_size=8,
+        )
+    )
+    rows = [
+        (i, t, "en", f"s{i % n_sources}", len(t)) for i, t in enumerate(texts)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = Q._t
+    Q._t = lambda spark, sf, name, **kw: docs
+    try:
+        out = Q.q_corpus_kl_divergence(spark, "x").collect()
+    finally:
+        Q._t = orig
+    for r in out:
+        assert r.kl_vs_corpus >= 0.0
+    if n_sources == 1:
+        assert all(r.kl_vs_corpus == 0.0 for r in out)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_winsorize_bounds_property(spark, data):
+    """Winsorized mean is always within [p01, p99] and clipping never
+    increases the spread: mean_winsorized lies between min and max of
+    the raw values."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    vals = data.draw(
+        st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+            ),
+            min_size=2,
+            max_size=40,
+        )
+    )
+    rows = [
+        (i, datetime(2024, 1, 1), 1, "t", float(v), "{}")
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = Q._t
+    Q._t = lambda spark, sf, name, **kw: ev
+    try:
+        r = Q.q_events_winsorize(spark, "x").collect()[0]
+    finally:
+        Q._t = orig
+    assert r.p01 <= r.mean_winsorized <= r.p99
+    assert min(vals) <= r.mean_winsorized <= max(vals)
+    assert 0 <= r.n_clipped <= r.n_events
