@@ -8,5 +8,14 @@ from terraform_aws_lambda_kinesis_to_s3_spark.streaming.metrics import (
     RouteMetricsListener,
     observe_routes,
 )
+from terraform_aws_lambda_kinesis_to_s3_spark.streaming.ingest import (
+    run_corpus_ingest,
+)
 
-__all__ = ["stream_source", "run_stream", "RouteMetricsListener", "observe_routes"]
+__all__ = [
+    "stream_source",
+    "run_stream",
+    "RouteMetricsListener",
+    "observe_routes",
+    "run_corpus_ingest",
+]
