@@ -69,6 +69,14 @@ BNLJ_OK = {
     "perplexity_bucket_sample",
     # K-centroid broadcast argmax + three 1-row count aggregates (eval)
     "ivf_eval_recall",
+    # 1-row corpus-token-total broadcast (the KL denominator)
+    "corpus_kl_divergence",
+    # 1-row (grand total, temperature norm) broadcast
+    "temperature_mixture_weights",
+    # 1-row probe-count broadcast (the recall denominator)
+    "mrl_truncation_eval",
+    # 1-row corpus max-orderdate anchor broadcast (recency origin)
+    "customer_rfm_segments",
 }
 
 
