@@ -227,6 +227,8 @@ HEADLINE = [
     "dedup_containment",
     "open_lineitem_backlog",
     "skipgram_negative_pairs",
+    "group_split_events",
+    "time_split_events",
 ]
 
 

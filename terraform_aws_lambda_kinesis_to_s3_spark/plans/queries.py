@@ -7898,6 +7898,91 @@ FROM curve GROUP BY 1 ORDER BY 1
 """
 
 
+def q_group_split_events(spark, sf):
+    """Group-aware train/test split (GroupKFold semantics): the split
+    key is md5(user_id), so EVERY event of a user lands on the same
+    side — the leakage guard a per-row split (dataset_split) cannot
+    give when rows of one entity correlate. Map-only assignment; the
+    audit emits per-split sizes plus a relational n_leaked_users
+    column (count of users seen on both sides — 0 by construction,
+    asserted by the oracle, and the plan stays fully lazy: the 1-row
+    leak count enters via broadcast cross-join, no driver action)."""
+    ev = _t(spark, sf, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 10
+    )
+    tagged = ev.withColumn(
+        "split", F.when(bucket <= 7, "train").otherwise("test")
+    )
+    per = tagged.groupBy("split").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    leak = (
+        tagged.select("user_id", "split")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count("*").alias("n_leaked_users"))
+    )
+    return per.crossJoin(F.broadcast(leak))
+
+
+SQL_GROUP_SPLIT = """
+WITH tagged AS (
+  SELECT *, CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 10 <= 7
+                 THEN 'train' ELSE 'test' END AS split
+  FROM events),
+leak AS (
+  SELECT COUNT(*) AS n FROM (
+    SELECT user_id FROM (SELECT DISTINCT user_id, split FROM tagged)
+    GROUP BY user_id HAVING COUNT(*) > 1))
+SELECT split, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       (SELECT CAST(n AS BIGINT) FROM leak) AS n_leaked_users
+FROM tagged GROUP BY 1
+"""
+
+
+def q_time_split_events(spark, sf):
+    """Temporal train/test split: train strictly BEFORE the p80 time
+    cut-point, test at/after — the evaluation protocol for anything
+    forecast-shaped (a random split would let the model see the
+    future). The cut is one exact-percentile agg broadcast back onto
+    the scan (approx_percentile is the corpus-scale swap, as
+    events_winsorize documents); the audit reports sizes and the
+    boundary timestamps so the no-overlap invariant is visible."""
+    ev = _t(spark, sf, "events")
+    cut = ev.agg(F.expr("percentile(unix_micros(ts), 0.8)").alias("cut_us"))
+    tagged = ev.crossJoin(F.broadcast(cut)).withColumn(
+        "split",
+        F.when(F.unix_micros("ts") < F.col("cut_us"), "train").otherwise("test"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+SQL_TIME_SPLIT = """
+WITH cut AS (SELECT quantile_cont(epoch_us(ts), 0.8) AS cut_us FROM events),
+tagged AS (
+  SELECT *, CASE WHEN epoch_us(ts) < (SELECT cut_us FROM cut)
+                 THEN 'train' ELSE 'test' END AS split
+  FROM events)
+SELECT split, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM tagged GROUP BY 1
+"""
+
+
 SKIPGRAM_WINDOW = 2  # word2vec-style context radius
 NEG_VOCAB = 997  # prime negative-sampling id space
 
@@ -8412,6 +8497,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_containment": (q_containment_pairs, SQL_CONTAINMENT),
     "open_lineitem_backlog": (q_open_lineitem_backlog, SQL_BACKLOG),
     "skipgram_negative_pairs": (q_skipgram_negative_pairs, SQL_SKIPGRAM),
+    "group_split_events": (q_group_split_events, SQL_GROUP_SPLIT),
+    "time_split_events": (q_time_split_events, SQL_TIME_SPLIT),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     # dedup

@@ -77,6 +77,10 @@ BNLJ_OK = {
     "mrl_truncation_eval",
     # 1-row corpus max-orderdate anchor broadcast (recency origin)
     "customer_rfm_segments",
+    # 1-row leak-count broadcast (the no-leakage audit column)
+    "group_split_events",
+    # 1-row p80 time-cut broadcast (the split boundary)
+    "time_split_events",
 }
 
 
