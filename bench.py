@@ -229,6 +229,7 @@ HEADLINE = [
     "skipgram_negative_pairs",
     "group_split_events",
     "time_split_events",
+    "corpus_datacard",
 ]
 
 

@@ -7898,6 +7898,81 @@ FROM curve GROUP BY 1 ORDER BY 1
 """
 
 
+def q_corpus_datacard(spark, sf):
+    """The dataset-card summary row: every number a corpus release
+    documents — size (docs/tokens/vocab), composition (sources, langs,
+    language entropy), hygiene (exact-dup rate, mean quality score) —
+    in ONE result row from three independent single-pass aggregates
+    (doc-grain, vocab-grain, lang-grain) cross-joined as 1-row
+    broadcasts. Reuses the exact quality/fingerprint operators the
+    per-source queries oracle-pin, so the card can't drift from the
+    pipeline that produced it."""
+    d = _t(spark, sf, "documents")
+    scored = X.quality_features(d).withColumn("fp", X.fingerprint(F.col("text")))
+    base = scored.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("fp").alias("n_unique_docs"),
+        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+    )
+    vocab = d.select(F.explode(F.split("text", " ")).alias("term")).agg(
+        F.countDistinct("term").alias("vocab_size")
+    )
+    lang_counts = d.groupBy("lang").agg(F.count("*").alias("c"))
+    lang_tot = lang_counts.agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t")
+    lang_p = lang_counts.crossJoin(F.broadcast(lang_tot)).agg(
+        F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy")
+    )
+    return (
+        base.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(lang_p))
+        .withColumn(
+            "dup_rate",
+            F.round(1 - F.col("n_unique_docs") / F.col("n_docs"), 6),
+        )
+    )
+
+
+SQL_DATACARD = r"""
+WITH feats AS (
+  SELECT source, lang, text,
+         len(string_split_regex(text, '\s+')) AS n_tok,
+         len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) AS n_stop,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         length(text) AS n_chars,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents),
+scored AS (
+  SELECT *,
+         LEAST(n_stop / GREATEST(n_tok, 1) * 2, 1.0) * 0.4
+         + LEAST(n_tok / 64.0, 1.0) * 0.4
+         + (1 - LEAST(n_punct / GREATEST(n_chars, 1) * 4, 1.0)) * 0.2 AS quality_score
+  FROM feats),
+base AS (
+  SELECT COUNT(*) AS n_docs,
+         COUNT(DISTINCT source) AS n_sources,
+         COUNT(DISTINCT lang) AS n_langs,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         COUNT(DISTINCT fp) AS n_unique_docs,
+         ROUND(AVG(quality_score), 6) AS mean_quality
+  FROM scored),
+vocab AS (
+  SELECT COUNT(DISTINCT term) AS vocab_size
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)),
+lang_e AS (
+  SELECT ROUND(-SUM((c * 1.0 / t) * LN(c * 1.0 / t)), 6) AS lang_entropy
+  FROM (SELECT lang, COUNT(*) AS c, SUM(COUNT(*)) OVER () AS t
+        FROM documents GROUP BY 1))
+SELECT n_docs, n_sources, n_langs, total_tokens, n_unique_docs, mean_quality,
+       vocab_size, lang_entropy,
+       ROUND(1 - n_unique_docs * 1.0 / n_docs, 6) AS dup_rate
+FROM base CROSS JOIN vocab CROSS JOIN lang_e
+"""
+
+
 def q_group_split_events(spark, sf):
     """Group-aware train/test split (GroupKFold semantics): the split
     key is md5(user_id), so EVERY event of a user lands on the same
@@ -8499,6 +8574,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "skipgram_negative_pairs": (q_skipgram_negative_pairs, SQL_SKIPGRAM),
     "group_split_events": (q_group_split_events, SQL_GROUP_SPLIT),
     "time_split_events": (q_time_split_events, SQL_TIME_SPLIT),
+    "corpus_datacard": (q_corpus_datacard, SQL_DATACARD),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     # dedup

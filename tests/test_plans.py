@@ -81,6 +81,8 @@ BNLJ_OK = {
     "group_split_events",
     # 1-row p80 time-cut broadcast (the split boundary)
     "time_split_events",
+    # three 1-row summary aggregates cross-joined (the dataset card)
+    "corpus_datacard",
 }
 
 
