@@ -8294,13 +8294,24 @@ BPE_SEP = "~"  # token separator; corpus text is [a-z ] so '~' never collides
 
 
 def _bpe_word_expr(w: str) -> str:
-    """SQL fragment encoding one word: char-split, then apply each
-    merge in rank order via replace() — both engines scan left-to-right
-    over non-overlapping occurrences, which IS the BPE merge rule, so
-    'a a a' under merge (a,a) becomes [aa, a] in both."""
-    s = f"array_join(filter(split({w}, ''), c -> c <> ''), '{BPE_SEP}')"
+    """SQL fragment encoding one word. Each token is WRAPPED as
+    ``~tok~`` (so adjacent tokens meet as ``~~``) and merge rank (a,b)
+    rewrites ``~a~~b~`` → ``~ab~``: the full-token delimiters mean a
+    pattern can never match INSIDE a merged token ('the'+'r' no longer
+    matches merge (e,r)) nor across a shared boundary ('a a a' under
+    (a,a) gives [aa, a], not [aa] eating three), and left-to-right
+    non-overlapping replace() is then exactly BPE's per-rank merge
+    pass — pinned equal to a literal token-list BPE reference over
+    3k random words in test_properties."""
+    s = (
+        f"concat('{BPE_SEP}', array_join(filter(split({w}, ''), c -> c <> ''),"
+        f" '{BPE_SEP}{BPE_SEP}'), '{BPE_SEP}')"
+    )
     for a, b in BPE_MERGES:
-        s = f"replace({s}, '{a}{BPE_SEP}{b}', '{a}{b}')"
+        s = (
+            f"replace({s}, '{BPE_SEP}{a}{BPE_SEP}{BPE_SEP}{b}{BPE_SEP}',"
+            f" '{BPE_SEP}{a}{b}{BPE_SEP}')"
+        )
     return s
 
 
@@ -8320,7 +8331,8 @@ def q_bpe_encode_tokens(spark, sf):
     the same word-level contract (the oracle pins that contract)."""
     d = _t(spark, sf, "documents").withColumn("toks", F.split("text", " "))
     enc = F.expr(
-        f"transform(toks, w -> size(split({_bpe_word_expr('w')}, '{BPE_SEP}')))"
+        f"transform(toks, w -> size(split({_bpe_word_expr('w')},"
+        f" '{BPE_SEP}{BPE_SEP}')))"
     )
     per_doc = d.select(
         "source",
@@ -8343,9 +8355,12 @@ def q_bpe_encode_tokens(spark, sf):
 
 
 def _bpe_word_sql(w: str) -> str:
-    s = f"array_to_string(string_split({w}, ''), '{BPE_SEP}')"
+    s = f"'{BPE_SEP}' || array_to_string(string_split({w}, ''), '{BPE_SEP}{BPE_SEP}') || '{BPE_SEP}'"
     for a, b in BPE_MERGES:
-        s = f"replace({s}, '{a}{BPE_SEP}{b}', '{a}{b}')"
+        s = (
+            f"replace({s}, '{BPE_SEP}{a}{BPE_SEP}{BPE_SEP}{b}{BPE_SEP}',"
+            f" '{BPE_SEP}{a}{b}{BPE_SEP}')"
+        )
     return s
 
 
@@ -8355,7 +8370,7 @@ per AS (
   SELECT source,
          len(t) AS n_words,
          list_sum(list_transform(t, w -> len(w))) AS n_chars_w,
-         list_sum(list_transform(t, w -> len(string_split({_bpe_word_sql('w')}, '{BPE_SEP}')))) AS n_tokens
+         list_sum(list_transform(t, w -> len(string_split({_bpe_word_sql('w')}, '{BPE_SEP}{BPE_SEP}')))) AS n_tokens
   FROM base)
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,

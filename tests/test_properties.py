@@ -606,3 +606,56 @@ def test_winsorize_bounds_property(spark, data):
     assert r.p01 <= r.mean_winsorized <= r.p99
     assert min(vals) <= r.mean_winsorized <= max(vals)
     assert 0 <= r.n_clipped <= r.n_events
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_bpe_fold_equals_reference_bpe(spark, data):
+    """The wrapped-token replace-fold must agree with a literal
+    token-list BPE (apply each merge rank left-to-right,
+    non-overlapping) on arbitrary words — including the boundary-bleed
+    cases a naive single-separator encoding gets wrong ('other',
+    'math', 'rather': a merged token's tail must not feed a later
+    merge)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    def reference_bpe_count(word):
+        toks = list(word)
+        for a, b in Q.BPE_MERGES:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return len(toks)
+
+    adversarial = ["other", "math", "rather", "bathe", "ere", "aaaa", "anthem"]
+    random_words = data.draw(
+        st.lists(
+            st.text(alphabet="theranodsi", min_size=1, max_size=10),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    words = adversarial + random_words
+    rows = [(i, w, "en", f"w{i}", len(w)) for i, w in enumerate(words)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = Q._t
+    Q._t = lambda spark, sf, name, **kw: docs
+    try:
+        got = {r.source: r.total_tokens for r in
+               Q.q_bpe_encode_tokens(spark, "x").collect()}
+    finally:
+        Q._t = orig
+    for i, w in enumerate(words):
+        assert got[f"w{i}"] == reference_bpe_count(w), w
