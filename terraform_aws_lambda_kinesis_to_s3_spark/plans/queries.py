@@ -7473,7 +7473,19 @@ def q_text_top_ngram_frac(spark, sf):
                     counts = Counter(grams)
                     mc = max(counts.values())
                     top = max(g for g, v in counts.items() if v == mc)
-                    acc.append(mc * len(top) / nchars)
+                    # UNION of characters covered by the occurrences
+                    # (count*len overcounts overlapping occurrences and
+                    # can exceed 1.0 — 'x x x x x' would read 1.33):
+                    # covered tokens, plus the spaces interior to at
+                    # least one occurrence
+                    occ = [i for i, g in enumerate(grams) if g == top]
+                    cov_tok: set[int] = set()
+                    cov_space: set[int] = set()
+                    for i in occ:
+                        cov_tok.update(range(i, i + n))
+                        cov_space.update(range(i, i + n - 1))
+                    covered = sum(len(toks[p]) for p in cov_tok) + len(cov_space)
+                    acc.append(covered / nchars)
             yield pd.DataFrame(
                 {"source": pdf["source"], "frac2": f2, "frac3": f3}
             )
@@ -7489,17 +7501,44 @@ def q_text_top_ngram_frac(spark, sf):
     )
 
 
-SQL_TOP_NGRAM_FRAC = """
+def _top_ngram_frac_sql(n: int) -> str:
+    """Union-coverage fraction for the most frequent word-n-gram:
+    occurrence positions → distinct covered token positions plus
+    occurrence-interior spaces → chars / len(text). Mirrors the Arrow
+    kernel exactly; bounded by 1.0 (count*len would overcount
+    overlapping occurrences)."""
+    g = f"g{n}"
+    top = (
+        f"list_max(list_filter(list_distinct({g}),"
+        f" x -> len(list_filter({g}, y -> y = x)) = mc{n}))"
+    )
+    occ = f"list_filter(range(1, len({g}) + 1), i -> {g}[i] = {top})"
+    cov_tok = (
+        f"list_distinct(flatten(list_transform({occ}, i -> range(i, i + {n}))))"
+    )
+    cov_space = (
+        f"list_distinct(flatten(list_transform({occ}, i -> range(i, i + {n - 1}))))"
+    )
+    covered = (
+        f"list_sum(list_transform({cov_tok}, p -> len(t[p]))) + len({cov_space})"
+    )
+    return (
+        f"CASE WHEN len({g}) = 0 THEN 0.0 ELSE"
+        f" CAST({covered} AS DOUBLE) / len(text) END"
+    )
+
+
+SQL_TOP_NGRAM_FRAC = f"""
 WITH base AS (SELECT source, text, string_split(text, ' ') AS t FROM documents),
 g AS (
-  SELECT source, text,
+  SELECT source, text, t,
          CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)),
               i -> array_to_string(list_slice(t, i, i + 1), ' ')) ELSE [] END AS g2,
          CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
               i -> array_to_string(list_slice(t, i, i + 2), ' ')) ELSE [] END AS g3
   FROM base),
 m AS (
-  SELECT source, text, g2, g3,
+  SELECT source, text, t, g2, g3,
          CASE WHEN len(g2) = 0 THEN 0 ELSE
            list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) END AS mc2,
          CASE WHEN len(g3) = 0 THEN 0 ELSE
@@ -7507,12 +7546,8 @@ m AS (
   FROM g),
 f AS (
   SELECT source,
-         CASE WHEN len(g2) = 0 THEN 0.0 ELSE
-           CAST(mc2 * len(list_max(list_filter(list_distinct(g2),
-                x -> len(list_filter(g2, y -> y = x)) = mc2))) AS DOUBLE) / len(text) END AS frac2,
-         CASE WHEN len(g3) = 0 THEN 0.0 ELSE
-           CAST(mc3 * len(list_max(list_filter(list_distinct(g3),
-                x -> len(list_filter(g3, y -> y = x)) = mc3))) AS DOUBLE) / len(text) END AS frac3
+         {_top_ngram_frac_sql(2)} AS frac2,
+         {_top_ngram_frac_sql(3)} AS frac3
   FROM m)
 SELECT source, COUNT(*) AS n_docs,
        ROUND(AVG(frac2), 6) AS avg_top2_frac,

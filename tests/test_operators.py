@@ -999,17 +999,24 @@ def test_top_ngram_frac_semantics(spark):
     import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
 
     rows = [
-        # "x y x y x": top bigram ("x y" or "y x", both len 3) occurs 2x
-        # -> frac2 = 2*3/9; top trigram 2x of len 5 -> frac3 = 2*5/9
+        # "x y x y x": top bigram = "y x" (tie-break) at positions 1,3
+        # -> union covers tokens {1..4} + 2 interior spaces = 6 of 9
+        # chars; top trigram "x y x" at 0,2 covers the whole doc (the
+        # occurrences OVERLAP — union coverage is 1.0, where count*len
+        # would read 10/9 > 1)
         (1, "x y x y x", "en", "rep", 9),
         (2, "solo", "en", "short", 4),  # no bigrams -> frac 0, unflagged
+        (3, "x x x x x", "en", "degen", 9),  # overlapping top bigram
     ]
     got = {r.source: r for r in _with_docs(spark, Q, rows, Q.q_text_top_ngram_frac)}
-    assert math.isclose(got["rep"].avg_top2_frac, 2 * 3 / 9, abs_tol=1e-6)
-    assert math.isclose(got["rep"].avg_top3_frac, 2 * 5 / 9, abs_tol=1e-6)
+    assert math.isclose(got["rep"].avg_top2_frac, 6 / 9, abs_tol=1e-6)
+    assert math.isclose(got["rep"].avg_top3_frac, 1.0, abs_tol=1e-6)
     assert got["rep"].n_flag_top2 == 1 and got["rep"].n_flag_top3 == 1
     assert got["short"].avg_top2_frac == 0.0
     assert got["short"].n_flag_top2 == 0 and got["short"].n_flag_top3 == 0
+    # union coverage is a true fraction: never above 1 even for x x x x
+    assert got["degen"].avg_top2_frac == 1.0
+    assert got["degen"].avg_top3_frac == 1.0
 
 
 def test_corpus_kl_zero_for_matching_distribution(spark):
