@@ -306,6 +306,42 @@ def jaccard_on_pairs(
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
+def _shingle_common_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate machinery for the set-overlap dedup metrics:
+    (pairwise common-shingle counts, per-doc shingle sizes) over the
+    optionally DF-capped shingle space. ngram_jaccard_pairs and
+    containment_pairs differ ONLY in how they score these two tables —
+    keeping the DF-cap semi-join, the sizes, and the doc_id< ordering
+    in one place so the metrics cannot silently diverge."""
+    sh = doc_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    common = (
+        a.join(b, F.col("sa.sh") == F.col("sb.sh"))
+        .filter(F.col("sa.doc_id") < F.col("sb.doc_id"))
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return common, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -328,26 +364,7 @@ def ngram_jaccard_pairs(
     sum(min(df, max_df)^2) while moving near-dup scores only slightly.
     ``max_df=None`` keeps the exact unfiltered semantics.
     """
-    sh = doc_shingles(df, id_col, text_col, n)
-    if max_df is not None:
-        keep = (
-            sh.groupBy("sh")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("sh")
-        )
-        sh = sh.join(keep, "sh", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("sa")
-    b = sh.alias("sb")
-    common = (
-        a.join(b, F.col("sa.sh") == F.col("sb.sh"))
-        .filter(F.col("sa.doc_id") < F.col("sb.doc_id"))
-        .groupBy(
-            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
+    common, sizes = _shingle_common_counts(df, id_col, text_col, n, max_df)
     return (
         common.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("n_sh", "n_a")
@@ -384,25 +401,7 @@ def containment_pairs(
     pair survives when EITHER direction's containment clears the
     threshold. Emits both directions so the caller can tell container
     from contained."""
-    sh = doc_shingles(df, id_col, text_col, n)
-    if max_df is not None:
-        keep = (
-            sh.groupBy("sh")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("sh")
-        )
-        sh = sh.join(keep, "sh", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("sa"), sh.alias("sb")
-    common = (
-        a.join(b, F.col("sa.sh") == F.col("sb.sh"))
-        .filter(F.col("sa.doc_id") < F.col("sb.doc_id"))
-        .groupBy(
-            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
+    common, sizes = _shingle_common_counts(df, id_col, text_col, n, max_df)
     ca = F.col("n_common") / F.col("na.n_sh")
     cb = F.col("n_common") / F.col("nb.n_sh")
     return (

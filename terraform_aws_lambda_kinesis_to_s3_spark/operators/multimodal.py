@@ -210,16 +210,23 @@ def parse_wav_header(blob: bytes) -> tuple[int, int, int, int] | None:
         body = blob[pos + 8 : pos + 8 + csize]
         if cid == b"fmt " and len(body) >= 16:
             fmt = (
+                int.from_bytes(body[0:2], "little"),  # audio format tag
                 int.from_bytes(body[2:4], "little"),  # channels
                 int.from_bytes(body[4:8], "little"),  # sample rate
                 int.from_bytes(body[14:16], "little"),  # bits/sample
             )
         elif cid == b"data":
-            data_size = csize
+            # clamp to the bytes actually present: a truncated blob
+            # must not report frames its data chunk doesn't carry
+            data_size = min(csize, max(0, len(blob) - pos - 8))
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
     if fmt is None or data_size is None:
         return None
-    n_channels, sample_rate, bits = fmt
+    format_tag, n_channels, sample_rate, bits = fmt
+    # integer PCM only (tag 1): float (3), mu-law (7), extensible
+    # (0xFFFE) etc. would make the frame math below a lie
+    if format_tag != 1:
+        return None
     if n_channels == 0 or sample_rate == 0 or bits not in (8, 16, 24, 32):
         return None
     frame_bytes = n_channels * (bits // 8)

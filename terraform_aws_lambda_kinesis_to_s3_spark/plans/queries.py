@@ -8469,11 +8469,12 @@ def q_mrl_truncation_eval(spark, sf):
     search on the FIRST 16 of 64 dims vs the full-width exact answer —
     the measurement behind "can we store/search a 4× cheaper prefix of
     the embedding?". Runs both exact BLAS searches over the same 20%
-    probe sample and joins their (query, neighbor) sets; the probe
-    count enters relationally (1-row cross join), so building the plan
-    launches no jobs. Completes the eval suite: lsh/ivf/minhash grade
-    the INDEX, knn_label_eval the embeddings, this grades a STORAGE
-    layout."""
+    probe sample and joins their (query, neighbor) sets; the recall
+    DENOMINATOR enters relationally (1-row cross join). Note the BLAS
+    scorer itself collects the probe matrix to the driver at plan
+    build (its documented smallness contract) — twice here, once per
+    width. Completes the eval suite: lsh/ivf/minhash grade the INDEX,
+    knn_label_eval the embeddings, this grades a STORAGE layout."""
     e = _t(spark, sf, "embeddings")
     probe = e.filter(F.col("vec_id") % 5 == 0)
     trunc = F.expr(f"slice(embedding, 1, {MRL_DIM})")

@@ -15,21 +15,39 @@ Dataflow per micro-batch (foreachBatch, one fork point):
 
 The history side is O(distinct fingerprints) — only (fp) rows are ever
 re-read, never the curated corpus itself (same contract as the batch
-``incremental_dedup_check``). foreachBatch is at-least-once on retry;
-the fingerprint anti-join makes re-delivered documents idempotent,
-which is exactly why the history append happens AFTER the curated
-write inside the same batch function (a replayed batch re-filters
-against the already-updated history and writes nothing new).
+``incremental_dedup_check``). foreachBatch is at-least-once on retry,
+so idempotency is layered twice:
+
+- curated/ and history/ are written with per-batch OVERWRITE into
+  ``batch_id=N`` subdirectories — a retried batch N replaces its own
+  output instead of appending a second copy, even if the previous
+  attempt died between the curated write and the history write;
+- documents re-DELIVERED in a later batch (or a replay from a fresh
+  checkpoint, which renumbers batches) are removed by the anti-join
+  against the history fingerprints.
+
+rejected/ is an at-least-once AUDIT LOG (plain append): a replayed
+batch may append duplicate reject rows; consumers deduplicate on
+(doc_id, reject_reason) if they need exactly-once counts.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from terraform_aws_lambda_kinesis_to_s3_spark.operators import textops as X
+
+
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API, so any
+    scheme the cluster can read (s3a://, hdfs://, file:) works — a
+    driver-local os.path.exists would silently disable cross-batch
+    dedup on object stores."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 #: quality-gate threshold on textops.quality_features' composite score
 QUALITY_MIN_SCORE = 0.55
@@ -65,32 +83,39 @@ def run_corpus_ingest(
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         gated = gate_documents(batch_df).persist()
+        accepted = None
         try:
             rejected = gated.filter(F.col("reject_reason").isNotNull())
-            accepted = gated.filter(F.col("reject_reason").isNull())
+            kept = gated.filter(F.col("reject_reason").isNull())
             # within-batch exact dedup: keep the lowest doc_id per fp
             # (deterministic survivor, same rule as dedup_survivors)
-            first = accepted.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-            accepted = accepted.join(first, ["fp", "doc_id"], "left_semi")
+            first = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+            kept = kept.join(first, ["fp", "doc_id"], "left_semi")
             # incremental dedup: anti-join the O(distinct-fp) history
-            if os.path.exists(history_path):
+            if _hadoop_path_exists(spark, history_path):
                 history = spark.read.parquet(history_path).select("fp")
-                accepted = accepted.join(history, "fp", "left_anti")
-            accepted = accepted.select(
+                kept = kept.join(history, "fp", "left_anti")
+            accepted = kept.select(
                 "doc_id", "text", "lang", "source", "fp"
             ).persist()
-            n_new = accepted.count()  # pin before the history append below
+            n_new = accepted.count()  # pin before the writes below
             rejected.select(
                 "doc_id", "source", "reject_reason"
             ).write.mode("append").parquet(rejected_path)
             if n_new:
-                accepted.write.mode("append").parquet(curated_path)
-                # history grows ONLY after the curated write succeeded:
-                # a retried batch re-runs the anti-join against the
-                # updated history and is a no-op (idempotent replay)
-                accepted.select("fp").write.mode("append").parquet(history_path)
+                # per-batch OVERWRITE: a retry of this batch replaces
+                # its own subdirectory — no duplicate curated rows even
+                # if the previous attempt died between these two writes
+                accepted.write.mode("overwrite").parquet(
+                    f"{curated_path}/batch_id={batch_id}"
+                )
+                accepted.select("fp").write.mode("overwrite").parquet(
+                    f"{history_path}/batch_id={batch_id}"
+                )
         finally:
             gated.unpersist()
+            if accepted is not None:
+                accepted.unpersist()
 
     writer = (
         doc_stream.writeStream.foreachBatch(ingest_batch)

@@ -1269,6 +1269,14 @@ def test_wav_header_parse_known_fixture_and_corrupt():
     bad = b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + zero_rate + b"data" + struct.pack("<I", 0)
     assert parse_wav_header(bad) is None
     assert parse_wav_header(wav[:30]) is None  # no data chunk reachable
+    # non-PCM format tags are rejected (frame math would be a lie)
+    float_fmt = struct.pack("<HHIIHH", 3, 2, 44100, 44100 * 8, 8, 32)
+    fbody = b"WAVE" + b"fmt " + struct.pack("<I", 16) + float_fmt
+    fbody += b"data" + struct.pack("<I", 40) + bytes(40)
+    assert parse_wav_header(b"RIFF" + struct.pack("<I", len(fbody)) + fbody) is None
+    # truncated data chunk: frames clamp to the bytes actually present
+    cut = wav[: len(wav) - 20]  # drop 20 of the 40 data bytes
+    assert parse_wav_header(cut) == (44100, 2, 16, 5)
 
 
 def test_wav_parser_fuzz_never_raises():

@@ -79,7 +79,9 @@ def test_corpus_ingest_gate_dedup_and_replay(spark, tmp_path):
     ckpt2 = str(tmp_path / "ckpt2")
     q = run_corpus_ingest(_stream(spark, src), curated, rejected, history, ckpt2)
     q.awaitTermination(120)
-    assert {r.doc_id for r in spark.read.parquet(curated).collect()} == {1, 11}
+    rows = spark.read.parquet(curated).collect()
+    assert {r.doc_id for r in rows} == {1, 11}
+    assert len(rows) == 2  # replay appended NOTHING (no duplicate rows)
 
 
 def test_corpus_ingest_quality_reason_column(spark, tmp_path):
