@@ -230,6 +230,9 @@ HEADLINE = [
     "group_split_events",
     "time_split_events",
     "corpus_datacard",
+    "vocab_oov_rate",
+    "label_source_profile",
+    "bigram_interp_logprob",
 ]
 
 

@@ -7933,6 +7933,160 @@ FROM curve GROUP BY 1 ORDER BY 1
 """
 
 
+VOCAB_K = 32  # fixed-vocab width for the OOV-rate diagnostic
+
+
+def q_vocab_oov_rate(spark, sf):
+    """Tokenizer-vocabulary coverage: per-source fraction of token
+    occurrences OUTSIDE the corpus top-K vocabulary — the OOV/byte-
+    fallback rate a fixed-vocab tokenizer would pay on each source
+    (the multilingual-tokenizer fairness metric). The vocab is a
+    two-phase head (count shuffle + K-row window) broadcast back onto
+    the token stream; the left join is map-side against K rows."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    counts = tok.groupBy("term").agg(F.count("*").alias("c"))
+    vocab = (
+        counts.select(
+            "term",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), F.col("term").asc()))
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= VOCAB_K)
+        .select("term")
+    )
+    tagged = tok.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "term", "left"
+    )
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return tagged.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(oov).cast("long").alias("n_oov"),
+        F.round(F.sum(oov) / F.count("*"), 6).alias("oov_rate"),
+    )
+
+
+SQL_OOV = f"""
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+counts AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY c DESC, term ASC) AS rank FROM counts)
+  WHERE rank <= {VOCAB_K})
+SELECT source, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS oov_rate
+FROM tok LEFT JOIN vocab v USING (term)
+GROUP BY 1
+"""
+
+
+def q_label_source_profile(spark, sf):
+    """Cross-modal integration: documents ⋈ embeddings on the shared
+    id space (doc_id = vec_id), profiling text statistics per
+    embedding label — the join every curation decision that mixes
+    text signals with embedding clusters needs. Equi-join on the id,
+    both sides pruned to the profiled columns."""
+    d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    e = _t(spark, sf, "embeddings").select(F.col("vec_id").alias("doc_id"), "label")
+    return (
+        d.join(e, "doc_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+SQL_LABEL_SOURCE = """
+SELECT label, COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       ROUND(AVG(n_chars), 6) AS avg_chars,
+       MIN(doc_id) AS min_doc_id
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY 1
+"""
+
+
+LM_LAMBDA = 0.7  # bigram weight in the interpolated LM
+
+
+def q_bigram_interp_logprob(spark, sf):
+    """Jelinek-Mercer interpolated bigram LM scoring: per-token
+    log(λ·P(w|prev) + (1−λ)·P(w)), averaged per doc, profiled per
+    source — the step up from unigram_logprob_score that CCNet-style
+    filters actually use (a pure unigram LM can't see word order).
+    Census tables (bigram, prefix, unigram) are shuffles on their own
+    keys with map-side partials; the scoring joins key on the same
+    columns; the 1-row unigram total broadcasts."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("i", "term")
+    )
+    uni = tok.groupBy("term").agg(F.count("*").alias("cu"))
+    utot = uni.agg(F.sum("cu").alias("tu"))
+    w = Window.partitionBy("doc_id").orderBy("i")
+    big = tok.withColumn("prev", F.lag("term").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    bcnt = big.groupBy("prev", "term").agg(F.count("*").alias("cb"))
+    pcnt = bcnt.groupBy("prev").agg(F.sum("cb").alias("cp"))
+    scored = (
+        big.join(bcnt, ["prev", "term"])
+        .join(pcnt, "prev")
+        .join(uni, "term")
+        .crossJoin(F.broadcast(utot))
+        .withColumn(
+            "lp",
+            F.log(
+                LM_LAMBDA * F.col("cb") / F.col("cp")
+                + (1 - LM_LAMBDA) * F.col("cu") / F.col("tu")
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(F.avg("lp").alias("avg_lp"))
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("avg_lp"), 6).alias("mean_logprob"),
+        F.round(F.min("avg_lp"), 6).alias("min_logprob"),
+        F.round(F.max("avg_lp"), 6).alias("max_logprob"),
+    )
+
+
+SQL_BIGRAM_INTERP = f"""
+WITH tok AS (
+  SELECT doc_id, source, i, t[i] AS term
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)),
+uni AS (SELECT term, COUNT(*) AS cu FROM tok GROUP BY 1),
+utot AS (SELECT SUM(cu) AS tu FROM uni),
+big AS (
+  SELECT doc_id, source, term,
+         lag(term) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM tok),
+big2 AS (SELECT * FROM big WHERE prev IS NOT NULL),
+bcnt AS (SELECT prev, term, COUNT(*) AS cb FROM big2 GROUP BY 1, 2),
+pcnt AS (SELECT prev, SUM(cb) AS cp FROM bcnt GROUP BY 1),
+scored AS (
+  SELECT b.doc_id, b.source,
+         LN({LM_LAMBDA} * cb / cp + {1 - LM_LAMBDA} * cu / tu) AS lp
+  FROM big2 b
+  JOIN bcnt USING (prev, term) JOIN pcnt USING (prev)
+  JOIN uni ON b.term = uni.term CROSS JOIN utot),
+per_doc AS (
+  SELECT doc_id, source, AVG(lp) AS avg_lp FROM scored GROUP BY 1, 2)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(avg_lp), 6) AS mean_logprob,
+       ROUND(MIN(avg_lp), 6) AS min_logprob,
+       ROUND(MAX(avg_lp), 6) AS max_logprob
+FROM per_doc GROUP BY 1
+"""
+
+
 def q_corpus_datacard(spark, sf):
     """The dataset-card summary row: every number a corpus release
     documents — size (docs/tokens/vocab), composition (sources, langs,
@@ -8626,6 +8780,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "group_split_events": (q_group_split_events, SQL_GROUP_SPLIT),
     "time_split_events": (q_time_split_events, SQL_TIME_SPLIT),
     "corpus_datacard": (q_corpus_datacard, SQL_DATACARD),
+    "vocab_oov_rate": (q_vocab_oov_rate, SQL_OOV),
+    "label_source_profile": (q_label_source_profile, SQL_LABEL_SOURCE),
+    "bigram_interp_logprob": (q_bigram_interp_logprob, SQL_BIGRAM_INTERP),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     # dedup

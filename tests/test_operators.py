@@ -1395,3 +1395,42 @@ def test_skipgram_window_pair_count(spark):
     # 5 tokens, window 2: positions contribute 2,3,4,3,2 = 14 pairs
     assert got.n_pairs == 14
     assert got.n_distinct_negs <= got.n_distinct_pairs
+
+
+def test_oov_rate_vocab_boundary(spark):
+    """Tokens inside the top-K vocab are covered; rare tokens count as
+    OOV; a source written entirely in vocab terms has rate 0."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    common = " ".join(f"w{i}" for i in range(Q.VOCAB_K)) + " "
+    rows = [
+        # sources 'head' use only top-K terms (each w_i repeated so they
+        # dominate the count ranking); 'tail' adds rare terms
+        (1, (common * 3).strip(), "en", "head", 9),
+        (2, (common + "rare1 rare2 rare3 rare4").strip(), "en", "tail", 9),
+    ]
+    got = {r.source: r for r in _with_docs(spark, Q, rows, Q.q_vocab_oov_rate)}
+    assert got["head"].oov_rate == 0.0
+    assert got["tail"].n_oov == 4
+    assert 0 < got["tail"].oov_rate < 1
+
+
+def test_bigram_interp_lm_orders_repetition_first(spark):
+    """An interpolated bigram LM must score deterministic transitions
+    (P(w|prev)=1 in the self-trained censuses) above transitions whose
+    prefix is AMBIGUOUS in the corpus (P(w|prev) split 4 ways by the
+    background docs)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        (1, "a b a b a b a b", "en", "rep", 15),
+        (2, "c d", "en", "amb", 3),
+        # background: prefix 'c' continues 4 different ways corpus-wide
+        (3, "c e", "en", "bg", 3),
+        (4, "c f", "en", "bg", 3),
+        (5, "c g", "en", "bg", 3),
+    ]
+    got = {r.source: r for r in
+           _with_docs(spark, Q, rows, Q.q_bigram_interp_logprob)}
+    assert got["rep"].mean_logprob > got["amb"].mean_logprob
+    assert all(r.mean_logprob < 0 for r in got.values())  # log of p<1

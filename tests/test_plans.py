@@ -83,6 +83,8 @@ BNLJ_OK = {
     "time_split_events",
     # three 1-row summary aggregates cross-joined (the dataset card)
     "corpus_datacard",
+    # 1-row unigram-total broadcast (the interpolation denominator)
+    "bigram_interp_logprob",
 }
 
 
