@@ -203,12 +203,13 @@ def parse_wav_header(blob: bytes) -> tuple[int, int, int, int] | None:
         return None
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         return None
-    pos, fmt, data_size = 12, None, None
+    pos, fmt, fmt_body, data_size = 12, None, None, None
     while pos + 8 <= len(blob):
         cid = blob[pos : pos + 4]
         csize = int.from_bytes(blob[pos + 4 : pos + 8], "little")
         body = blob[pos + 8 : pos + 8 + csize]
         if cid == b"fmt " and len(body) >= 16:
+            fmt_body = body
             fmt = (
                 int.from_bytes(body[0:2], "little"),  # audio format tag
                 int.from_bytes(body[2:4], "little"),  # channels
@@ -223,9 +224,14 @@ def parse_wav_header(blob: bytes) -> tuple[int, int, int, int] | None:
     if fmt is None or data_size is None:
         return None
     format_tag, n_channels, sample_rate, bits = fmt
-    # integer PCM only (tag 1): float (3), mu-law (7), extensible
-    # (0xFFFE) etc. would make the frame math below a lie
-    if format_tag != 1:
+    # integer PCM only: tag 1, or WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+    # whose SubFormat GUID wraps PCM — real encoders emit >16-bit PCM
+    # under the extensible tag, and the frame math is exact for those.
+    # Float (3), mu-law (7), compressed formats: the math would lie.
+    if format_tag == 0xFFFE:
+        if fmt_body is None or len(fmt_body) < 26 or fmt_body[24:26] != b"\x01\x00":
+            return None
+    elif format_tag != 1:
         return None
     if n_channels == 0 or sample_rate == 0 or bits not in (8, 16, 24, 32):
         return None

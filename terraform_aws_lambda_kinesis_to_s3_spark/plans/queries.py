@@ -7940,20 +7940,17 @@ def q_vocab_oov_rate(spark, sf):
     """Tokenizer-vocabulary coverage: per-source fraction of token
     occurrences OUTSIDE the corpus top-K vocabulary — the OOV/byte-
     fallback rate a fixed-vocab tokenizer would pay on each source
-    (the multilingual-tokenizer fairness metric). The vocab is a
-    two-phase head (count shuffle + K-row window) broadcast back onto
-    the token stream; the left join is map-side against K rows."""
+    (the multilingual-tokenizer fairness metric). The vocab head is
+    orderBy().limit(K) — Spark's TakeOrdered: per-partition top-K then
+    a K-row merge, never a single-partition sort of the whole vocab
+    (the pathology the zipf docstring warns about) — broadcast back
+    onto the token stream; the left join is map-side against K rows."""
     d = _t(spark, sf, "documents")
     tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
     counts = tok.groupBy("term").agg(F.count("*").alias("c"))
     vocab = (
-        counts.select(
-            "term",
-            F.row_number()
-            .over(Window.orderBy(F.col("c").desc(), F.col("term").asc()))
-            .alias("rank"),
-        )
-        .filter(F.col("rank") <= VOCAB_K)
+        counts.orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(VOCAB_K)
         .select("term")
     )
     tagged = tok.join(
@@ -8136,9 +8133,12 @@ WITH feats AS (
   FROM documents),
 scored AS (
   SELECT *,
-         LEAST(n_stop / GREATEST(n_tok, 1) * 2, 1.0) * 0.4
-         + LEAST(n_tok / 64.0, 1.0) * 0.4
-         + (1 - LEAST(n_punct / GREATEST(n_chars, 1) * 4, 1.0)) * 0.2 AS quality_score
+         -- per-doc ROUND(,6) mirrors textops.quality_features exactly,
+         -- same as SQL_TEXT_QUALITY / SQL_CORPUS_CURATION — averaging
+         -- unrounded scores is a latent 1e-6-boundary oracle mismatch
+         ROUND(LEAST(n_stop / GREATEST(n_tok, 1) * 2, 1.0) * 0.4
+               + LEAST(n_tok / 64.0, 1.0) * 0.4
+               + (1 - LEAST(n_punct / GREATEST(n_chars, 1) * 4, 1.0)) * 0.2, 6) AS quality_score
   FROM feats),
 base AS (
   SELECT COUNT(*) AS n_docs,

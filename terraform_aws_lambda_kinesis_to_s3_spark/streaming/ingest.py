@@ -19,12 +19,14 @@ re-read, never the curated corpus itself (same contract as the batch
 so idempotency is layered twice:
 
 - curated/ and history/ are written with per-batch OVERWRITE into
-  ``batch_id=N`` subdirectories — a retried batch N replaces its own
-  output instead of appending a second copy, even if the previous
-  attempt died between the curated write and the history write;
+  ``run=<token>/batch=N`` subdirectories — a retried batch N inside
+  one run replaces its own output instead of appending a second copy,
+  and distinct runs (fresh checkpoints renumber batches from 0) can
+  never overwrite each other's data;
 - documents re-DELIVERED in a later batch (or a replay from a fresh
-  checkpoint, which renumbers batches) are removed by the anti-join
-  against the history fingerprints.
+  checkpoint) are removed by the anti-join against the history
+  fingerprints, which is read with recursiveFileLookup so any
+  directory nesting (or an older flat layout) is tolerated.
 
 rejected/ is an at-least-once AUDIT LOG (plain append): a replayed
 batch may append duplicate reject rows; consumers deduplicate on
@@ -78,7 +80,29 @@ def run_corpus_ingest(
     available_now: bool = True,
 ):
     """Start the streaming ingest over a document stream (schema:
-    doc_id, text, lang, source). Returns the StreamingQuery."""
+    doc_id, text, lang, source). Returns the StreamingQuery.
+
+    Guarantee ladder (honest accounting — exactly-once across
+    arbitrary crash points needs a transactional table format, which
+    is the documented production swap):
+
+    - same-run retry of a micro-batch (the common at-least-once case):
+      EXACTLY-ONCE — the batch overwrites its own run/batch
+      subdirectory;
+    - replay from a fresh checkpoint (batch numbering restarts):
+      no loss, no duplicates — a new run token means no directory
+      collision with prior runs, and re-delivered docs anti-join away
+      against history;
+    - driver death in the window between the curated write and the
+      history write, followed by a NEW process: that one batch may be
+      curated twice (at-least-once). Writing history first would turn
+      the same window into data LOSS, which is strictly worse.
+    """
+    import uuid
+
+    # one token per run_corpus_ingest call: same-run retries overwrite
+    # their own directory; distinct runs can never collide
+    run_token = uuid.uuid4().hex[:12]
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -91,9 +115,16 @@ def run_corpus_ingest(
             # (deterministic survivor, same rule as dedup_survivors)
             first = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
             kept = kept.join(first, ["fp", "doc_id"], "left_semi")
-            # incremental dedup: anti-join the O(distinct-fp) history
+            # incremental dedup: anti-join the O(distinct-fp) history.
+            # recursiveFileLookup reads every parquet file regardless of
+            # the run/batch directory nesting (and tolerates a mix of
+            # flat and nested layouts from older writers).
             if _hadoop_path_exists(spark, history_path):
-                history = spark.read.parquet(history_path).select("fp")
+                history = (
+                    spark.read.option("recursiveFileLookup", "true")
+                    .parquet(history_path)
+                    .select("fp")
+                )
                 kept = kept.join(history, "fp", "left_anti")
             accepted = kept.select(
                 "doc_id", "text", "lang", "source", "fp"
@@ -103,14 +134,12 @@ def run_corpus_ingest(
                 "doc_id", "source", "reject_reason"
             ).write.mode("append").parquet(rejected_path)
             if n_new:
-                # per-batch OVERWRITE: a retry of this batch replaces
-                # its own subdirectory — no duplicate curated rows even
-                # if the previous attempt died between these two writes
+                subdir = f"run={run_token}/batch={batch_id}"
                 accepted.write.mode("overwrite").parquet(
-                    f"{curated_path}/batch_id={batch_id}"
+                    f"{curated_path}/{subdir}"
                 )
                 accepted.select("fp").write.mode("overwrite").parquet(
-                    f"{history_path}/batch_id={batch_id}"
+                    f"{history_path}/{subdir}"
                 )
         finally:
             gated.unpersist()

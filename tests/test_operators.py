@@ -1277,6 +1277,20 @@ def test_wav_header_parse_known_fixture_and_corrupt():
     # truncated data chunk: frames clamp to the bytes actually present
     cut = wav[: len(wav) - 20]  # drop 20 of the 40 data bytes
     assert parse_wav_header(cut) == (44100, 2, 16, 5)
+    # WAVE_FORMAT_EXTENSIBLE wrapping PCM (how encoders emit 24-bit)
+    # parses; extensible wrapping FLOAT (subformat 3) is rejected
+    def ext_wav(sub_code):
+        guid = sub_code.to_bytes(2, "little") + bytes.fromhex(
+            "000000001000800000aa00389b71"
+        )
+        ext = struct.pack("<HHIIHH", 0xFFFE, 2, 48000, 48000 * 6, 6, 24)
+        ext += struct.pack("<HHI", 22, 24, 0x3) + guid
+        b2 = b"WAVE" + b"fmt " + struct.pack("<I", len(ext)) + ext
+        b2 += b"data" + struct.pack("<I", 36) + bytes(36)
+        return b"RIFF" + struct.pack("<I", len(b2)) + b2
+
+    assert parse_wav_header(ext_wav(1)) == (48000, 2, 24, 6)
+    assert parse_wav_header(ext_wav(3)) is None
 
 
 def test_wav_parser_fuzz_never_raises():

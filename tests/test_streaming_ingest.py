@@ -18,6 +18,10 @@ GOOD_B = (
     "a key part of the plan is that the table and the row are in the "
     "set for a scan of the data."
 )
+GOOD_C = (
+    "the third document in the set is also made of the usual common "
+    "words, and it is long enough to pass the quality gate."
+)
 SHORT = "too short"
 
 
@@ -82,6 +86,17 @@ def test_corpus_ingest_gate_dedup_and_replay(spark, tmp_path):
     rows = spark.read.parquet(curated).collect()
     assert {r.doc_id for r in rows} == {1, 11}
     assert len(rows) == 2  # replay appended NOTHING (no duplicate rows)
+
+    # fresh checkpoint + a genuinely NEW doc: batch numbering restarts
+    # at 0, but run-scoped directories mean the old batch-0 output is
+    # NOT overwritten (the data-loss hazard of batch-id-only naming)
+    _write_docs(src, "b3.json", [_doc(20, GOOD_C)])
+    ckpt3 = str(tmp_path / "ckpt3")
+    q = run_corpus_ingest(_stream(spark, src), curated, rejected, history, ckpt3)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(curated).collect()
+    assert {r.doc_id for r in rows} == {1, 11, 20}
+    assert len(rows) == 3
 
 
 def test_corpus_ingest_quality_reason_column(spark, tmp_path):
