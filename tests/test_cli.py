@@ -58,3 +58,25 @@ def test_cli_batch_payload_and_kinesis_event(spark, tmp_path):
     files2 = glob.glob(f"{out2}/**/*.gz", recursive=True)
     assert any("/b/2024-02/03/" in f for f in files2)
     assert gzip.open(files2[0], "rt").read().strip() == payload.decode()
+
+
+def test_rotate_driver_window_dry_run():
+    """The rotation tool parses the real CORRECTNESS files and finds
+    the DRIVER_VERIFIED block; only all-green rows count as verified
+    (q12's red r2 row must NOT appear)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "rotate_driver_window",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "rotate_driver_window.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    green = mod.green_rows()
+    assert "pipeline_route" in green
+    assert "q12_priority_by_linestatus" not in green  # red hash in r2
+    src = open(mod.QUERIES_PY).read()
+    import re
+    assert re.search(r"DRIVER_VERIFIED: frozenset\[str\] = frozenset\(", src)
