@@ -233,6 +233,7 @@ HEADLINE = [
     "vocab_oov_rate",
     "label_source_profile",
     "bigram_interp_logprob",
+    "part_fuzzy_name_pairs",
 ]
 
 

@@ -7933,6 +7933,49 @@ FROM curve GROUP BY 1 ORDER BY 1
 """
 
 
+FUZZY_MAX_DIST = 3  # edit-distance verify threshold for name matching
+
+
+def q_part_fuzzy_name_pairs(spark, sf):
+    """Entity-resolution block-and-verify: candidate part-name matches
+    from a cheap blocking key (3-char prefix) verified by Levenshtein
+    distance — the canonical fuzzy-join shape (never an all-pairs
+    cross join; the quadratic term is bounded per block, the same
+    df-cap argument the shingle joins make). Works at the DISTINCT-
+    name grain, so the verify cost is O(Σ block²) over the name
+    dictionary, not the parts table; n_parts carries the weight back.
+    At 100 TB the blocking key generalizes to phonetic/qgram keys —
+    same plan, different key expression."""
+    p = _t(spark, sf, "part")
+    names = p.groupBy("p_name").agg(F.count("*").alias("n_parts"))
+    blocked = names.withColumn("block", F.substring("p_name", 1, 3))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, F.col("a.block") == F.col("b.block"))
+        .filter(F.col("a.p_name") < F.col("b.p_name"))
+        .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("dist").cast("int").alias("edit_distance"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+    )
+
+
+SQL_FUZZY = f"""
+WITH names AS (SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY 1),
+blocked AS (SELECT p_name, n_parts, substr(p_name, 1, 3) AS block FROM names)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM blocked a JOIN blocked b ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+"""
+
+
 VOCAB_K = 32  # fixed-vocab width for the OOV-rate diagnostic
 
 
@@ -8783,6 +8826,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "vocab_oov_rate": (q_vocab_oov_rate, SQL_OOV),
     "label_source_profile": (q_label_source_profile, SQL_LABEL_SOURCE),
     "bigram_interp_logprob": (q_bigram_interp_logprob, SQL_BIGRAM_INTERP),
+    "part_fuzzy_name_pairs": (q_part_fuzzy_name_pairs, SQL_FUZZY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     # dedup

@@ -1448,3 +1448,28 @@ def test_bigram_interp_lm_orders_repetition_first(spark):
            _with_docs(spark, Q, rows, Q.q_bigram_interp_logprob)}
     assert got["rep"].mean_logprob > got["amb"].mean_logprob
     assert all(r.mean_logprob < 0 for r in got.values())  # log of p<1
+
+
+def test_fuzzy_name_pairs_block_and_verify(spark):
+    """Near-identical names sharing a block match; a near-identical
+    pair in DIFFERENT blocks is (by design) missed — the documented
+    blocking recall tradeoff — and distant names never match."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    parts = spark.createDataFrame(
+        [
+            (1, "red widget", "Brand#1"),
+            (2, "red widgot", "Brand#1"),   # dist 1, same block 'red'
+            (3, "ted widget", "Brand#1"),   # dist 1 from #1 but block 'ted'
+            (4, "red wrenchers", "Brand#1"),  # same block, dist > 3
+        ],
+        "p_partkey long, p_name string, p_brand string",
+    )
+    orig = Q._t
+    Q._t = lambda spark, sf, name, **k: parts
+    try:
+        got = {(r.name_a, r.name_b): r.edit_distance
+               for r in Q.q_part_fuzzy_name_pairs(spark, "x").collect()}
+    finally:
+        Q._t = orig
+    assert got == {("red widget", "red widgot"): 1}

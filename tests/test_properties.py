@@ -659,3 +659,49 @@ def test_bpe_fold_equals_reference_bpe(spark, data):
         Q._t = orig
     for i, w in enumerate(words):
         assert got[f"w{i}"] == reference_bpe_count(w), w
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_quantile_histogram_merge_law(spark, data):
+    """Mergeability of the dyadic-histogram quantile sketch: building
+    the histogram on two disjoint halves and SUMMING the bins yields
+    exactly the whole-data histogram (the property that makes the
+    sketch distributable), so quantile reads agree bin-exactly."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+    from pyspark.sql import functions as F
+
+    vals = data.draw(
+        st.lists(
+            st.floats(min_value=0, max_value=50,
+                      allow_nan=False, allow_infinity=False),
+            min_size=4, max_size=60,
+        )
+    )
+    rows = [(i, datetime(2024, 1, 1), 1, "t", float(v), "{}")
+            for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+
+    def hist(df):
+        return {
+            (r.event_type, r.bin): r.cnt
+            for r in df.groupBy(
+                "event_type", F.floor(F.col("value") * 4).alias("bin")
+            ).agg(F.count("*").alias("cnt")).collect()
+        }
+
+    whole = hist(ev)
+    h_even = hist(ev.filter(F.col("event_id") % 2 == 0))
+    h_odd = hist(ev.filter(F.col("event_id") % 2 == 1))
+    merged = dict(h_even)
+    for k, v in h_odd.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == whole
