@@ -234,6 +234,10 @@ HEADLINE = [
     "label_source_profile",
     "bigram_interp_logprob",
     "part_fuzzy_name_pairs",
+    "distinctive_terms_logodds",
+    "embedding_outliers",
+    "knn_confusion_matrix",
+    "logreg_auc",
 ]
 
 

@@ -6826,6 +6826,63 @@ FROM binned GROUP BY 1"""
 SQL_LOGREG_CALIBRATION = _logreg_calibration_sql(LOGREG_ITERS)
 
 
+def q_logreg_auc(spark, sf):
+    """Exact ROC-AUC of the trained quality classifier via the
+    Mann-Whitney rank statistic (midranks for score ties, so the AUC
+    is exact, not trapezoid-approximated) — the discrimination metric
+    beside logreg_calibration's reliability readout. Reuses the cached
+    trained weights; the global rank window runs over the scored
+    table, acceptable for the same run-on-a-sample reason calibration
+    documents. AUC ~0.51 at sf0.01 — the honest readout of a
+    3-feature model after 8 GD steps, same accounting ethos as the
+    recall evals."""
+    feats, w = _logreg_feats_and_weights(spark, sf)
+    z = (
+        F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    scored = feats.crossJoin(F.broadcast(w)).withColumn(
+        "p", 1.0 / (1.0 + F.exp(-z))
+    )
+    rn = F.row_number().over(Window.orderBy("p", "doc_id"))
+    mid = F.avg("rn").over(Window.partitionBy("p"))
+    r = scored.withColumn("rn", rn).withColumn("midrank", mid)
+    return r.agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("y")).cast("long").alias("n_neg"),
+        F.round(
+            (
+                F.sum(F.col("midrank") * F.col("y"))
+                - F.sum("y") * (F.sum("y") + 1) / 2
+            )
+            / (F.sum("y") * (F.count("*") - F.sum("y"))),
+            6,
+        ).alias("auc"),
+    )
+
+
+def _logreg_auc_sql(iters: int) -> str:
+    base = _logreg_sql(iters)
+    head = base.rsplit("final AS", 1)[0].rstrip().rstrip(",")
+    return f"""{head},
+scored AS (
+  SELECT doc_id, y,
+         1.0 / (1.0 + EXP(-(w1 * x1 + w2 * x2 + w3 * x3))) AS p
+  FROM feats CROSS JOIN wa{iters}),
+rks AS (
+  SELECT y, p, row_number() OVER (ORDER BY p, doc_id) AS rn FROM scored),
+mids AS (SELECT y, AVG(rn) OVER (PARTITION BY p) AS midrank FROM rks)
+SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg,
+       ROUND((SUM(midrank * y) - SUM(y) * (SUM(y) + 1) / 2)
+             / (SUM(y) * (COUNT(*) - SUM(y))), 6) AS auc
+FROM mids"""
+
+
+SQL_LOGREG_AUC = _logreg_auc_sql(LOGREG_ITERS)
+
+
 RRF_K = 60  # standard reciprocal-rank-fusion dampener
 
 
@@ -7933,6 +7990,185 @@ FROM curve GROUP BY 1 ORDER BY 1
 """
 
 
+def q_distinctive_terms(spark, sf):
+    """Source-characteristic vocabulary: smoothed log-odds-ratio of
+    each term in source s vs the REST of the corpus (add-1 prior —
+    the robust small-count variant of Monroe et al.'s weighted
+    log-odds), top-3 per source. This is "what makes this source
+    different", the mixture-debugging companion to
+    corpus_kl_divergence's single-number distance. Same persisted
+    (source, term) census plan as the KL query; the ranking window
+    partitions by source over the vocab-sized score table."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    sc = tok.groupBy("source", "term").agg(F.count("*").alias("c")).persist()
+    stot = sc.groupBy("source").agg(F.sum("c").alias("n_s"))
+    corp = sc.groupBy("term").agg(F.sum("c").alias("ct"))
+    ctot = corp.agg(F.sum("ct").alias("n"))
+    j = (
+        sc.join(corp, "term")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(ctot))
+        .withColumn("c_rest", F.col("ct") - F.col("c"))
+        .withColumn("n_rest", F.col("n") - F.col("n_s"))
+    )
+    lor = F.log((F.col("c") + 1) / (F.col("n_s") - F.col("c") + 1)) - F.log(
+        (F.col("c_rest") + 1) / (F.col("n_rest") - F.col("c_rest") + 1)
+    )
+    ranked = j.withColumn("lor", F.round(lor, 6)).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.col("lor").desc(), F.col("term"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= 3).select(
+        "source", "term", "lor", F.col("rank").cast("int").alias("rank")
+    )
+
+
+SQL_DISTINCTIVE = """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+sc AS (SELECT source, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+stot AS (SELECT source, SUM(c) AS n_s FROM sc GROUP BY 1),
+corp AS (SELECT term, SUM(c) AS ct FROM sc GROUP BY 1),
+ctot AS (SELECT SUM(ct) AS n FROM corp),
+j AS (
+  SELECT sc.source, sc.term, c, ct - c AS c_rest, n_s, n - n_s AS n_rest
+  FROM sc JOIN corp USING (term) JOIN stot ON sc.source = stot.source CROSS JOIN ctot),
+ranked AS (
+  SELECT source, term,
+         ROUND(LN((c + 1.0) / (n_s - c + 1.0)) - LN((c_rest + 1.0) / (n_rest - c_rest + 1.0)), 6) AS lor
+  FROM j),
+top AS (
+  SELECT source, term, lor,
+         row_number() OVER (PARTITION BY source ORDER BY lor DESC, term) AS rank
+  FROM ranked)
+SELECT source, term, lor, CAST(rank AS INT) AS rank FROM top WHERE rank <= 3
+"""
+
+
+def q_embedding_outliers(spark, sf):
+    """Mislabeled-data detection: per-label z-score of each vector's
+    Euclidean distance to its OWN label centroid, top-5 farthest per
+    label — the data-quality sweep run before embeddings train a
+    classifier (a vector far from its own class center is a labeling
+    or featurization suspect). Component explode → per-(label, dim)
+    centroid → distance reduce: every shuffle keys on (label[, dim]),
+    and the z-stats table is O(labels) broadcast back."""
+    e = _t(spark, sf, "embeddings")
+    comp = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    cents = comp.groupBy("label", "i").agg(F.avg("x").alias("m"))
+    dist = (
+        comp.join(cents, ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("x") - F.col("m")) ** 2)).alias("d"))
+    )
+    stats = dist.groupBy("label").agg(
+        F.avg("d").alias("mu"), F.stddev_pop("d").alias("sigma")
+    )
+    z = (F.col("d") - F.col("mu")) / F.col("sigma")
+    ranked = (
+        dist.join(F.broadcast(stats), "label")
+        .withColumn("z", F.round(z, 6))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("label").orderBy(F.col("z").desc(), "vec_id")
+            ),
+        )
+    )
+    return ranked.filter(F.col("rank") <= 5).select(
+        "label",
+        "vec_id",
+        F.round("d", 6).alias("dist"),
+        "z",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_EMB_OUTLIERS = """
+WITH comp AS (
+  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) t(i)),
+cents AS (SELECT label, i, AVG(x) AS m FROM comp GROUP BY 1, 2),
+dist AS (
+  SELECT c.vec_id, c.label, SQRT(SUM((x - m) * (x - m))) AS d
+  FROM comp c JOIN cents ct ON c.label = ct.label AND c.i = ct.i
+  GROUP BY 1, 2),
+stats AS (
+  SELECT label, AVG(d) AS mu, stddev_pop(d) AS sigma FROM dist GROUP BY 1),
+ranked AS (
+  SELECT d.label, vec_id, ROUND(d, 6) AS dist,
+         ROUND((d - mu) / sigma, 6) AS z,
+         row_number() OVER (PARTITION BY d.label ORDER BY (d - mu) / sigma DESC, vec_id) AS rank
+  FROM dist d JOIN stats s ON d.label = s.label)
+SELECT label, vec_id, dist, z, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_knn_confusion_matrix(spark, sf):
+    """The full (true, predicted) confusion matrix behind
+    knn_label_eval's per-label accuracy — same leave-one-out 3-NN
+    majority-vote pipeline (BLAS scorer, struct-max vote), different
+    final grain: WHICH labels the embedding space confuses, not just
+    how often. Shares the eval's plan shape entirely."""
+    e = _t(spark, sf, "embeddings")
+    probe = e.filter(F.col("vec_id") % 5 == 0)
+    nn = S.cosine_topk_blas(e, probe, k=3)
+    lab = e.select("vec_id", "label")
+    votes = (
+        nn.join(
+            F.broadcast(
+                lab.withColumnRenamed("vec_id", "nn_id").withColumnRenamed(
+                    "label", "nn_label"
+                )
+            ),
+            "nn_id",
+        )
+        .groupBy("query_id", "nn_label")
+        .agg(F.count("*").alias("v"))
+    )
+    pick = (
+        votes.groupBy("query_id")
+        .agg(F.max(F.struct(F.col("v"), (-F.col("nn_label")).alias("neg"))).alias("m"))
+        .select("query_id", (-F.col("m.neg")).cast("int").alias("pred_label"))
+    )
+    truth = lab.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "true_label"
+    )
+    return (
+        pick.join(truth, "query_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_KNN_CONFUSION = """
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS nn_id, v.label AS nn_label,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])) AS cos
+  FROM q CROSS JOIN embeddings v WHERE v.vec_id <> q.vec_id),
+ranked AS (
+  SELECT query_id, nn_label,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+  FROM scored),
+votes AS (
+  SELECT query_id, nn_label, COUNT(*) AS v FROM ranked WHERE rank <= 3 GROUP BY 1, 2),
+pick AS (
+  SELECT query_id, nn_label AS pred_label,
+         row_number() OVER (PARTITION BY query_id ORDER BY v DESC, nn_label ASC) AS r
+  FROM votes)
+SELECT t.label AS true_label, CAST(p.pred_label AS INT) AS pred_label, COUNT(*) AS n
+FROM pick p JOIN embeddings t ON p.query_id = t.vec_id
+WHERE p.r = 1
+GROUP BY 1, 2
+"""
+
+
 FUZZY_MAX_DIST = 3  # edit-distance verify threshold for name matching
 
 
@@ -8827,6 +9063,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "label_source_profile": (q_label_source_profile, SQL_LABEL_SOURCE),
     "bigram_interp_logprob": (q_bigram_interp_logprob, SQL_BIGRAM_INTERP),
     "part_fuzzy_name_pairs": (q_part_fuzzy_name_pairs, SQL_FUZZY),
+    "distinctive_terms_logodds": (q_distinctive_terms, SQL_DISTINCTIVE),
+    "embedding_outliers": (q_embedding_outliers, SQL_EMB_OUTLIERS),
+    "knn_confusion_matrix": (q_knn_confusion_matrix, SQL_KNN_CONFUSION),
+    "logreg_auc": (q_logreg_auc, SQL_LOGREG_AUC),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     # dedup

@@ -1473,3 +1473,54 @@ def test_fuzzy_name_pairs_block_and_verify(spark):
     finally:
         Q._t = orig
     assert got == {("red widget", "red widgot"): 1}
+
+
+def test_distinctive_terms_finds_planted_marker(spark):
+    """A term appearing ONLY in one source must top that source's
+    log-odds ranking; a uniformly-distributed term must not."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        (1, "common common marker marker marker", "en", "sA", 9),
+        (2, "common common other other other", "en", "sB", 9),
+    ]
+    got = {(r.source, r.rank): r.term
+           for r in _with_docs(spark, Q, rows, Q.q_distinctive_terms)}
+    assert got[("sA", 1)] == "marker"
+    assert got[("sB", 1)] == "other"
+
+
+def test_embedding_outliers_flags_planted_far_vector(spark):
+    """A vector far from its label centroid ranks first with the
+    largest z-score."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [(i, base, 0) for i in range(6)]
+    rows.append((99, [0.0, 9.0, 0.0, 0.0], 0))  # far outlier, same label
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    orig = Q._t
+    Q._t = lambda spark, sf, name, **k: emb
+    try:
+        out = sorted(Q.q_embedding_outliers(spark, "x").collect(),
+                     key=lambda r: r.rank)
+    finally:
+        Q._t = orig
+    assert out[0].vec_id == 99 and out[0].rank == 1
+    assert out[0].z > out[1].z
+
+
+def test_knn_confusion_diagonal_matches_label_eval(spark):
+    """The confusion matrix's diagonal must equal knn_label_eval's
+    n_correct per label on the real sf0.001 table (same pipeline,
+    different grain)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    acc = {r.true_label: r.n_correct
+           for r in Q.q_knn_label_eval(spark, sf).collect()}
+    diag = {r.true_label: r.n
+            for r in Q.q_knn_confusion_matrix(spark, sf).collect()
+            if r.true_label == r.pred_label}
+    for label, n_correct in acc.items():
+        assert diag.get(label, 0) == n_correct

@@ -85,6 +85,10 @@ BNLJ_OK = {
     "corpus_datacard",
     # 1-row unigram-total broadcast (the interpolation denominator)
     "bigram_interp_logprob",
+    # 1-row corpus-total broadcast (the log-odds rest-denominator)
+    "distinctive_terms_logodds",
+    # the shared 1-row trained-weights broadcast, scoring for AUC
+    "logreg_auc",
 }
 
 
