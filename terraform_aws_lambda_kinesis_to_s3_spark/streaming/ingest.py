@@ -78,9 +78,16 @@ def run_corpus_ingest(
     history_path: str,
     checkpoint: str,
     available_now: bool = True,
+    metrics: list | None = None,
 ):
     """Start the streaming ingest over a document stream (schema:
     doc_id, text, lang, source). Returns the StreamingQuery.
+
+    ``metrics``: optional driver-side list; each micro-batch appends
+    ``{batch_id, n_in, n_rejected, n_new}`` (the ingest counterpart of
+    the routing job's A12 observe() counters — here the counts ride on
+    the persisted gated stage, so they cost aggregates over cached
+    data, not extra source scans).
 
     Guarantee ladder (honest accounting — exactly-once across
     arbitrary crash points needs a transactional table format, which
@@ -130,6 +137,15 @@ def run_corpus_ingest(
                 "doc_id", "text", "lang", "source", "fp"
             ).persist()
             n_new = accepted.count()  # pin before the writes below
+            if metrics is not None:
+                metrics.append(
+                    {
+                        "batch_id": batch_id,
+                        "n_in": gated.count(),
+                        "n_rejected": rejected.count(),
+                        "n_new": n_new,
+                    }
+                )
             rejected.select(
                 "doc_id", "source", "reject_reason"
             ).write.mode("append").parquet(rejected_path)

@@ -56,8 +56,12 @@ def test_corpus_ingest_gate_dedup_and_replay(spark, tmp_path):
         _doc(2, GOOD_A),       # within-batch dup -> dropped, survivor=1
         _doc(3, SHORT),        # rejected: too_short
     ])
-    q = run_corpus_ingest(_stream(spark, src), curated, rejected, history, ckpt)
+    metrics = []
+    q = run_corpus_ingest(_stream(spark, src), curated, rejected, history, ckpt,
+                          metrics=metrics)
     q.awaitTermination(120)
+    assert metrics and metrics[0]["n_in"] == 3
+    assert metrics[0]["n_rejected"] == 1 and metrics[0]["n_new"] == 1
 
     cur = {r.doc_id for r in spark.read.parquet(curated).collect()}
     rej = {(r.doc_id, r.reject_reason)
