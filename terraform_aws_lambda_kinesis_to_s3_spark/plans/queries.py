@@ -4595,6 +4595,16 @@ FROM events GROUP BY 1
 SQL_EVENTS_ZORDER = _zorder_sql()
 
 
+def quantile_sketch_hist(ev: DataFrame) -> DataFrame:
+    """The dyadic-histogram sketch itself: per-(type, width-0.25 bin)
+    counts. Module-level so the merge-law property test exercises the
+    REAL bin function (a groupBy-count over a row-pure bin expression
+    is what makes the sketch mergeable — partial histograms sum)."""
+    return ev.groupBy(
+        "event_type", F.floor(F.col("value") * 4).alias("bin")
+    ).agg(F.count("*").alias("cnt"))
+
+
 def q_events_quantile_sketch(spark, sf):
     """Mergeable quantile estimate from a fixed dyadic histogram:
     bucket value into width-0.25 bins (one bounded groupBy — the
@@ -4604,9 +4614,7 @@ def q_events_quantile_sketch(spark, sf):
     The bin count bounds both state and error (estimate is exact to
     +0.25); window runs over <= bins rows per type, never over rows."""
     ev = _t(spark, sf, "events")
-    hist = ev.groupBy(
-        "event_type", F.floor(F.col("value") * 4).alias("bin")
-    ).agg(F.count("*").alias("cnt"))
+    hist = quantile_sketch_hist(ev)
     w = (
         Window.partitionBy("event_type")
         .orderBy("bin")
@@ -7615,6 +7623,24 @@ FROM f GROUP BY 1
 """
 
 
+#: (applicationId, sf_dir) -> persisted (source, term, c) census —
+#: shared by corpus_kl_divergence and distinctive_terms_logodds (same
+#: cache pattern as _LOGREG_CACHE / the LSH pairs stage)
+_TERM_CENSUS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _term_census(spark, sf) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    cached = _TERM_CENSUS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    d = _t(spark, sf, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    sc = tok.groupBy("source", "term").agg(F.count("*").alias("c")).persist()
+    _TERM_CENSUS_CACHE[key] = sc
+    return sc
+
+
 def q_corpus_kl_divergence(spark, sf):
     """Per-source distribution shift: KL(p_source ‖ p_corpus) over
     unigram term distributions — the standard corpus-mixture diagnostic
@@ -7629,12 +7655,10 @@ def q_corpus_kl_divergence(spark, sf):
     term join is left to AQE (vocab can be huge at corpus scale — a
     forced broadcast would be the winnow_overlap_pairs hazard the r2
     verdict flagged)."""
-    d = _t(spark, sf, "documents")
-    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
     # three consumers (stot, corp, the main join) derive from the same
-    # (source, term) census — persist it so the corpus is scanned ONCE,
-    # not re-tokenized per branch (Catalyst does not dedupe subplans)
-    sc = tok.groupBy("source", "term").agg(F.count("*").alias("c")).persist()
+    # (source, term) census — the persisted shared stage (also reused
+    # by distinctive_terms_logodds) means the corpus is scanned ONCE
+    sc = _term_census(spark, sf)
     stot = sc.groupBy("source").agg(F.sum("c").alias("s_total"))
     corp = sc.groupBy("term").agg(F.sum("c").alias("cc"))
     ctot = corp.agg(F.sum("cc").alias("t_total"))
@@ -7797,19 +7821,12 @@ FROM scored GROUP BY 1
 """
 
 
-def q_knn_label_eval(spark, sf):
-    """Embedding-quality eval: leave-one-out 3-NN cosine majority-vote
-    label prediction over a deterministic 20% probe sample
-    (vec_id % 5 = 0), accuracy per true label. Completes the eval suite
-    (lsh_eval_pr / ivf_eval_recall / minhash_eval_recall measure the
-    ANN approximations; this measures the EMBEDDINGS themselves).
-
-    Neighbor search is the exact BLAS batch scorer (shuffle volume
-    O(batches × |probe| × k), independent of corpus size); the probe
-    set is the broadcast side by cosine_topk_blas's contract, which the
-    %-sample keeps small by construction. Majority vote is a struct-max
-    (count desc, label asc tie-break) — reproduced exactly by the
-    oracle's row_number ordering."""
+def _knn_predictions(spark, sf) -> DataFrame:
+    """(query_id, pred_label, true_label) from the leave-one-out 3-NN
+    cosine majority vote over the 20%% probe sample — the SINGLE
+    definition of the kNN eval pipeline (probe filter, k, struct-max
+    tie-break), consumed by knn_label_eval (accuracy grain) and
+    knn_confusion_matrix ((true, pred) grain)."""
     e = _t(spark, sf, "embeddings")
     probe = e.filter(F.col("vec_id") % 5 == 0)
     nn = S.cosine_topk_blas(e, probe, k=3)
@@ -7834,9 +7851,26 @@ def q_knn_label_eval(spark, sf):
     truth = lab.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
         "label", "true_label"
     )
+    return pick.join(truth, "query_id")
+
+
+def q_knn_label_eval(spark, sf):
+    """Embedding-quality eval: leave-one-out 3-NN cosine majority-vote
+    label prediction over a deterministic 20% probe sample
+    (vec_id % 5 = 0), accuracy per true label. Completes the eval suite
+    (lsh_eval_pr / ivf_eval_recall / minhash_eval_recall measure the
+    ANN approximations; this measures the EMBEDDINGS themselves).
+
+    Neighbor search is the exact BLAS batch scorer (shuffle volume
+    O(batches × |probe| × k), independent of corpus size); the probe
+    set is the broadcast side by cosine_topk_blas's contract, which the
+    %-sample keeps small by construction. Majority vote is a struct-max
+    (count desc, label asc tie-break) — reproduced exactly by the
+    oracle's row_number ordering. Pipeline defined once in
+    _knn_predictions, shared with knn_confusion_matrix."""
     correct = (F.col("pred_label") == F.col("true_label")).cast("long")
     return (
-        pick.join(truth, "query_id")
+        _knn_predictions(spark, sf)
         .groupBy("true_label")
         .agg(
             F.count("*").alias("n_queries"),
@@ -7996,12 +8030,11 @@ def q_distinctive_terms(spark, sf):
     the robust small-count variant of Monroe et al.'s weighted
     log-odds), top-3 per source. This is "what makes this source
     different", the mixture-debugging companion to
-    corpus_kl_divergence's single-number distance. Same persisted
-    (source, term) census plan as the KL query; the ranking window
+    corpus_kl_divergence's single-number distance. SHARES the
+    persisted (source, term) census stage with the KL query (one
+    corpus scan, one cached table per session/sf); the ranking window
     partitions by source over the vocab-sized score table."""
-    d = _t(spark, sf, "documents")
-    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
-    sc = tok.groupBy("source", "term").agg(F.count("*").alias("c")).persist()
+    sc = _term_census(spark, sf)
     stot = sc.groupBy("source").agg(F.sum("c").alias("n_s"))
     corp = sc.groupBy("term").agg(F.sum("c").alias("ct"))
     ctot = corp.agg(F.sum("ct").alias("n"))
@@ -8100,9 +8133,12 @@ dist AS (
 stats AS (
   SELECT label, AVG(d) AS mu, stddev_pop(d) AS sigma FROM dist GROUP BY 1),
 ranked AS (
+  -- rank on the ROUNDED z exactly like the Spark side: ranking the
+  -- raw expression would order 6dp-ties differently between engines
   SELECT d.label, vec_id, ROUND(d, 6) AS dist,
          ROUND((d - mu) / sigma, 6) AS z,
-         row_number() OVER (PARTITION BY d.label ORDER BY (d - mu) / sigma DESC, vec_id) AS rank
+         row_number() OVER (PARTITION BY d.label
+                            ORDER BY ROUND((d - mu) / sigma, 6) DESC, vec_id) AS rank
   FROM dist d JOIN stats s ON d.label = s.label)
 SELECT label, vec_id, dist, z, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
@@ -8114,33 +8150,10 @@ def q_knn_confusion_matrix(spark, sf):
     knn_label_eval's per-label accuracy — same leave-one-out 3-NN
     majority-vote pipeline (BLAS scorer, struct-max vote), different
     final grain: WHICH labels the embedding space confuses, not just
-    how often. Shares the eval's plan shape entirely."""
-    e = _t(spark, sf, "embeddings")
-    probe = e.filter(F.col("vec_id") % 5 == 0)
-    nn = S.cosine_topk_blas(e, probe, k=3)
-    lab = e.select("vec_id", "label")
-    votes = (
-        nn.join(
-            F.broadcast(
-                lab.withColumnRenamed("vec_id", "nn_id").withColumnRenamed(
-                    "label", "nn_label"
-                )
-            ),
-            "nn_id",
-        )
-        .groupBy("query_id", "nn_label")
-        .agg(F.count("*").alias("v"))
-    )
-    pick = (
-        votes.groupBy("query_id")
-        .agg(F.max(F.struct(F.col("v"), (-F.col("nn_label")).alias("neg"))).alias("m"))
-        .select("query_id", (-F.col("m.neg")).cast("int").alias("pred_label"))
-    )
-    truth = lab.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
-        "label", "true_label"
-    )
+    how often. Pipeline defined once in _knn_predictions — a tie-break
+    or k change lands in both queries or neither."""
     return (
-        pick.join(truth, "query_id")
+        _knn_predictions(spark, sf)
         .groupBy("true_label", "pred_label")
         .agg(F.count("*").alias("n"))
     )

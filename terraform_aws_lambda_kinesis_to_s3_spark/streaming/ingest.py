@@ -137,15 +137,6 @@ def run_corpus_ingest(
                 "doc_id", "text", "lang", "source", "fp"
             ).persist()
             n_new = accepted.count()  # pin before the writes below
-            if metrics is not None:
-                metrics.append(
-                    {
-                        "batch_id": batch_id,
-                        "n_in": gated.count(),
-                        "n_rejected": rejected.count(),
-                        "n_new": n_new,
-                    }
-                )
             rejected.select(
                 "doc_id", "source", "reject_reason"
             ).write.mode("append").parquet(rejected_path)
@@ -156,6 +147,19 @@ def run_corpus_ingest(
                 )
                 accepted.select("fp").write.mode("overwrite").parquet(
                     f"{history_path}/{subdir}"
+                )
+            if metrics is not None:
+                # appended AFTER the writes: a batch whose write fails
+                # is never recorded. Like the rejected sink, this is
+                # at-least-once under retry — consumers dedupe on
+                # batch_id (last entry wins)
+                metrics.append(
+                    {
+                        "batch_id": batch_id,
+                        "n_in": gated.count(),
+                        "n_rejected": rejected.count(),
+                        "n_new": n_new,
+                    }
                 )
         finally:
             gated.unpersist()

@@ -980,7 +980,10 @@ def test_power_iteration_lazy_and_empty_gram(spark):
 
 
 def _with_docs(spark, Q, rows, fn, *args, **kw):
-    """Run a registry query fn against an in-memory documents fixture."""
+    """Run a registry query fn against an in-memory documents fixture.
+    Clears the per-session shared-stage caches first — a census cached
+    from a previous fixture would otherwise leak into this one."""
+    Q._TERM_CENSUS_CACHE.clear()
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
@@ -990,6 +993,7 @@ def _with_docs(spark, Q, rows, fn, *args, **kw):
         return fn(spark, "ignored", *args, **kw).collect()
     finally:
         Q._t = orig
+        Q._TERM_CENSUS_CACHE.clear()
 
 
 def test_top_ngram_frac_semantics(spark):

@@ -695,11 +695,11 @@ def test_quantile_histogram_merge_law(spark, data):
               " value double, props string")
 
     def hist(df):
+        # the REAL sketch bin function from the registry query — a
+        # regression to non-row-pure binning (e.g. ntile) breaks here
         return {
             (r.event_type, r.bin): r.cnt
-            for r in df.groupBy(
-                "event_type", F.floor(F.col("value") * 4).alias("bin")
-            ).agg(F.count("*").alias("cnt")).collect()
+            for r in Q.quantile_sketch_hist(df).collect()
         }
 
     whole = hist(ev)

@@ -6,8 +6,10 @@ The driver hashes only the first 50 entries of ``queries()`` per
 round; ``_rotated_names`` floats never-driver-verified queries to the
 front. This tool unions every green row across all CORRECTNESS files
 into the DRIVER_VERIFIED frozenset so the next round's window lands on
-queries without a hard signal yet. Red rows (any check false) are NOT
-added — they stay in the window until green.
+queries without a hard signal yet. LATEST ROUND WINS per query: a red
+row in a newer round evicts an older green (a regression must rotate
+BACK INTO the window until it is green again), and red rows are never
+added.
 
 Run at round start (after the driver drops CORRECTNESS_r{N}.json):
 
@@ -34,7 +36,9 @@ QUERIES_PY = os.path.join(
 
 
 def green_rows() -> set[str]:
-    names: set[str] = set()
+    # latest round wins: iterate rounds in order; a newer red evicts
+    # an older green so the regression rotates back into the window
+    latest: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         data = json.load(open(path))
         for name, row in data.items():
@@ -43,9 +47,8 @@ def green_rows() -> set[str]:
                 ok = bool(checks) and all(checks)
             else:
                 ok = bool(row)
-            if ok:
-                names.add(name)
-    return names
+            latest[name] = ok
+    return {n for n, ok in latest.items() if ok}
 
 
 def main() -> None:
