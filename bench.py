@@ -238,6 +238,8 @@ HEADLINE = [
     "embedding_outliers",
     "knn_confusion_matrix",
     "logreg_auc",
+    "padding_waste_stats",
+    "cross_source_prefix_overlap",
 ]
 
 

@@ -8376,6 +8376,112 @@ FROM per_doc GROUP BY 1
 """
 
 
+def q_padding_waste_stats(spark, sf):
+    """Training-batch padding efficiency: per source, the fraction of
+    compute wasted on pad tokens under (a) naive batching to the
+    source max length and (b) power-of-2 length-bucketed batching —
+    the number that justifies a bucketed batching strategy before a
+    training run. One narrow scan computes lengths; both waste figures
+    are small per-source aggregates (the bucket grain is O(log max_len)
+    rows per source)."""
+    d = _t(spark, sf, "documents")
+    lens = d.select(
+        "source", F.size(F.split("text", " ")).alias("n_tok")
+    ).withColumn(
+        "bucket", F.pow(F.lit(2.0), F.ceil(F.log2(F.col("n_tok")))).cast("long")
+    )
+    per_bucket = lens.groupBy("source", "bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("sum_tok")
+    )
+    naive = lens.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("sum_tok"),
+        F.max("n_tok").alias("max_tok"),
+    )
+    bucketed = per_bucket.groupBy("source").agg(
+        (F.sum(F.col("bucket") * F.col("n_docs")) - F.sum("sum_tok")).alias(
+            "pad_bucketed"
+        ),
+        F.sum(F.col("bucket") * F.col("n_docs")).alias("cap_bucketed"),
+    )
+    return naive.join(bucketed, "source").select(
+        "source",
+        "n_docs",
+        F.round(
+            (F.col("max_tok") * F.col("n_docs") - F.col("sum_tok"))
+            / (F.col("max_tok") * F.col("n_docs")),
+            6,
+        ).alias("waste_naive"),
+        F.round(F.col("pad_bucketed") / F.col("cap_bucketed"), 6).alias(
+            "waste_bucketed"
+        ),
+    )
+
+
+SQL_PADDING_WASTE = """
+WITH lens AS (
+  SELECT source, len(string_split(text, ' ')) AS n_tok,
+         CAST(POW(2, CEIL(LOG2(len(string_split(text, ' '))))) AS BIGINT) AS bucket
+  FROM documents),
+naive AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS sum_tok, MAX(n_tok) AS max_tok
+  FROM lens GROUP BY 1),
+per_bucket AS (
+  SELECT source, bucket, COUNT(*) AS n_docs, SUM(n_tok) AS sum_tok
+  FROM lens GROUP BY 1, 2),
+bucketed AS (
+  SELECT source,
+         SUM(bucket * n_docs) - SUM(sum_tok) AS pad_bucketed,
+         SUM(bucket * n_docs) AS cap_bucketed
+  FROM per_bucket GROUP BY 1)
+SELECT source, n_docs,
+       ROUND((max_tok * n_docs - sum_tok) * 1.0 / (max_tok * n_docs), 6) AS waste_naive,
+       ROUND(pad_bucketed * 1.0 / cap_bucketed, 6) AS waste_bucketed
+FROM naive JOIN bucketed USING (source)
+"""
+
+
+CROSS_PREFIX_WORDS = 5  # prefix width for the cross-source overlap fp
+
+
+def q_cross_source_prefix_overlap(spark, sf):
+    """Cross-source boilerplate diagnostic: for each source pair, how
+    many distinct document PREFIXES (first 5 words, the classic
+    shared-template signal) appear in both — the matrix that tells a
+    mixture builder which sources feed each other duplicated openings
+    before full near-dup dedup even runs. Inverted-index equi-join on
+    the prefix fingerprint at the distinct (source, fp) grain — same
+    sub-quadratic candidate shape as every other dedup join here."""
+    d = _t(spark, sf, "documents")
+    prefix = F.md5(
+        F.concat_ws(
+            " ", F.slice(F.split("text", " "), 1, CROSS_PREFIX_WORDS)
+        )
+    )
+    fp = d.select("source", prefix.alias("fp")).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, F.col("a.fp") == F.col("b.fp"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared_prefixes"))
+    )
+
+
+SQL_CROSS_PREFIX = f"""
+WITH fp AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(string_split(text, ' ')[1:{CROSS_PREFIX_WORDS}], ' ')) AS fp
+  FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_shared_prefixes
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 def q_corpus_datacard(spark, sf):
     """The dataset-card summary row: every number a corpus release
     documents — size (docs/tokens/vocab), composition (sources, langs,
@@ -9080,6 +9186,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_outliers": (q_embedding_outliers, SQL_EMB_OUTLIERS),
     "knn_confusion_matrix": (q_knn_confusion_matrix, SQL_KNN_CONFUSION),
     "logreg_auc": (q_logreg_auc, SQL_LOGREG_AUC),
+    "padding_waste_stats": (q_padding_waste_stats, SQL_PADDING_WASTE),
+    "cross_source_prefix_overlap": (q_cross_source_prefix_overlap, SQL_CROSS_PREFIX),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     # dedup

@@ -1528,3 +1528,44 @@ def test_knn_confusion_diagonal_matches_label_eval(spark):
             if r.true_label == r.pred_label}
     for label, n_correct in acc.items():
         assert diag.get(label, 0) == n_correct
+
+
+def test_padding_waste_uniform_vs_spread(spark):
+    """Uniform lengths at a bucket boundary waste nothing; a spread
+    source wastes more naively than bucketed; bucketed <= naive when
+    one long doc dominates."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        # all exactly 8 tokens (a pow-2 boundary): both wastes 0
+        (1, " ".join(["w"] * 8), "en", "uniform", 15),
+        (2, " ".join(["w"] * 8), "en", "uniform", 15),
+        # 4 tokens + one 32-token doc: naive pads everything to 32
+        (3, " ".join(["w"] * 4), "en", "spread", 7),
+        (4, " ".join(["w"] * 4), "en", "spread", 7),
+        (5, " ".join(["w"] * 32), "en", "spread", 63),
+    ]
+    got = {r.source: r for r in _with_docs(spark, Q, rows, Q.q_padding_waste_stats)}
+    assert got["uniform"].waste_naive == 0.0
+    assert got["uniform"].waste_bucketed == 0.0
+    # naive: cap 3*32=96 vs 40 real -> waste 56/96; bucketed: 4+4+32 caps
+    # exactly -> waste 0
+    assert got["spread"].waste_bucketed < got["spread"].waste_naive
+    assert got["spread"].waste_bucketed == 0.0
+
+
+def test_cross_source_prefix_overlap_counts(spark):
+    """Two sources sharing one distinct opening prefix count once; a
+    unique-prefix source pairs with nobody."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    shared = "the quick brown fox jumps"
+    rows = [
+        (1, shared + " alpha beta", "en", "s1", 9),
+        (2, shared + " gamma delta", "en", "s2", 9),
+        (3, shared + " epsilon", "en", "s2", 9),  # same prefix, same source
+        (4, "totally different words here now", "en", "s3", 9),
+    ]
+    got = {(r.source_a, r.source_b): r.n_shared_prefixes
+           for r in _with_docs(spark, Q, rows, Q.q_cross_source_prefix_overlap)}
+    assert got == {("s1", "s2"): 1}
