@@ -9358,97 +9358,143 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 #: Update this set each round from the new CORRECTNESS_r{N}.json.
 DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
-        "brand_number_extract", "customer_quartiles",
-        "customers_above_nation_avg", "customers_with_orders",
-        "customers_without_orders", "dataset_split", "dedup_dup_groups",
-        "dedup_exact_log_id", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_ngram_jaccard_capped", "dedup_simhash",
-        "dedup_simhash_hamming", "deterministic_sample", "distinct_aggs",
-        "embedding_centroid_assign", "embedding_cosine_topk",
-        "embedding_dim_stats", "embedding_lsh_buckets",
-        "embedding_near_dup", "embedding_norms", "events_asof_join",
-        "events_sessionize", "events_tumbling_window", "frequent_buyers",
-        "grouping_sets_status_priority", "json_extract_props",
-        "order_gap_days", "percentiles_by_priority",
-        "pipeline_tz_partition", "pipeline_unknown_routing",
-        "pipeline_whitelist", "pivot_priority_by_status",
-        "q10_returned_items", "q11_important_stock",
-        "q13_customer_distribution", "q14_promo_revenue",
-        "q15_top_supplier", "q16_supplier_relationship",
-        "q17_small_quantity_revenue", "q18_large_orders",
-        "q19_discounted_revenue", "q1_pricing_summary",
-        "q20_potential_promotion", "q21_waiting_supplier",
-        "q22_sales_opportunity", "q2_min_cost_supplier",
-        "q3_shipping_priority", "q4_order_priority",
-        "q5_local_supplier_volume", "q6_forecast_revenue",
-        "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
-        "rollup_region_nation", "running_order_total", "sequence_packing",
-        "set_ops_nations", "stratified_sample", "text_edit_distance",
-        "text_fingerprint", "text_langid", "text_quality", "text_scrub",
-        "text_token_stats", "top_brands_by_revenue",
+        "bootstrap_ci_mean",
+        "bpe_encode_tokens",
+        "bpe_merge_step",
+        "brand_number_extract",
+        "corpus_curation",
+        "corpus_kl_divergence",
+        "customer_quartiles",
+        "customer_rfm_segments",
+        "customers_above_nation_avg",
+        "customers_with_orders",
+        "customers_without_orders",
+        "dataset_split",
+        "dedup_dup_groups",
+        "dedup_exact_log_id",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard_capped",
+        "dedup_simhash",
+        "dedup_simhash_hamming",
+        "dedup_span_removal",
+        "dedup_survivors",
+        "deterministic_sample",
+        "distinct_aggs",
+        "dsir_importance",
+        "dup_ngram_coverage",
+        "embedding_centroid_assign",
+        "embedding_cosine_topk",
+        "embedding_dim_stats",
+        "embedding_gram_matrix",
+        "embedding_lsh_buckets",
+        "embedding_near_dup",
+        "embedding_norms",
+        "embedding_power_iteration",
+        "embedding_pq_codes",
+        "embedding_quantize",
+        "events_asof_join",
+        "events_quantile_sketch",
+        "events_sessionize",
+        "events_tumbling_window",
+        "events_wau_stickiness",
+        "events_winsorize",
+        "feature_matrix_at_label",
+        "frequent_buyers",
+        "global_shuffle_shards",
+        "gopher_quality_flags",
+        "graph_triangle_degree_ordered",
+        "grouping_sets_status_priority",
+        "ivf_eval_recall",
+        "json_extract_props",
+        "kmeans_lloyd_step",
+        "knn_label_eval",
+        "logreg_calibration",
+        "lsh_eval_pr",
+        "market_basket_pairs",
+        "minhash_eval_recall",
+        "mixture_sample",
+        "mrl_truncation_eval",
+        "multimodal_image_dims",
+        "order_gap_days",
+        "percentiles_by_priority",
+        "perplexity_bucket_sample",
+        "pipeline_route",
+        "pipeline_tz_partition",
+        "pipeline_unknown_routing",
+        "pipeline_whitelist",
+        "pivot_priority_by_status",
+        "point_in_time_join",
+        "q10_returned_items",
+        "q11_important_stock",
+        "q12_priority_by_linestatus",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_supplier_relationship",
+        "q17_small_quantity_revenue",
+        "q18_large_orders",
+        "q19_discounted_revenue",
+        "q1_pricing_summary",
+        "q20_potential_promotion",
+        "q21_waiting_supplier",
+        "q22_sales_opportunity",
+        "q2_min_cost_supplier",
+        "q3_shipping_priority",
+        "q4_order_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_type_profit",
+        "quality_fasttext_score",
+        "quality_logreg_train",
+        "rollup_region_nation",
+        "rrf_fusion",
+        "running_order_total",
+        "semdedup_prune",
+        "sequence_packing",
+        "set_ops_nations",
+        "stratified_sample",
+        "temperature_mixture_weights",
+        "text_bpe_tokens",
+        "text_edit_distance",
+        "text_fingerprint",
+        "text_langid",
+        "text_quality",
+        "text_scrub",
+        "text_token_stats",
+        "text_top_ngram_frac",
+        "top_brands_by_revenue",
         "top_customers_per_nation",
+        "unigram_logprob_score",
+        "variant_props_stats",
+        "vocab_growth_curve",
+        "winnow_fingerprints",
+        "winnow_overlap_pairs",
     }
 )
 
 
-#: Unverified queries that must land inside the driver's first-50 window
-#: THIS round, ahead of registry insertion order: the round-2 LLM-pipeline
-#: batch the round-2 verdict named explicitly, plus every query whose
-#: semantics or oracle changed this round (dtype casts, scale-hazard fixes,
-#: try_variant_get null alignment) and the round-3 additions — a green
-#: driver row on a since-changed query is the only hard confirmation of
-#: the fix.  Remaining unverified queries follow in registry order and
-#: rotate into the window next round.
+#: Queries that must land inside the driver's first-50 window THIS round
+#: ahead of registry insertion order.  Round 4: ONLY the re-queues —
+#: queries whose implementation changed this round, so their old green
+#: driver row no longer covers the shipped code.  Everything else in the
+#: window is the never-driver-verified backlog, which ``_rotated_names``
+#: already orders by registry insertion (the round-3 verdict's named
+#: batches — diagnostics, corpus statistics, splits, fuzzy join, WAV
+#: audio — lead that backlog by construction).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # re-queued: r2 row was red on a since-fixed oracle dtype
-    "q12_priority_by_linestatus",
-    # round-2 LLM-pipeline batch (verdict-named)
-    "semdedup_prune",
-    "dsir_importance",
-    "kmeans_lloyd_step",
-    "bpe_merge_step",
-    "quality_logreg_train",
-    "point_in_time_join",
-    "feature_matrix_at_label",
-    "logreg_calibration",
-    "bootstrap_ci_mean",
-    "events_wau_stickiness",
-    "embedding_gram_matrix",
-    "embedding_power_iteration",
-    "embedding_pq_codes",
-    "embedding_quantize",
-    "rrf_fusion",
-    "lsh_eval_pr",
-    "text_bpe_tokens",
-    "unigram_logprob_score",
-    # re-queued: its green row is from r1, BEFORE the r2 de-serialization
-    # rewrite (hierarchical two-level cumsum) — the old row doesn't cover
-    # the current implementation
-    "sequence_packing",
-    # re-queued: assign_nearest_centroid was rewritten this round
-    # (window argmax -> map-only in-row array_max)
-    "embedding_centroid_assign",
-    # changed this round (scale-hazard / null-semantics fixes)
-    "winnow_fingerprints",
-    "winnow_overlap_pairs",
-    "market_basket_pairs",
-    "variant_props_stats",
-    "dedup_survivors",
-    "corpus_curation",
-    "mixture_sample",
-    "global_shuffle_shards",
-    "events_quantile_sketch",
-    # new this round
-    "graph_triangle_degree_ordered",
-    "multimodal_image_dims",
-    "gopher_quality_flags",
-    "dup_ngram_coverage",
-    "dedup_span_removal",
+    # re-queued: global ntile -> approx-quantile cut-points +
+    # width_bucket dual-regime (r3 verdict item 4); the exact path still
+    # runs below the row threshold but the enclosing code changed
     "perplexity_bucket_sample",
-    "ivf_eval_recall",
-    "minhash_eval_recall",
-    # re-queued: implementation switched to the BLAS batch scorer
-    "embedding_cosine_topk",
+    "logreg_calibration",
+    "vocab_growth_curve",
+    "customer_rfm_segments",
+    # re-queued: JPEG SOF header parse added alongside PNG/GIF
+    # (r3 verdict item 8) and the fixture mix now includes JPEG
+    "multimodal_image_dims",
 )
 
 

@@ -60,10 +60,7 @@ def test_cli_batch_payload_and_kinesis_event(spark, tmp_path):
     assert gzip.open(files2[0], "rt").read().strip() == payload.decode()
 
 
-def test_rotate_driver_window_dry_run():
-    """The rotation tool parses the real CORRECTNESS files and finds
-    the DRIVER_VERIFIED block; only all-green rows count as verified
-    (q12's red r2 row must NOT appear)."""
+def _load_rotate_tool():
     import importlib.util
     import os
 
@@ -74,9 +71,39 @@ def test_rotate_driver_window_dry_run():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    green = mod.green_rows()
-    assert "pipeline_route" in green
-    assert "q12_priority_by_linestatus" not in green  # red hash in r2
-    src = open(mod.QUERIES_PY).read()
+    return mod
+
+
+def _row(ok: bool) -> dict:
+    return {"rows_match": ok, "schema_match": True, "hash_match": ok}
+
+
+def test_rotate_green_rows_latest_round_wins(tmp_path):
+    """green_rows() against SYNTHETIC fixtures (never the live repo
+    artifacts, which mutate every round): all-green counts, a red is
+    excluded, and a newer red EVICTS an older green (regressions must
+    rotate back into the driver window)."""
+    mod = _load_rotate_tool()
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "always_green": _row(True),
+        "red_from_start": _row(False),
+        "green_then_red": _row(True),
+        "red_then_green": _row(False),
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "green_then_red": _row(False),
+        "red_then_green": _row(True),
+    }))
+    green = mod.green_rows(str(tmp_path))
+    assert green == {"always_green", "red_then_green"}
+    latest = mod.latest_rows(str(tmp_path))
+    assert latest["green_then_red"] is False  # newest row wins
+
+
+def test_rotate_driver_verified_block_exists():
+    """The tool can still find the DRIVER_VERIFIED block it rewrites."""
     import re
+
+    mod = _load_rotate_tool()
+    src = open(mod.QUERIES_PY).read()
     assert re.search(r"DRIVER_VERIFIED: frozenset\[str\] = frozenset\(", src)

@@ -35,11 +35,14 @@ QUERIES_PY = os.path.join(
 )
 
 
-def green_rows() -> set[str]:
-    # latest round wins: iterate rounds in order; a newer red evicts
-    # an older green so the regression rotates back into the window
+def latest_rows(repo: str = REPO) -> dict[str, bool]:
+    """Per-query latest verdict across all CORRECTNESS_r*.json files.
+
+    Latest round wins: iterate rounds in order; a newer red evicts an
+    older green so the regression rotates back into the window.
+    """
     latest: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         data = json.load(open(path))
         for name, row in data.items():
             if isinstance(row, dict):
@@ -48,12 +51,18 @@ def green_rows() -> set[str]:
             else:
                 ok = bool(row)
             latest[name] = ok
-    return {n for n, ok in latest.items() if ok}
+    return latest
+
+
+def green_rows(repo: str = REPO) -> set[str]:
+    return {n for n, ok in latest_rows(repo).items() if ok}
 
 
 def main() -> None:
     dry = "--dry" in sys.argv
-    verified = green_rows()
+    latest = latest_rows()
+    verified = {n for n, ok in latest.items() if ok}
+    red = {n for n, ok in latest.items() if not ok}
     src = open(QUERIES_PY).read()
     m = re.search(
         r"DRIVER_VERIFIED: frozenset\[str\] = frozenset\(\s*\{(.*?)\}\s*\)",
@@ -64,16 +73,25 @@ def main() -> None:
         raise SystemExit("DRIVER_VERIFIED block not found")
     current = set(re.findall(r'"([^"]+)"', m.group(1)))
     added = sorted(verified - current)
-    removed = sorted(current - verified)  # should stay: never auto-remove
+    # Latest round wins: a listed name whose NEWEST row is red is
+    # automatically evicted so it rotates back into the driver window.
+    evicted = sorted(current & red)
+    # Names absent from every CORRECTNESS file stay — removal there is
+    # a manual call (e.g. a round whose artifacts were pruned).
+    unknown = sorted(current - verified - red)
     print(f"green rows across CORRECTNESS files: {len(verified)}")
     print(f"currently listed: {len(current)}; new green: {len(added)}")
-    if removed:
-        print(f"note: {len(removed)} listed names have no green row "
-              f"(kept — removal is a manual call): {removed[:10]}")
-    if not added:
-        print("nothing to add")
+    if evicted:
+        print(f"EVICTING {len(evicted)} regressed names "
+              f"(red in their latest round): {evicted[:10]}")
+    if unknown:
+        print(f"note: {len(unknown)} listed names appear in no "
+              f"CORRECTNESS file (kept — removal is a manual call): "
+              f"{unknown[:10]}")
+    if not added and not evicted:
+        print("nothing to change")
         return
-    merged = sorted(current | verified)
+    merged = sorted((current | verified) - red)
     body = "\n".join(f'        "{n}",' for n in merged)
     new_block = (
         "DRIVER_VERIFIED: frozenset[str] = frozenset(\n    {\n"
@@ -83,9 +101,12 @@ def main() -> None:
     out = src[: m.start()] + new_block + src[m.end() :]
     if dry:
         print("dry run — would add:", added)
+        if evicted:
+            print("dry run — would evict:", evicted)
         return
     open(QUERIES_PY, "w").write(out)
-    print(f"rewrote DRIVER_VERIFIED with {len(merged)} names (+{len(added)})")
+    print(f"rewrote DRIVER_VERIFIED with {len(merged)} names "
+          f"(+{len(added)}, -{len(evicted)})")
 
 
 if __name__ == "__main__":
