@@ -357,21 +357,43 @@ def main() -> None:
         envelope_rps = round(n_replay / (time.perf_counter() - t0))
 
     total = round(sum(timings.values()), 3)
-    # ONE compact line, flushed, newline-terminated — the driver's
-    # capture truncated a pretty-printed tail mid-JSON in r2
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf_dir,
-            "n_queries": len(timings),
-            "overhead_sec_per_entry": overhead,
-            "envelope_records_per_sec": envelope_rps,
-        },
-        separators=(",", ":"),
+    # The driver captures only a ~2 KB stdout tail: the full 190+-entry
+    # per-query map overflowed it in r2/r3 (`parsed: null`).  Emit ONE
+    # compact summary line guaranteed <= 2000 chars (top-10 slowest only)
+    # and write the complete per-query map to a sidecar file.
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "n_queries": len(timings),
+        "overhead_sec_per_entry": overhead,
+        "envelope_records_per_sec": envelope_rps,
+    }
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json")
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(full, f, separators=(",", ":"))
+    except OSError:
+        sidecar = None
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf_dir,
+        "n_queries": len(timings),
+        "overhead_sec_per_entry": overhead,
+        "envelope_records_per_sec": envelope_rps,
+        "full_map": sidecar,
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) <= 2000, f"summary line {len(line)} chars"
     sys.stdout.write(line + "\n")
     sys.stdout.flush()
 

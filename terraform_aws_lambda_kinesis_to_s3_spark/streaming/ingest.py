@@ -122,6 +122,10 @@ def run_corpus_ingest(
             # (deterministic survivor, same rule as dedup_survivors)
             first = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
             kept = kept.join(first, ["fp", "doc_id"], "left_semi")
+            # the semi-join keeps EVERY row matching (fp, min doc_id):
+            # an at-least-once source can deliver the identical record
+            # twice inside one micro-batch — collapse to one survivor
+            kept = kept.dropDuplicates(["fp"])
             # incremental dedup: anti-join the O(distinct-fp) history.
             # recursiveFileLookup reads every parquet file regardless of
             # the run/batch directory nesting (and tolerates a mix of

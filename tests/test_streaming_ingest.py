@@ -103,6 +103,85 @@ def test_corpus_ingest_gate_dedup_and_replay(spark, tmp_path):
     assert len(rows) == 3
 
 
+def test_corpus_ingest_same_batch_identical_redelivery(spark, tmp_path):
+    """An at-least-once source can deliver the IDENTICAL record (same
+    doc_id, same text → same fp) twice inside one micro-batch.  The
+    (fp, min doc_id) semi-join alone keeps both copies; the
+    dropDuplicates(["fp"]) after it must collapse them to one row."""
+    src = str(tmp_path / "src")
+    _write_docs(src, "b1.json", [
+        _doc(1, GOOD_A),
+        _doc(1, GOOD_A),       # exact same-batch re-delivery
+        _doc(2, GOOD_B),
+    ])
+    curated = str(tmp_path / "curated")
+    metrics = []
+    q = run_corpus_ingest(
+        _stream(spark, src), curated, str(tmp_path / "rejected"),
+        str(tmp_path / "history"), str(tmp_path / "ckpt"),
+        metrics=metrics,
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(curated).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2]  # ONE copy of doc 1
+    assert metrics[0]["n_in"] == 3 and metrics[0]["n_new"] == 2
+
+
+def test_corpus_ingest_metrics_conservation_across_replay(spark, tmp_path):
+    """Conservation law for the ingest metrics contract, pinned like
+    route-totality: for every recorded micro-batch,
+
+        n_in == n_rejected + n_new + n_deduped   (n_deduped >= 0)
+
+    and the FILES agree with the counters — curated row count equals
+    the sum of n_new across all runs — including an at-least-once
+    replay of the same inputs from a fresh checkpoint (which must
+    record n_new == 0 for every replayed batch)."""
+    src = str(tmp_path / "src")
+    _write_docs(src, "b1.json", [
+        _doc(1, GOOD_A),
+        _doc(2, GOOD_A, source="s1"),   # within-batch dup (different id)
+        _doc(2, GOOD_A, source="s1"),   # identical same-batch re-delivery
+        _doc(3, SHORT),                 # rejected
+        _doc(4, GOOD_B),
+        _doc(5, "zzz qqq xxx vvv kkk jjj mmm nnn ppp rrr"),  # low quality
+    ])
+    curated = str(tmp_path / "curated")
+    rejected = str(tmp_path / "rejected")
+    history = str(tmp_path / "history")
+
+    def conserve(entries):
+        for m in entries:
+            n_deduped = m["n_in"] - m["n_rejected"] - m["n_new"]
+            assert n_deduped >= 0, m
+            assert m["n_in"] == m["n_rejected"] + m["n_new"] + n_deduped
+
+    metrics = []
+    q = run_corpus_ingest(_stream(spark, src), curated, rejected, history,
+                          str(tmp_path / "ckpt"), metrics=metrics)
+    q.awaitTermination(120)
+    conserve(metrics)
+    assert metrics[0]["n_in"] == 6 and metrics[0]["n_rejected"] == 2
+    assert metrics[0]["n_new"] == 2  # GOOD_A survivor + GOOD_B
+
+    # at-least-once replay: fresh checkpoint, same inputs
+    metrics2 = []
+    q = run_corpus_ingest(_stream(spark, src), curated, rejected, history,
+                          str(tmp_path / "ckpt2"), metrics=metrics2)
+    q.awaitTermination(120)
+    conserve(metrics2)
+    assert all(m["n_new"] == 0 for m in metrics2)  # history anti-join
+
+    cur = spark.read.parquet(curated)
+    total_new = sum(m["n_new"] for m in metrics + metrics2)
+    assert cur.count() == total_new == 2
+    assert cur.select("doc_id").distinct().count() == cur.count()
+    # rejected is an at-least-once audit log: consumers dedupe on
+    # (doc_id, reason); distinct count equals one run's n_rejected
+    rej = spark.read.parquet(rejected)
+    assert rej.select("doc_id", "reject_reason").distinct().count() == 2
+
+
 def test_corpus_ingest_quality_reason_column(spark, tmp_path):
     """Low-quality (no stopwords, weird shape) vs too-short rejections
     carry distinct reasons."""
