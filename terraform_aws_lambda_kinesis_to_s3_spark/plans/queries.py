@@ -6779,17 +6779,53 @@ wa0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
 SQL_QUALITY_LOGREG = _logreg_sql(LOGREG_ITERS)
 
 
+#: Above this row count the equal-count ntile windows switch from the
+#: exact global-sort form to approx-quantile cut-points + map-only
+#: comparisons.  2M rows sort in one task in well under a second; the
+#: sf-test / oracle path therefore always runs the EXACT form, and the
+#: documented approximation only engages at cluster scale — the same
+#: threshold-switch precedent as cluster_pairs / power_iteration.
+NTILE_EXACT_MAX = 2_000_000
+
+
+def _equal_count_bins(df, key, tie, n_bins, out_col, n_rows=None):
+    """Dual-regime equal-count binning.
+
+    ``key`` must be a numeric column name sorted ASCENDING (callers
+    negate for descending ranks).  Below NTILE_EXACT_MAX rows this is
+    exactly ``ntile(n_bins) OVER (ORDER BY key, tie)`` — the
+    oracle-checked path.  Above it, bin edges come from
+    ``approxQuantile`` (Greenwald-Khanna over partial sketches — one
+    distributed pass, no sort) and the bin id is a map-only chain of
+    ``key > edge`` comparisons; ties then share a bin (the honest
+    semantic difference of cut-point binning, documented here rather
+    than hidden).  ``n_rows``: pass a precomputed count when binning
+    the same table repeatedly (customer_rfm_segments)."""
+    if n_rows is None:
+        n_rows = df.count()
+    if n_rows <= NTILE_EXACT_MAX:
+        w = Window.orderBy(F.col(key).asc(), F.col(tie).asc())
+        return df.withColumn(out_col, F.ntile(n_bins).over(w))
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = df.approxQuantile(key, qs, 1.0 / (100 * n_bins))
+    bin_expr = F.lit(1)
+    for e in edges:
+        bin_expr = bin_expr + (F.col(key) > F.lit(e)).cast("int")
+    return df.withColumn(out_col, bin_expr)
+
+
 def q_logreg_calibration(spark, sf):
     """Reliability diagram for the trained quality classifier: bin the
     predicted probabilities into deciles and compare mean prediction
     against observed positive rate per bin — the calibration readout
     every score-thresholding pipeline needs before it trusts a cutoff.
-    Bins are rank-based (ntile) so they spread regardless of how the
-    scores cluster; the global-order window is acceptable here because
-    a calibration readout runs on a sample by definition — at 100 TB
-    you'd bound it with a deterministic md5 sample first
-    (deterministic_sample is that primitive). Reuses the cached
-    trained weights."""
+    Bins are rank-based (equal-count) so they spread regardless of how
+    the scores cluster.  Binning goes through _equal_count_bins'
+    dual regime: the exact ntile (doc_id tie-break, so identical
+    scores bin identically on any engine) below NTILE_EXACT_MAX rows —
+    always the sf-test/oracle path — and approx-quantile cut-points +
+    map-only comparisons above it, so no global single-partition sort
+    ever runs at cluster scale. Reuses the cached trained weights."""
     feats, w = _logreg_feats_and_weights(spark, sf)
     z = (
         F.col("w1") * F.col("x1")
@@ -6798,13 +6834,8 @@ def q_logreg_calibration(spark, sf):
     )
     p = 1.0 / (1.0 + F.exp(-z))
     scored = feats.crossJoin(F.broadcast(w)).withColumn("p", p)
-    # rank-based (equal-count) bins: fixed-width deciles collapse when
-    # an undertrained model clusters its scores; ntile always spreads.
-    # doc_id tie-break makes identical scores bin identically on any
-    # engine (identical integer features -> bit-identical p)
-    bin_ = F.ntile(10).over(Window.orderBy("p", "doc_id"))
     return (
-        scored.withColumn("bin", bin_)
+        _equal_count_bins(scored, "p", "doc_id", 10, "bin")
         .groupBy("bin")
         .agg(
             F.count("*").alias("n"),
@@ -6839,11 +6870,21 @@ def q_logreg_auc(spark, sf):
     Mann-Whitney rank statistic (midranks for score ties, so the AUC
     is exact, not trapezoid-approximated) — the discrimination metric
     beside logreg_calibration's reliability readout. Reuses the cached
-    trained weights; the global rank window runs over the scored
-    table, acceptable for the same run-on-a-sample reason calibration
-    documents. AUC ~0.51 at sf0.01 — the honest readout of a
+    trained weights. AUC ~0.51 at sf0.01 — the honest readout of a
     3-feature model after 8 GD steps, same accounting ethos as the
-    recall evals."""
+    recall evals.
+
+    The rank is computed as an exact TWO-PHASE blocked cumsum, never a
+    global single-partition sort: (1) group by score p (one shuffle;
+    ties collapse to a (cnt, pos) row per distinct score), (2) block
+    the distinct scores by width_bucket(p, 0, 1, 1024) — sigmoid keeps
+    p in (0,1) — and cumsum the ≤1024 block totals (bounded window),
+    (3) within-block cumsum partitioned by block.  below(p) =
+    block_offset + within_block_below, and midrank(p) = below +
+    (cnt+1)/2 reproduces AVG(row_number) over each tie group exactly,
+    so the decomposable plan is bit-identical to the global-window
+    form (same oracle).  Block skew is bounded by the largest
+    distinct-score cluster, not the corpus."""
     feats, w = _logreg_feats_and_weights(spark, sf)
     z = (
         F.col("w1") * F.col("x1")
@@ -6853,18 +6894,36 @@ def q_logreg_auc(spark, sf):
     scored = feats.crossJoin(F.broadcast(w)).withColumn(
         "p", 1.0 / (1.0 + F.exp(-z))
     )
-    rn = F.row_number().over(Window.orderBy("p", "doc_id"))
-    mid = F.avg("rn").over(Window.partitionBy("p"))
-    r = scored.withColumn("rn", rn).withColumn("midrank", mid)
-    return r.agg(
-        F.sum("y").cast("long").alias("n_pos"),
-        (F.count("*") - F.sum("y")).cast("long").alias("n_neg"),
+    g = scored.groupBy("p").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    ).withColumn("b", F.width_bucket("p", F.lit(0.0), F.lit(1.0), F.lit(1024)))
+    # per-block totals: ≤1024 rows, so this orderBy window is bounded
+    w_blocks = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        g.groupBy("b")
+        .agg(F.sum("cnt").alias("bc"))
+        .withColumn("off", F.coalesce(F.sum("bc").over(w_blocks), F.lit(0)))
+        .select("b", "off")
+    )
+    w_in = Window.partitionBy("b").orderBy("p").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = (
+        g.join(F.broadcast(offsets), "b")
+        .withColumn(
+            "below", F.col("off") + F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+        )
+        .withColumn("midrank", F.col("below") + (F.col("cnt") + 1) / 2)
+    )
+    return ranked.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("n_neg"),
         F.round(
             (
-                F.sum(F.col("midrank") * F.col("y"))
-                - F.sum("y") * (F.sum("y") + 1) / 2
+                F.sum(F.col("midrank") * F.col("pos"))
+                - F.sum("pos") * (F.sum("pos") + 1) / 2
             )
-            / (F.sum("y") * (F.count("*") - F.sum("y"))),
+            / (F.sum("pos") * (F.sum("cnt") - F.sum("pos"))),
             6,
         ).alias("auc"),
     )
@@ -7438,10 +7497,12 @@ def q_perplexity_bucket_sample(spark, sf):
     (head = most fluent), keep head entirely, middle at 50%, tail at
     10% via deterministic md5 selection. The LM table is O(vocab) and
     the keep decision is a pure hash of doc_id — reproducible across
-    runs/engines/partitionings. The ntile is one global sort of the
-    per-doc score table (O(N_docs), tiny next to the token shuffle);
-    at corpus scale swap ntile for approx quantile cut-points to keep
-    the scores table unsorted."""
+    runs/engines/partitionings. Bucketing goes through
+    _equal_count_bins' dual regime: exact ntile (the oracle path)
+    below NTILE_EXACT_MAX docs, approx-quantile cut-points + map-only
+    comparisons above — the CCNet-style approximation the round-3
+    docstring promised, now implemented, so the per-doc score table is
+    never globally sorted at corpus scale."""
     d = _t(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     lm = tok.groupBy("term").agg(F.count("*").alias("c"))
@@ -7452,13 +7513,12 @@ def q_perplexity_bucket_sample(spark, sf):
         .groupBy("doc_id")
         .agg(F.round(-F.avg(F.log(F.col("c") / F.col("t_total"))), 6).alias("ce"))
     )
-    bucket = F.ntile(3).over(Window.orderBy(F.col("ce").asc(), F.col("doc_id").asc()))
     hash_pct = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("long") % 100
     )
     keep_rate = F.when(F.col("bucket") == 1, 100).when(F.col("bucket") == 2, 50).otherwise(10)
-    scored = ce.withColumn("bucket", bucket).withColumn(
+    scored = _equal_count_bins(ce, "ce", "doc_id", 3, "bucket").withColumn(
         "kept", (hash_pct < keep_rate).cast("long")
     )
     return scored.groupBy("bucket").agg(
@@ -7890,12 +7950,24 @@ def q_vocab_growth_curve(spark, sf):
     (same non-decomposability events_wau_stickiness works around), so
     the scalable form is: attribute each term to the FIRST decile it
     appears in (one shuffle on term, map-side min), then a 10-row
-    running sum. The decile assignment itself is one narrow sort of
-    (doc_id) — at corpus scale the ntile would swap for width_bucket
-    over a known id range (map-only), same downstream plan."""
+    running sum. The decile assignment is MAP-ONLY integer arithmetic
+    over the known doc_id range — ``(doc_id - lo) * 10 div
+    (hi - lo + 1) + 1`` — replacing round 3's ntile(10) global sort;
+    doc_id is the monotone ingestion key, so id-range deciles are the
+    honest "as the corpus grows" axis and need no sort at any scale
+    (the min/max range probe is one map-side-combined aggregate)."""
     d = _t(spark, sf, "documents")
-    dec = d.select(
-        "doc_id", "text", F.ntile(10).over(Window.orderBy("doc_id")).alias("decile")
+    rng = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    dec = (
+        d.crossJoin(F.broadcast(rng))
+        .select(
+            "doc_id",
+            "text",
+            (
+                F.expr("CAST((doc_id - lo) * 10 DIV (hi - lo + 1) AS INT)")
+                + F.lit(1)
+            ).alias("decile"),
+        )
     )
     tok = dec.select("decile", F.explode(F.split("text", " ")).alias("term"))
     new_terms = (
@@ -7927,8 +7999,11 @@ def q_vocab_growth_curve(spark, sf):
 
 
 SQL_VOCAB_GROWTH = """
-WITH dec AS (
-  SELECT doc_id, text, ntile(10) OVER (ORDER BY doc_id) AS decile FROM documents),
+WITH rng AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+dec AS (
+  SELECT doc_id, text,
+         CAST((doc_id - lo) * 10 // (hi - lo + 1) AS INTEGER) + 1 AS decile
+  FROM documents CROSS JOIN rng),
 tok AS (SELECT decile, unnest(string_split(text, ' ')) AS term FROM dec),
 first AS (SELECT term, MIN(decile) AS first_decile FROM tok GROUP BY 1),
 newt AS (SELECT first_decile AS decile, COUNT(*) AS n_new_terms FROM first GROUP BY 1),
@@ -8718,16 +8793,27 @@ def q_zipf_rank_slope(spark, sf):
     slope drifts far from −1 (or whose r² collapses) is usually
     boilerplate- or template-heavy — a cheap global health check.
 
-    One term-count shuffle (map-side partials), then the global
-    rank-order is a single window over the VOCAB (not the corpus) and
-    the regression is one fixed-size aggregate over ≤1000 rows. At
-    100 TB the vocab-wide single-partition window would swap for a
-    top-k-by-count pre-filter (two-phase top-k, as topk_per_type_salted
-    does) — same 1000 surviving rows, same fit."""
+    One term-count shuffle (map-side partials), then a TWO-PHASE
+    top-k (the topk_per_type_salted pattern): phase 1 keeps each hash
+    salt's local top-1000 (window partitioned by salt — never a
+    vocab-wide single partition), phase 2 ranks the ≤32·1000
+    survivors.  Any global top-1000 term is its salt's local top-1000,
+    so the survivor set provably contains the exact answer — same
+    1000 rows, same fit, same oracle as the naive global sort.  The
+    regression is one fixed-size aggregate over ≤1000 rows."""
     d = _t(spark, sf, "documents")
     tok = d.select(F.explode(F.split("text", " ")).alias("term"))
     counts = tok.groupBy("term").agg(F.count("*").alias("c"))
-    ranked = counts.select(
+    w_salt = Window.partitionBy("salt").orderBy(
+        F.col("c").desc(), F.col("term").asc()
+    )
+    cand = (
+        counts.withColumn("salt", F.pmod(F.hash("term"), F.lit(32)))
+        .withColumn("lr", F.row_number().over(w_salt))
+        .filter(F.col("lr") <= 1000)
+    )
+    # phase 2: bounded window — ≤ 32 salts × 1000 survivors
+    ranked = cand.select(
         "c",
         F.row_number()
         .over(Window.orderBy(F.col("c").desc(), F.col("term").asc()))
@@ -8816,14 +8902,16 @@ FROM per_doc GROUP BY 1
 
 def q_customer_rfm_segments(spark, sf):
     """RFM segmentation: per-customer recency / frequency / monetary
-    quartiles (ntile(4), metric + custkey tie-break so both engines
-    rank identically), rolled up to segment counts and mean spend —
-    the classic customer-analytics cube. The per-customer reduction is
-    one shuffle on o_custkey; the three ntiles share the small
-    per-customer table (global sorts over customers, not orders — at
-    100 TB the quartile CUT-POINTS would come from approx_percentile
-    and the ntiles become map-only width_buckets, same output
-    contract)."""
+    quartiles (metric + custkey tie-break so both engines rank
+    identically), rolled up to segment counts and mean spend — the
+    classic customer-analytics cube. The per-customer reduction is one
+    shuffle on o_custkey; the three quartile assignments share the
+    per-customer table and go through _equal_count_bins' dual regime
+    (exact ntile — the oracle path — below NTILE_EXACT_MAX customers,
+    approx-quantile cut-points + map-only comparisons above, one
+    precomputed count shared by all three bins).  frequency/monetary
+    rank DESCENDING, expressed as ascending bins over the negated
+    metric so one helper serves all three."""
     o = _t(spark, sf, "orders")
     anchor = o.agg(F.max("o_orderdate").alias("anchor"))
     per_cust = (
@@ -8835,13 +8923,14 @@ def q_customer_rfm_segments(spark, sf):
         )
         .crossJoin(F.broadcast(anchor))
         .withColumn("recency_days", F.datediff("anchor", "last_order"))
+        .withColumn("neg_freq", -F.col("frequency"))
+        .withColumn("neg_mon", -F.col("monetary"))
     )
-    r = F.ntile(4).over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey")))
-    fq = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
-    m = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
-    seg = per_cust.select(
-        "o_custkey", "monetary", r.alias("r_q"), fq.alias("f_q"), m.alias("m_q")
-    )
+    n_cust = per_cust.count()
+    seg = per_cust
+    for key, out in (("recency_days", "r_q"), ("neg_freq", "f_q"),
+                     ("neg_mon", "m_q")):
+        seg = _equal_count_bins(seg, key, "o_custkey", 4, out, n_rows=n_cust)
     return seg.groupBy("r_q", "f_q", "m_q").agg(
         F.count("*").alias("n_customers"),
         F.round(F.avg("monetary"), 2).alias("avg_monetary"),

@@ -1569,3 +1569,43 @@ def test_cross_source_prefix_overlap_counts(spark):
     got = {(r.source_a, r.source_b): r.n_shared_prefixes
            for r in _with_docs(spark, Q, rows, Q.q_cross_source_prefix_overlap)}
     assert got == {("s1", "s2"): 1}
+
+
+def test_equal_count_bins_dual_regime(spark, monkeypatch):
+    """_equal_count_bins: the exact path IS ntile (bit-identical), and
+    the approx path (forced by dropping NTILE_EXACT_MAX) produces the
+    same bins on well-separated values and valid near-equal-count bins
+    on uniform data — with ties sharing a bin."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id").alias("tie"), (F.col("id") * 7 % 1000).cast("double").alias("v")
+    )
+    exact = Q._equal_count_bins(df, "v", "tie", 10, "bin")
+    ref = df.withColumn(
+        "bin", F.ntile(10).over(Window.orderBy(F.col("v").asc(), F.col("tie").asc()))
+    )
+    assert exact.collect() == ref.collect()
+
+    monkeypatch.setattr(Q, "NTILE_EXACT_MAX", 0)
+    approx = Q._equal_count_bins(df, "v", "tie", 10, "bin").collect()
+    # distinct uniform values + exact-rank permutation: approx quantiles
+    # at eps=1/1000 must reproduce near-equal-count deciles
+    from collections import Counter
+
+    sizes = Counter(r.bin for r in approx)
+    assert set(sizes) <= set(range(1, 11))
+    assert all(50 <= n <= 200 for n in sizes.values()), sizes
+    # monotone: larger v never lands in a smaller bin
+    by_v = sorted(approx, key=lambda r: r.v)
+    bins = [r.bin for r in by_v]
+    assert bins == sorted(bins)
+
+    # ties share a bin in the approx regime
+    tied = spark.range(100).select(
+        F.col("id").alias("tie"), F.lit(1.0).alias("v")
+    )
+    tb = {r.bin for r in Q._equal_count_bins(tied, "v", "tie", 4, "bin").collect()}
+    assert len(tb) == 1

@@ -89,6 +89,8 @@ BNLJ_OK = {
     "distinctive_terms_logodds",
     # the shared 1-row trained-weights broadcast, scoring for AUC
     "logreg_auc",
+    # 1-row (min,max) doc_id range broadcast (map-only decile arithmetic)
+    "vocab_growth_curve",
 }
 
 
