@@ -83,19 +83,72 @@ def decode_stub(blob: bytes) -> list[float]:
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 
-def parse_image_header(blob: bytes) -> tuple[str, int, int] | None:
-    """REAL (non-stub) image codec for the two formats whose headers
-    are parseable with zero dependencies: PNG (IHDR width/height,
-    big-endian u32 at bytes 16..24 — PNG spec §11.2.2) and GIF
-    (logical-screen width/height, little-endian u16 at bytes 6..10 —
-    GIF89a spec §18).  Returns (mime, width, height), or None for
-    anything else (the stub seam keeps handling those).
+#: JPEG start-of-frame markers carrying the image dimensions: SOF0-SOF15
+#: minus DHT (0xC4), JPG-reserved (0xC8) and DAC (0xCC), per ITU T.81
+#: Table B.1.  Baseline (C0) and progressive (C2) are the ones real
+#: encoders emit; the rest are parsed for completeness.
+_JPEG_SOF_MARKERS = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
 
-    This is the one decode path that is exercised for real in this
-    container; JPEG/audio/video stay behind ``decode_stub``.
+
+def _parse_jpeg_sof(blob: bytes) -> tuple[str, int, int] | None:
+    """Walk the JPEG marker-segment stream (ITU T.81 §B.1): each
+    segment is 0xFF <marker> <u16be length includes itself>.  The
+    frame header (SOFn) carries precision u8, height u16be, width
+    u16be.  Stops at SOS/EOI — dimensions after the entropy-coded data
+    starts would require decoding, and a SOF-less stream is corrupt."""
+    if blob[:2] != b"\xff\xd8":  # SOI
+        return None
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            return None  # corrupt marker stream
+        marker = blob[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            pos += 2  # standalone markers: TEM, RSTn, SOI — no length
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF
+            return None
+        seg_len = int.from_bytes(blob[pos + 2 : pos + 4], "big")
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF_MARKERS:
+            body = blob[pos + 4 : pos + 2 + seg_len]
+            if len(body) < 5:
+                return None
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            # height 0 means DNL-deferred (T.81 §B.2.2) — without the
+            # DNL marker the real height is unknowable from the header
+            if w == 0 or h == 0:
+                return None
+            return ("image/jpeg", w, h)
+        pos += 2 + seg_len
+    return None
+
+
+def parse_image_header(blob: bytes) -> tuple[str, int, int] | None:
+    """REAL (non-stub) image codec for the three formats whose headers
+    are parseable with zero dependencies: PNG (IHDR width/height,
+    big-endian u32 at bytes 16..24 — PNG spec §11.2.2), GIF
+    (logical-screen width/height, little-endian u16 at bytes 6..10 —
+    GIF89a spec §18) and JPEG (SOFn frame-header scan over the marker
+    stream — ITU T.81 §B.2.2, baseline and progressive).  Returns
+    (mime, width, height), or None for anything else (the stub seam
+    keeps handling those).
+
+    These are the decode paths exercised for real in this container;
+    pixel decode / audio / video stay behind ``decode_stub``.
     """
     if blob is None or len(blob) < 10:
         return None
+    if blob[:2] == b"\xff\xd8":
+        return _parse_jpeg_sof(blob)
     if (
         len(blob) >= 24
         and blob[:8] == PNG_SIGNATURE
@@ -140,6 +193,31 @@ def synth_gif(width: int, height: int, n_filler: int = 0) -> bytes:
     import struct
 
     return b"GIF89a" + struct.pack("<HH", width, height) + bytes(3) + bytes(n_filler)
+
+
+def synth_jpeg(
+    width: int, height: int, n_filler: int = 0, progressive: bool = False
+) -> bytes:
+    """Minimal spec-valid JPEG prefix: SOI + JFIF APP0 (18 bytes) +
+    SOF0/SOF2 frame header for a 3-component 8-bit image (19 bytes) +
+    ``n_filler`` zero bytes — 39 + n_filler total. Deterministic, for
+    tests/oracles."""
+    import struct
+
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    sof_data = struct.pack(">BHHB", 8, height, width, 3)
+    sof_data += b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"  # Y/Cb/Cr sampling
+    sof = (
+        (b"\xff\xc2" if progressive else b"\xff\xc0")
+        + struct.pack(">H", 2 + len(sof_data))
+        + sof_data
+    )
+    return b"\xff\xd8" + app0 + sof + bytes(n_filler)
 
 
 IMAGE_META_SCHEMA = T.StructType(

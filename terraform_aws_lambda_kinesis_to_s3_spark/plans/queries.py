@@ -1986,13 +1986,15 @@ GROUP BY 1
 
 def q_multimodal_image_dims(spark, sf):
     """REAL image decode through the multimodal seam: synthesize a
-    spec-valid PNG (even doc_id) or GIF89a (odd) blob per document with
-    doc_id-derived dimensions and filler, then run the Arrow-batched
-    header PARSER (operators.multimodal.parse_image_header — actual
-    byte-level PNG IHDR / GIF screen-descriptor parsing, no codec
-    library) over mapInPandas. The oracle independently predicts the
-    round-trip from the same doc_id arithmetic; parser unit tests pin
-    the byte layout against known fixtures (tests/test_operators.py)."""
+    spec-valid PNG (doc_id % 3 == 0), GIF89a (== 1) or JPEG (== 2,
+    alternating baseline SOF0 / progressive SOF2) blob per document
+    with doc_id-derived dimensions and filler, then run the
+    Arrow-batched header PARSER (operators.multimodal.parse_image_header
+    — actual byte-level PNG IHDR / GIF screen-descriptor / JPEG
+    marker-stream SOF parsing, no codec library) over mapInPandas. The
+    oracle independently predicts the round-trip from the same doc_id
+    arithmetic; parser unit tests pin the byte layouts against known
+    fixtures (tests/test_operators.py)."""
     from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
         multimodal as MM,
     )
@@ -2007,11 +2009,15 @@ def q_multimodal_image_dims(spark, sf):
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h, filler = 1 + did % 64, 1 + did % 48, did % 17
-                blobs.append(
-                    MM.synth_png(w, h, filler)
-                    if did % 2 == 0
-                    else MM.synth_gif(w, h, filler)
-                )
+                kind = did % 3
+                if kind == 0:
+                    blobs.append(MM.synth_png(w, h, filler))
+                elif kind == 1:
+                    blobs.append(MM.synth_gif(w, h, filler))
+                else:
+                    blobs.append(
+                        MM.synth_jpeg(w, h, filler, progressive=did % 2 == 0)
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     with_blobs = d.mapInPandas(synth, "doc_id long, blob binary")
@@ -2020,11 +2026,12 @@ def q_multimodal_image_dims(spark, sf):
 
 SQL_MULTIMODAL_IMAGE_DIMS = """
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/gif' END AS mime,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+            ELSE 'image/jpeg' END AS mime,
        CAST(1 + doc_id % 64 AS INTEGER) AS width,
        CAST(1 + doc_id % 48 AS INTEGER) AS height,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 13 END + doc_id % 17
-            AS BIGINT) AS n_bytes
+       CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 39 END
+            + doc_id % 17 AS BIGINT) AS n_bytes
 FROM documents
 """
 

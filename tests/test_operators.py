@@ -1609,3 +1609,72 @@ def test_equal_count_bins_dual_regime(spark, monkeypatch):
     )
     tb = {r.bin for r in Q._equal_count_bins(tied, "v", "tie", 4, "bin").collect()}
     assert len(tb) == 1
+
+
+def test_jpeg_sof_header_parse_known_fixture():
+    """The JPEG parser must read dimensions from an independently
+    hand-laid-out marker stream (SOI + APP0 + COM + SOF0), including a
+    progressive SOF2 variant and the documented None cases: SOS before
+    SOF, DNL-deferred height 0, truncated SOF body."""
+    import struct
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    app0 = bytes.fromhex("ffe000104a46494600010100000100010000")
+    com = b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(
+        ">BHHB", 8, 480, 640, 1
+    ) + b"\x01\x11\x00"
+    assert parse_image_header(b"\xff\xd8" + app0 + com + sof0) == (
+        "image/jpeg", 640, 480,
+    )
+    sof2 = b"\xff\xc2" + sof0[2:]
+    assert parse_image_header(b"\xff\xd8" + sof2) == ("image/jpeg", 640, 480)
+    # restart/TEM standalone markers are skipped without a length word
+    assert parse_image_header(b"\xff\xd8\xff\x01\xff\xd0" + sof0) == (
+        "image/jpeg", 640, 480,
+    )
+    # SOS before any SOF: dimensions unknowable from the header
+    sos = b"\xff\xda" + struct.pack(">H", 2)
+    assert parse_image_header(b"\xff\xd8" + app0 + sos + sof0) is None
+    # DNL-deferred height 0 is None, truncated SOF body is None
+    sof_h0 = b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(
+        ">BHHB", 8, 0, 640, 1
+    ) + b"\x01\x11\x00"
+    assert parse_image_header(b"\xff\xd8" + sof_h0) is None
+    assert parse_image_header(b"\xff\xd8" + sof0[:6]) is None
+
+
+def test_jpeg_synth_parse_roundtrip_and_fuzz():
+    """synth_jpeg round-trips through the parser (both SOF0 and SOF2,
+    39 + filler bytes), and arbitrary SOI-prefixed garbage parses to a
+    tuple or None — never raises."""
+    import random
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        parse_image_header,
+        synth_jpeg,
+    )
+
+    b = synth_jpeg(320, 200, 4)
+    assert len(b) == 43
+    assert parse_image_header(b) == ("image/jpeg", 320, 200)
+    assert parse_image_header(synth_jpeg(1, 1, progressive=True)) == (
+        "image/jpeg", 1, 1,
+    )
+    rng = random.Random(11)
+    for trial in range(300):
+        n = rng.randrange(0, 120)
+        blob = bytes(rng.randrange(256) for _ in range(n))
+        if trial % 3 == 0:
+            blob = b"\xff\xd8" + blob
+        if trial % 5 == 0:
+            blob = b"\xff\xd8\xff" + blob
+        out = parse_image_header(blob)
+        assert out is None or (
+            out[0] == "image/jpeg"
+            and isinstance(out[1], int)
+            and isinstance(out[2], int)
+        )
