@@ -107,3 +107,15 @@ def test_rotate_driver_verified_block_exists():
     mod = _load_rotate_tool()
     src = open(mod.QUERIES_PY).read()
     assert re.search(r"DRIVER_VERIFIED: frozenset\[str\] = frozenset\(", src)
+
+
+def test_prose_counts_match_registry():
+    """tools/verify_contract.check_prose_counts: README's stated
+    registry size must equal len(REGISTRY) — drift is a failure."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.verify_contract import check_prose_counts
+
+    assert check_prose_counts() == []

@@ -39,11 +39,42 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def check_prose_counts() -> list[str]:
+    """Prose count assertions must track the registry automatically —
+    README states the registry size in two places; drift between prose
+    and ``len(REGISTRY)`` is a doc bug this check makes impossible to
+    ship."""
+    import re
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import REGISTRY
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    readme = open(os.path.join(repo, "README.md")).read()
+    problems = []
+    stated = {int(x) for x in re.findall(r"(\d+) registry queries", readme)}
+    stated |= {
+        int(x) for x in re.findall(r"registry \((\d+) queries", readme)
+    }
+    for s in stated:
+        if s != len(REGISTRY):
+            problems.append(
+                f"README says {s} registry queries; len(REGISTRY) == "
+                f"{len(REGISTRY)}"
+            )
+    if not stated:
+        problems.append("README no longer states the registry count")
+    return problems
+
+
 def main() -> int:
     import duckdb
 
     import __spark_entry__ as m
     from terraform_aws_lambda_kinesis_to_s3_spark.session import get_spark
+
+    prose_problems = check_prose_counts()
+    for p in prose_problems:
+        print(f"PROSE DRIFT: {p}")
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="verify_contract")
@@ -81,6 +112,7 @@ def main() -> int:
         if not ok:
             failures.append(name)
 
+    failures.extend(prose_problems)
     print(f"\n{len(qs)} queries, {len(failures)} failures: {failures or 'NONE'}")
     return 1 if failures else 0
 
