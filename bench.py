@@ -240,6 +240,11 @@ HEADLINE = [
     "logreg_auc",
     "padding_waste_stats",
     "cross_source_prefix_overlap",
+    # retrieval scoring + corpus lexical statistics (round 4)
+    "bm25_topk_docs",
+    "pmi_collocations",
+    "source_vocab_jaccard",
+    "quality_length_spearman",
 ]
 
 

@@ -9199,6 +9199,330 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Tier B — retrieval scoring + corpus lexical statistics (round 4)
+# ---------------------------------------------------------------------------
+
+BM25_K1, BM25_B = 1.2, 0.75
+#: literal query-term set for the oracle-checked BM25 readout — a real
+#: deployment parameterizes this per request; the scoring plan is
+#: identical for any term set.
+BM25_QUERY_TERMS = ("spark", "join", "shuffle", "window")
+
+
+def q_bm25_topk_docs(spark, sf):
+    """Okapi BM25 top-k retrieval (Robertson & Spärck Jones; the
+    Lucene +1 IDF form, k1=1.2 b=0.75) for a fixed query-term set over
+    `documents` — the lexical-retrieval baseline every hybrid search
+    (see rrf_fusion) fuses with its dense leg.
+
+    100 TB shape: the corpus scan reduces to tf rows for QUERY TERMS
+    ONLY (the isin filter pushes into the scan before the groupBy),
+    doc lengths are one map-side-combined aggregate, per-term document
+    frequencies are a |q|-row broadcast, and the final top-10 is
+    TakeOrderedAndProject — no global sort, no vocab-wide state.
+    Scores round to 6dp BEFORE ranking so both engines order ties
+    identically (doc_id tie-break)."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        tok.filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("bm25"),
+            F.count("*").alias("n_matched_terms"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(10)
+
+
+SQL_BM25 = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ('spark', 'join', 'shuffle', 'window') GROUP BY 1, 2),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf /
+               (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))), 6) AS bm25,
+         COUNT(*) AS n_matched_terms
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1)
+SELECT doc_id, bm25, n_matched_terms FROM scored
+ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
+PMI_MIN_COUNT = 5  # collocation count floor (word2phrase's min_count)
+
+
+def q_pmi_collocations(spark, sf):
+    """Top adjacent-bigram collocations by pointwise mutual information
+    (the word2phrase phrase-mining statistic, Mikolov et al. 2013):
+    PMI = ln(P(ab) / (P(a)·P(b))) with a min-count floor so rare
+    accidents don't dominate.
+
+    100 TB shape: bigrams are an IN-ROW adjacent zip (no positions
+    shuffle — transform over the token array, guarded for 1-token
+    docs because sequence(1,0) DESCENDS); both count tables are
+    vocab-sized shuffles with map-side partials; totals are two 1-row
+    broadcasts; the final top-15 is TakeOrderedAndProject over the
+    floored bigram-type table. PMI rounds to 6dp before ranking so
+    both engines order ties identically ((a, b) tie-break)."""
+    d = _t(spark, sf, "documents")
+    sp = d.select(F.split("text", " ").alias("sp"))
+    bi = sp.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(sp) >= 2 THEN "
+                "transform(sequence(1, size(sp) - 1), "
+                "i -> struct(sp[i-1] AS a, sp[i] AS b)) "
+                "ELSE array() END"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    uni = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    t_uni = uni.agg(F.sum("c").alias("t_uni"))
+    bic = (
+        bi.groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    t_bi = bi.agg(F.count("*").alias("t_bi"))
+    scored = (
+        bic.join(uni.select(F.col("term").alias("a"), F.col("c").alias("c_a")), "a")
+        .join(uni.select(F.col("term").alias("b"), F.col("c").alias("c_b")), "b")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_bi))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.col("c_ab") * F.col("t_uni") * F.col("t_uni")
+                    / (F.col("t_bi") * F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.select("a", "b", "c_ab", "pmi")
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(15)
+    )
+
+
+SQL_PMI = f"""
+WITH sp AS (SELECT string_split(text, ' ') AS sp FROM documents),
+bi AS (
+  SELECT sp[i] AS a, sp[i+1] AS b
+  FROM sp, unnest(range(1, len(sp))) AS t(i)),
+uni AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+unic AS (SELECT term, COUNT(*) AS c FROM uni GROUP BY 1),
+tuni AS (SELECT SUM(c) AS t_uni FROM unic),
+bic AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2
+        HAVING COUNT(*) >= {PMI_MIN_COUNT}),
+tbi AS (SELECT COUNT(*) AS t_bi FROM bi)
+SELECT a, b, c_ab,
+       ROUND(LN(c_ab * t_uni * t_uni * 1.0 / (t_bi * ua.c * ub.c)), 6) AS pmi
+FROM bic JOIN unic ua ON bic.a = ua.term JOIN unic ub ON bic.b = ub.term
+CROSS JOIN tuni CROSS JOIN tbi
+ORDER BY pmi DESC, a, b LIMIT 15
+"""
+
+
+def q_source_vocab_jaccard(spark, sf):
+    """Pairwise vocabulary Jaccard between sources — the corpus-mixture
+    diagnostic that says which domains are lexically redundant before
+    you weight them (companion to corpus_kl_divergence's
+    distributional view; this is the set view).
+
+    100 TB shape: one distinct (source, term) shuffle, then the pair
+    counts come from an IN-ROW ordered-pair explode over each term's
+    source set (bounded by N_SOURCES, the same contract as
+    cross_source_prefix_overlap) — never a term-keyed self-join of the
+    full posting table; per-source vocab sizes are an N_SOURCES-row
+    broadcast."""
+    d = _t(spark, sf, "documents")
+    st = d.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    sizes = st.groupBy("source").agg(F.count("*").alias("v"))
+    pairs = (
+        st.groupBy("term")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), y -> "
+                    "struct(x AS sa, y AS sb))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.sa", "p.sb")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("sa"), F.col("v").alias("va"))
+            ),
+            "sa",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("sb"), F.col("v").alias("vb"))
+            ),
+            "sb",
+        )
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "shared",
+            F.round(
+                F.col("shared") / (F.col("va") + F.col("vb") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_SOURCE_VOCAB_JACCARD = """
+WITH st AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS term FROM documents),
+sizes AS (SELECT source, COUNT(*) AS v FROM st GROUP BY 1),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b, shared,
+       ROUND(shared * 1.0 / (sa.v + sb.v - shared), 6) AS jaccard
+FROM pairs JOIN sizes sa ON pairs.source_a = sa.source
+           JOIN sizes sb ON pairs.source_b = sb.source
+"""
+
+
+def _midranks(df, col):
+    """Exact average ranks (midranks, ties share the mean rank) for
+    ``df[col]`` WITHOUT a global single-partition sort — the same
+    two-phase blocked cumsum as q_logreg_auc, generalized to any
+    numeric column: group by value (ties collapse), block the distinct
+    values by width_bucket over the observed [lo, hi] range (≤1024
+    block totals → bounded offset window), cumsum within blocks.
+    Returns the distinct-value table (col, midrank) to join back on
+    ``col``; the join is value-keyed, cardinality = distinct values."""
+    g = df.groupBy(col).agg(F.count("*").alias("cnt"))
+    rng = g.agg(
+        F.min(col).cast("double").alias("lo"),
+        F.max(col).cast("double").alias("hi"),
+    )
+    g = g.crossJoin(F.broadcast(rng)).withColumn(
+        "blk",
+        F.when(F.col("hi") == F.col("lo"), F.lit(1)).otherwise(
+            F.width_bucket(
+                F.col(col).cast("double"), F.col("lo"), F.col("hi"), F.lit(1024)
+            )
+        ),
+    )
+    w_blocks = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        g.groupBy("blk")
+        .agg(F.sum("cnt").alias("bc"))
+        .withColumn("off", F.coalesce(F.sum("bc").over(w_blocks), F.lit(0)))
+        .select("blk", "off")
+    )
+    w_in = Window.partitionBy("blk").orderBy(col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        g.join(F.broadcast(offsets), "blk")
+        .withColumn(
+            "below", F.col("off") + F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+        )
+        .select(col, (F.col("below") + (F.col("cnt") + 1) / 2).alias("midrank"))
+    )
+
+
+def q_quality_length_spearman(spark, sf):
+    """Spearman rank correlation between document length (n_chars) and
+    lexical diversity (distinct/total token ratio) — the monotone
+    association readout for quality-signal redundancy: two signals
+    with |ρ| near 1 are one signal, and a mixture planner should not
+    double-count them.  Spearman = Pearson over midranks, EXACT
+    (average ranks for ties, Spearman's tie-corrected form).
+
+    100 TB shape: both per-doc features are map-only; each rank
+    transform is _midranks' two-phase blocked cumsum (no global sort);
+    the rank tables join back value-keyed; the correlation is one
+    fixed-size aggregate."""
+    d = _t(spark, sf, "documents")
+    feat = d.select(
+        "doc_id",
+        "n_chars",
+        (
+            F.size(F.array_distinct(F.split("text", " ")))
+            / F.size(F.split("text", " "))
+        ).alias("diversity"),
+    )
+    r_len = _midranks(feat, "n_chars").withColumnRenamed("midrank", "r_len")
+    r_div = _midranks(feat, "diversity").withColumnRenamed("midrank", "r_div")
+    j = feat.join(r_len, "n_chars").join(r_div, "diversity")
+    return j.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.corr("r_len", "r_div"), 6).alias("spearman"),
+    )
+
+
+SQL_QUALITY_LENGTH_SPEARMAN = """
+WITH feat AS (
+  SELECT doc_id, n_chars,
+         len(list_distinct(string_split(text, ' '))) * 1.0 /
+         len(string_split(text, ' ')) AS diversity
+  FROM documents),
+ranked AS (
+  SELECT
+    RANK() OVER (ORDER BY n_chars)
+      + (COUNT(*) OVER (PARTITION BY n_chars) - 1) / 2.0 AS r_len,
+    RANK() OVER (ORDER BY diversity)
+      + (COUNT(*) OVER (PARTITION BY diversity) - 1) / 2.0 AS r_div
+  FROM feat)
+SELECT COUNT(*) AS n_docs, ROUND(CORR(r_len, r_div), 6) AS spearman FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -9442,6 +9766,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pipeline_schema_profile": (q_schema_profile, None),
     # multimodal (mapInPandas — no SQL oracle, rows-only check)
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+    # retrieval scoring + corpus lexical statistics (round 4)
+    "bm25_topk_docs": (q_bm25_topk_docs, SQL_BM25),
+    "pmi_collocations": (q_pmi_collocations, SQL_PMI),
+    "source_vocab_jaccard": (q_source_vocab_jaccard, SQL_SOURCE_VOCAB_JACCARD),
+    "quality_length_spearman": (
+        q_quality_length_spearman,
+        SQL_QUALITY_LENGTH_SPEARMAN,
+    ),
 }
 
 

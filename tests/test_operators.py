@@ -1678,3 +1678,105 @@ def test_jpeg_synth_parse_roundtrip_and_fuzz():
             and isinstance(out[1], int)
             and isinstance(out[2], int)
         )
+
+
+def test_bm25_semantics_planted_relevant_doc(spark):
+    """BM25: a doc saturated with a RARE query term outranks a doc
+    with the same count of a common query term (IDF), and
+    length-normalization (b=0.75) ranks a short match above a long one
+    with equal tf. One-word docs / docs with no query terms never
+    appear."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    filler = "lorem ipsum dolor sit amet " * 4
+    rows = [
+        # 'shuffle' appears only here (rare); 'join' in many docs (common)
+        (1, "shuffle " * 6 + filler, "en", "s", 9),
+        (2, "join " * 6 + filler, "en", "s", 9),
+        (3, "join alpha beta", "en", "s", 9),           # short match
+        (4, "join " + filler * 4, "en", "s", 9),        # long match, same tf
+        (5, "no relevant terms here at all", "en", "s", 9),
+        (6, "join gamma delta", "en", "s", 9),
+        (7, "join epsilon zeta", "en", "s", 9),
+    ]
+    got = _with_docs(spark, Q, rows, Q.q_bm25_topk_docs)
+    ids = [r.doc_id for r in got]
+    scores = {r.doc_id: r.bm25 for r in got}
+    assert 5 not in ids
+    assert scores[1] > scores[2]          # rare term wins on IDF
+    assert scores[3] > scores[4]          # shorter doc wins at equal tf
+    assert got == sorted(got, key=lambda r: (-r.bm25, r.doc_id))
+
+
+def test_pmi_collocation_semantics(spark):
+    """PMI: a bigram whose parts ONLY occur together scores above one
+    of independently-frequent parts; sub-floor bigrams are dropped; a
+    one-token doc exercises the sequence(1,0) guard."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    glued = "san francisco " * 6          # parts exclusive to the pair
+    indep = "the cat . the dog . cat the . dog cat " * 6
+    rows = [
+        (1, (glued + indep).strip(), "en", "s", 9),
+        (2, "solo", "en", "s", 9),        # 1 token: no bigrams, no crash
+        (3, "rare pair", "en", "s", 9),   # count 1 < floor: dropped
+    ]
+    got = _with_docs(spark, Q, rows, Q.q_pmi_collocations)
+    pmi = {(r.a, r.b): r.pmi for r in got}
+    assert ("san", "francisco") in pmi
+    assert ("rare", "pair") not in pmi
+    assert all(
+        pmi[("san", "francisco")] >= v
+        for k, v in pmi.items() if k != ("san", "francisco")
+    )
+
+
+def test_source_vocab_jaccard_semantics(spark):
+    """Vocab Jaccard: identical vocab = 1.0, disjoint pairs emit no
+    row, partial overlap computes shared/(va+vb-shared) on DISTINCT
+    terms (repetition doesn't inflate)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        (1, "alpha beta gamma", "en", "s1", 9),
+        (2, "alpha beta gamma alpha alpha", "en", "s2", 9),  # same vocab
+        (3, "alpha beta delta epsilon", "en", "s3", 9),      # overlap 2/5
+        (4, "zz yy xx", "en", "s4", 9),                      # disjoint
+    ]
+    got = {(r.source_a, r.source_b): r for r in
+           _with_docs(spark, Q, rows, Q.q_source_vocab_jaccard)}
+    assert got[("s1", "s2")].jaccard == 1.0
+    assert got[("s1", "s3")].shared == 2
+    assert got[("s1", "s3")].jaccard == round(2 / 5, 6)
+    assert not any("s4" in k for k in got)
+
+
+def test_spearman_exact_monotone_and_ties(spark):
+    """_midranks-based Spearman: a perfectly monotone relation gives
+    ρ=1 (diversity rises with n_chars), an anti-monotone one gives
+    ρ=-1, and midranks equal the classic average-rank formula under
+    ties (checked against scipy-free closed form on a small fixture)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+    from pyspark.sql import functions as F
+
+    # diversity = distinct/total; fixed 16-token docs where doc i has
+    # 1+i distinct words (constant diversity would zero corr's variance)
+    rows_up = [
+        (i, " ".join([f"w{j:02d}" for j in range(1 + i)] + ["w00"] * (15 - i)),
+         "en", "s", 10 * i)
+        for i in range(1, 8)
+    ]
+    got = _with_docs(spark, Q, rows_up, Q.q_quality_length_spearman)
+    assert got[0].spearman == 1.0
+    rows_down = [
+        (i, " ".join(["w00"] * (2 + i) + [f"u{j}" for j in range(8 - i)]),
+         "en", "s", 10 * i)
+        for i in range(1, 8)
+    ]
+    got = _with_docs(spark, Q, rows_down, Q.q_quality_length_spearman)
+    assert got[0].spearman == -1.0
+
+    # midranks under ties: values [5, 5, 7] -> ranks [1.5, 1.5, 3]
+    df = spark.createDataFrame([(5,), (5,), (7,)], "v int")
+    mr = {r.v: r.midrank for r in Q._midranks(df, "v").collect()}
+    assert mr == {5: 1.5, 7: 3.0}
