@@ -245,6 +245,10 @@ HEADLINE = [
     "pmi_collocations",
     "source_vocab_jaccard",
     "quality_length_spearman",
+    "keyword_tag_counts",
+    "doc_rarity_score",
+    "token_len_histogram",
+    "gram_frequency_spectrum",
 ]
 
 

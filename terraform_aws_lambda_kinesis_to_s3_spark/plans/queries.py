@@ -9522,6 +9522,213 @@ SELECT COUNT(*) AS n_docs, ROUND(CORR(r_len, r_div), 6) AS spearman FROM ranked
 """
 
 
+#: literal tag-phrase list for the oracle-checked keyword readout — a
+#: real deployment broadcasts thousands of phrases; the matching plan
+#: is identical for any list.
+TAG_PHRASES = ("table hash", "customer join", "big order", "slow key")
+
+
+def q_keyword_tag_counts(spark, sf):
+    """Broadcast keyword/phrase tagging (the FlashText use case): per
+    (phrase, source), how many documents contain the phrase at token
+    boundaries and how many total occurrences — the topical-coverage
+    readout a mixture planner tags corpora with before weighting.
+
+    100 TB shape: MAP-ONLY — phrases are literals compiled into the
+    plan (a real deployment broadcasts the phrase table; same
+    contract), occurrence counting is the replace-shrink identity
+    (len before − len after) ÷ (len(phrase)+1) on space-padded text,
+    so no tokenize/explode shuffle at all; the only shuffle is the
+    final (phrase, source) agg over N_PHRASES·N_SOURCES partial rows.
+    Boundary note: left-to-right non-overlapping replace consumes the
+    shared separator of immediately-adjacent repeats ("p p" counts 1)
+    — identical on both engines, pinned by the oracle and unit test."""
+    d = _t(spark, sf, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    tagged = d.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("phrase"),
+                        (
+                            (
+                                F.length(padded)
+                                - F.length(
+                                    F.replace(
+                                        padded, F.lit(f" {p} "), F.lit(" ")
+                                    )
+                                )
+                            )
+                            / F.length(F.lit(f"{p} "))
+                        ).cast("long").alias("hits"),
+                    )
+                    for p in TAG_PHRASES
+                ]
+            )
+        ).alias("t"),
+    ).select("source", "t.phrase", "t.hits")
+    return (
+        tagged.groupBy("phrase", "source")
+        .agg(
+            F.sum((F.col("hits") > 0).cast("long")).alias("n_docs"),
+            F.sum("hits").cast("long").alias("n_hits"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+
+
+SQL_KEYWORD_TAGS = """
+WITH p AS (SELECT unnest(['table hash', 'customer join', 'big order', 'slow key']) AS phrase),
+m AS (
+  SELECT p.phrase, d.source,
+         CAST((len(' ' || text || ' ')
+               - len(replace(' ' || text || ' ', ' ' || p.phrase || ' ', ' ')))
+              // (len(p.phrase) + 1) AS BIGINT) AS hits
+  FROM documents d CROSS JOIN p)
+SELECT phrase, source,
+       CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(SUM(hits) AS BIGINT) AS n_hits
+FROM m GROUP BY 1, 2 HAVING SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) > 0
+"""
+
+
+def q_doc_rarity_score(spark, sf):
+    """Per-document rarity: mean IDF (ln N/df) over the doc's DISTINCT
+    terms, profiled per source — high mean-IDF flags gibberish /
+    OCR-noise / identifier-dense documents (every term near-unique),
+    low flags boilerplate; the cheap complement to the LM-based
+    perplexity buckets.
+
+    100 TB shape: one distinct (doc, term) shuffle, the vocab-sized df
+    census joins back term-keyed, corpus size is a 1-row broadcast,
+    then two keyed aggs (doc grain → source grain). Never sorts,
+    never collects."""
+    d = _t(spark, sf, "documents")
+    n_docs_df = d.agg(F.count("*").alias("n_docs"))
+    dt = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    df_t = dt.groupBy("term").agg(F.count("*").alias("df"))
+    per_doc = (
+        dt.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs_df))
+        .groupBy("doc_id", "source")
+        .agg(F.avg(F.log(F.col("n_docs") / F.col("df"))).alias("rarity"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("rarity"), 6).alias("avg_rarity"),
+        F.round(F.max("rarity"), 6).alias("max_rarity"),
+    )
+
+
+SQL_DOC_RARITY = """
+WITH nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+dt AS (
+  SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+dft AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY 1),
+per AS (
+  SELECT doc_id, source, AVG(LN(n_docs * 1.0 / df)) AS rarity
+  FROM dt JOIN dft USING (term) CROSS JOIN nd GROUP BY 1, 2)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(rarity), 6) AS avg_rarity,
+       ROUND(MAX(rarity), 6) AS max_rarity
+FROM per GROUP BY 1
+"""
+
+
+def q_token_len_histogram(spark, sf):
+    """Sequence-length histogram at power-of-two grain per source —
+    the batch-shape planning readout behind padding_waste_stats'
+    bucketed packing: how many documents and tokens land in each
+    2^k..2^(k+1) length bucket.
+
+    100 TB shape: MAP-ONLY until an (N_SOURCES · log2 max_len)-row
+    agg. floor(log2 n) is computed EXACTLY as length(bin(n)) − 1
+    (binary-string length, integer-safe) — a float log2 misbuckets
+    exact powers of two on rounding, and the two engines round
+    differently."""
+    d = _t(spark, sf, "documents")
+    n = F.size(F.split("text", " "))
+    return (
+        d.select(
+            "source",
+            (F.length(F.bin(n.cast("long"))) - 1).alias("log2_tokens"),
+            n.alias("n_tokens"),
+        )
+        .groupBy("source", "log2_tokens")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+SQL_TOKEN_LEN_HIST = """
+WITH t AS (
+  SELECT source, len(string_split(text, ' ')) AS n_tokens FROM documents)
+SELECT source, CAST(len(bin(n_tokens)) - 1 AS INTEGER) AS log2_tokens,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM t GROUP BY 1, 2
+"""
+
+
+def q_gram_frequency_spectrum(spark, sf):
+    """Frequency-of-frequencies spectrum of word-5-grams (the
+    Good-Turing input): for each occurrence count c, how many distinct
+    grams occur exactly c times and what fraction of total gram mass
+    they carry. The singleton row (c=1) mass fraction is the
+    Good-Turing estimate of unseen-gram probability — the statistic
+    that says whether a corpus is still surprising or has gone
+    boilerplate (companion to dup_ngram_coverage, which asks the
+    per-doc version of the same question).
+
+    100 TB shape: in-row gram build (no positions shuffle; short-doc
+    guard), gram-count shuffle with map-side partials, then the
+    spectrum agg runs on the distinct-count table whose cardinality is
+    bounded by max gram count — tiny; total mass is a 1-row
+    broadcast."""
+    d = _t(spark, sf, "documents")
+    sp = d.select(F.split("text", " ").alias("sp"))
+    grams = sp.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(sp) >= 5 THEN "
+                "transform(sequence(1, size(sp) - 4), "
+                "i -> concat_ws(' ', slice(sp, i, 5))) ELSE array() END"
+            )
+        ).alias("g")
+    )
+    gc = grams.groupBy("g").agg(F.count("*").alias("c"))
+    spec = gc.groupBy("c").agg(F.count("*").alias("n_grams"))
+    tot = spec.agg(F.sum(F.col("c") * F.col("n_grams")).alias("t_total"))
+    return spec.crossJoin(F.broadcast(tot)).select(
+        F.col("c").alias("occurrences"),
+        "n_grams",
+        F.round(F.col("c") * F.col("n_grams") / F.col("t_total"), 6).alias(
+            "mass_frac"
+        ),
+    )
+
+
+SQL_GRAM_SPECTRUM = """
+WITH sp AS (SELECT string_split(text, ' ') AS sp FROM documents),
+grams AS (
+  SELECT array_to_string(sp[i:i+4], ' ') AS g
+  FROM sp, unnest(range(1, len(sp) - 3)) AS t(i)
+  WHERE len(sp) >= 5),
+gc AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY 1),
+spec AS (SELECT c, COUNT(*) AS n_grams FROM gc GROUP BY 1),
+tot AS (SELECT SUM(c * n_grams) AS t_total FROM spec)
+SELECT c AS occurrences, n_grams,
+       ROUND(c * n_grams * 1.0 / t_total, 6) AS mass_frac
+FROM spec CROSS JOIN tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -9773,6 +9980,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_length_spearman": (
         q_quality_length_spearman,
         SQL_QUALITY_LENGTH_SPEARMAN,
+    ),
+    "keyword_tag_counts": (q_keyword_tag_counts, SQL_KEYWORD_TAGS),
+    "doc_rarity_score": (q_doc_rarity_score, SQL_DOC_RARITY),
+    "token_len_histogram": (q_token_len_histogram, SQL_TOKEN_LEN_HIST),
+    "gram_frequency_spectrum": (
+        q_gram_frequency_spectrum,
+        SQL_GRAM_SPECTRUM,
     ),
 }
 

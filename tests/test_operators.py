@@ -1780,3 +1780,88 @@ def test_spearman_exact_monotone_and_ties(spark):
     df = spark.createDataFrame([(5,), (5,), (7,)], "v int")
     mr = {r.v: r.midrank for r in Q._midranks(df, "v").collect()}
     assert mr == {5: 1.5, 7: 3.0}
+
+
+def test_keyword_tag_boundary_semantics(spark):
+    """Keyword tagging matches at TOKEN boundaries only: 'big order'
+    inside 'bigger orders' must not hit; phrase at string start/end
+    hits (the padding); adjacent repeats count non-overlapping (the
+    documented replace-shrink boundary: 'p p' = 1)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        (1, "big order placed now", "en", "s1", 9),       # at start
+        (2, "we took a big order", "en", "s1", 9),        # at end
+        (3, "bigger orders are not it", "en", "s1", 9),   # substring: no
+        (4, "big order big order", "en", "s2", 9),        # adjacent: 1
+        (5, "big order x big order", "en", "s2", 9),      # separated: 2
+    ]
+    got = {(r.phrase, r.source): r for r in
+           _with_docs(spark, Q, rows, Q.q_keyword_tag_counts)}
+    assert got[("big order", "s1")].n_docs == 2
+    assert got[("big order", "s1")].n_hits == 2
+    assert got[("big order", "s2")].n_docs == 2
+    assert got[("big order", "s2")].n_hits == 3
+    assert not any(p == "table hash" for p, _ in got)
+
+
+def test_doc_rarity_unique_terms_score_high(spark):
+    """Mean IDF: a doc of corpus-unique terms scores ln(N); a doc of
+    universal terms scores 0; repetition inside a doc doesn't change
+    its rarity (distinct grain)."""
+    import math
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        (1, "common words here", "en", "uniq", 9),
+        (2, "qqxx zzyy vvww", "en", "uniq", 9),        # all unique
+        (3, "common words here", "en", "rep", 9),
+        (4, "common common words words here", "en", "rep", 9),  # repeated
+    ]
+    got = {r.source: r for r in _with_docs(spark, Q, rows, Q.q_doc_rarity_score)}
+    assert got["uniq"].max_rarity == round(math.log(4), 6)
+    # docs 1, 3, 4 share every term (df=3): identical rarity ln(4/3)
+    assert got["rep"].avg_rarity == got["rep"].max_rarity == round(
+        math.log(4 / 3), 6
+    )
+
+
+def test_token_len_histogram_exact_power_buckets(spark):
+    """floor(log2) via binary-string length is exact at powers of two:
+    4 tokens -> bucket 2, 7 -> 2, 8 -> 3, 1 -> 0 (a float log2 can
+    misbucket 8 on rounding)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        (1, "a", "en", "s", 9),                     # 1 token  -> k=0
+        (2, "a b c d", "en", "s", 9),               # 4 tokens -> k=2
+        (3, "a b c d e f g", "en", "s", 9),         # 7 tokens -> k=2
+        (4, "a b c d e f g h", "en", "s", 9),       # 8 tokens -> k=3
+    ]
+    got = {r.log2_tokens: r for r in
+           _with_docs(spark, Q, rows, Q.q_token_len_histogram)}
+    assert got[0].n_docs == 1 and got[2].n_docs == 2 and got[3].n_docs == 1
+    assert got[2].total_tokens == 11
+
+
+def test_gram_spectrum_good_turing_masses(spark):
+    """5-gram spectrum: a doc repeated via a shared 5-gram window and
+    a singleton tail produce the right (occurrences, n_grams) rows;
+    mass fractions sum to 1; docs under 5 tokens contribute nothing
+    (the short-doc guard)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    five = "v w x y z"
+    rows = [
+        (1, five, "en", "s", 9),         # gram A (once)
+        (2, five, "en", "s", 9),         # gram A again -> c=2
+        (3, "a b c d e f", "en", "s", 9),  # two singleton grams
+        (4, "too short", "en", "s", 9),  # < 5 tokens: no grams
+    ]
+    got = {r.occurrences: r for r in
+           _with_docs(spark, Q, rows, Q.q_gram_frequency_spectrum)}
+    assert got[2].n_grams == 1        # the repeated gram
+    assert got[1].n_grams == 2        # the two singletons
+    assert abs(sum(r.mass_frac for r in got.values()) - 1.0) < 1e-6
+    assert got[1].mass_frac == 0.5    # Good-Turing unseen estimate
