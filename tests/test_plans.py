@@ -112,6 +112,61 @@ def test_no_accidental_cross_join(spark, name):
         )
 
 
+#: Queries whose plans legitimately contain an Exchange-SinglePartition
+#: feeding a Sort (the global-sort shape that is the 100 TB
+#: scale-killer when the sorted table is O(N)).  Every entry here is
+#: either (a) a sort over a BOUNDED table — block-offset windows over
+#: ≤1024 width_bucket totals, calendar/decile/year grain aggregates —
+#: or (b) the scale-gated exact-ntile path of _equal_count_bins, which
+#: only runs below NTILE_EXACT_MAX rows (above it the approx path has
+#: no window at all).  Value = max allowed occurrences.  Anything new
+#: failing this test is an unpartitioned global sort — decompose it
+#: (two-phase rank/top-k, approx cut-points) instead of widening the
+#: allowlist.
+SP_SORT_OK = {
+    # _equal_count_bins exact-ntile path (scale-gated; sf-test only)
+    "perplexity_bucket_sample": 1,
+    "logreg_calibration": 1,
+    "customer_rfm_segments": 1,
+    # bounded block-offset windows (≤1024 width_bucket totals)
+    "logreg_auc": 1,
+    "quality_length_spearman": 2,
+    # bounded-grain cumsums: 10 deciles / calendar days / years
+    "vocab_growth_curve": 1,
+    "open_lineitem_backlog": 1,
+    "orders_yoy_growth": 1,
+}
+
+
+def _sp_sort_count(plan: str) -> int:
+    """Count Exchange nodes with SinglePartition args whose immediate
+    consumer is a Sort (the Sort→Window / global-order shape)."""
+    import re
+
+    nodes = re.findall(r"\(\d+\) ([A-Za-z]+)", plan)
+    blocks = re.split(r"\n\(\d+\) ", "\n" + plan)
+    hits = 0
+    for i, (node, blk) in enumerate(zip(nodes, blocks[1:])):
+        if node == "Exchange" and "SinglePartition" in blk:
+            if i + 1 < len(nodes) and nodes[i + 1] == "Sort":
+                hits += 1
+    return hits
+
+
+@pytest.mark.parametrize("name", list(REGISTRY), ids=list(REGISTRY))
+def test_no_unpartitioned_global_sort(spark, name):
+    """No plan may gain a NEW single-partition global sort: the r3
+    verdict's 'weak' class, now frozen as a static invariant."""
+    fn, _ = REGISTRY[name]
+    n = _sp_sort_count(_formatted_plan(fn(spark, SF)))
+    assert n <= SP_SORT_OK.get(name, 0), (
+        f"{name}: {n} Exchange-SinglePartition→Sort stages "
+        f"(allowed {SP_SORT_OK.get(name, 0)}) — an unpartitioned global "
+        "sort; decompose it (two-phase rank/top-k, approx cut-points + "
+        "width_bucket) rather than widening SP_SORT_OK"
+    )
+
+
 @pytest.mark.parametrize(
     "name",
     ["q3_shipping_priority", "q6_forecast_revenue", "q10_returned_items",
