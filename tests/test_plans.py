@@ -91,6 +91,16 @@ BNLJ_OK = {
     "logreg_auc",
     # 1-row (min,max) doc_id range broadcast (map-only decile arithmetic)
     "vocab_growth_curve",
+    # 1-row (n_docs, avgdl) corpus-stats broadcast (the BM25 normalizer)
+    "bm25_topk_docs",
+    # two 1-row totals broadcasts (unigram + bigram mass denominators)
+    "pmi_collocations",
+    # 1-row (lo, hi) value-range broadcast per _midranks rank transform
+    "quality_length_spearman",
+    # 1-row corpus-size broadcast (the IDF numerator)
+    "doc_rarity_score",
+    # 1-row total-gram-mass broadcast (the spectrum denominator)
+    "gram_frequency_spectrum",
 }
 
 
