@@ -249,6 +249,10 @@ HEADLINE = [
     "doc_rarity_score",
     "token_len_histogram",
     "gram_frequency_spectrum",
+    "events_hourly_autocorr",
+    "customer_revenue_gini",
+    "events_type_burstiness",
+    "events_daily_type_drift",
 ]
 
 

@@ -9729,6 +9729,217 @@ FROM spec CROSS JOIN tot
 """
 
 
+def q_events_hourly_autocorr(spark, sf):
+    """Lag-1 and lag-24 autocorrelation of hourly event volume — the
+    seasonality fingerprint (r_lag24 high + r_lag1 low = strong daily
+    cycle) an anomaly detector must know before thresholding volumes
+    (companion to events_anomaly_mad).
+
+    100 TB shape: the fact scan reduces to an O(hours) table; the lag
+    pairing is an hour-keyed equi-join of that bounded table with
+    itself shifted (+1h, +24h) — no window at all, so no ordering
+    requirement on any O(N) data; the correlation is one fixed-size
+    aggregate.  Hours with no events pair only where both sides exist
+    (inner-join semantics, pinned by the unit test)."""
+    e = _t(spark, sf, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("c")
+    )
+    lag1 = hourly.select(
+        (F.col("h") + F.expr("INTERVAL 1 HOUR")).alias("h"),
+        F.col("c").alias("c_prev1"),
+    )
+    lag24 = hourly.select(
+        (F.col("h") + F.expr("INTERVAL 24 HOUR")).alias("h"),
+        F.col("c").alias("c_prev24"),
+    )
+    j = hourly.join(lag1, "h").join(lag24, "h")
+    return j.agg(
+        F.count("*").alias("n_hours"),
+        F.round(F.corr("c", "c_prev1"), 6).alias("r_lag1"),
+        F.round(F.corr("c", "c_prev24"), 6).alias("r_lag24"),
+    )
+
+
+SQL_EVENTS_AUTOCORR = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c FROM events GROUP BY 1),
+j AS (
+  SELECT a.c, b.c AS c_prev1, d.c AS c_prev24
+  FROM hourly a
+  JOIN hourly b ON a.h = b.h + INTERVAL 1 HOUR
+  JOIN hourly d ON a.h = d.h + INTERVAL 24 HOUR)
+SELECT COUNT(*) AS n_hours,
+       ROUND(CORR(c, c_prev1), 6) AS r_lag1,
+       ROUND(CORR(c, c_prev24), 6) AS r_lag24
+FROM j
+"""
+
+
+def q_customer_revenue_gini(spark, sf):
+    """Gini coefficient of per-customer revenue — the inequality
+    readout behind every "top X% of customers drive Y% of revenue"
+    claim, tie-corrected via average ranks:
+    G = 2·Σ(r_i·x_i)/(n·Σx) − (n+1)/n.
+
+    100 TB shape: one per-customer reduction, then the rank transform
+    is _midranks' two-phase blocked cumsum (no global sort; same
+    machinery as quality_length_spearman), joined back value-keyed,
+    and the Gini is one fixed-size aggregate."""
+    o = _t(spark, sf, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("double")).alias("spend")
+    )
+    j = per.join(_midranks(per, "spend"), "spend")
+    return j.agg(
+        F.count("*").alias("n_customers"),
+        F.round(
+            2 * F.sum(F.col("midrank") * F.col("spend"))
+            / (F.count("*") * F.sum("spend"))
+            - (F.count("*") + 1) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
+SQL_REVENUE_GINI = """
+WITH per AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DOUBLE)) AS spend
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT spend,
+         RANK() OVER (ORDER BY spend)
+           + (COUNT(*) OVER (PARTITION BY spend) - 1) / 2.0 AS midrank
+  FROM per)
+SELECT COUNT(*) AS n_customers,
+       ROUND(2 * SUM(midrank * spend) / (COUNT(*) * SUM(spend))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM ranked
+"""
+
+
+def q_events_type_burstiness(spark, sf):
+    """Per-type burstiness (Fano factor: var/mean of hourly counts,
+    1 = Poisson, ≫1 = bursty) over the COMPLETE hour spine — empty
+    hours count as zeros, because a type that fires 720 events in one
+    hour and sleeps for a month is the definition of bursty and
+    observed-hours-only statistics would call it steady.
+
+    100 TB shape: the fact reduces to an O(hours·types) count table;
+    the spine is generated from a 1-row min/max aggregate (sequence —
+    never materialized from the fact) and the grid join is bounded by
+    hours·types.  All variance math is map-side decomposable
+    (var_pop)."""
+    e = _t(spark, sf, "events")
+    rng = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = rng.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("h")
+    )
+    grid = spine.crossJoin(e.select("event_type").distinct())
+    counts = e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
+        F.count("*").alias("c")
+    )
+    full_grid = grid.join(counts, ["h", "event_type"], "left").withColumn(
+        "c", F.coalesce("c", F.lit(0))
+    )
+    return full_grid.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.round(F.avg("c"), 6).alias("mean_per_hour"),
+        F.round(F.var_pop("c") / F.avg("c"), 6).alias("fano"),
+    )
+
+
+SQL_EVENTS_BURSTINESS = """
+WITH rng AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM rng),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT h, event_type FROM spine CROSS JOIN types),
+counts AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+fullgrid AS (
+  SELECT g.event_type, COALESCE(c.c, 0) AS c
+  FROM grid g LEFT JOIN counts c ON g.h = c.h AND g.event_type = c.event_type)
+SELECT event_type, COUNT(*) AS n_hours,
+       ROUND(AVG(c), 6) AS mean_per_hour,
+       ROUND(var_pop(c) / AVG(c), 6) AS fano
+FROM fullgrid GROUP BY 1
+"""
+
+
+def q_events_daily_type_drift(spark, sf):
+    """Day-over-day Jensen-Shannon divergence of the event-type
+    distribution — the data-drift monitor a streaming pipeline alerts
+    on (a schema-stable feed whose MIX shifts silently is the failure
+    pipeline_schema_profile cannot see).  JS rather than KL because a
+    type appearing/disappearing between days must yield a finite
+    bounded score (JS ≤ ln 2), with 0·ln0 = 0 handled explicitly.
+
+    100 TB shape: the fact reduces to an O(days·types) census; the
+    day-pairing is a full outer join of that bounded table with itself
+    shifted one day (types present on only one side get probability
+    0); per-day totals and the divergence are keyed aggregates.  No
+    window, no sort."""
+    e = _t(spark, sf, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
+        F.count("*").alias("c")
+    )
+    tot = daily.groupBy("d").agg(F.sum("c").alias("t"))
+    p = daily.join(tot, "d").select(
+        "d", "event_type", (F.col("c") / F.col("t")).alias("p")
+    )
+    q = p.select(
+        F.date_add("d", 1).alias("d"), "event_type", F.col("p").alias("q")
+    )
+    m = (
+        p.join(q, ["d", "event_type"], "full")
+        .withColumn("p", F.coalesce("p", F.lit(0.0)))
+        .withColumn("q", F.coalesce("q", F.lit(0.0)))
+    )
+    # only days with BOTH a distribution and a predecessor emit a row
+    days_both = p.select("d").distinct().join(q.select("d").distinct(), "d")
+    m = m.join(days_both, "d")
+    mid = (F.col("p") + F.col("q")) / 2
+    term = F.when(
+        F.col("p") > 0, F.col("p") * F.log(F.col("p") / mid)
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("q") > 0, F.col("q") * F.log(F.col("q") / mid)
+    ).otherwise(F.lit(0.0))
+    return (
+        m.groupBy("d")
+        .agg(F.round(F.sum(term) / 2, 6).alias("js_divergence"))
+        .select(F.col("d").cast("string").alias("day"), "js_divergence")
+    )
+
+
+SQL_EVENTS_TYPE_DRIFT = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+tot AS (SELECT d, SUM(c) AS t FROM daily GROUP BY 1),
+p AS (SELECT daily.d, event_type, c * 1.0 / t AS p FROM daily JOIN tot USING (d)),
+q AS (SELECT CAST(d + INTERVAL 1 DAY AS DATE) AS d, event_type, p AS q FROM p),
+both_days AS (
+  SELECT DISTINCT p.d FROM p JOIN (SELECT DISTINCT d FROM q) qq ON p.d = qq.d),
+m AS (
+  SELECT COALESCE(p.d, q.d) AS d, COALESCE(p.event_type, q.event_type) AS event_type,
+         COALESCE(p.p, 0) AS p, COALESCE(q.q, 0) AS q
+  FROM p FULL JOIN q ON p.d = q.d AND p.event_type = q.event_type)
+SELECT CAST(m.d AS VARCHAR) AS day,
+       ROUND(SUM(
+         CASE WHEN p > 0 THEN p * LN(p / ((p + q) / 2)) ELSE 0 END
+         + CASE WHEN q > 0 THEN q * LN(q / ((p + q) / 2)) ELSE 0 END) / 2, 6)
+       AS js_divergence
+FROM m JOIN both_days ON m.d = both_days.d
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -9987,6 +10198,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "gram_frequency_spectrum": (
         q_gram_frequency_spectrum,
         SQL_GRAM_SPECTRUM,
+    ),
+    "events_hourly_autocorr": (q_events_hourly_autocorr, SQL_EVENTS_AUTOCORR),
+    "customer_revenue_gini": (q_customer_revenue_gini, SQL_REVENUE_GINI),
+    "events_type_burstiness": (
+        q_events_type_burstiness,
+        SQL_EVENTS_BURSTINESS,
+    ),
+    "events_daily_type_drift": (
+        q_events_daily_type_drift,
+        SQL_EVENTS_TYPE_DRIFT,
     ),
 }
 

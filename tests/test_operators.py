@@ -1865,3 +1865,112 @@ def test_gram_spectrum_good_turing_masses(spark):
     assert got[1].n_grams == 2        # the two singletons
     assert abs(sum(r.mass_frac for r in got.values()) - 1.0) < 1e-6
     assert got[1].mass_frac == 0.5    # Good-Turing unseen estimate
+
+
+def _with_events(spark, Q, rows, fn):
+    """Run a registry query against an in-memory events fixture
+    (event_id, ts, user_id, event_type, value, props)."""
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = Q._t
+    Q._t = lambda spark, sf, name, **k: ev
+    try:
+        return fn(spark, "ignored").collect()
+    finally:
+        Q._t = orig
+
+
+def test_hourly_autocorr_alternating_signal(spark):
+    """A strict high/low alternating hourly volume gives r_lag1 = -1;
+    hours pair only where both sides exist (a gap drops its pairs,
+    inner-join semantics)."""
+    from datetime import datetime, timedelta
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    t0 = datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for h in range(30):
+        n = 4 if h % 2 == 0 else 2
+        for _ in range(n):
+            rows.append((eid, t0 + timedelta(hours=h, minutes=5), 1, "a", 1.0, "{}"))
+            eid += 1
+    got = _with_events(spark, Q, rows, Q.q_events_hourly_autocorr)
+    # 30 hours: lag-1 pairs for h=1..29 and lag-24 pairs for h=24..29
+    assert got[0].n_hours == 6
+    assert got[0].r_lag1 == -1.0
+    assert got[0].r_lag24 == 1.0   # same parity 24h apart
+
+
+def test_revenue_gini_extremes(spark):
+    """Gini: equal spenders -> 0; one customer owning ~all revenue ->
+    near (n-1)/n; midrank tie-correction keeps the equal case exactly
+    0 (an uncorrected rank sum would not)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    def orders(spends):
+        return spark.createDataFrame(
+            [(i, float(s)) for i, s in enumerate(spends)],
+            "o_custkey long, o_totalprice double",
+        )
+
+    orig = Q._t
+    try:
+        Q._t = lambda spark, sf, name, **k: orders([100, 100, 100, 100])
+        got = Q.q_customer_revenue_gini(spark, "x").collect()
+        assert got[0].gini == 0.0
+        Q._t = lambda spark, sf, name, **k: orders([1e-9] * 9 + [1000.0])
+        got = Q.q_customer_revenue_gini(spark, "x").collect()
+        assert abs(got[0].gini - 0.9) < 1e-6
+    finally:
+        Q._t = orig
+
+
+def test_burstiness_empty_hours_count(spark):
+    """Fano: a type firing everything in one hour then silent must be
+    bursty (fano >> 1) BECAUSE the spine injects the empty hours; a
+    steady 1/hour type is exactly Poisson-boundary (var 0 -> fano 0)."""
+    from datetime import datetime, timedelta
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    t0 = datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for h in range(10):
+        rows.append((eid, t0 + timedelta(hours=h), 1, "steady", 1.0, "{}"))
+        eid += 1
+    for _ in range(10):
+        rows.append((eid, t0, 1, "bursty", 1.0, "{}"))
+        eid += 1
+    got = {r.event_type: r for r in
+           _with_events(spark, Q, rows, Q.q_events_type_burstiness)}
+    assert got["steady"].n_hours == 10 and got["bursty"].n_hours == 10
+    assert got["steady"].fano == 0.0
+    assert got["bursty"].fano == 9.0  # var_pop([10,0..0])/mean = 9/1
+
+
+def test_daily_drift_js_bounds(spark):
+    """JS drift: identical day-over-day mix -> 0; a complete type swap
+    -> ln 2 (the JS upper bound); the first day emits no row."""
+    import math
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = []
+    eid = 0
+    for day, types in [(1, ["a", "b"]), (2, ["a", "b"]), (3, ["c", "d"])]:
+        for t in types:
+            for _ in range(5):
+                rows.append((eid, datetime(2024, 3, day, 12), 1, t, 1.0, "{}"))
+                eid += 1
+    got = {r.day: r.js_divergence for r in
+           _with_events(spark, Q, rows, Q.q_events_daily_type_drift)}
+    assert set(got) == {"2024-03-02", "2024-03-03"}
+    assert got["2024-03-02"] == 0.0
+    assert got["2024-03-03"] == round(math.log(2), 6)

@@ -101,6 +101,10 @@ BNLJ_OK = {
     "doc_rarity_score",
     # 1-row total-gram-mass broadcast (the spectrum denominator)
     "gram_frequency_spectrum",
+    # 1-row hour-range broadcast (spine bounds) + bounded hours×types grid
+    "events_type_burstiness",
+    # 1-row (lo, hi) value-range broadcast (_midranks rank transform)
+    "customer_revenue_gini",
 }
 
 
@@ -141,6 +145,7 @@ SP_SORT_OK = {
     # bounded block-offset windows (≤1024 width_bucket totals)
     "logreg_auc": 1,
     "quality_length_spearman": 2,
+    "customer_revenue_gini": 1,
     # bounded-grain cumsums: 10 deciles / calendar days / years
     "vocab_growth_curve": 1,
     "open_lineitem_backlog": 1,
