@@ -253,6 +253,10 @@ HEADLINE = [
     "customer_revenue_gini",
     "events_type_burstiness",
     "events_daily_type_drift",
+    "pipeline_error_taxonomy",
+    "parts_abc_classification",
+    "mixture_token_budget_alloc",
+    "simhash_bit_balance",
 ]
 
 

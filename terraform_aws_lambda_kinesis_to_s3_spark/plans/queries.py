@@ -36,7 +36,11 @@ from terraform_aws_lambda_kinesis_to_s3_spark.operators import sketches as K
 from terraform_aws_lambda_kinesis_to_s3_spark.operators import events as E
 from terraform_aws_lambda_kinesis_to_s3_spark.operators import similarity as S
 from terraform_aws_lambda_kinesis_to_s3_spark.operators import textops as X
-from terraform_aws_lambda_kinesis_to_s3_spark.operators.envelope import route_records
+from terraform_aws_lambda_kinesis_to_s3_spark.operators.envelope import (
+    extract_envelope,
+    route_records,
+    validate,
+)
 from terraform_aws_lambda_kinesis_to_s3_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -9940,6 +9944,289 @@ GROUP BY 1
 """
 
 
+def q_pipeline_error_taxonomy(spark, sf):
+    """Tier-A ops readout: WHY records routed to unknown, as a
+    priority-ordered taxonomy (not_json > missing_log_type >
+    missing_log_id > missing_or_bad_time > ok) over payloads with
+    planted failures — the breakdown an on-call engineer pivots the
+    dead-letter partition by before deciding whether the producer or
+    the clock is broken (extends A5/A11's binary unknown routing,
+    lambda/main.py:54-64).
+
+    Failures planted by event_id arithmetic (%13 corrupt JSON, %11
+    missing type, %7 missing time) so the oracle can predict the
+    taxonomy independently of the parser.  Same single PERMISSIVE
+    from_json pass as pipeline_route — the taxonomy is a CASE over the
+    already-extracted envelope columns, zero extra scans."""
+    ev = _t(spark, sf, "events")
+    time_col = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    payload = F.to_json(
+        F.struct(
+            F.when(~(F.col("event_id") % 11 == 0), F.col("event_type")).alias(
+                "log_type"
+            ),
+            F.col("event_id").cast("string").alias("log_id"),
+            F.when(~(F.col("event_id") % 7 == 0), time_col).alias("time"),
+            F.col("user_id"),
+            F.col("value"),
+        )
+    )
+    raw = ev.select(
+        F.when(F.col("event_id") % 13 == 0, F.lit("{not json"))
+        .otherwise(payload)
+        .alias("payload")
+    )
+    cfg = PipelineConfig()
+    env = validate(extract_envelope(raw, cfg), cfg)
+    taxonomy = (
+        F.when(~F.col("is_json"), F.lit("not_json"))
+        .when(F.col("log_type").isNull(), F.lit("missing_log_type"))
+        .when(F.col("log_id").isNull(), F.lit("missing_log_id"))
+        .when(F.col("ts").isNull(), F.lit("missing_or_bad_time"))
+        .otherwise(F.lit("ok"))
+    )
+    return env.groupBy(taxonomy.alias("reason")).agg(
+        F.count("*").alias("n_records")
+    )
+
+
+SQL_PIPELINE_ERROR_TAXONOMY = """
+SELECT CASE WHEN event_id % 13 = 0 THEN 'not_json'
+            WHEN event_id % 11 = 0 THEN 'missing_log_type'
+            WHEN event_id % 7 = 0 THEN 'missing_or_bad_time'
+            ELSE 'ok' END AS reason,
+       COUNT(*) AS n_records
+FROM events GROUP BY 1
+"""
+
+
+def _blocked_cumsum(g, key, weight):
+    """Exact prefix sums WITHOUT a global single-partition sort: for a
+    distinct-key table ``g(key, weight)``, returns (key, below) where
+    below = Σ weight over keys strictly less than ``key``.  Same
+    two-phase blocked shape as _midranks (width_bucket blocks over the
+    observed range → ≤1024 block totals in a bounded offset window →
+    within-block cumsum partitioned by block) but summing an arbitrary
+    weight instead of row counts — the decomposable prefix-sum shared
+    by ABC classification and any future cumulative-share operator."""
+    rng = g.agg(
+        F.min(key).cast("double").alias("lo"),
+        F.max(key).cast("double").alias("hi"),
+    )
+    g2 = g.crossJoin(F.broadcast(rng)).withColumn(
+        "blk",
+        F.when(F.col("hi") == F.col("lo"), F.lit(1)).otherwise(
+            F.width_bucket(
+                F.col(key).cast("double"), F.col("lo"), F.col("hi"), F.lit(1024)
+            )
+        ),
+    )
+    w_blocks = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        g2.groupBy("blk")
+        .agg(F.sum(weight).alias("bw"))
+        .withColumn("off", F.coalesce(F.sum("bw").over(w_blocks), F.lit(0.0)))
+        .select("blk", "off")
+    )
+    w_in = Window.partitionBy("blk").orderBy(key).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        g2.join(F.broadcast(offsets), "blk")
+        .withColumn(
+            "below",
+            F.col("off") + F.coalesce(F.sum(weight).over(w_in), F.lit(0.0)),
+        )
+        .select(key, "below")
+    )
+
+
+def q_parts_abc_classification(spark, sf):
+    """ABC inventory classification: parts sorted by revenue, class A =
+    parts covering the first 80% of cumulative revenue, B to 95%, C the
+    tail — the Pareto cut every inventory/catalog team runs.
+
+    The cumulative share comes from _blocked_cumsum's decomposable
+    prefix sum over DISTINCT revenue values (descending, via the
+    negated key) — never a global sort of the part table.  Parts tied
+    on revenue share a class (group-grain cumulative, deterministic on
+    both engines).  Boundary semantics: a class holds parts whose
+    inclusive cumulative share is within the threshold."""
+    li = _t(spark, sf, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("double")
+                * (1 - F.col("l_discount").cast("double"))
+            ),
+            2,
+        ).alias("rev")
+    )
+    g = (
+        per.groupBy("rev")
+        .agg(F.sum("rev").alias("grp_rev"), F.count("*").alias("n_parts"))
+        .withColumn("negrev", -F.col("rev"))
+    )
+    cum = _blocked_cumsum(g.select("negrev", "grp_rev"), "negrev", "grp_rev")
+    cum = cum.join(g, "negrev").withColumn(
+        "cum_incl", F.col("below") + F.col("grp_rev")
+    )
+    tot = g.agg(F.sum("grp_rev").alias("t"))
+    cls = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "abc_class",
+        F.when(F.col("cum_incl") <= 0.8 * F.col("t"), F.lit("A"))
+        .when(F.col("cum_incl") <= 0.95 * F.col("t"), F.lit("B"))
+        .otherwise(F.lit("C")),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.sum("n_parts").cast("long").alias("n_parts"),
+        F.round(F.sum("grp_rev") / F.first("t"), 6).alias("revenue_share"),
+    )
+
+
+SQL_PARTS_ABC = """
+WITH per AS (
+  SELECT l_partkey,
+         ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
+                   * (1 - CAST(l_discount AS DOUBLE))), 2) AS rev
+  FROM lineitem GROUP BY 1),
+g AS (SELECT rev, SUM(rev) AS grp_rev, COUNT(*) AS n_parts FROM per GROUP BY 1),
+tot AS (SELECT SUM(grp_rev) AS t FROM g),
+cum AS (
+  SELECT rev, grp_rev, n_parts,
+         SUM(grp_rev) OVER (ORDER BY rev DESC) AS cum_incl
+  FROM g),
+cls AS (
+  SELECT CASE WHEN cum_incl <= 0.8 * t THEN 'A'
+              WHEN cum_incl <= 0.95 * t THEN 'B'
+              ELSE 'C' END AS abc_class,
+         grp_rev, n_parts, t
+  FROM cum CROSS JOIN tot)
+SELECT abc_class, CAST(SUM(n_parts) AS BIGINT) AS n_parts,
+       ROUND(SUM(grp_rev) / ANY_VALUE(t), 6) AS revenue_share
+FROM cls GROUP BY 1
+"""
+
+
+ALLOC_BUDGET = 1_000_000  # target token budget to allocate
+ALLOC_ALPHA = 0.5  # temperature exponent (same family as mixture weights)
+
+
+def q_mixture_token_budget_alloc(spark, sf):
+    """Integer token-budget allocation across sources — the step AFTER
+    temperature_mixture_weights: turn α=0.5 temperature weights into
+    EXACT integer per-source budgets summing to ALLOC_BUDGET via
+    largest-remainder apportionment (floor every share, hand the
+    leftover tokens to the largest fractional remainders).  This is
+    the table a sampler actually consumes; float weights alone
+    under- or over-shoot the budget.
+
+    Raw shares round to 6dp before floor/remainder so both engines
+    split ties identically (1-ulp float drift cannot flip a floor).
+    The remainder rank is a window over the N_SOURCES-row weight
+    table — bounded by the number of sources, never by data."""
+    d = _t(spark, sf, "documents")
+    per = (
+        d.select("source", F.size(F.split("text", " ")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("tokens"))
+    )
+    tot = per.agg(
+        F.sum(F.pow(F.col("tokens").cast("double"), ALLOC_ALPHA)).alias("z")
+    )
+    w = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "raw",
+            F.round(
+                ALLOC_BUDGET
+                * F.pow(F.col("tokens").cast("double"), ALLOC_ALPHA)
+                / F.col("z"),
+                6,
+            ),
+        )
+        .withColumn("base", F.floor("raw").cast("long"))
+        .withColumn("frac", F.col("raw") - F.col("base"))
+    )
+    short = w.agg((ALLOC_BUDGET - F.sum("base")).cast("long").alias("k"))
+    ranked = w.crossJoin(F.broadcast(short)).withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("frac").desc(), F.col("source"))),
+    )
+    return ranked.select(
+        "source",
+        "tokens",
+        (F.col("base") + (F.col("r") <= F.col("k")).cast("long")).alias(
+            "alloc_tokens"
+        ),
+    )
+
+
+SQL_MIXTURE_ALLOC = f"""
+WITH per AS (
+  SELECT source, SUM(len(string_split(text, ' '))) AS tokens
+  FROM documents GROUP BY 1),
+tot AS (SELECT SUM(POW(tokens, {ALLOC_ALPHA})) AS z FROM per),
+w AS (
+  SELECT source, tokens,
+         ROUND({ALLOC_BUDGET} * POW(tokens, {ALLOC_ALPHA}) / z, 6) AS raw
+  FROM per CROSS JOIN tot),
+wb AS (
+  SELECT source, tokens, CAST(FLOOR(raw) AS BIGINT) AS base,
+         raw - FLOOR(raw) AS frac
+  FROM w),
+short AS (SELECT CAST({ALLOC_BUDGET} - SUM(base) AS BIGINT) AS k FROM wb),
+ranked AS (
+  SELECT source, tokens, base, k,
+         row_number() OVER (ORDER BY frac DESC, source) AS r
+  FROM wb CROSS JOIN short)
+SELECT source, CAST(tokens AS BIGINT) AS tokens,
+       CAST(base + CASE WHEN r <= k THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+FROM ranked
+"""
+
+
+def q_simhash_bit_balance(spark, sf):
+    """SimHash signature-quality diagnostic: per bit position, the
+    fraction of documents with the bit set and its bias |frac − 0.5|.
+    A healthy hash family keeps every bit near 0.5; a biased bit
+    carries less than one bit of information, which silently inflates
+    the hamming-probe false-positive rate dedup_simhash_hamming's
+    pigeonhole bound assumes away — this is the audit that catches it.
+
+    100 TB shape: reuses operators.dedup.simhash's one-shuffle
+    signature build, then an IN-ROW 32-way bit explode (bounded ×32
+    fan-out) into a 32-row aggregate."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import dedup as DD
+
+    d = _t(spark, sf, "documents")
+    sig = DD.simhash(d)
+    bits = sig.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 31), b -> "
+                "struct(b AS bit, CAST(shiftright(simhash, b) & 1 AS DOUBLE) AS s))"
+            )
+        ).alias("x")
+    ).select("x.bit", "x.s")
+    return bits.groupBy("bit").agg(
+        F.round(F.avg("s"), 6).alias("frac_set"),
+        F.round(F.abs(F.avg("s") - 0.5), 6).alias("bias"),
+    )
+
+
+SQL_SIMHASH_BIT_BALANCE = (
+    "WITH sig AS (" + SQL_SIMHASH + """),
+bits AS (
+  SELECT b AS bit, CAST((simhash >> b) & 1 AS DOUBLE) AS s
+  FROM sig, unnest(range(0, 32)) AS t(b))
+SELECT CAST(bit AS INTEGER) AS bit, ROUND(AVG(s), 6) AS frac_set,
+       ROUND(ABS(AVG(s) - 0.5), 6) AS bias
+FROM bits GROUP BY 1
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -10209,6 +10496,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_events_daily_type_drift,
         SQL_EVENTS_TYPE_DRIFT,
     ),
+    "pipeline_error_taxonomy": (
+        q_pipeline_error_taxonomy,
+        SQL_PIPELINE_ERROR_TAXONOMY,
+    ),
+    "parts_abc_classification": (q_parts_abc_classification, SQL_PARTS_ABC),
+    "mixture_token_budget_alloc": (
+        q_mixture_token_budget_alloc,
+        SQL_MIXTURE_ALLOC,
+    ),
+    "simhash_bit_balance": (q_simhash_bit_balance, SQL_SIMHASH_BIT_BALANCE),
 }
 
 

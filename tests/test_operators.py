@@ -1974,3 +1974,91 @@ def test_daily_drift_js_bounds(spark):
     assert set(got) == {"2024-03-02", "2024-03-03"}
     assert got["2024-03-02"] == 0.0
     assert got["2024-03-03"] == round(math.log(2), 6)
+
+
+def test_error_taxonomy_priority_order(spark):
+    """Taxonomy: a record failing MULTIPLE ways classifies by priority
+    (not_json beats missing fields); event_id 0 (divisible by 7, 11
+    and 13) must land in not_json; clean records are 'ok'."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        (i, datetime(2024, 3, 1, 12), 1, "a", 1.0, "{}")
+        for i in (0, 7, 11, 13, 77, 1, 2)
+    ]
+    got = {r.reason: r.n_records for r in
+           _with_events(spark, Q, rows, Q.q_pipeline_error_taxonomy)}
+    # 0,13 -> not_json; 11,77 -> missing_log_type; 7 -> time; 1,2 -> ok
+    assert got == {"not_json": 2, "missing_log_type": 2,
+                   "missing_or_bad_time": 1, "ok": 2}
+
+
+def test_abc_classes_partition_and_shares(spark):
+    """ABC: classes partition all parts, shares sum to 1, boundary
+    parts classify by INCLUSIVE cumulative share (80 -> A, 95 -> B),
+    and revenue-tied parts share a class (group-grain cumulative)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    # revenues 80, 6, 5, 4, 3, 2 (total 100): cum 80|86|91|95|98|100
+    revs = [80.0, 6.0, 5.0, 4.0, 3.0, 2.0]
+    rows = [(i + 1, i + 1, r, 0.0) for i, r in enumerate(revs)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_extendedprice double, "
+              "l_discount double"
+    )
+    orig = Q._t
+    try:
+        Q._t = lambda spark, sf, name, **k: li
+        got = {r.abc_class: r for r in
+               Q.q_parts_abc_classification(spark, "x").collect()}
+        # tie case: the whole equal-revenue tail shares one class
+        tied = [(1, 1, 80.0, 0.0)] + [(i + 2, i + 2, 2.5, 0.0) for i in range(8)]
+        li2 = spark.createDataFrame(
+            tied, "l_orderkey long, l_partkey long, l_extendedprice double, "
+                  "l_discount double"
+        )
+        Q._t = lambda spark, sf, name, **k: li2
+        got_tied = {r.abc_class: r for r in
+                    Q.q_parts_abc_classification(spark, "x").collect()}
+    finally:
+        Q._t = orig
+    assert got["A"].n_parts == 1 and got["A"].revenue_share == 0.8
+    assert got["B"].n_parts == 3 and got["B"].revenue_share == 0.15
+    assert got["C"].n_parts == 2 and got["C"].revenue_share == 0.05
+    assert abs(sum(r.revenue_share for r in got.values()) - 1.0) < 1e-6
+    assert got_tied["A"].n_parts == 1 and got_tied["C"].n_parts == 8
+    assert "B" not in got_tied  # the tied group crosses 95% as one unit
+
+
+def test_token_budget_alloc_sums_exactly(spark):
+    """Largest-remainder apportionment: allocations are integers that
+    sum EXACTLY to the budget, monotone in source size, and every
+    source gets at least its floored share."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = []
+    did = 0
+    for s, n_docs in (("s1", 1), ("s2", 4), ("s3", 9)):
+        for _ in range(n_docs):
+            rows.append((did, "w " * 9 + "w", "en", s, 9))
+            did += 1
+    got = {r.source: r for r in
+           _with_docs(spark, Q, rows, Q.q_mixture_token_budget_alloc)}
+    assert sum(r.alloc_tokens for r in got.values()) == Q.ALLOC_BUDGET
+    assert got["s1"].alloc_tokens < got["s2"].alloc_tokens < got["s3"].alloc_tokens
+    # alpha=0.5: shares prop to sqrt(10), sqrt(40), sqrt(90) = 1:2:3
+    assert abs(got["s3"].alloc_tokens - Q.ALLOC_BUDGET / 2) <= 1
+
+
+def test_simhash_bit_balance_shape(spark):
+    """Bit balance: 32 rows, frac_set in [0,1], bias = |frac-0.5|, and
+    a corpus of IDENTICAL docs pins every bit to frac 0 or 1 (bias
+    exactly 0.5 — the degenerate case the audit must flag loudest)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [(i, "same text every time", "en", "s", 9) for i in range(6)]
+    got = _with_docs(spark, Q, rows, Q.q_simhash_bit_balance)
+    assert len(got) == 32
+    assert all(r.frac_set in (0.0, 1.0) and r.bias == 0.5 for r in got)

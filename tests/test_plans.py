@@ -105,6 +105,10 @@ BNLJ_OK = {
     "events_type_burstiness",
     # 1-row (lo, hi) value-range broadcast (_midranks rank transform)
     "customer_revenue_gini",
+    # 1-row range + total-revenue broadcasts (_blocked_cumsum + Pareto cut)
+    "parts_abc_classification",
+    # 1-row normalizer + leftover-count broadcasts (largest remainder)
+    "mixture_token_budget_alloc",
 }
 
 
@@ -150,6 +154,10 @@ SP_SORT_OK = {
     "vocab_growth_curve": 1,
     "open_lineitem_backlog": 1,
     "orders_yoy_growth": 1,
+    # bounded block-offset window (_blocked_cumsum ≤1024 totals)
+    "parts_abc_classification": 1,
+    # remainder rank over the N_SOURCES-row weight table
+    "mixture_token_budget_alloc": 1,
 }
 
 
