@@ -6885,15 +6885,12 @@ def q_logreg_auc(spark, sf):
     3-feature model after 8 GD steps, same accounting ethos as the
     recall evals.
 
-    The rank is computed as an exact TWO-PHASE blocked cumsum, never a
-    global single-partition sort: (1) group by score p (one shuffle;
-    ties collapse to a (cnt, pos) row per distinct score), (2) block
-    the distinct scores by width_bucket(p, 0, 1, 1024) — sigmoid keeps
-    p in (0,1) — and cumsum the ≤1024 block totals (bounded window),
-    (3) within-block cumsum partitioned by block.  below(p) =
-    block_offset + within_block_below, and midrank(p) = below +
-    (cnt+1)/2 reproduces AVG(row_number) over each tie group exactly,
-    so the decomposable plan is bit-identical to the global-window
+    The rank is _midranks_grouped's exact two-phase blocked cumsum,
+    never a global single-partition sort: group by score p (one
+    shuffle; ties collapse to a (cnt, pos) row per distinct score, pos
+    passing through), then the decomposable prefix count gives
+    midrank(p) = below + (cnt+1)/2 — AVG(row_number) over each tie
+    group exactly, so the plan is bit-identical to the global-window
     form (same oracle).  Block skew is bounded by the largest
     distinct-score cluster, not the corpus."""
     feats, w = _logreg_feats_and_weights(spark, sf)
@@ -6907,25 +6904,8 @@ def q_logreg_auc(spark, sf):
     )
     g = scored.groupBy("p").agg(
         F.count("*").alias("cnt"), F.sum("y").alias("pos")
-    ).withColumn("b", F.width_bucket("p", F.lit(0.0), F.lit(1.0), F.lit(1024)))
-    # per-block totals: ≤1024 rows, so this orderBy window is bounded
-    w_blocks = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        g.groupBy("b")
-        .agg(F.sum("cnt").alias("bc"))
-        .withColumn("off", F.coalesce(F.sum("bc").over(w_blocks), F.lit(0)))
-        .select("b", "off")
     )
-    w_in = Window.partitionBy("b").orderBy("p").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    ranked = (
-        g.join(F.broadcast(offsets), "b")
-        .withColumn(
-            "below", F.col("off") + F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
-        )
-        .withColumn("midrank", F.col("below") + (F.col("cnt") + 1) / 2)
-    )
+    ranked = _midranks_grouped(g, "p")
     return ranked.agg(
         F.sum("pos").cast("long").alias("n_pos"),
         (F.sum("cnt") - F.sum("pos")).cast("long").alias("n_neg"),
@@ -9438,45 +9418,29 @@ FROM pairs JOIN sizes sa ON pairs.source_a = sa.source
 """
 
 
+def _midranks_grouped(g, col, cnt="cnt"):
+    """Midranks for a PRE-GROUPED distinct-value table ``g(col, cnt,
+    ...)`` — extra columns (e.g. per-group label sums) pass through.
+    midrank(v) = (# rows below v) + (cnt(v)+1)/2 reproduces
+    AVG(row_number) over each tie group exactly; the prefix count is
+    _blocked_cumsum's decomposable two-phase sum, never a global
+    sort."""
+    below = _blocked_cumsum(
+        g.select(col, F.col(cnt).cast("double").alias("__w")), col, "__w"
+    )
+    return g.join(below, col).withColumn(
+        "midrank", F.col("below") + (F.col(cnt) + 1) / 2
+    )
+
+
 def _midranks(df, col):
     """Exact average ranks (midranks, ties share the mean rank) for
-    ``df[col]`` WITHOUT a global single-partition sort — the same
-    two-phase blocked cumsum as q_logreg_auc, generalized to any
-    numeric column: group by value (ties collapse), block the distinct
-    values by width_bucket over the observed [lo, hi] range (≤1024
-    block totals → bounded offset window), cumsum within blocks.
+    ``df[col]`` WITHOUT a global single-partition sort: group by value
+    (ties collapse), then _midranks_grouped's blocked prefix count.
     Returns the distinct-value table (col, midrank) to join back on
     ``col``; the join is value-keyed, cardinality = distinct values."""
     g = df.groupBy(col).agg(F.count("*").alias("cnt"))
-    rng = g.agg(
-        F.min(col).cast("double").alias("lo"),
-        F.max(col).cast("double").alias("hi"),
-    )
-    g = g.crossJoin(F.broadcast(rng)).withColumn(
-        "blk",
-        F.when(F.col("hi") == F.col("lo"), F.lit(1)).otherwise(
-            F.width_bucket(
-                F.col(col).cast("double"), F.col("lo"), F.col("hi"), F.lit(1024)
-            )
-        ),
-    )
-    w_blocks = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        g.groupBy("blk")
-        .agg(F.sum("cnt").alias("bc"))
-        .withColumn("off", F.coalesce(F.sum("bc").over(w_blocks), F.lit(0)))
-        .select("blk", "off")
-    )
-    w_in = Window.partitionBy("blk").orderBy(col).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    return (
-        g.join(F.broadcast(offsets), "blk")
-        .withColumn(
-            "below", F.col("off") + F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
-        )
-        .select(col, (F.col("below") + (F.col("cnt") + 1) / 2).alias("midrank"))
-    )
+    return _midranks_grouped(g, col).select(col, "midrank")
 
 
 def q_quality_length_spearman(spark, sf):
