@@ -257,6 +257,10 @@ HEADLINE = [
     "parts_abc_classification",
     "mixture_token_budget_alloc",
     "simhash_bit_balance",
+    "orders_priority_anova",
+    "events_value_benford",
+    "supplier_nation_hhi",
+    "events_user_entropy",
 ]
 
 

@@ -10191,6 +10191,206 @@ FROM bits GROUP BY 1
 )
 
 
+def q_orders_priority_anova(spark, sf):
+    """One-way ANOVA F-statistic: does order value differ across the
+    five order priorities?  The k-group generalization of
+    ab_test_welch's two-arm test — the readout that says whether a
+    categorical column is worth conditioning a model (or a mixture) on.
+
+    Fully decomposable: per-group (n, mean, Σv²) in one map-side
+    combinable agg, grand stats a 1-row broadcast, SSB/SSW closed
+    forms (SSW = Σ(Σv² − n·m²), no second data pass).  F =
+    (SSB/(k−1)) / (SSW/(n−k))."""
+    o = _t(spark, sf, "orders")
+    x = o.select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("v")
+    )
+    g = x.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.avg("v").alias("m"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("n_tot"),
+        (F.sum(F.col("m") * F.col("n")) / F.sum("n")).alias("grand"),
+        F.count("*").alias("k"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    agg = j.agg(
+        F.first("n_tot").alias("n_obs"),
+        F.first("k").alias("k_groups"),
+        F.sum(
+            F.col("n")
+            * (F.col("m") - F.col("grand"))
+            * (F.col("m") - F.col("grand"))
+        ).alias("ssb"),
+        F.sum(F.col("ss") - F.col("n") * F.col("m") * F.col("m")).alias("ssw"),
+    )
+    return agg.select(
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("k_groups").cast("long").alias("k_groups"),
+        F.round(
+            (F.col("ssb") / (F.col("k_groups") - 1))
+            / (F.col("ssw") / (F.col("n_obs") - F.col("k_groups"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+SQL_ORDERS_ANOVA = """
+WITH x AS (SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+g AS (
+  SELECT o_orderpriority, COUNT(*) AS n, AVG(v) AS m, SUM(v * v) AS ss
+  FROM x GROUP BY 1),
+tot AS (
+  SELECT SUM(n) AS n_tot, SUM(m * n) / SUM(n) AS grand, COUNT(*) AS k FROM g)
+SELECT CAST(ANY_VALUE(n_tot) AS BIGINT) AS n_obs,
+       CAST(ANY_VALUE(k) AS BIGINT) AS k_groups,
+       ROUND((SUM(n * (m - grand) * (m - grand)) / (ANY_VALUE(k) - 1))
+             / (SUM(ss - n * m * m) / (ANY_VALUE(n_tot) - ANY_VALUE(k))), 6)
+       AS f_stat
+FROM g CROSS JOIN tot
+"""
+
+
+def q_events_value_benford(spark, sf):
+    """Benford's-law first-significant-digit profile of the event value
+    column — the classic fabricated-data / unit-mixup screen: organic
+    multi-scale magnitudes follow P(d) = log10(1 + 1/d); a uniform or
+    clipped generator does not.  Emits observed vs expected per digit
+    so the consumer can run whatever distance test it wants.
+
+    Map-only digit extract (fixed-point render, strip zeros/punct,
+    take the first remaining char — no float log10-of-value edge cases
+    at exact powers of ten), 9-row agg, 1-row total broadcast."""
+    e = _t(spark, sf, "events")
+    pos = e.filter(F.col("value") > 0)
+    d1 = F.substring(
+        F.regexp_replace(
+            F.format_number(F.col("value").cast("double"), 12), "[0.,-]", ""
+        ),
+        1,
+        1,
+    ).cast("int")
+    counts = pos.select(d1.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("t"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("t"), 6).alias("observed"),
+        F.round(F.log10(1 + 1 / F.col("digit")), 6).alias("benford_expected"),
+    )
+
+
+SQL_EVENTS_BENFORD = """
+WITH pos AS (SELECT value FROM events WHERE value > 0),
+d AS (
+  SELECT CAST(substr(regexp_replace(format('{:.12f}', value), '[0.,-]', '', 'g'), 1, 1) AS INTEGER) AS digit
+  FROM pos),
+counts AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+tot AS (SELECT SUM(n) AS t FROM counts)
+SELECT digit, n, ROUND(n * 1.0 / t, 6) AS observed,
+       ROUND(LOG10(1 + 1.0 / digit), 6) AS benford_expected
+FROM counts CROSS JOIN tot
+"""
+
+
+def q_supplier_nation_hhi(spark, sf):
+    """Herfindahl-Hirschman concentration index of supplier revenue per
+    nation (Σ share² — 1/n = perfectly even, 1 = monopoly) — the
+    concentration diagnostic beside customer_revenue_gini's inequality
+    view; HHI needs no ranks at all, so it stays a pure two-agg
+    pipeline: supplier revenue reduce, broadcast-joined supplier dim,
+    per-nation Σrev/Σrev² closed form."""
+    s = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("double")
+            * (1 - F.col("l_discount").cast("double"))
+        ).alias("rev")
+    )
+    j = rev.join(
+        F.broadcast(
+            s.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+        ),
+        "l_suppkey",
+    )
+    per_nation = j.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("rev").alias("t"),
+        F.sum(F.col("rev") * F.col("rev")).alias("sq"),
+    )
+    return per_nation.select(
+        F.col("s_nationkey").cast("int").alias("nationkey"),
+        "n_suppliers",
+        F.round(F.col("sq") / (F.col("t") * F.col("t")), 6).alias("hhi"),
+    )
+
+
+SQL_SUPPLIER_HHI = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE))) AS rev
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT s_nationkey, rev FROM rev JOIN supplier ON l_suppkey = s_suppkey)
+SELECT CAST(s_nationkey AS INTEGER) AS nationkey,
+       COUNT(*) AS n_suppliers,
+       ROUND(SUM(rev * rev) / (SUM(rev) * SUM(rev)), 6) AS hhi
+FROM j GROUP BY 1
+"""
+
+
+def q_events_user_entropy(spark, sf):
+    """Per-user event-type Shannon entropy, profiled by the user's
+    type-repertoire size — "how specialized are users": a user with
+    entropy near ln(n_types) spreads evenly, near 0 is single-typed.
+    The behavioral-diversity readout a personalization or bot-detection
+    pipeline screens with.
+
+    Two keyed aggs ((user, type) census → per-user entropy) and one
+    bounded profile agg — every shuffle keyed on user_id, no windows,
+    no sorts."""
+    e = _t(spark, sf, "events")
+    ut = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    utot = ut.groupBy("user_id").agg(
+        F.sum("c").alias("t"), F.count("*").alias("n_types")
+    )
+    ent = (
+        ut.join(utot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            (
+                -F.sum((F.col("c") / F.col("t")) * F.log(F.col("c") / F.col("t")))
+            ).alias("h"),
+            F.first("n_types").alias("n_types"),
+        )
+    )
+    return ent.groupBy("n_types").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.avg("h"), 6).alias("avg_entropy"),
+        F.round(F.max("h"), 6).alias("max_entropy"),
+    )
+
+
+SQL_EVENTS_USER_ENTROPY = """
+WITH ut AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+utot AS (SELECT user_id, SUM(c) AS t, COUNT(*) AS n_types FROM ut GROUP BY 1),
+ent AS (
+  SELECT ut.user_id, -SUM((c * 1.0 / t) * LN(c * 1.0 / t)) AS h,
+         ANY_VALUE(n_types) AS n_types
+  FROM ut JOIN utot ON ut.user_id = utot.user_id GROUP BY 1)
+SELECT n_types, COUNT(*) AS n_users,
+       ROUND(AVG(h), 6) AS avg_entropy,
+       ROUND(MAX(h), 6) AS max_entropy
+FROM ent GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -10470,6 +10670,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_MIXTURE_ALLOC,
     ),
     "simhash_bit_balance": (q_simhash_bit_balance, SQL_SIMHASH_BIT_BALANCE),
+    "orders_priority_anova": (q_orders_priority_anova, SQL_ORDERS_ANOVA),
+    "events_value_benford": (q_events_value_benford, SQL_EVENTS_BENFORD),
+    "supplier_nation_hhi": (q_supplier_nation_hhi, SQL_SUPPLIER_HHI),
+    "events_user_entropy": (q_events_user_entropy, SQL_EVENTS_USER_ENTROPY),
 }
 
 

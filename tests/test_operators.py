@@ -2062,3 +2062,102 @@ def test_simhash_bit_balance_shape(spark):
     got = _with_docs(spark, Q, rows, Q.q_simhash_bit_balance)
     assert len(got) == 32
     assert all(r.frac_set in (0.0, 1.0) and r.bias == 0.5 for r in got)
+
+
+def test_anova_f_separated_vs_identical_groups(spark):
+    """ANOVA: identical group means give F = 0; well-separated
+    low-variance groups give a large F; closed-form check on a tiny
+    fixture (two groups {1,2} and {5,6}: SSB=16, SSW=1, F=32)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    def orders(groups):
+        rows = []
+        i = 0
+        for name, vals in groups.items():
+            for v in vals:
+                rows.append((i, name, float(v)))
+                i += 1
+        return spark.createDataFrame(
+            rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+        )
+
+    orig = Q._t
+    try:
+        Q._t = lambda spark, sf, name, **k: orders(
+            {"a": [1, 2], "b": [5, 6]}
+        )
+        got = Q.q_orders_priority_anova(spark, "x").collect()[0]
+        assert (got.n_obs, got.k_groups, got.f_stat) == (4, 2, 32.0)
+        Q._t = lambda spark, sf, name, **k: orders(
+            {"a": [3, 5], "b": [4, 4], "c": [5, 3]}
+        )
+        got = Q.q_orders_priority_anova(spark, "x").collect()[0]
+        assert got.f_stat == 0.0  # identical means
+    finally:
+        Q._t = orig
+
+
+def test_benford_first_significant_digit_extraction(spark):
+    """Digit extraction: leading zeros are skipped (0.042 -> 4), exact
+    powers of ten give 1 (the float-log10 trap), non-positive values
+    are excluded, expected column is log10(1 + 1/d)."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    vals = [0.042, 100.0, 1.0, 0.1, 9.5, -3.0, 0.0, 2000.5]
+    rows = [(i, datetime(2024, 3, 1), 1, "a", v, "{}")
+            for i, v in enumerate(vals)]
+    got = {r.digit: r for r in
+           _with_events(spark, Q, rows, Q.q_events_value_benford)}
+    assert got[1].n == 3          # 100.0, 1.0, 0.1
+    assert got[4].n == 1          # 0.042
+    assert got[9].n == 1 and got[2].n == 1
+    assert sum(r.n for r in got.values()) == 6  # -3 and 0 excluded
+    assert got[1].benford_expected == round(__import__("math").log10(2), 6)
+
+
+def test_hhi_monopoly_vs_even(spark):
+    """HHI: a nation with one supplier = 1.0; n even suppliers = 1/n;
+    uneven shares land strictly between."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    sup = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 20), (4, 20), (5, 20)],
+        "s_suppkey long, s_nationkey long",
+    )
+    li = spark.createDataFrame(
+        [(1, 1, 100.0, 0.0),
+         (2, 2, 50.0, 0.0), (3, 3, 50.0, 0.0),
+         (4, 4, 50.0, 0.0), (5, 5, 50.0, 0.0)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    orig = Q._t
+    try:
+        Q._t = lambda spark, sf, name, **k: sup if name == "supplier" else li
+        got = {r.nationkey: r for r in
+               Q.q_supplier_nation_hhi(spark, "x").collect()}
+    finally:
+        Q._t = orig
+    assert got[10].hhi == 1.0 and got[10].n_suppliers == 1
+    assert got[20].hhi == 0.25 and got[20].n_suppliers == 4
+
+
+def test_user_entropy_specialist_vs_generalist(spark):
+    """Entropy: a single-type user scores 0; an even two-type user
+    scores ln 2; profile groups by repertoire size."""
+    import math
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = []
+    eid = 0
+    for _ in range(4):
+        rows.append((eid, datetime(2024, 3, 1), 1, "a", 1.0, "{}")); eid += 1
+    for t in ("a", "b", "a", "b"):
+        rows.append((eid, datetime(2024, 3, 1), 2, t, 1.0, "{}")); eid += 1
+    got = {r.n_types: r for r in
+           _with_events(spark, Q, rows, Q.q_events_user_entropy)}
+    assert got[1].avg_entropy == 0.0 and got[1].n_users == 1
+    assert got[2].avg_entropy == round(math.log(2), 6)

@@ -109,6 +109,10 @@ BNLJ_OK = {
     "parts_abc_classification",
     # 1-row normalizer + leftover-count broadcasts (largest remainder)
     "mixture_token_budget_alloc",
+    # 1-row grand-stats broadcast (the ANOVA SSB/SSW denominators)
+    "orders_priority_anova",
+    # 1-row digit-total broadcast (the observed-fraction denominator)
+    "events_value_benford",
 }
 
 
