@@ -709,3 +709,96 @@ def test_quantile_histogram_merge_law(spark, data):
     for k, v in h_odd.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == whole
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+    )
+)
+def test_midranks_equal_scipy_free_reference_property(spark, vals):
+    """_midranks == the textbook average-rank formula on arbitrary
+    integer multisets (ties included): for each distinct v,
+    midrank(v) = #{x < v} + (#{x == v} + 1) / 2."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r.v: r.midrank for r in Q._midranks(df, "v").collect()}
+    for v in set(vals):
+        below = sum(1 for x in vals if x < v)
+        ties = vals.count(v)
+        assert got[v] == below + (ties + 1) / 2, (v, vals)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-500, max_value=500),
+            st.floats(
+                min_value=0.1, max_value=100.0,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_blocked_cumsum_equals_naive_prefix_property(spark, pairs):
+    """_blocked_cumsum == the naive sorted prefix sum on arbitrary
+    distinct-key weighted tables (the decomposition must be invisible
+    in the result)."""
+    import math
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    df = spark.createDataFrame(pairs, "k long, w double")
+    got = {r.k: r.below for r in Q._blocked_cumsum(df, "k", "w").collect()}
+    for k, _ in pairs:
+        expect = sum(w for kk, w in pairs if kk < k)
+        assert math.isclose(got[k], expect, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-50, max_value=50, allow_nan=False, allow_infinity=False
+        ),
+        min_size=4,
+        max_size=50,
+    ),
+    n_bins=st.integers(min_value=2, max_value=6),
+)
+def test_equal_count_bins_approx_path_properties(spark, monkeypatch, vals, n_bins):
+    """Forced-approx _equal_count_bins on arbitrary float data:
+    bin ids stay in [1, n_bins], assignment is monotone in the key,
+    and equal keys always share a bin."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    monkeypatch.setattr(Q, "NTILE_EXACT_MAX", 0)
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "tie long, v double"
+    )
+    rows = Q._equal_count_bins(df, "v", "tie", n_bins, "bin").collect()
+    assert all(1 <= r.bin <= n_bins for r in rows)
+    by_v = sorted(rows, key=lambda r: r.v)
+    bins = [r.bin for r in by_v]
+    assert bins == sorted(bins)
+    seen = {}
+    for r in rows:
+        assert seen.setdefault(r.v, r.bin) == r.bin
