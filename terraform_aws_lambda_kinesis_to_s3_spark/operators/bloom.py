@@ -47,14 +47,28 @@ def bloom_positions(col: F.Column, k: int = BLOOM_K, m: int = BLOOM_M) -> list[F
 def bloom_build(
     keys: DataFrame, key_col: str, k: int = BLOOM_K, m: int = BLOOM_M
 ) -> DataFrame:
-    """Build the filter: 1-row DataFrame holding the sorted array of
-    set bit positions (bounded by m, i.e. a few KB — broadcastable no
-    matter how many keys went in). Distinct positions are reduced with
-    map-side combine before the single tiny agg."""
+    """Build the filter: 1-row DataFrame holding a word → 64-bit-mask
+    MAP (m/64 entries max, i.e. a few KB — broadcastable no matter how
+    many keys went in).  Positions reduce to per-word bit_or masks
+    with map-side combine before the single tiny agg.
+
+    The packed representation makes the probe O(1) per hash — one map
+    lookup + shift — where a sorted-positions array costs an O(m)
+    `array_contains` linear scan per hash per fact row (measured 3×
+    the whole query's wall-clock at sf0.1 before the switch)."""
     pos = keys.select(
         F.explode(F.array(*bloom_positions(F.col(key_col), k, m))).alias("p")
     ).distinct()
-    return pos.agg(F.array_sort(F.collect_set("p")).alias("__bloom"))
+    words = pos.groupBy((F.col("p") / 64).cast("long").alias("w")).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))"
+        ).alias("bits")
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("w", "bits")))
+        ).alias("__bloom")
+    )
 
 
 def bloom_semi_filter(
@@ -65,13 +79,23 @@ def bloom_semi_filter(
     m: int = BLOOM_M,
 ) -> DataFrame:
     """Keep fact rows whose key tests positive in the filter: all k
-    positions present. Plan: broadcast the 1-row filter, then a
-    map-only `array_contains` conjunction fused into the fact scan's
-    codegen stage — zero shuffle of the fact table."""
-    conds = [
-        F.array_contains(F.col("__bloom"), p)
-        for p in bloom_positions(F.col(key_col), k, m)
-    ]
+    positions' bits set. Plan: broadcast the 1-row filter, then a
+    map-only O(1)-per-hash probe — map lookup, shift, mask — fused
+    into the fact scan's codegen stage; zero shuffle of the fact
+    table. Words with no set bits are absent from the map (coalesce
+    to 0 = definite miss)."""
+    conds = []
+    for p in bloom_positions(F.col(key_col), k, m):
+        word = F.coalesce(
+            F.element_at(F.col("__bloom"), (p / 64).cast("long")), F.lit(0)
+        )
+        # F.shiftright only takes a literal shift; call the SQL
+        # function directly for a column-valued shift amount
+        conds.append(
+            F.call_function("shiftright", word, (p % 64).cast("int"))
+            .bitwiseAND(F.lit(1))
+            == 1
+        )
     out = fact.crossJoin(F.broadcast(bloom))
     for c in conds:
         out = out.filter(c)

@@ -83,8 +83,12 @@ def test_bloom_filter_plan_is_map_only(spark):
     bloom = BL.bloom_build(spark.range(100).select(F.col("id").alias("k")), "k")
     plan = BL.bloom_semi_filter(fact, "k", bloom)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # no hash-partition exchange anywhere (the filter agg is single-row)
-    assert "hashpartitioning" not in plan.lower()
+    # at most ONE hash-partition exchange, and it belongs to the
+    # BUILD side: the ≤ m/64-row per-word bit_or reduce. The fact
+    # side itself must stay unshuffled (map-only probe).
+    assert plan.lower().count("hashpartitioning") <= 1
+    fact_side = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "hashpartitioning" not in fact_side.lower()
 
 
 # -------------------------------------------------------------- Graph
