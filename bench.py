@@ -261,6 +261,7 @@ HEADLINE = [
     "events_value_benford",
     "supplier_nation_hhi",
     "events_user_entropy",
+    "events_mann_whitney",
 ]
 
 

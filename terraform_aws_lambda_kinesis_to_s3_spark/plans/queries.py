@@ -10391,6 +10391,70 @@ FROM ent GROUP BY 1
 """
 
 
+MW_A, MW_B = "click", "view"  # the two arms the rank test compares
+
+
+def q_events_mann_whitney(spark, sf):
+    """Mann-Whitney U rank test between two event types' value
+    distributions — the NON-parametric sibling of ab_test_welch (no
+    normality assumption; exactly what you want for heavy-tailed
+    revenue-like values), with the normal-approximation z-score.
+
+    Third consumer of the _midranks machinery (after AUC's
+    Mann-Whitney-by-construction and Spearman): ranks come from the
+    decomposable blocked cumsum over the combined sample — never a
+    global sort — then U = R₁ − n₁(n₁+1)/2 and
+    z = (U − n₁n₂/2) / √(n₁n₂(n₁+n₂+1)/12) are one fixed-size
+    aggregate."""
+    e = _t(spark, sf, "events")
+    two = e.filter(F.col("event_type").isin(MW_A, MW_B)).select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    j = two.join(_midranks(two, "v"), "v")
+    g = j.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("midrank").alias("rsum")
+    )
+    wide = g.agg(
+        F.sum(F.when(F.col("event_type") == MW_A, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("event_type") == MW_B, F.col("n"))).alias("n2"),
+        F.sum(F.when(F.col("event_type") == MW_A, F.col("rsum"))).alias("r1"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
+    mu = F.col("n1") * F.col("n2") / 2
+    sigma = F.sqrt(
+        F.col("n1") * F.col("n2") * (F.col("n1") + F.col("n2") + 1) / 12
+    )
+    return wide.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(u, 2).alias("u_stat"),
+        F.round((u - mu) / sigma, 6).alias("z_score"),
+    )
+
+
+SQL_EVENTS_MANN_WHITNEY = f"""
+WITH two AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+  WHERE event_type IN ('{MW_A}', '{MW_B}')),
+ranked AS (
+  SELECT event_type,
+         RANK() OVER (ORDER BY v) + (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0 AS midrank
+  FROM two),
+g AS (
+  SELECT event_type, COUNT(*) AS n, SUM(midrank) AS rsum FROM ranked GROUP BY 1),
+wide AS (
+  SELECT SUM(CASE WHEN event_type = '{MW_A}' THEN n END) AS n1,
+         SUM(CASE WHEN event_type = '{MW_B}' THEN n END) AS n2,
+         SUM(CASE WHEN event_type = '{MW_A}' THEN rsum END) AS r1
+  FROM g)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND(r1 - n1 * (n1 + 1) / 2, 2) AS u_stat,
+       ROUND((r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
+             / SQRT(n1 * n2 * (n1 + n2 + 1) / 12), 6) AS z_score
+FROM wide
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -10674,6 +10738,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_value_benford": (q_events_value_benford, SQL_EVENTS_BENFORD),
     "supplier_nation_hhi": (q_supplier_nation_hhi, SQL_SUPPLIER_HHI),
     "events_user_entropy": (q_events_user_entropy, SQL_EVENTS_USER_ENTROPY),
+    "events_mann_whitney": (q_events_mann_whitney, SQL_EVENTS_MANN_WHITNEY),
 }
 
 

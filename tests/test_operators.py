@@ -2161,3 +2161,25 @@ def test_user_entropy_specialist_vs_generalist(spark):
            _with_events(spark, Q, rows, Q.q_events_user_entropy)}
     assert got[1].avg_entropy == 0.0 and got[1].n_users == 1
     assert got[2].avg_entropy == round(math.log(2), 6)
+
+
+def test_mann_whitney_known_fixture(spark):
+    """U statistic against a hand-computed fixture: click values
+    {1,2,3} vs view values {10,20,30} are perfectly separated ->
+    U = 0; symmetric identical samples give U = n1*n2/2 and z = 0."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    def ev(pairs):
+        return [(i, datetime(2024, 3, 1), 1, t, float(v), "{}")
+                for i, (t, v) in enumerate(pairs)]
+
+    rows = ev([("click", 1), ("click", 2), ("click", 3),
+               ("view", 10), ("view", 20), ("view", 30)])
+    got = _with_events(spark, Q, rows, Q.q_events_mann_whitney)[0]
+    assert (got.n1, got.n2, got.u_stat) == (3, 3, 0.0)
+    rows = ev([("click", 1), ("click", 2), ("view", 1), ("view", 2)])
+    got = _with_events(spark, Q, rows, Q.q_events_mann_whitney)[0]
+    assert got.u_stat == 2.0  # n1*n2/2 under identical samples (ties)
+    assert got.z_score == 0.0

@@ -105,6 +105,7 @@ BNLJ_OK = {
     "events_type_burstiness",
     # 1-row (lo, hi) value-range broadcast (_midranks rank transform)
     "customer_revenue_gini",
+    "events_mann_whitney",
     # 1-row range + total-revenue broadcasts (_blocked_cumsum + Pareto cut)
     "parts_abc_classification",
     # 1-row normalizer + leftover-count broadcasts (largest remainder)
@@ -154,6 +155,7 @@ SP_SORT_OK = {
     "logreg_auc": 1,
     "quality_length_spearman": 2,
     "customer_revenue_gini": 1,
+    "events_mann_whitney": 1,
     # bounded-grain cumsums: 10 deciles / calendar days / years
     "vocab_growth_curve": 1,
     "open_lineitem_backlog": 1,
