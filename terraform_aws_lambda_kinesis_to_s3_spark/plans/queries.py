@@ -9199,48 +9199,57 @@ def q_bm25_topk_docs(spark, sf):
     `documents` — the lexical-retrieval baseline every hybrid search
     (see rrf_fusion) fuses with its dense leg.
 
-    100 TB shape: the corpus scan reduces to tf rows for QUERY TERMS
-    ONLY (the isin filter pushes into the scan before the groupBy),
-    doc lengths are one map-side-combined aggregate, per-term document
-    frequencies are a |q|-row broadcast, and the final top-10 is
-    TakeOrderedAndProject — no global sort, no vocab-wide state.
-    Scores round to 6dp BEFORE ranking so both engines order ties
-    identically (doc_id tie-break)."""
+    100 TB shape: ONE corpus scan, ONE doc-keyed shuffle — doc length
+    and every query term's tf come out of the same groupBy as
+    conditional aggregates (the query terms are plan literals, so the
+    per-term columns unroll at build time); corpus stats and per-term
+    document frequencies reduce from that per-doc table into a single
+    1-row broadcast; scoring is then map-only and the final top-10 is
+    TakeOrderedAndProject — no second scan, no global sort, no
+    vocab-wide state.  Scores round to 6dp BEFORE ranking so both
+    engines order ties identically (doc_id tie-break)."""
     d = _t(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    tf = (
-        tok.filter(F.col("term").isin(*BM25_QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+    terms = list(BM25_QUERY_TERMS)
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum((F.col("term") == t).cast("long")).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_t), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-            ),
-        )
-        .withColumn(
-            "contrib",
-            F.col("idf")
-            * F.col("tf")
-            / (
-                F.col("tf")
-                + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum("contrib"), 6).alias("bm25"),
-            F.count("*").alias("n_matched_terms"),
-        )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
     )
+    j = per_doc.crossJoin(F.broadcast(stats))
+    contribs = []
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        norm = F.col(f"tf_{i}") + BM25_K1 * (
+            1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        contribs.append(
+            F.when(F.col(f"tf_{i}") > 0, idf * F.col(f"tf_{i}") / norm).otherwise(
+                F.lit(0.0)
+            )
+        )
+    matched = sum(
+        (F.col(f"tf_{i}") > 0).cast("long") for i in range(len(terms))
+    )
+    scored = j.select(
+        "doc_id",
+        F.round(sum(contribs), 6).alias("bm25"),
+        matched.alias("n_matched_terms"),
+    ).filter(F.col("n_matched_terms") > 0)
     return scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(10)
 
 
