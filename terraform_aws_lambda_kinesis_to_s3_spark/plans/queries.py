@@ -9284,11 +9284,13 @@ def q_pmi_collocations(spark, sf):
 
     100 TB shape: bigrams are an IN-ROW adjacent zip (no positions
     shuffle — transform over the token array, guarded for 1-token
-    docs because sequence(1,0) DESCENDS); both count tables are
-    vocab-sized shuffles with map-side partials; totals are two 1-row
-    broadcasts; the final top-15 is TakeOrderedAndProject over the
-    floored bigram-type table. PMI rounds to 6dp before ranking so
-    both engines order ties identically ((a, b) tie-break)."""
+    docs because sequence(1,0) DESCENDS) and cost the ONLY corpus
+    scan: the unigram side re-aggregates from the persisted
+    (source, term) census shared with corpus_kl_divergence /
+    distinctive_terms_logodds; totals are two 1-row broadcasts; the
+    final top-15 is TakeOrderedAndProject over the floored bigram-type
+    table. PMI rounds to 6dp before ranking so both engines order ties
+    identically ((a, b) tie-break)."""
     d = _t(spark, sf, "documents")
     sp = d.select(F.split("text", " ").alias("sp"))
     bi = sp.select(
@@ -9302,9 +9304,9 @@ def q_pmi_collocations(spark, sf):
         ).alias("p")
     ).select("p.a", "p.b")
     uni = (
-        d.select(F.explode(F.split("text", " ")).alias("term"))
+        _term_census(spark, sf)
         .groupBy("term")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("c").alias("c"))
     )
     t_uni = uni.agg(F.sum("c").alias("t_uni"))
     bic = (
