@@ -262,6 +262,8 @@ HEADLINE = [
     "supplier_nation_hhi",
     "events_user_entropy",
     "events_mann_whitney",
+    "events_changepoint_cusum",
+    "events_load_heatmap",
 ]
 
 

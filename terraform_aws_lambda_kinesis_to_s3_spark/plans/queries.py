@@ -10466,6 +10466,84 @@ FROM wide
 """
 
 
+def q_events_changepoint_cusum(spark, sf):
+    """CUSUM changepoint detection on daily event volume (Page 1954):
+    the day where the cumulative sum of deviations from the mean peaks
+    in magnitude is the most likely level-shift point — the sequential
+    companion to events_anomaly_mad's pointwise outliers (a gradual
+    regime change never trips a pointwise threshold).
+
+    100 TB shape: the fact reduces to an O(days) table; mean is a
+    1-row broadcast; the cumsum window runs over the bounded day-grain
+    table (same class as open_lineitem_backlog's daily curve); the
+    argmax is a 1-row TakeOrdered."""
+    e = _t(spark, sf, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(F.count("*").alias("c"))
+    stats = daily.agg(F.avg("c").alias("mu"), F.count("*").alias("n_days"))
+    j = daily.crossJoin(F.broadcast(stats))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = j.select(
+        "d",
+        "n_days",
+        F.sum(F.col("c") - F.col("mu")).over(w).alias("s"),
+    )
+    return (
+        cusum.select(
+            F.col("d").cast("string").alias("changepoint_day"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round(F.abs("s"), 2).alias("max_abs_cusum"),
+        )
+        .orderBy(F.col("max_abs_cusum").desc(), F.col("changepoint_day"))
+        .limit(1)
+    )
+
+
+SQL_EVENTS_CUSUM = """
+WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c FROM events GROUP BY 1),
+stats AS (SELECT AVG(c) AS mu, COUNT(*) AS n_days FROM daily),
+cusum AS (
+  SELECT d, n_days, SUM(c - mu) OVER (ORDER BY d) AS s
+  FROM daily CROSS JOIN stats)
+SELECT CAST(d AS VARCHAR) AS changepoint_day,
+       CAST(n_days AS BIGINT) AS n_days,
+       ROUND(ABS(s), 2) AS max_abs_cusum
+FROM cusum ORDER BY max_abs_cusum DESC, changepoint_day LIMIT 1
+"""
+
+
+def q_events_load_heatmap(spark, sf):
+    """Day-of-week × hour-of-day load heatmap (fraction of total
+    traffic per cell) — the capacity-planning readout behind
+    autoscaling schedules and maintenance windows; the 2-D profile
+    events_hourly_autocorr summarizes into two lag coefficients.
+
+    Map-only to a ≤168-cell agg + 1-row total broadcast.  Engine note:
+    Spark dayofweek() is 1=Sunday, DuckDB dayofweek() is 0=Sunday —
+    the oracle adds 1."""
+    e = _t(spark, sf, "events")
+    cell = e.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(F.count("*").alias("n_events"))
+    tot = cell.agg(F.sum("n_events").alias("t"))
+    return cell.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hod",
+        "n_events",
+        F.round(F.col("n_events") / F.col("t"), 6).alias("load_frac"),
+    )
+
+
+SQL_EVENTS_LOAD_HEATMAP = """
+WITH cell AS (
+  SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT SUM(n_events) AS t FROM cell)
+SELECT CAST(dow AS INTEGER) AS dow, CAST(hod AS INTEGER) AS hod, n_events,
+       ROUND(n_events * 1.0 / t, 6) AS load_frac
+FROM cell CROSS JOIN tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -10750,6 +10828,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "supplier_nation_hhi": (q_supplier_nation_hhi, SQL_SUPPLIER_HHI),
     "events_user_entropy": (q_events_user_entropy, SQL_EVENTS_USER_ENTROPY),
     "events_mann_whitney": (q_events_mann_whitney, SQL_EVENTS_MANN_WHITNEY),
+    "events_changepoint_cusum": (q_events_changepoint_cusum, SQL_EVENTS_CUSUM),
+    "events_load_heatmap": (q_events_load_heatmap, SQL_EVENTS_LOAD_HEATMAP),
 }
 
 

@@ -2183,3 +2183,43 @@ def test_mann_whitney_known_fixture(spark):
     got = _with_events(spark, Q, rows, Q.q_events_mann_whitney)[0]
     assert got.u_stat == 2.0  # n1*n2/2 under identical samples (ties)
     assert got.z_score == 0.0
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    """CUSUM: volume 10/day for 5 days then 20/day for 5 days — the
+    cumulative deviation peaks in magnitude exactly at the last
+    pre-shift day."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        for _ in range(10 if day <= 5 else 20):
+            rows.append((eid, datetime(2024, 3, day, 12), 1, "a", 1.0, "{}"))
+            eid += 1
+    got = _with_events(spark, Q, rows, Q.q_events_changepoint_cusum)[0]
+    assert got.changepoint_day == "2024-03-05"
+    assert got.n_days == 10
+    assert got.max_abs_cusum == 25.0  # 5 days x (10 - 15)
+
+
+def test_load_heatmap_fracs_sum_and_cells(spark):
+    """Heatmap: cells only for observed (dow, hod) pairs, fractions
+    sum to 1, and a planted spike dominates its cell."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = []
+    eid = 0
+    # Monday 2024-03-04 09:00 spike + one Tuesday 14:00 event
+    for _ in range(9):
+        rows.append((eid, datetime(2024, 3, 4, 9, 30), 1, "a", 1.0, "{}")); eid += 1
+    rows.append((eid, datetime(2024, 3, 5, 14, 0), 1, "a", 1.0, "{}"))
+    got = {(r.dow, r.hod): r for r in
+           _with_events(spark, Q, rows, Q.q_events_load_heatmap)}
+    assert len(got) == 2
+    assert got[(2, 9)].load_frac == 0.9   # Spark dayofweek: Monday = 2
+    assert abs(sum(r.load_frac for r in got.values()) - 1.0) < 1e-6

@@ -114,6 +114,10 @@ BNLJ_OK = {
     "orders_priority_anova",
     # 1-row digit-total broadcast (the observed-fraction denominator)
     "events_value_benford",
+    # 1-row mean/day-count broadcast (the CUSUM deviation baseline)
+    "events_changepoint_cusum",
+    # 1-row grand-total broadcast (the load-fraction denominator)
+    "events_load_heatmap",
 }
 
 
@@ -162,6 +166,8 @@ SP_SORT_OK = {
     "orders_yoy_growth": 1,
     # bounded block-offset window (_blocked_cumsum ≤1024 totals)
     "parts_abc_classification": 1,
+    # bounded day-grain cumsum (O(days) table, same class as backlog)
+    "events_changepoint_cusum": 1,
     # remainder rank over the N_SOURCES-row weight table
     "mixture_token_budget_alloc": 1,
 }
