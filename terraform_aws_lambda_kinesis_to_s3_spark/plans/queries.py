@@ -10097,9 +10097,13 @@ def q_mixture_token_budget_alloc(spark, sf):
     under- or over-shoot the budget.
 
     Raw shares round to 6dp before floor/remainder so both engines
-    split ties identically (1-ulp float drift cannot flip a floor).
-    The remainder rank is a window over the N_SOURCES-row weight
-    table — bounded by the number of sources, never by data."""
+    split ties identically (1-ulp float drift cannot flip a floor);
+    the pathological edge — a share within 5e-7 BELOW an integer
+    rounds up and floors high, making Σbase exceed the budget by that
+    count — then simply hands out no remainders (k ≤ 0), overshooting
+    by at most the number of such near-integer shares.  The remainder
+    rank is a window over the N_SOURCES-row weight table — bounded by
+    the number of sources, never by data."""
     d = _t(spark, sf, "documents")
     per = (
         d.select("source", F.size(F.split("text", " ")).alias("n"))
