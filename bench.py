@@ -264,6 +264,8 @@ HEADLINE = [
     "events_mann_whitney",
     "events_changepoint_cusum",
     "events_load_heatmap",
+    "fuzzy_block_eval",
+    "dedup_threshold_sensitivity",
 ]
 
 

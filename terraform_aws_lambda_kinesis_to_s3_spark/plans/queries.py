@@ -10548,6 +10548,146 @@ FROM cell CROSS JOIN tot
 """
 
 
+def q_fuzzy_block_eval(spark, sf):
+    """Blocking-quality eval for the entity-resolution join (the
+    record-linkage literature's two standard numbers): pair
+    completeness (recall of true dist≤FUZZY_MAX_DIST pairs reached by
+    the 3-char-prefix blocking that part_fuzzy_name_pairs ships) and
+    reduction ratio (fraction of the all-pairs space the blocking
+    prunes).  Same honest-eval contract as lsh_eval_pr /
+    ivf_eval_recall: the exact all-pairs ground truth runs at the
+    DISTINCT-NAME grain (the dictionary, 64 names here — at corpus
+    scale the truth side runs on a sampled dictionary, the candidates
+    at full scale).
+
+    The readout at sf0.01 is deliberately unflattering: completeness
+    0.167 — the synthetic names mutate at WORD STARTS ("cold ring" →
+    "old ring"), exactly the edit class a prefix key cannot block.
+    This is the number that tells you to add a suffix or q-gram block
+    BEFORE trusting the fuzzy join's output, which is the entire point
+    of running the eval."""
+    p = _t(spark, sf, "part")
+    names = p.select("p_name").distinct()
+    a, b = names.alias("a"), names.alias("b")
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("a.p_name") < F.col("b.p_name"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+        )
+    )
+    n_all = truth.count()
+    truth_pairs = truth.filter(F.col("dist") <= FUZZY_MAX_DIST).select(
+        F.col("a.p_name").alias("na"), F.col("b.p_name").alias("nb")
+    )
+    blocked = names.withColumn("block", F.substring("p_name", 1, 3))
+    ba, bb = blocked.alias("x"), blocked.alias("y")
+    cand = (
+        ba.join(bb, F.col("x.block") == F.col("y.block"))
+        .filter(F.col("x.p_name") < F.col("y.p_name"))
+        .select(F.col("x.p_name").alias("na"), F.col("y.p_name").alias("nb"))
+    )
+    found = truth_pairs.join(cand, ["na", "nb"], "left_semi")
+    stats = (
+        truth_pairs.agg(F.count("*").alias("n_truth"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(found.agg(F.count("*").alias("n_found")))
+    )
+    return stats.select(
+        "n_truth",
+        "n_candidates",
+        "n_found",
+        F.round(F.col("n_found") / F.col("n_truth"), 6).alias(
+            "pair_completeness"
+        ),
+        F.round(1 - F.col("n_candidates") / F.lit(float(n_all)), 6).alias(
+            "reduction_ratio"
+        ),
+    )
+
+
+SQL_FUZZY_BLOCK_EVAL = f"""
+WITH names AS (SELECT DISTINCT p_name FROM part),
+allp AS (
+  SELECT a.p_name AS na, b.p_name AS nb,
+         levenshtein(a.p_name, b.p_name) AS dist
+  FROM names a JOIN names b ON a.p_name < b.p_name),
+truth AS (SELECT * FROM allp WHERE dist <= {FUZZY_MAX_DIST}),
+cand AS (
+  SELECT a.p_name AS na, b.p_name AS nb
+  FROM names a JOIN names b
+    ON substr(a.p_name, 1, 3) = substr(b.p_name, 1, 3)
+   AND a.p_name < b.p_name),
+found AS (SELECT na, nb FROM truth t WHERE EXISTS
+          (SELECT 1 FROM cand c WHERE c.na = t.na AND c.nb = t.nb))
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM found) AS n_found,
+       ROUND((SELECT COUNT(*) FROM found) * 1.0 / (SELECT COUNT(*) FROM truth), 6)
+         AS pair_completeness,
+       ROUND(1 - (SELECT COUNT(*) FROM cand) * 1.0 / (SELECT COUNT(*) FROM allp), 6)
+         AS reduction_ratio
+"""
+
+
+#: threshold grid for the dedup sensitivity curve
+DEDUP_THRESH_GRID = tuple(round(0.1 * i, 1) for i in range(1, 10))
+
+
+def q_dedup_threshold_sensitivity(spark, sf):
+    """Sensitivity of near-dup volume to the Jaccard threshold: pair
+    counts at each cut over the SAME DF-capped shingle space
+    dedup_ngram_jaccard_capped ships — the curve that says whether the
+    0.2-vs-0.3 knob moves 2% of pairs or 40% before anyone re-runs a
+    corpus-scale dedup to find out.
+
+    One pass over the pair-similarity table (threshold 0 = every
+    shingle-sharing pair in the capped space), the whole grid as
+    conditional aggregates in a single reduce, then a 9-row in-row
+    explode — the grid costs nothing extra at any scale."""
+    d = _t(spark, sf, "documents", parallelize=True)
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.0, max_df=2)
+    tot = pairs.agg(F.count("*").alias("t"))
+    aggs = [
+        F.sum((F.col("jaccard") >= t).cast("long")).alias(f"ge_{i}")
+        for i, t in enumerate(DEDUP_THRESH_GRID)
+    ]
+    wide = pairs.agg(*aggs).crossJoin(F.broadcast(tot))
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("threshold"),
+                    F.col(f"ge_{i}").alias("n_pairs"),
+                )
+                for i, t in enumerate(DEDUP_THRESH_GRID)
+            ]
+        )
+    ).alias("x")
+    return wide.select(rows, "t").select(
+        "x.threshold",
+        "x.n_pairs",
+        F.round(F.col("x.n_pairs") / F.col("t"), 6).alias("frac_of_pairs"),
+    )
+
+
+SQL_DEDUP_THRESH_SENS = SQL_NGRAM_JACCARD_CAPPED.split("SELECT doc_a")[0].rstrip().rstrip(")") + """),
+pairs AS (
+  SELECT n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b),
+tot AS (SELECT COUNT(*) AS t FROM pairs),
+grid AS (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS threshold)
+SELECT threshold,
+       CAST(SUM(CASE WHEN jaccard >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       ROUND(SUM(CASE WHEN jaccard >= threshold THEN 1 ELSE 0 END) * 1.0
+             / ANY_VALUE(t), 6) AS frac_of_pairs
+FROM grid CROSS JOIN pairs CROSS JOIN tot
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -10834,6 +10974,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_mann_whitney": (q_events_mann_whitney, SQL_EVENTS_MANN_WHITNEY),
     "events_changepoint_cusum": (q_events_changepoint_cusum, SQL_EVENTS_CUSUM),
     "events_load_heatmap": (q_events_load_heatmap, SQL_EVENTS_LOAD_HEATMAP),
+    "fuzzy_block_eval": (q_fuzzy_block_eval, SQL_FUZZY_BLOCK_EVAL),
+    "dedup_threshold_sensitivity": (
+        q_dedup_threshold_sensitivity,
+        SQL_DEDUP_THRESH_SENS,
+    ),
 }
 
 

@@ -2223,3 +2223,47 @@ def test_load_heatmap_fracs_sum_and_cells(spark):
     assert len(got) == 2
     assert got[(2, 9)].load_frac == 0.9   # Spark dayofweek: Monday = 2
     assert abs(sum(r.load_frac for r in got.values()) - 1.0) < 1e-6
+
+
+def test_fuzzy_block_eval_planted_miss_and_hit(spark):
+    """Blocking eval: a true pair sharing its 3-char prefix is found;
+    a true pair edited at the word START (the prefix-blocking blind
+    spot) is counted in truth but NOT found — completeness reflects
+    exactly that miss."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    names = ["cold ring", "old ring",       # dist 1, different prefix: miss
+             "blue gear", "blue gearx",     # dist 1, same prefix: hit
+             "unrelated widget thing"]
+    p = spark.createDataFrame([(i, n) for i, n in enumerate(names)],
+                              "p_partkey long, p_name string")
+    orig = Q._t
+    try:
+        Q._t = lambda spark, sf, name, **k: p
+        got = Q.q_fuzzy_block_eval(spark, "x").collect()[0]
+    finally:
+        Q._t = orig
+    assert got.n_truth == 2 and got.n_found == 1
+    assert got.pair_completeness == 0.5
+    assert 0 < got.reduction_ratio < 1
+
+
+def test_dedup_threshold_sensitivity_monotone(spark):
+    """Sensitivity curve: pair counts are non-increasing in the
+    threshold, the 9-row grid is complete, and a planted exact-dup
+    pair survives every cut while a weak-overlap pair drops out."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    t1 = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, t1, "en", "s", 9),
+        (2, t1, "en", "s", 9),                        # jaccard 1.0
+        (3, "alpha beta gamma OTHER WORDS HERE x", "en", "s", 9),
+        (4, "totally different text about nothing q", "en", "s", 9),
+    ]
+    got = sorted(_with_docs(spark, Q, rows, Q.q_dedup_threshold_sensitivity),
+                 key=lambda r: r.threshold)
+    assert [r.threshold for r in got] == [round(0.1 * i, 1) for i in range(1, 10)]
+    counts = [r.n_pairs for r in got]
+    assert counts == sorted(counts, reverse=True)
+    assert got[-1].n_pairs >= 1  # the exact dup survives threshold 0.9

@@ -118,6 +118,11 @@ BNLJ_OK = {
     "events_changepoint_cusum",
     # 1-row grand-total broadcast (the load-fraction denominator)
     "events_load_heatmap",
+    # eval harness: deliberate all-pairs truth on the 64-name dictionary
+    # + three 1-row count aggregates cross-joined (the eval summary)
+    "fuzzy_block_eval",
+    # 1-row pair-total broadcast (the fraction denominator)
+    "dedup_threshold_sensitivity",
 }
 
 
