@@ -419,7 +419,11 @@ def main() -> None:
         "full_map": sidecar,
     }
     line = json.dumps(summary, separators=(",", ":"))
-    assert len(line) <= 2000, f"summary line {len(line)} chars"
+    if len(line) > 2000:
+        # never fail a completed sweep over line length: degrade by
+        # dropping the per-query preview (the sidecar has everything)
+        summary["queries"] = {}
+        line = json.dumps(summary, separators=(",", ":"))
     sys.stdout.write(line + "\n")
     sys.stdout.flush()
 
