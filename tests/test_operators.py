@@ -1455,17 +1455,18 @@ def test_bigram_interp_lm_orders_repetition_first(spark):
 
 
 def test_fuzzy_name_pairs_block_and_verify(spark):
-    """Near-identical names sharing a block match; a near-identical
-    pair in DIFFERENT blocks is (by design) missed — the documented
-    blocking recall tradeoff — and distant names never match."""
+    """Dual prefix+suffix blocking: same-prefix and same-suffix
+    near-matches are both caught (each exactly once, despite a pair
+    possibly matching both keys); a near pair differing in BOTH keys
+    is still (by design) missed; distant names never match."""
     import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
 
     parts = spark.createDataFrame(
         [
             (1, "red widget", "Brand#1"),
-            (2, "red widgot", "Brand#1"),   # dist 1, same block 'red'
-            (3, "ted widget", "Brand#1"),   # dist 1 from #1 but block 'ted'
-            (4, "red wrenchers", "Brand#1"),  # same block, dist > 3
+            (2, "red widgot", "Brand#1"),   # dist 1, prefix block 'red'
+            (3, "ted widget", "Brand#1"),   # dist 1 vs #1: suffix block 'get'
+            (4, "red wrenchers", "Brand#1"),  # shares prefix, dist > 3
         ],
         "p_partkey long, p_name string, p_brand string",
     )
@@ -1476,7 +1477,12 @@ def test_fuzzy_name_pairs_block_and_verify(spark):
                for r in Q.q_part_fuzzy_name_pairs(spark, "x").collect()}
     finally:
         Q._t = orig
-    assert got == {("red widget", "red widgot"): 1}
+    # ('red widgot', 'ted widget') is dist 2 but differs in BOTH keys:
+    # the documented residual blind spot of dual blocking
+    assert got == {
+        ("red widget", "red widgot"): 1,
+        ("red widget", "ted widget"): 1,
+    }
 
 
 def test_distinctive_terms_finds_planted_marker(spark):
@@ -2226,14 +2232,14 @@ def test_load_heatmap_fracs_sum_and_cells(spark):
 
 
 def test_fuzzy_block_eval_planted_miss_and_hit(spark):
-    """Blocking eval: a true pair sharing its 3-char prefix is found;
-    a true pair edited at the word START (the prefix-blocking blind
-    spot) is counted in truth but NOT found — completeness reflects
-    exactly that miss."""
+    """Blocking eval against the shipped DUAL prefix+suffix keys: a
+    word-start edit (prefix miss) is now caught by the suffix block; a
+    true pair differing in BOTH keys remains the residual miss —
+    completeness reflects exactly that split."""
     import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
 
-    names = ["cold ring", "old ring",       # dist 1, different prefix: miss
-             "blue gear", "blue gearx",     # dist 1, same prefix: hit
+    names = ["cold ring", "old ring",       # dist 1: suffix block catches
+             "aaa zzz", "baa zzy",          # dist 2: BOTH keys differ: miss
              "unrelated widget thing"]
     p = spark.createDataFrame([(i, n) for i, n in enumerate(names)],
                               "p_partkey long, p_name string")
