@@ -266,6 +266,7 @@ HEADLINE = [
     "events_load_heatmap",
     "fuzzy_block_eval",
     "dedup_threshold_sensitivity",
+    "span_corruption_stats",
 ]
 
 

