@@ -267,6 +267,10 @@ HEADLINE = [
     "fuzzy_block_eval",
     "dedup_threshold_sensitivity",
     "span_corruption_stats",
+    "events_ks_test",
+    "heaps_law_fit",
+    "events_peak_concurrency",
+    "ngram_novelty_curve",
 ]
 
 

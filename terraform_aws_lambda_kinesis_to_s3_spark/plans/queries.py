@@ -10011,15 +10011,17 @@ FROM events GROUP BY 1
 """
 
 
-def _blocked_cumsum(g, key, weight):
-    """Exact prefix sums WITHOUT a global single-partition sort: for a
-    distinct-key table ``g(key, weight)``, returns (key, below) where
-    below = Σ weight over keys strictly less than ``key``.  Same
-    two-phase blocked shape as _midranks (width_bucket blocks over the
-    observed range → ≤1024 block totals in a bounded offset window →
-    within-block cumsum partitioned by block) but summing an arbitrary
-    weight instead of row counts — the decomposable prefix-sum shared
-    by ABC classification and any future cumulative-share operator."""
+def _blocked_cumsum_multi(g, key, weights):
+    """Exact prefix sums for SEVERAL weight columns in ONE pass, without
+    a global single-partition sort: for a distinct-key table
+    ``g(key, w1, w2, ...)``, returns (key, w*, below_w*) where
+    below_w = Σ w over keys strictly less than ``key``.  Same two-phase
+    blocked shape as _midranks (width_bucket blocks over the observed
+    range → ≤1024 block totals in a bounded offset window →
+    within-block cumsum partitioned by block); all weights share the
+    one block assignment and the one within-block sort, so a KS test's
+    two ECDFs or Heaps'-law's (tokens, vocab) pair cost a single
+    blocked pass instead of two."""
     rng = g.agg(
         F.min(key).cast("double").alias("lo"),
         F.max(key).cast("double").alias("hi"),
@@ -10035,20 +10037,38 @@ def _blocked_cumsum(g, key, weight):
     w_blocks = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         g2.groupBy("blk")
-        .agg(F.sum(weight).alias("bw"))
-        .withColumn("off", F.coalesce(F.sum("bw").over(w_blocks), F.lit(0.0)))
-        .select("blk", "off")
+        .agg(*[F.sum(w).alias(f"bw_{w}") for w in weights])
+        .select(
+            "blk",
+            *[
+                F.coalesce(F.sum(f"bw_{w}").over(w_blocks), F.lit(0.0)).alias(
+                    f"off_{w}"
+                )
+                for w in weights
+            ],
+        )
     )
     w_in = Window.partitionBy("blk").orderBy(key).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    return (
-        g2.join(F.broadcast(offsets), "blk")
-        .withColumn(
-            "below",
-            F.col("off") + F.coalesce(F.sum(weight).over(w_in), F.lit(0.0)),
+    out = g2.join(F.broadcast(offsets), "blk")
+    for w in weights:
+        out = out.withColumn(
+            f"below_{w}",
+            F.col(f"off_{w}") + F.coalesce(F.sum(w).over(w_in), F.lit(0.0)),
         )
-        .select(key, "below")
+    return out.select(key, *weights, *[f"below_{w}" for w in weights])
+
+
+def _blocked_cumsum(g, key, weight):
+    """Exact prefix sums WITHOUT a global single-partition sort: for a
+    distinct-key table ``g(key, weight)``, returns (key, below) where
+    below = Σ weight over keys strictly less than ``key``.  Thin
+    single-weight wrapper over ``_blocked_cumsum_multi`` — one blocked
+    implementation underlies ABC classification, midranks, KS, Heaps
+    and the concurrency sweep-line."""
+    return _blocked_cumsum_multi(g, key, [weight]).select(
+        key, F.col(f"below_{weight}").alias("below")
     )
 
 
@@ -10802,6 +10822,365 @@ FROM per GROUP BY 1
 """
 
 
+KS_TYPE_A, KS_TYPE_B = "click", "view"  # the two arms the KS screen compares
+
+
+def q_events_ks_test(spark, sf):
+    """Two-sample Kolmogorov–Smirnov test: does `value` follow the same
+    distribution for click vs view events?  The non-parametric
+    whole-distribution sibling of ab_test_welch (means) and
+    events_mann_whitney (location shift) — KS is sensitive to ANY
+    distributional difference (shape, spread, tails), the screen a
+    feature-drift monitor runs before trusting a model trained on last
+    month's traffic.
+
+    Scale shape: per-distinct-value counts for both arms in one
+    value-keyed reduce, then BOTH empirical CDFs from a single
+    _blocked_cumsum_multi pass (the decomposable blocked prefix sum —
+    never a global sort; the grain is distinct values, not events).
+    D = max |ECDF_a - ECDF_b| over observed values; the p-value is the
+    standard 5-term Kolmogorov series with the small-sample
+    Stephens/Press correction λ = (√ne + 0.12 + 0.11/√ne)·D, identical
+    closed-form arithmetic on both engines."""
+    ev = _t(spark, sf, "events").where(
+        F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+    )
+    g = ev.groupBy(F.col("value").alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0))
+        .cast("double")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0))
+        .cast("double")
+        .alias("cb"),
+    )
+    cum = _blocked_cumsum_multi(g, "v", ["ca", "cb"])
+    tot = g.agg(F.sum("ca").alias("n1"), F.sum("cb").alias("n2"))
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(
+                (F.col("below_ca") + F.col("ca")) / F.col("n1")
+                - (F.col("below_cb") + F.col("cb")) / F.col("n2")
+            ).alias("diff"),
+            "n1",
+            "n2",
+        )
+        .groupBy("n1", "n2")
+        .agg(F.max("diff").alias("d"))
+    )
+    ne = F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    lam = (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * F.col("d")
+    p = F.lit(2.0) * sum(
+        F.lit(float((-1) ** (k - 1))) * F.exp(F.lit(-2.0 * k * k) * lam * lam)
+        for k in range(1, 6)
+    )
+    return d.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        F.round("d", 6).alias("ks_stat"),
+        F.round(F.greatest(F.least(p, F.lit(1.0)), F.lit(0.0)), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+SQL_EVENTS_KS = f"""
+WITH g AS (
+  SELECT value AS v,
+         SUM(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS cb
+  FROM events WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}') GROUP BY 1),
+cum AS (
+  SELECT SUM(ca) OVER (ORDER BY v) AS ia, SUM(cb) OVER (ORDER BY v) AS ib
+  FROM g),
+tot AS (SELECT SUM(ca) AS n1, SUM(cb) AS n2 FROM g),
+d AS (
+  SELECT n1, n2, MAX(ABS(ia / n1 - ib / n2)) AS d
+  FROM cum CROSS JOIN tot GROUP BY 1, 2),
+lam AS (
+  SELECT n1, n2, d,
+         (SQRT(n1 * n2 / (n1 + n2)) + 0.12
+          + 0.11 / SQRT(n1 * n2 / (n1 + n2))) * d AS l
+  FROM d)
+SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+       ROUND(d, 6) AS ks_stat,
+       ROUND(GREATEST(LEAST(2 * (EXP(-2 * l * l) - EXP(-8 * l * l)
+             + EXP(-18 * l * l) - EXP(-32 * l * l)
+             + EXP(-50 * l * l)), 1.0), 0.0), 6) AS p_value
+FROM lam
+"""
+
+
+def q_heaps_law_fit(spark, sf):
+    """Heaps'-law least-squares fit V = K·N^β over the WHOLE per-doc
+    growth curve: log-log OLS of cumulative vocabulary on cumulative
+    tokens in doc_id (ingestion) order, with r² as the fit diagnostic.
+    Complements vocab_growth_curve (decile-grain pointwise ln V/ln N):
+    the regression gives ONE (K, β) pair a capacity planner can
+    extrapolate — "how much new vocab does the next 10 TB buy" — and r²
+    says whether the power law holds at all (on this synthetic corpus
+    the tiny template vocabulary saturates after the first docs, and
+    the fit honestly reports a near-flat β with low r²).
+
+    Scale shape: tokens-per-doc and new-terms-per-doc (min-doc_id first
+    occurrence, one term-keyed shuffle) feed ONE
+    _blocked_cumsum_multi pass for both running sums — doc-grain
+    cumulative points with no global sort; the OLS itself is closed
+    form (covar_pop/var_pop/corr) in a single aggregate."""
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    per_doc = toks.select("doc_id", F.size("toks").cast("double").alias("nt"))
+    first = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy("fd")
+        .agg(F.count("*").cast("double").alias("nv"))
+    )
+    g = per_doc.join(first, per_doc.doc_id == first.fd, "left").select(
+        "doc_id", "nt", F.coalesce("nv", F.lit(0.0)).alias("nv")
+    )
+    cum = _blocked_cumsum_multi(g, "doc_id", ["nt", "nv"])
+    pts = cum.select(
+        F.log(F.col("below_nt") + F.col("nt")).alias("x"),
+        F.log(F.col("below_nv") + F.col("nv")).alias("y"),
+        (F.col("below_nt") + F.col("nt")).alias("ct"),
+        (F.col("below_nv") + F.col("nv")).alias("cv"),
+    )
+    beta = F.covar_pop("x", "y") / F.var_pop("x")
+    return pts.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("ct").cast("long").alias("total_tokens"),
+        F.max("cv").cast("long").alias("vocab_size"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp(F.avg("y") - beta * F.avg("x")), 6).alias("heaps_k"),
+        F.round(F.pow(F.corr("x", "y"), 2), 6).alias("r2"),
+    )
+
+
+SQL_HEAPS_FIT = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+per_doc AS (SELECT doc_id, len(toks) AS nt FROM toks),
+first_occ AS (
+  SELECT MIN(doc_id) AS fd FROM
+    (SELECT doc_id, unnest(toks) AS term FROM toks) GROUP BY term),
+newv AS (SELECT fd, COUNT(*) AS nv FROM first_occ GROUP BY 1),
+g AS (
+  SELECT p.doc_id, p.nt, COALESCE(n.nv, 0) AS nv
+  FROM per_doc p LEFT JOIN newv n ON p.doc_id = n.fd),
+cum AS (
+  SELECT SUM(nt) OVER (ORDER BY doc_id) AS ct,
+         SUM(nv) OVER (ORDER BY doc_id) AS cv
+  FROM g),
+pts AS (SELECT LN(ct) AS x, LN(cv) AS y, ct, cv FROM cum)
+SELECT COUNT(*) AS n_docs,
+       CAST(MAX(ct) AS BIGINT) AS total_tokens,
+       CAST(MAX(cv) AS BIGINT) AS vocab_size,
+       ROUND(COVAR_POP(x, y) / VAR_POP(x), 6) AS heaps_beta,
+       ROUND(EXP(AVG(y) - COVAR_POP(x, y) / VAR_POP(x) * AVG(x)), 6) AS heaps_k,
+       ROUND(POW(CORR(x, y), 2), 6) AS r2
+FROM pts
+"""
+
+
+def q_events_peak_concurrency(spark, sf):
+    """Peak concurrent user sessions per day — the capacity number a
+    connection-pool / license / autoscaling planner actually needs
+    (events_load_heatmap gives traffic VOLUME; this gives simultaneous
+    PRESENCE).  Sessions are the standard 30-minute-gap islands (same
+    definition as events_sessionize); each session occupies the closed
+    interval [first event, last event], and a session starting at the
+    exact instant another ends counts as overlapping (touching
+    intervals overlap — the conservative capacity answer).
+
+    Scale shape: the classic sweep-line, decomposed.  Session bounds
+    need only a user-partitioned window (bounded per-user history, not
+    global).  Boundaries become ±1 deltas keyed by
+    ``micros*2 + (0 start | 1 end)`` — the flag bit makes starts sort
+    before ends at tied timestamps, and doubled epoch-micros stays
+    exactly representable in a double (< 2^53).  The running
+    concurrency is ONE _blocked_cumsum pass over distinct boundary
+    keys — never a global single-partition sort — and the per-day peak
+    is a bounded agg.  A session crossing midnight contributes its
+    boundary readings to the day each boundary falls in (documented
+    attribution; sessions are gap-capped and short)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = (
+        flagged.withColumn(
+            "sid",
+            F.sum("is_new").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    bounds = sess.select(
+        (F.unix_micros("s") * 2).alias("k"), F.lit(1.0).alias("delta")
+    ).unionAll(
+        sess.select(
+            (F.unix_micros("e") * 2 + 1).alias("k"), F.lit(-1.0).alias("delta")
+        )
+    )
+    g = bounds.groupBy("k").agg(F.sum("delta").alias("delta"))
+    cum = _blocked_cumsum(g, "k", "delta")
+    conc = cum.join(g, "k").select(
+        F.to_date(F.timestamp_micros(F.expr("CAST(k DIV 2 AS LONG)"))).alias(
+            "day"
+        ),
+        (F.col("below") + F.col("delta")).alias("conc"),
+        F.when(F.col("k") % 2 == 0, F.col("delta")).otherwise(0.0).alias(
+            "starts"
+        ),
+    )
+    return (
+        conc.groupBy("day")
+        .agg(
+            F.max("conc").cast("long").alias("peak_concurrency"),
+            F.sum("starts").cast("long").alias("n_sessions_started"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "peak_concurrency",
+            "n_sessions_started",
+        )
+    )
+
+
+SQL_PEAK_CONCURRENCY = """
+WITH flag AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+ids AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flag),
+sess AS (
+  SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e FROM ids GROUP BY 1, 2),
+bounds AS (
+  SELECT epoch_us(s) * 2 AS k, 1.0 AS delta FROM sess
+  UNION ALL
+  SELECT epoch_us(e) * 2 + 1 AS k, -1.0 AS delta FROM sess),
+g AS (SELECT k, SUM(delta) AS delta FROM bounds GROUP BY 1),
+cum AS (
+  SELECT k, delta, SUM(delta) OVER (ORDER BY k) AS conc FROM g),
+rows_ AS (
+  SELECT strftime(CAST(make_timestamp(k // 2) AS DATE), '%Y-%m-%d') AS day,
+         conc,
+         CASE WHEN k % 2 = 0 THEN delta ELSE 0 END AS starts
+  FROM cum)
+SELECT day, CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+       CAST(SUM(starts) AS BIGINT) AS n_sessions_started
+FROM rows_ GROUP BY 1
+"""
+
+
+def q_ngram_novelty_curve(spark, sf):
+    """Temporal 3-gram novelty: per doc-id decile, what fraction of the
+    docs' distinct trigrams had never appeared in ANY earlier doc.
+    dup_ngram_coverage measures how much of the corpus is duplicated
+    gram mass; this measures the ARRIVAL of new content over ingestion
+    order — the freshness/diversity curve that tells a crawl planner
+    whether the newest slice still contributes novel text or is
+    re-crawling what's already held (novelty decays decile over decile
+    as the template vocabulary is exhausted).
+
+    Scale shape: distinct (doc, gram) from an in-row slide (guarded
+    against the sequence(1,0)-descends trap for <3-token docs), first
+    occurrence = min(doc_id) in one gram-keyed shuffle, join back on
+    gram, per-doc counts, then MAP-ONLY integer id-range deciles
+    (the vocab_growth_curve arithmetic — no ntile, no global sort)."""
+    d = _t(spark, sf, "documents")
+    rng = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 3,
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2), i -> "
+                    "concat_ws(' ', element_at(toks, i), "
+                    "element_at(toks, i + 1), element_at(toks, i + 2)))"
+                ),
+            ).otherwise(F.array())
+        ).alias("gram"),
+    ).distinct()
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("fd"))
+    per_doc = (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    dec = per_doc.crossJoin(F.broadcast(rng)).select(
+        (
+            F.expr("CAST((doc_id - lo) * 10 DIV (hi - lo + 1) AS INT)")
+            + F.lit(1)
+        ).alias("decile"),
+        "n_grams",
+        "n_novel",
+    )
+    return dec.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_grams").cast("long").alias("n_grams"),
+        F.round(F.sum("n_novel") / F.sum("n_grams"), 6).alias("novelty_frac"),
+    )
+
+
+SQL_NGRAM_NOVELTY = """
+WITH rng AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 3 THEN
+             list_transform(range(1, len(toks) - 1), i ->
+               concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))
+           ELSE [] END) AS gram
+    FROM toks)),
+first_occ AS (SELECT gram, MIN(doc_id) AS fd FROM grams GROUP BY 1),
+per_doc AS (
+  SELECT g.doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM grams g JOIN first_occ f ON g.gram = f.gram GROUP BY 1),
+dec AS (
+  SELECT CAST((doc_id - lo) * 10 // (hi - lo + 1) AS INTEGER) + 1 AS decile,
+         n_grams, n_novel
+  FROM per_doc CROSS JOIN rng)
+SELECT decile, COUNT(*) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+       ROUND(SUM(n_novel) * 1.0 / SUM(n_grams), 6) AS novelty_frac
+FROM dec GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -11094,6 +11473,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_DEDUP_THRESH_SENS,
     ),
     "span_corruption_stats": (q_span_corruption_stats, SQL_SPAN_CORRUPTION),
+    # distribution tests + growth-law fits + sweep-line (round 4, session 2)
+    "events_ks_test": (q_events_ks_test, SQL_EVENTS_KS),
+    "heaps_law_fit": (q_heaps_law_fit, SQL_HEAPS_FIT),
+    "events_peak_concurrency": (
+        q_events_peak_concurrency,
+        SQL_PEAK_CONCURRENCY,
+    ),
+    "ngram_novelty_curve": (q_ngram_novelty_curve, SQL_NGRAM_NOVELTY),
 }
 
 

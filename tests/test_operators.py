@@ -2304,3 +2304,119 @@ def test_span_corruption_run_length_semantics(spark):
     # the per-source totals include doc 0's exact counts
     per_doc = {0: (sum(mask), spans)}
     assert sum(mask) <= r.total_masked and spans <= r.total_spans
+
+
+def test_ks_identical_vs_separated_arms(spark):
+    """KS two-sample: identical click/view samples give D = 0 and the
+    clamped p-value 1.0; fully separated samples give D = 1.0 with a
+    tiny p — the two analytic anchors of the statistic."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    def ev(pairs):
+        return [(i, datetime(2024, 3, 1), 1, t, float(v), "{}")
+                for i, (t, v) in enumerate(pairs)]
+
+    same = ev([("click", v) for v in (1, 2, 3, 4)]
+              + [("view", v) for v in (1, 2, 3, 4)])
+    got = _with_events(spark, Q, same, Q.q_events_ks_test)[0]
+    assert (got.n_a, got.n_b, got.ks_stat, got.p_value) == (4, 4, 0.0, 1.0)
+
+    apart = ev([("click", v) for v in (1, 2, 3, 4, 5, 6, 7, 8)]
+               + [("view", v) for v in (11, 12, 13, 14, 15, 16, 17, 18)])
+    got = _with_events(spark, Q, apart, Q.q_events_ks_test)[0]
+    assert got.ks_stat == 1.0
+    assert got.p_value < 0.001
+
+
+def test_peak_concurrency_touching_sessions_overlap(spark):
+    """Sweep-line tie semantics: a session starting at the exact
+    instant another ends counts as concurrent (starts sort before ends
+    at tied timestamps), and disjoint sessions never do."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    t = lambda h, m: datetime(2024, 3, 1, h, m)
+    rows = [
+        # user 1: session [10:00, 10:05]
+        (0, t(10, 0), 1, "a", 1.0, "{}"),
+        (1, t(10, 5), 1, "a", 1.0, "{}"),
+        # user 2: session [10:05, 10:10] — touches user 1's end
+        (2, t(10, 5), 2, "a", 1.0, "{}"),
+        (3, t(10, 10), 2, "a", 1.0, "{}"),
+        # user 3: far-away single-event session [12:00, 12:00]
+        (4, t(12, 0), 3, "a", 1.0, "{}"),
+    ]
+    got = _with_events(spark, Q, rows, Q.q_events_peak_concurrency)
+    assert len(got) == 1
+    r = got[0]
+    assert r.day == "2024-03-01"
+    assert r.peak_concurrency == 2  # touching intervals overlap
+    assert r.n_sessions_started == 3
+
+    rows_disjoint = [
+        (0, t(10, 0), 1, "a", 1.0, "{}"),
+        (1, t(11, 0), 2, "a", 1.0, "{}"),  # >30 min after user 1
+    ]
+    r = _with_events(spark, Q, rows_disjoint, Q.q_events_peak_concurrency)[0]
+    assert r.peak_concurrency == 1
+    assert r.n_sessions_started == 2
+
+
+def test_ngram_novelty_dedup_and_short_doc_semantics(spark):
+    """Novelty curve: (a) a <3-token doc contributes no grams, (b) a
+    doc's repeated trigram counts once (distinct grain), (c) an exact
+    re-post of an earlier doc scores novelty 0."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        (0, "a b c d", "en", "s", 7),          # grams: abc, bcd (novel)
+        (1, "a b", "en", "s", 3),              # too short — no grams
+        (5, "x y z x y z", "en", "s", 11),     # xyz twice + yzx, zxy — distinct
+        (9, "a b c d", "en", "s", 7),          # re-post: novelty 0
+    ]
+    got = {r.decile: r for r in
+           _with_docs(spark, Q, rows, Q.q_ngram_novelty_curve)}
+    # doc_id range [0,9] → doc0 decile 1, doc5 decile 6, doc9 decile 10
+    assert set(got) == {1, 6, 10}
+    assert (got[1].n_grams, got[1].novelty_frac) == (2, 1.0)
+    # x y z x y z → distinct trigrams {xyz, yzx, zxy, (xyz dup)} = 3
+    assert (got[6].n_grams, got[6].novelty_frac) == (3, 1.0)
+    assert (got[10].n_grams, got[10].novelty_frac) == (2, 0.0)
+
+
+def test_heaps_fit_matches_direct_ols(spark):
+    """The blocked-cumsum OLS equals a direct numpy log-log least
+    squares on the same cumulative points (decomposition invisible)."""
+    import math
+
+    import numpy as np
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    texts = [
+        "a b c", "a b d e", "a c f", "g h a b", "i j k a",
+        "b c g l", "m a b c d", "n o p", "a q", "r s t u v",
+    ]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    r = _with_docs(spark, Q, rows, Q.q_heaps_law_fit)[0]
+
+    nts = [len(t.split()) for t in texts]
+    seen, nvs = set(), []
+    for t in texts:
+        new = [w for w in t.split() if w not in seen]
+        seen.update(new)
+        nvs.append(len(new))
+    ct, cv = np.cumsum(nts), np.cumsum(nvs)
+    x, y = np.log(ct), np.log(cv)
+    beta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    k = math.exp(y.mean() - beta * x.mean())
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert r.n_docs == 10
+    assert r.total_tokens == int(ct[-1])
+    assert r.vocab_size == len(seen)
+    assert math.isclose(r.heaps_beta, round(beta, 6), abs_tol=2e-6)
+    assert math.isclose(r.heaps_k, round(k, 6), abs_tol=2e-6)
+    assert math.isclose(r.r2, round(r2, 6), abs_tol=2e-6)

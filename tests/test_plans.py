@@ -123,6 +123,15 @@ BNLJ_OK = {
     "fuzzy_block_eval",
     # 1-row pair-total broadcast (the fraction denominator)
     "dedup_threshold_sensitivity",
+    # 1-row (lo, hi) range broadcast (_blocked_cumsum_multi blocks)
+    # + 1-row (n1, n2) arm-totals broadcast (the ECDF denominators)
+    "events_ks_test",
+    # 1-row (lo, hi) range broadcast (_blocked_cumsum_multi blocks)
+    "heaps_law_fit",
+    # 1-row (lo, hi) boundary-key range broadcast (sweep-line blocks)
+    "events_peak_concurrency",
+    # 1-row (min,max) doc_id range broadcast (map-only decile arithmetic)
+    "ngram_novelty_curve",
 }
 
 
@@ -171,6 +180,11 @@ SP_SORT_OK = {
     "orders_yoy_growth": 1,
     # bounded block-offset window (_blocked_cumsum ≤1024 totals)
     "parts_abc_classification": 1,
+    # bounded block-offset windows (_blocked_cumsum_multi ≤1024 totals;
+    # one shared pass for both weights — still a single bounded window)
+    "events_ks_test": 1,
+    "heaps_law_fit": 1,
+    "events_peak_concurrency": 1,
     # bounded day-grain cumsum (O(days) table, same class as backlog)
     "events_changepoint_cusum": 1,
     # remainder rank over the N_SOURCES-row weight table

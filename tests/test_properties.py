@@ -802,3 +802,47 @@ def test_equal_count_bins_approx_path_properties(spark, monkeypatch, vals, n_bin
     seen = {}
     for r in rows:
         assert seen.setdefault(r.v, r.bin) == r.bin
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    triples=st.lists(
+        st.tuples(
+            st.integers(min_value=-500, max_value=500),
+            st.floats(
+                min_value=0.1, max_value=100.0,
+                allow_nan=False, allow_infinity=False,
+            ),
+            st.floats(
+                min_value=-100.0, max_value=100.0,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_blocked_cumsum_multi_equals_per_weight_naive_property(spark, triples):
+    """_blocked_cumsum_multi == independent naive sorted prefix sums
+    for EVERY weight column (one blocked pass must be indistinguishable
+    from N separate ones; negative weights — the sweep-line's -1 deltas
+    — included)."""
+    import math
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    df = spark.createDataFrame(triples, "k long, w1 double, w2 double")
+    got = {
+        r.k: (r.below_w1, r.below_w2)
+        for r in Q._blocked_cumsum_multi(df, "k", ["w1", "w2"]).collect()
+    }
+    for k, _, _ in triples:
+        e1 = sum(w1 for kk, w1, _ in triples if kk < k)
+        e2 = sum(w2 for kk, _, w2 in triples if kk < k)
+        assert math.isclose(got[k][0], e1, rel_tol=1e-9, abs_tol=1e-9)
+        assert math.isclose(got[k][1], e2, rel_tol=1e-9, abs_tol=1e-9)
