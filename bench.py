@@ -271,6 +271,10 @@ HEADLINE = [
     "heaps_law_fit",
     "events_peak_concurrency",
     "ngram_novelty_curve",
+    "events_theil_sen",
+    "events_chi2_type_dow",
+    "events_seasonality",
+    "events_permutation_test",
 ]
 
 

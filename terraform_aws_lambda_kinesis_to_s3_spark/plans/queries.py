@@ -11181,6 +11181,391 @@ FROM dec GROUP BY 1
 """
 
 
+def q_events_theil_sen(spark, sf):
+    """Theil–Sen robust trend over daily event volume: the median of all
+    pairwise slopes (plus the median-residual intercept).  OLS
+    (orders_yoy_growth-style fits) is wrecked by a single outage day or
+    traffic spike; Theil–Sen has a 29% breakdown point and is the
+    estimator a capacity planner should trust on raw ops counts.
+
+    Scale shape: the fact reduces to an O(days) daily-count table
+    FIRST; the pairwise self-join is over that bounded table (3,650
+    days of 100 TB traffic → ~6.6M pairs — trivially reducible), never
+    over events.  Exact medians run as single aggregates on the
+    bounded pair/day tables; the x axis is epoch-day so both engines
+    share an integer origin."""
+    e = _t(spark, sf, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("double").alias("c")
+    )
+    pts = daily.select(
+        F.datediff(F.col("d"), F.lit("1970-01-01")).cast("double").alias("x"),
+        F.col("c").alias("y"),
+    )
+    a = pts.select(F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = pts.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
+    slope = a.join(b, F.col("x1") < F.col("x2")).agg(
+        F.expr("percentile((y2 - y1) / (x2 - x1), 0.5)").alias("slope"),
+        F.count("*").alias("n_pairs"),
+    )
+    resid = pts.crossJoin(F.broadcast(slope)).select(
+        "slope",
+        "n_pairs",
+        (F.col("y") - F.col("slope") * F.col("x")).alias("r"),
+    )
+    return (
+        resid.groupBy("slope", "n_pairs")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.expr("percentile(r, 0.5)").alias("icept"),
+        )
+        .select(
+            "n_days",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round("slope", 6).alias("ts_slope"),
+            F.round("icept", 6).alias("ts_intercept"),
+        )
+    )
+
+
+SQL_THEIL_SEN = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1),
+pts AS (SELECT CAST(d - DATE '1970-01-01' AS DOUBLE) AS x, c AS y FROM daily),
+sl AS (
+  SELECT MEDIAN((b.y - a.y) / (b.x - a.x)) AS slope, COUNT(*) AS n_pairs
+  FROM pts a JOIN pts b ON a.x < b.x),
+resid AS (
+  SELECT slope, n_pairs, y - slope * x AS r FROM pts CROSS JOIN sl)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       ROUND(slope, 6) AS ts_slope,
+       ROUND(MEDIAN(r), 6) AS ts_intercept
+FROM resid GROUP BY slope, n_pairs
+"""
+
+
+def q_events_chi2_type_dow(spark, sf):
+    """Chi-square test of independence between event type and
+    day-of-week, with Cramér's V as the effect size.  ANOVA
+    (orders_priority_anova) asks whether a numeric outcome differs by
+    group; this is its categorical×categorical sibling — is the traffic
+    MIX a function of weekday — and V is the number that stops a
+    dashboard from celebrating a chi2 that is huge only because N is.
+
+    Scale shape: one (type, dow) contingency reduce — map-side
+    combinable to ≤ types×7 cells — then broadcast row/column margins
+    joined back onto the bounded cell table; chi2 and V are closed-form
+    single aggregates.  Spark's dayofweek is 1-based Sunday-first;
+    DuckDB's 0-based — the oracle shifts (+1), the engine stays
+    native."""
+    e = _t(spark, sf, "events")
+    cell = e.groupBy(
+        F.col("event_type").alias("t"), F.dayofweek("ts").alias("dw")
+    ).agg(F.count("*").cast("double").alias("o"))
+    rt = cell.groupBy("t").agg(F.sum("o").alias("rt"))
+    ct = cell.groupBy("dw").agg(F.sum("o").alias("ct"))
+    n = cell.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("t").cast("double").alias("r"),
+        F.countDistinct("dw").cast("double").alias("k"),
+    )
+    joined = (
+        cell.join(F.broadcast(rt), "t")
+        .join(F.broadcast(ct), "dw")
+        .crossJoin(F.broadcast(n))
+    )
+    chi2 = F.sum(
+        F.pow(F.col("o") - F.col("rt") * F.col("ct") / F.col("n"), 2)
+        / (F.col("rt") * F.col("ct") / F.col("n"))
+    )
+    return (
+        joined.groupBy("n", "r", "k")
+        .agg(chi2.alias("chi2"))
+        .select(
+            F.col("n").cast("long").alias("n_events"),
+            ((F.col("r") - 1) * (F.col("k") - 1)).cast("long").alias("dof"),
+            F.round("chi2", 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * (F.least(F.col("r"), F.col("k")) - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+SQL_CHI2_TYPE_DOW = """
+WITH cell AS (
+  SELECT event_type AS t, dayofweek(ts) + 1 AS dw,
+         CAST(COUNT(*) AS DOUBLE) AS o
+  FROM events GROUP BY 1, 2),
+rt AS (SELECT t, SUM(o) AS rt FROM cell GROUP BY 1),
+ct AS (SELECT dw, SUM(o) AS ct FROM cell GROUP BY 1),
+nn AS (SELECT SUM(o) AS n, CAST(COUNT(DISTINCT t) AS DOUBLE) AS r,
+              CAST(COUNT(DISTINCT dw) AS DOUBLE) AS k FROM cell),
+j AS (
+  SELECT n, r, k,
+         SUM(POW(o - rt * ct / n, 2) / (rt * ct / n)) AS chi2
+  FROM cell JOIN rt USING (t) JOIN ct USING (dw) CROSS JOIN nn
+  GROUP BY 1, 2, 3)
+SELECT CAST(n AS BIGINT) AS n_events,
+       CAST((r - 1) * (k - 1) AS BIGINT) AS dof,
+       ROUND(chi2, 6) AS chi2,
+       ROUND(SQRT(chi2 / (n * (LEAST(r, k) - 1))), 6) AS cramers_v
+FROM j
+"""
+
+
+def q_events_seasonality(spark, sf):
+    """Seasonality-strength decomposition: how much of hourly traffic
+    variance is explained by hour-of-day, and of daily variance by
+    day-of-week (strength = 1 − var(residual)/var(total), the STL
+    diagnostic), with the peak slot each.  events_load_heatmap shows
+    the profile; this gives the ONE number per component that says
+    whether a seasonal autoscaling schedule is worth having at all.
+
+    Scale shape: both series live on COMPLETE spines generated from
+    1-row min/max aggregates (empty hours are real zeros — the
+    burstiness-query precedent); component means are O(24)/O(7)
+    broadcast tables; strength is a closed-form var_pop aggregate.
+    The peak lookup is a limit-1 TakeOrdered on a ≤24-row table."""
+    e = _t(spark, sf, "events")
+
+    def strength(series, comp):
+        means = series.groupBy("idx").agg(F.avg("c").alias("m"))
+        peak = (
+            means.orderBy(F.desc("m"), "idx")
+            .limit(1)
+            .select(
+                F.col("idx").cast("int").alias("peak_idx"),
+                F.round("m", 6).alias("peak_mean"),
+            )
+        )
+        return (
+            series.join(F.broadcast(means), "idx")
+            .agg(
+                F.count("*").cast("long").alias("n_points"),
+                (
+                    F.lit(1.0)
+                    - F.var_pop(F.col("c") - F.col("m")) / F.var_pop("c")
+                ).alias("s"),
+            )
+            .crossJoin(F.broadcast(peak))
+            .select(
+                F.lit(comp).alias("component"),
+                "n_points",
+                F.round("s", 6).alias("strength"),
+                "peak_idx",
+                "peak_mean",
+            )
+        )
+
+    hrng = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hspine = hrng.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("h")
+    )
+    hourly = hspine.join(
+        e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+            F.count("*").alias("c0")
+        ),
+        "h",
+        "left",
+    ).select(
+        F.hour("h").alias("idx"),
+        F.coalesce("c0", F.lit(0)).cast("double").alias("c"),
+    )
+    drng = e.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    dspine = drng.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 DAY)")).alias("d")
+    )
+    dailyc = dspine.join(
+        e.groupBy(F.to_date("ts").alias("d")).agg(F.count("*").alias("c0")),
+        "d",
+        "left",
+    ).select(
+        F.dayofweek("d").alias("idx"),
+        F.coalesce("c0", F.lit(0)).cast("double").alias("c"),
+    )
+    return strength(hourly, "hour_of_day").unionAll(
+        strength(dailyc, "day_of_week")
+    )
+
+
+SQL_EVENTS_SEASONALITY = """
+WITH hrng AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events),
+hspine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM hrng),
+hc AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c0
+       FROM events GROUP BY 1),
+hourly AS (
+  SELECT hour(s.h) AS idx, CAST(COALESCE(c0, 0) AS DOUBLE) AS c
+  FROM hspine s LEFT JOIN hc USING (h)),
+drng AS (SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+         FROM events),
+dspine AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+         CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM drng),
+dc AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c0 FROM events GROUP BY 1),
+dailyc AS (
+  SELECT dayofweek(s.d) + 1 AS idx, CAST(COALESCE(c0, 0) AS DOUBLE) AS c
+  FROM dspine s LEFT JOIN dc USING (d)),
+hm AS (SELECT idx, AVG(c) AS m FROM hourly GROUP BY 1),
+dm AS (SELECT idx, AVG(c) AS m FROM dailyc GROUP BY 1),
+hs AS (
+  SELECT 'hour_of_day' AS component, CAST(COUNT(*) AS BIGINT) AS n_points,
+         ROUND(1.0 - VAR_POP(c - m) / VAR_POP(c), 6) AS strength
+  FROM hourly JOIN hm USING (idx)),
+hpk AS (SELECT CAST(idx AS INTEGER) AS peak_idx, ROUND(m, 6) AS peak_mean
+        FROM hm ORDER BY m DESC, idx LIMIT 1),
+ds AS (
+  SELECT 'day_of_week' AS component, CAST(COUNT(*) AS BIGINT) AS n_points,
+         ROUND(1.0 - VAR_POP(c - m) / VAR_POP(c), 6) AS strength
+  FROM dailyc JOIN dm USING (idx)),
+dpk AS (SELECT CAST(idx AS INTEGER) AS peak_idx, ROUND(m, 6) AS peak_mean
+        FROM dm ORDER BY m DESC, idx LIMIT 1)
+SELECT * FROM hs CROSS JOIN hpk
+UNION ALL
+SELECT * FROM ds CROSS JOIN dpk
+"""
+
+
+#: Randomization-test replicate count and arms (click-vs-error value
+#: means, the same contrast ab_test_welch tests parametrically).
+PERM_REPLICATES = 100
+PERM_ARM_A, PERM_ARM_B = "click", "error"
+
+
+def q_events_permutation_test(spark, sf):
+    """Randomization (permutation-style) test of the click-vs-error
+    difference in mean value: relabel every event PERM_REPLICATES times
+    with an md5-deterministic coin of bias n_a/n and ask how often the
+    null relabeling beats the observed |Δmean|.  The
+    assumption-free companion to ab_test_welch (normality) and
+    events_mann_whitney (location family): a Monte-Carlo null that is
+    exact about THIS data's shape, and deterministic across engines
+    because the coin is a hash, not a RNG.
+
+    Scale shape: one 1-row observed-stats broadcast, then a replicate
+    explode feeding straight into a hash aggregate at (replicate, arm)
+    grain — map-side combine keeps the shuffle at R×2 cells regardless
+    of corpus size; R=100 is a constant fan-out (the cost knob is a
+    module constant).  p-value uses the add-one convention
+    (n_ge+1)/(R+1) so it can never report zero."""
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isin(PERM_ARM_A, PERM_ARM_B)
+    )
+    obs = e.agg(
+        F.sum(F.when(F.col("event_type") == PERM_ARM_A, 1).otherwise(0))
+        .cast("double")
+        .alias("na"),
+        F.count("*").cast("double").alias("n"),
+        (
+            F.avg(F.when(F.col("event_type") == PERM_ARM_A, F.col("value")))
+            - F.avg(F.when(F.col("event_type") == PERM_ARM_B, F.col("value")))
+        ).alias("diff_obs"),
+    )
+    rep = (
+        e.crossJoin(F.broadcast(obs))
+        .select(
+            "value",
+            "na",
+            "n",
+            "diff_obs",
+            F.explode(
+                F.expr(f"sequence(0, {PERM_REPLICATES - 1})")
+            ).alias("rep"),
+            F.col("event_id").cast("string").alias("eid"),
+        )
+        .withColumn(
+            "u",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", "eid", F.col("rep").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(4294967296.0),
+        )
+    )
+    per_rep = rep.groupBy("rep", "na", "n", "diff_obs").agg(
+        (
+            F.avg(
+                F.when(F.col("u") < F.col("na") / F.col("n"), F.col("value"))
+            )
+            - F.avg(
+                F.when(F.col("u") >= F.col("na") / F.col("n"), F.col("value"))
+            )
+        ).alias("diff_r")
+    )
+    return (
+        per_rep.groupBy("na", "n", "diff_obs")
+        .agg(
+            F.sum(
+                F.when(F.abs("diff_r") >= F.abs("diff_obs"), 1).otherwise(0)
+            ).alias("n_ge"),
+            F.count("*").alias("nr"),
+        )
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            (F.col("n") - F.col("na")).cast("long").alias("n_b"),
+            F.round("diff_obs", 6).alias("diff_obs"),
+            F.col("nr").cast("long").alias("n_replicates"),
+            F.round((F.col("n_ge") + 1) / (F.col("nr") + 1), 6).alias(
+                "p_value"
+            ),
+        )
+    )
+
+
+SQL_PERMUTATION_TEST = f"""
+WITH arm AS (
+  SELECT event_id, value, event_type FROM events
+  WHERE event_type IN ('{PERM_ARM_A}', '{PERM_ARM_B}')),
+obs AS (
+  SELECT CAST(SUM(CASE WHEN event_type = '{PERM_ARM_A}' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS na,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(CASE WHEN event_type = '{PERM_ARM_A}' THEN value END)
+         - AVG(CASE WHEN event_type = '{PERM_ARM_B}' THEN value END)
+           AS diff_obs
+  FROM arm),
+rep AS (
+  SELECT value, na, n, diff_obs, r.rep,
+         CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR), ':',
+              CAST(r.rep AS VARCHAR))), 1, 8)) AS UBIGINT)
+         / 4294967296.0 AS u
+  FROM arm CROSS JOIN obs
+  CROSS JOIN (SELECT unnest(range(0, {PERM_REPLICATES})) AS rep) r),
+per_rep AS (
+  SELECT rep, na, n, diff_obs,
+         AVG(CASE WHEN u < na / n THEN value END)
+         - AVG(CASE WHEN u >= na / n THEN value END) AS diff_r
+  FROM rep GROUP BY 1, 2, 3, 4)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(n - na AS BIGINT) AS n_b,
+       ROUND(diff_obs, 6) AS diff_obs,
+       CAST(COUNT(*) AS BIGINT) AS n_replicates,
+       ROUND((SUM(CASE WHEN ABS(diff_r) >= ABS(diff_obs) THEN 1 ELSE 0 END)
+              + 1) * 1.0 / (COUNT(*) + 1), 6) AS p_value
+FROM per_rep GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -11481,6 +11866,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_PEAK_CONCURRENCY,
     ),
     "ngram_novelty_curve": (q_ngram_novelty_curve, SQL_NGRAM_NOVELTY),
+    # robust trend / independence / seasonality / randomization inference
+    # (round 4, session 3)
+    "events_theil_sen": (q_events_theil_sen, SQL_THEIL_SEN),
+    "events_chi2_type_dow": (q_events_chi2_type_dow, SQL_CHI2_TYPE_DOW),
+    "events_seasonality": (q_events_seasonality, SQL_EVENTS_SEASONALITY),
+    "events_permutation_test": (
+        q_events_permutation_test,
+        SQL_PERMUTATION_TEST,
+    ),
 }
 
 

@@ -2420,3 +2420,108 @@ def test_heaps_fit_matches_direct_ols(spark):
     assert math.isclose(r.heaps_beta, round(beta, 6), abs_tol=2e-6)
     assert math.isclose(r.heaps_k, round(k, 6), abs_tol=2e-6)
     assert math.isclose(r.r2, round(r2, 6), abs_tol=2e-6)
+
+
+def test_theil_sen_outlier_robust(spark):
+    """Theil–Sen's whole point: one catastrophic outlier day does not
+    move the slope.  Daily counts 10, 12, 14, 16, then a 300-event
+    spike: six of the ten pairwise slopes are exactly 2, so the median
+    slope stays 2.0, and the median residual pins the intercept to the
+    clean days' line (OLS would report slope ≈ 60)."""
+    from datetime import date, datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    counts = [10, 12, 14, 16, 300]
+    rows = []
+    eid = 0
+    for day, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((eid, datetime(2024, 3, 1 + day), 1, "a", 1.0, "{}"))
+            eid += 1
+    r = _with_events(spark, Q, rows, Q.q_events_theil_sen)[0]
+    assert (r.n_days, r.n_pairs) == (5, 10)
+    assert r.ts_slope == 2.0
+    x0 = (date(2024, 3, 1) - date(1970, 1, 1)).days
+    assert r.ts_intercept == round(10.0 - 2.0 * x0, 6)
+
+
+def test_chi2_exact_independence_is_zero(spark):
+    """A contingency table where the type mix is identical every day
+    gives chi2 = 0 and Cramér's V = 0 (the independence anchor), with
+    dof = (r-1)(k-1)."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = []
+    eid = 0
+    for day in (4, 5):          # Mon, Tue
+        for t, n in (("click", 6), ("view", 3)):
+            for _ in range(n):
+                rows.append(
+                    (eid, datetime(2024, 3, day), 1, t, 1.0, "{}")
+                )
+                eid += 1
+    r = _with_events(spark, Q, rows, Q.q_events_chi2_type_dow)[0]
+    assert (r.n_events, r.dof) == (18, 1)
+    assert r.chi2 == 0.0
+    assert r.cramers_v == 0.0
+
+
+def test_seasonality_strength_anchors(spark):
+    """Variance-decomposition anchors: one event per hour on day 1 and
+    two per hour on day 2 means hour-of-day explains NOTHING
+    (strength 0 — the variation is all at day level) while day-of-week
+    explains EVERYTHING (strength 1 — two days, each its own dow,
+    zero residual).  Peak slots: hod ties break to hour 0; dow peak is
+    Tuesday's Spark index 3 with mean 48."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = []
+    eid = 0
+    for day, per_hour in ((4, 1), (5, 2)):      # Mon=1/hr, Tue=2/hr
+        for h in range(24):
+            for _ in range(per_hour):
+                rows.append(
+                    (eid, datetime(2024, 3, day, h, 30), 1, "a", 1.0, "{}")
+                )
+                eid += 1
+    got = {r.component: r for r in
+           _with_events(spark, Q, rows, Q.q_events_seasonality)}
+    hod, dow = got["hour_of_day"], got["day_of_week"]
+    assert hod.n_points == 48 and hod.strength == 0.0
+    assert hod.peak_idx == 0 and hod.peak_mean == 1.5
+    assert dow.n_points == 2 and dow.strength == 1.0
+    assert dow.peak_idx == 3 and dow.peak_mean == 48.0
+
+
+def test_permutation_test_null_and_signal_anchors(spark):
+    """Randomization test anchors: identical arms give diff_obs = 0 so
+    EVERY replicate ties or beats it → p = 1.0; fully separated arms
+    give the add-one minimum p = 1/(R+1).  The md5 coin makes the
+    whole thing deterministic across runs."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    def ev(pairs):
+        return [(i, datetime(2024, 3, 1), 1, t, float(v), "{}")
+                for i, (t, v) in enumerate(pairs)]
+
+    same = ev([("click", v) for v in range(1, 21)]
+              + [("error", v) for v in range(1, 21)])
+    a = _with_events(spark, Q, same, Q.q_events_permutation_test)[0]
+    b = _with_events(spark, Q, same, Q.q_events_permutation_test)[0]
+    assert a == b                       # deterministic relabeling
+    assert (a.n_a, a.n_b, a.diff_obs) == (20, 20, 0.0)
+    assert a.n_replicates == Q.PERM_REPLICATES
+    assert a.p_value == 1.0
+
+    apart = ev([("click", v) for v in range(1, 21)]
+               + [("error", v + 1000) for v in range(1, 21)])
+    r = _with_events(spark, Q, apart, Q.q_events_permutation_test)[0]
+    assert r.diff_obs == -1000.0
+    assert r.p_value == round(1.0 / (Q.PERM_REPLICATES + 1), 6)

@@ -132,6 +132,15 @@ BNLJ_OK = {
     "events_peak_concurrency",
     # 1-row (min,max) doc_id range broadcast (map-only decile arithmetic)
     "ngram_novelty_curve",
+    # deliberate pairwise non-equi join on the BOUNDED O(days) daily
+    # table (never on events) + 1-row median-slope broadcast
+    "events_theil_sen",
+    # 1-row (n, r, k) grand-totals broadcast (chi2 expected counts)
+    "events_chi2_type_dow",
+    # 1-row spine-range broadcasts + 1-row peak-slot broadcasts
+    "events_seasonality",
+    # 1-row observed-stats broadcast (the relabeling coin's bias)
+    "events_permutation_test",
 }
 
 
