@@ -275,6 +275,10 @@ HEADLINE = [
     "events_chi2_type_dow",
     "events_seasonality",
     "events_permutation_test",
+    "graph_adamic_adar",
+    "graph_assortativity",
+    "sink_compaction_plan",
+    "source_token_simpson",
 ]
 
 

@@ -11566,6 +11566,243 @@ FROM per_rep GROUP BY 1, 2, 3
 """
 
 
+def q_graph_adamic_adar(spark, sf):
+    """Adamic–Adar link prediction on the parts co-purchase graph:
+    for every NON-adjacent pair, Σ 1/ln(deg z) over common neighbors
+    z — rare shared neighbors count more than hub co-membership.  The
+    top-15 predicted links are the "customers also bought" candidates
+    a recommender would backfill; pagerank/triangles describe the
+    graph, this one predicts its next edge.
+
+    Scale shape: symmetric adjacency → wedge equi-join on the center
+    node (per-center work is deg², the quantity AA itself sums over —
+    the same bench-bounding cap as graph_triangle_parts_capped keeps
+    the wedge volume honest at sf, documented), degree broadcast-sized
+    dim join, pair-keyed reduce, left-anti against existing edges,
+    TakeOrdered top-15 with (score, src, dst) deterministic ties."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    adj = edges.select(
+        F.col("src").alias("z"), F.col("dst").alias("nb")
+    ).unionAll(edges.select(F.col("dst").alias("z"), F.col("src").alias("nb")))
+    deg = adj.groupBy("z").agg(F.count("*").cast("double").alias("deg"))
+    a1 = adj.select("z", F.col("nb").alias("x"))
+    a2 = adj.select("z", F.col("nb").alias("y"))
+    wedges = a1.join(a2, "z").filter(F.col("x") < F.col("y")).join(deg, "z")
+    scores = wedges.groupBy("x", "y").agg(
+        F.count("*").cast("long").alias("n_common"),
+        F.sum(F.lit(1.0) / F.log("deg")).alias("aa"),
+    )
+    new_links = scores.join(
+        edges,
+        (scores.x == edges.src) & (scores.y == edges.dst),
+        "left_anti",
+    )
+    return (
+        new_links.orderBy(F.desc("aa"), "x", "y")
+        .limit(15)
+        .select(
+            F.col("x").alias("src"),
+            F.col("y").alias("dst"),
+            "n_common",
+            F.round("aa", 6).alias("aa_score"),
+        )
+    )
+
+
+SQL_ADAMIC_ADAR = """
+WITH b AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem
+           WHERE l_orderkey % 4 = 0),
+e AS (SELECT DISTINCT a.p AS src, c.p AS dst
+      FROM b a JOIN b c ON a.g = c.g AND a.p < c.p),
+adj AS (SELECT src AS z, dst AS nb FROM e
+        UNION ALL SELECT dst AS z, src AS nb FROM e),
+deg AS (SELECT z, CAST(COUNT(*) AS DOUBLE) AS deg FROM adj GROUP BY 1),
+w AS (SELECT a1.nb AS x, a2.nb AS y, a1.z AS z
+      FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.nb < a2.nb),
+s AS (SELECT x, y, COUNT(*) AS n_common, SUM(1.0 / LN(deg)) AS aa
+      FROM w JOIN deg USING (z) GROUP BY 1, 2),
+nl AS (SELECT * FROM s WHERE NOT EXISTS
+        (SELECT 1 FROM e WHERE e.src = s.x AND e.dst = s.y))
+SELECT x AS src, y AS dst, CAST(n_common AS BIGINT) AS n_common,
+       ROUND(aa, 6) AS aa_score
+FROM nl ORDER BY aa DESC, x, y LIMIT 15
+"""
+
+
+def q_graph_assortativity(spark, sf):
+    """Degree assortativity of the parts co-purchase graph: the
+    Pearson correlation of endpoint degrees over every (doubled,
+    undirected-standard) edge.  Positive = hubs prefer hubs (social
+    nets), negative = hub-and-spoke (the internet); the single number
+    that says whether degree-based skew mitigation (salting the hub
+    keys) will matter before running any wedge-shaped algorithm.
+
+    Scale shape: degree table from one adjacency reduce, two
+    degree-dim equi-joins back onto edges (dims are node-sized —
+    AQE picks broadcast when small), one closed-form corr aggregate.
+    No wedges, no sorts — O(edges) end to end."""
+    li = _t(spark, sf, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    adj = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = adj.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    dd = (
+        adj.join(deg, "src")
+        .withColumnRenamed("deg", "ds")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("dt")),
+            "dst",
+        )
+    )
+    return dd.agg(
+        (F.count("*") / 2).cast("long").alias("n_edges"),
+        F.countDistinct("src").cast("long").alias("n_nodes"),
+        F.round(F.avg("ds"), 6).alias("mean_degree"),
+        F.round(F.corr("ds", "dt"), 6).alias("assortativity"),
+    )
+
+
+SQL_ASSORTATIVITY = """
+WITH b AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS src, c.p AS dst
+      FROM b a JOIN b c ON a.g = c.g AND a.p < c.p),
+adj AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM adj GROUP BY 1),
+dd AS (SELECT d1.deg AS ds, d2.deg AS dt
+       FROM adj JOIN deg d1 ON adj.src = d1.src
+                JOIN deg d2 ON adj.dst = d2.src)
+SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       ROUND(AVG(ds), 6) AS mean_degree,
+       ROUND(CORR(ds, dt), 6) AS assortativity
+FROM dd
+"""
+
+
+#: Compaction-planning constants: the target is 256 KB at test scale
+#: standing in for the ~128 MB production target; writer-task count
+#: models one output file per shuffle task per partition (the
+#: small-files failure mode the partitioned sink exists to avoid).
+COMPACT_TARGET_BYTES = 262144
+COMPACT_WRITER_TASKS = 32
+
+
+def q_sink_compaction_plan(spark, sf):
+    """Small-file compaction planner for a partitioned corpus sink:
+    per (source, lang) partition, serialized bytes, the file count a
+    size-targeted writer should produce (ceil(bytes/target)), the file
+    count a naive one-file-per-task writer WOULD produce, and their
+    ratio — the small-file amplification that murders 100 TB object
+    stores (every file is a LIST/GET round-trip and a NameNode/driver
+    split).  The A10 sink writes one file per partition per trigger
+    for exactly this reason (sinks/partitioned_json.py); this query is
+    the audit that proves the policy right on real data.
+
+    Scale shape: one map-side-combinable groupBy at partition grain;
+    naive_files counts distinct task buckets (doc_id mod tasks) —
+    an Expand-free countDistinct over a ≤32-value domain."""
+    d = _t(spark, sf, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("n_chars") + F.count("*")).cast("long").alias("total_bytes"),
+        F.countDistinct(
+            F.pmod(F.col("doc_id"), F.lit(COMPACT_WRITER_TASKS))
+        ).cast("long").alias("naive_files"),
+    )
+    return per.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_bytes",
+        F.ceil(F.col("total_bytes") / F.lit(COMPACT_TARGET_BYTES))
+        .cast("long")
+        .alias("planned_files"),
+        "naive_files",
+        F.round(
+            F.col("naive_files")
+            / F.ceil(F.col("total_bytes") / F.lit(COMPACT_TARGET_BYTES)),
+            6,
+        ).alias("small_file_ratio"),
+    )
+
+
+SQL_COMPACTION_PLAN = f"""
+WITH per AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         SUM(n_chars) + COUNT(*) AS total_bytes,
+         COUNT(DISTINCT doc_id % {COMPACT_WRITER_TASKS}) AS naive_files
+  FROM documents GROUP BY 1, 2)
+SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_bytes AS BIGINT) AS total_bytes,
+       CAST(CEIL(total_bytes * 1.0 / {COMPACT_TARGET_BYTES}) AS BIGINT)
+         AS planned_files,
+       CAST(naive_files AS BIGINT) AS naive_files,
+       ROUND(naive_files * 1.0
+             / CEIL(total_bytes * 1.0 / {COMPACT_TARGET_BYTES}), 6)
+         AS small_file_ratio
+FROM per
+"""
+
+
+def q_source_token_simpson(spark, sf):
+    """Per-source Simpson concentration index over the token
+    distribution (Σ p², the probability two random tokens coincide)
+    and its inverse — the "effective vocabulary" size.  Entropy-family
+    diversity (events_user_entropy) weights the tail; Simpson weights
+    the HEAD, which is what repetitive boilerplate actually inflates —
+    a source whose effective vocab is 10 on a 10k vocab is template
+    spam regardless of its tail.
+
+    Scale shape: one (source, term) census reduce — the same shape the
+    persisted mixture census uses — then a closed-form per-source
+    aggregate; countDistinct runs at census grain, not token grain."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    cnt = toks.groupBy("source", "term").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.countDistinct("term").cast("long").alias("vocab"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("c") * F.col("c")) / (F.sum("c") * F.sum("c"))
+            ).alias("simpson"),
+        )
+        .select(
+            "source",
+            "vocab",
+            "n_tokens",
+            F.round("simpson", 6).alias("simpson"),
+            F.round(F.lit(1.0) / F.col("simpson"), 6).alias(
+                "effective_vocab"
+            ),
+        )
+    )
+
+
+SQL_TOKEN_SIMPSON = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+cnt AS (SELECT source, term, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM toks WHERE term <> '' GROUP BY 1, 2),
+s AS (
+  SELECT source, COUNT(DISTINCT term) AS vocab,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         SUM(c * c) / (SUM(c) * SUM(c)) AS simpson
+  FROM cnt GROUP BY 1)
+SELECT source, CAST(vocab AS BIGINT) AS vocab, n_tokens,
+       ROUND(simpson, 6) AS simpson,
+       ROUND(1.0 / simpson, 6) AS effective_vocab
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -11875,6 +12112,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_events_permutation_test,
         SQL_PERMUTATION_TEST,
     ),
+    # link prediction / graph mixing / sink ops / head-weighted diversity
+    "graph_adamic_adar": (q_graph_adamic_adar, SQL_ADAMIC_ADAR),
+    "graph_assortativity": (q_graph_assortativity, SQL_ASSORTATIVITY),
+    "sink_compaction_plan": (q_sink_compaction_plan, SQL_COMPACTION_PLAN),
+    "source_token_simpson": (q_source_token_simpson, SQL_TOKEN_SIMPSON),
 }
 
 

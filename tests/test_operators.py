@@ -2525,3 +2525,95 @@ def test_permutation_test_null_and_signal_anchors(spark):
     r = _with_events(spark, Q, apart, Q.q_events_permutation_test)[0]
     assert r.diff_obs == -1000.0
     assert r.p_value == round(1.0 / (Q.PERM_REPLICATES + 1), 6)
+
+
+def _with_lineitem(spark, Q, rows, fn):
+    """Run a registry query against an in-memory lineitem fixture with
+    just the (l_orderkey, l_partkey) columns the graph builders use."""
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    orig = Q._t
+    Q._t = lambda spark, sf, name, **k: li
+    try:
+        return fn(spark, "ignored").collect()
+    finally:
+        Q._t = orig
+
+
+def test_adamic_adar_path_and_cycle(spark):
+    """AA anchors: on the path 1–2–3 the only candidate is (1, 3) with
+    score 1/ln 2 through the single shared neighbor; on the 4-cycle
+    both diagonals score 2/ln 2 (two shared degree-2 neighbors each)
+    and every existing edge is excluded from the output."""
+    import math
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    path = [(0, 1), (0, 2), (4, 2), (4, 3)]      # baskets {1,2}, {2,3}
+    got = _with_lineitem(spark, Q, path, Q.q_graph_adamic_adar)
+    assert len(got) == 1
+    r = got[0]
+    assert (r.src, r.dst, r.n_common) == (1, 3, 1)
+    assert r.aa_score == round(1 / math.log(2), 6)
+
+    cycle = [(0, 1), (0, 2), (4, 2), (4, 3), (8, 3), (8, 4), (12, 4), (12, 1)]
+    got = {(r.src, r.dst): r for r in
+           _with_lineitem(spark, Q, cycle, Q.q_graph_adamic_adar)}
+    assert set(got) == {(1, 3), (2, 4)}
+    for r in got.values():
+        assert r.n_common == 2
+        assert r.aa_score == round(2 / math.log(2), 6)
+
+
+def test_assortativity_star_is_minus_one(spark):
+    """A star is the maximally disassortative graph: every edge joins
+    the degree-3 hub to a degree-1 leaf, so the endpoint-degree
+    correlation is exactly -1; mean_degree is the DEGREE-WEIGHTED mean
+    (averaged over edge endpoints, not nodes): (3·1 + 3·3)/6 = 2."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    star = [(0, 9), (0, 1), (1, 9), (1, 2), (2, 9), (2, 3)]
+    r = _with_lineitem(spark, Q, star, Q.q_graph_assortativity)[0]
+    assert (r.n_edges, r.n_nodes) == (3, 4)
+    assert r.mean_degree == 2.0      # avg src-degree over doubled edges
+    assert r.assortativity == -1.0
+
+
+def test_compaction_plan_small_file_amplification(spark):
+    """Compaction arithmetic: 64 tiny docs across all 32 task buckets
+    → naive 32 files where 1 suffices (ratio 32); one 600 KB doc needs
+    ceil(600001/262144) = 3 target files from a single task (ratio
+    1/3 — the opposite failure, files too big)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [(i, "x", "en", "tiny", 99) for i in range(64)]
+    rows.append((100, "y", "en", "huge", 600000))
+    got = {r.source: r for r in
+           _with_docs(spark, Q, rows, Q.q_sink_compaction_plan)}
+    t = got["tiny"]
+    assert (t.n_docs, t.total_bytes) == (64, 64 * 100)
+    assert (t.planned_files, t.naive_files) == (1, 32)
+    assert t.small_file_ratio == 32.0
+    h = got["huge"]
+    assert (h.total_bytes, h.planned_files, h.naive_files) == (600001, 3, 1)
+    assert h.small_file_ratio == round(1 / 3, 6)
+
+
+def test_simpson_uniform_vs_degenerate(spark):
+    """Simpson anchors: a uniform 4-term source has index 1/4 and
+    effective vocabulary exactly 4; a single-term source has index 1
+    and effective vocabulary 1 (the template-spam signature even
+    though its raw vocab is nonzero)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        (0, "a b c d", "en", "uniform", 7),
+        (1, "x x x x", "en", "spam", 7),
+    ]
+    got = {r.source: r for r in
+           _with_docs(spark, Q, rows, Q.q_source_token_simpson)}
+    u = got["uniform"]
+    assert (u.vocab, u.n_tokens, u.simpson, u.effective_vocab) == (
+        4, 4, 0.25, 4.0)
+    s = got["spam"]
+    assert (s.vocab, s.n_tokens, s.simpson, s.effective_vocab) == (
+        1, 4, 1.0, 1.0)
