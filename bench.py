@@ -279,6 +279,9 @@ HEADLINE = [
     "graph_assortativity",
     "sink_compaction_plan",
     "source_token_simpson",
+    "dedup_clusters_distributed",
+    "reservoir_sample_ares",
+    "mmr_rerank",
 ]
 
 

@@ -11803,6 +11803,250 @@ FROM s
 """
 
 
+def q_dedup_clusters_distributed(spark, sf):
+    """dedup_clusters through the LARGE regime of
+    operators.dedup.cluster_pairs (driver_side_limit=0): iterative
+    min-label propagation — one join + one aggregate per round,
+    lineage truncated with localCheckpoint — instead of the
+    driver-side union-find the size probe normally picks at sf.  Same
+    output contract (component labeled by min doc_id), same oracle as
+    dedup_clusters: this row pins the path a 100 TB pair set would
+    actually take, not just the small-regime shortcut."""
+    pairs = _minhash_verified_pairs(spark, sf).select("doc_a", "doc_b")
+    return D.cluster_pairs(pairs, driver_side_limit=0).orderBy("doc_id")
+
+
+#: Weighted-reservoir sample size per source (Efraimidis–Spirakis
+#: A-Res: key = u^(1/w), keep the k largest keys).
+RES_K = 3
+
+
+def q_reservoir_sample_ares(spark, sf):
+    """Exact-size weighted sampling without replacement per source —
+    Efraimidis & Spirakis (2006) A-Res: each doc draws u ∈ (0,1]
+    (md5-deterministic, so both engines draw the SAME u) and keeps key
+    u^(1/w) with w = n_chars; the k largest keys per source are the
+    sample.  weighted_doc_sample is Bernoulli (random SIZE); this is
+    the fixed-budget variant a "take exactly k docs per domain,
+    long-doc-biased" curation step needs — and it distributes as a
+    plain per-group top-k, no rejection loop.
+
+    Scale shape: map-only key computation, one partitioned window
+    (row_number partitioned BY SOURCE — bounded per-partition state,
+    nothing global); ties cannot happen (md5 keys) but doc_id breaks
+    them deterministically anyway."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents")
+    keyed = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.pow(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("double")
+                + F.lit(1.0)
+            )
+            / F.lit(4294967296.0),
+            F.lit(1.0) / F.col("n_chars"),
+        ).alias("key"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("key"), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= RES_K)
+        .select(
+            "source",
+            F.col("rk").cast("int").alias("rank"),
+            "doc_id",
+            "n_chars",
+            F.round("key", 6).alias("weight_key"),
+        )
+    )
+
+
+SQL_RESERVOIR_ARES = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         POW((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) + 1.0) / 4294967296.0, 1.0 / n_chars) AS key
+  FROM documents),
+ranked AS (
+  SELECT source, doc_id, n_chars, key,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY key DESC, doc_id) AS rk
+  FROM keyed)
+SELECT source, CAST(rk AS INT) AS rank, doc_id, n_chars,
+       ROUND(key, 6) AS weight_key
+FROM ranked WHERE rk <= {RES_K}
+"""
+
+
+#: MMR rerank constants: query vector, candidate pool, selections,
+#: relevance-vs-diversity tradeoff.
+MMR_QUERY_ID = 0
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def _catalyst_cosine(a, b):
+    """Cosine similarity as a pure Catalyst fold (sequential
+    left-to-right like DuckDB's list_cosine_similarity — agreement to
+    ~1e-15, vs the BLAS path whose different summation order can
+    legitimately flip 6-dp rounding on knife-edge ties)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / (na * nb)
+
+
+def q_mmr_rerank(spark, sf):
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    greedily pick k results maximizing λ·rel − (1−λ)·max-sim-to-
+    already-picked — the diversification step between retrieval
+    (embedding_cosine_topk / bm25_topk_docs) and fusion (rrf_fusion)
+    that stops the top-5 being five near-copies of the same hit.
+
+    Scale shape: the corpus-sized work is ONE map-only relevance pass
+    (Catalyst fold cosine) + TakeOrdered into a POOL-sized candidate
+    set; everything after — pairwise sims, k greedy argmax rounds
+    unrolled as dataframe ops (the power-iteration precedent for
+    fixed-iteration algorithms) — runs on contract-small ≤20-row
+    tables.  Scores round to 6 dp BEFORE each argmax with vec_id
+    tiebreak, so the greedy path is engine-reproducible."""
+    e = _t(spark, sf, "embeddings")
+    qv = e.where(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    rel = (
+        e.where(F.col("vec_id") != MMR_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(
+                _catalyst_cosine(F.col("embedding"), F.col("qe")), 6
+            ).alias("rel"),
+        )
+    )
+    cands = rel.orderBy(F.desc("rel"), "vec_id").limit(MMR_POOL).persist()
+    a = cands.select(
+        F.col("vec_id").alias("ca"), F.col("embedding").alias("ea")
+    )
+    b = cands.select(
+        F.col("vec_id").alias("cb"), F.col("embedding").alias("eb")
+    )
+    sims = (
+        a.join(b, F.col("ca") != F.col("cb"))
+        .select(
+            "ca",
+            "cb",
+            F.round(_catalyst_cosine(F.col("ea"), F.col("eb")), 6).alias(
+                "sim"
+            ),
+        )
+        .persist()
+    )
+    lam = F.lit(MMR_LAMBDA)
+    sel = (
+        cands.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            "rel",
+            F.col("rel").alias("mmr_score"),
+            F.lit(1).alias("rank"),
+        )
+    )
+    for t in range(2, MMR_K + 1):
+        rem = cands.join(sel, "vec_id", "left_anti")
+        pen = (
+            sims.join(sel.select(F.col("vec_id").alias("cb")), "cb")
+            .groupBy("ca")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        scored = rem.join(pen, rem.vec_id == pen.ca).select(
+            "vec_id",
+            "rel",
+            F.round(
+                lam * F.col("rel") - (F.lit(1.0) - lam) * F.col("maxsim"), 6
+            ).alias("mmr_score"),
+        )
+        pick = (
+            scored.orderBy(F.desc("mmr_score"), "vec_id")
+            .limit(1)
+            .select("vec_id", "rel", "mmr_score", F.lit(t).alias("rank"))
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "rank", "vec_id", F.col("rel").alias("relevance"), "mmr_score"
+    )
+
+
+def _mmr_sql() -> str:
+    """Unrolled MMR oracle: sel1..selK CTEs mirror the greedy rounds."""
+    head = f"""
+WITH qv AS (SELECT embedding AS qe FROM embeddings
+            WHERE vec_id = {MMR_QUERY_ID}),
+rel AS (
+  SELECT vec_id, embedding,
+         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               CAST(qe AS DOUBLE[])), 6) AS rel
+  FROM embeddings CROSS JOIN qv WHERE vec_id <> {MMR_QUERY_ID}),
+cands AS (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}),
+sims AS (
+  SELECT a.vec_id AS ca, b.vec_id AS cb,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])), 6) AS sim
+  FROM cands a JOIN cands b ON a.vec_id <> b.vec_id),
+sel1 AS (
+  SELECT vec_id, rel, rel AS mmr_score, 1 AS rank
+  FROM cands ORDER BY rel DESC, vec_id LIMIT 1)"""
+    parts = [head]
+    lam = MMR_LAMBDA
+    for t in range(2, MMR_K + 1):
+        p = t - 1
+        parts.append(f""",
+pick{t} AS (
+  SELECT c.vec_id, c.rel,
+         ROUND({lam} * c.rel - {1 - lam:.1f} * MAX(s.sim), 6) AS mmr_score,
+         {t} AS rank
+  FROM cands c
+  JOIN sims s ON s.ca = c.vec_id AND s.cb IN (SELECT vec_id FROM sel{p})
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{p})
+  GROUP BY c.vec_id, c.rel
+  ORDER BY mmr_score DESC, c.vec_id LIMIT 1),
+sel{t} AS (SELECT * FROM sel{p} UNION ALL SELECT * FROM pick{t})""")
+    parts.append(f"""
+SELECT CAST(rank AS INT) AS rank, vec_id, rel AS relevance, mmr_score
+FROM sel{MMR_K}""")
+    return "".join(parts)
+
+
+SQL_MMR_RERANK = _mmr_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -12117,6 +12361,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "graph_assortativity": (q_graph_assortativity, SQL_ASSORTATIVITY),
     "sink_compaction_plan": (q_sink_compaction_plan, SQL_COMPACTION_PLAN),
     "source_token_simpson": (q_source_token_simpson, SQL_TOKEN_SIMPSON),
+    # scale-path CC / exact-size weighted sampling / diversified rerank
+    "dedup_clusters_distributed": (
+        q_dedup_clusters_distributed,
+        SQL_DEDUP_CLUSTERS,
+    ),
+    "reservoir_sample_ares": (q_reservoir_sample_ares, SQL_RESERVOIR_ARES),
+    "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
 }
 
 

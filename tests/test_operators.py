@@ -2617,3 +2617,115 @@ def test_simpson_uniform_vs_degenerate(spark):
     s = got["spam"]
     assert (s.vocab, s.n_tokens, s.simpson, s.effective_vocab) == (
         1, 4, 1.0, 1.0)
+
+
+def test_dedup_clusters_distributed_equals_driver_regime(spark):
+    """The forced label-propagation regime must produce byte-identical
+    (doc_id, cluster_id) labels to the driver-side union-find on the
+    same sf0.001 pair set — the two regimes are one contract."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in Q.q_dedup_clusters(spark, sf).collect()]
+    b = [tuple(r) for r in
+         Q.q_dedup_clusters_distributed(spark, sf).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_reservoir_ares_size_and_key_formula(spark):
+    """A-Res semantics: every source yields exactly min(k, n_docs)
+    rows with ranks 1..k; the weight key reproduces the md5 closed
+    form; and a huge-weight doc is near-certain to be sampled (its
+    key u^(1/w) → 1 as w grows)."""
+    import hashlib
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [(i, "x", "en", "many", 50 + 7 * i) for i in range(10)]
+    rows += [(100, "x", "en", "two", 60), (101, "x", "en", "two", 61)]
+    rows.append((200, "x", "en", "heavy", 10**9))
+    got = _with_docs(spark, Q, rows, Q.q_reservoir_sample_ares)
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src["many"]) == Q.RES_K
+    assert sorted(r.rank for r in by_src["many"]) == [1, 2, 3]
+    assert len(by_src["two"]) == 2
+    assert [r.doc_id for r in by_src["heavy"]] == [200]
+    r0 = by_src["heavy"][0]
+    u = (int(hashlib.md5(b"200").hexdigest()[:8], 16) + 1.0) / 4294967296.0
+    assert r0.weight_key == round(u ** (1.0 / 10**9), 6)
+    assert r0.weight_key >= 0.999999   # near-certain inclusion
+
+
+def test_mmr_rerank_matches_textbook_greedy(spark):
+    """The engine's unrolled MMR must equal a straight-line Python
+    implementation of Carbonell–Goldstein greedy selection (same
+    6-dp rounding, same vec_id ties) on an irregular-angle fixture
+    where diversity genuinely reorders the pure-relevance top-k."""
+    import math
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],                       # the query
+        1: [0.9, 0.435889894, 0.0],
+        2: [0.9, 0.433, 0.051],                   # near-copy of 1
+        3: [0.9, -0.435889894, 0.017],            # mirrored arm
+        4: [0.7, 0.5, 0.5],
+        5: [0.6, -0.3, 0.74],
+        6: [0.2, 0.9, 0.38],
+        7: [0.55, 0.1, 0.82],
+        8: [0.97, 0.23, 0.06],
+    }
+    emb = spark.createDataFrame(
+        [(k, [float(x) for x in v], 0) for k, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    )
+    orig = Q._t
+    Q._t = lambda spark, sf, name, **k: emb
+    try:
+        got = sorted(
+            Q.q_mmr_rerank(spark, "ignored").collect(), key=lambda r: r.rank
+        )
+    finally:
+        Q._t = orig
+
+    # float32 storage first (Spark reads array<float>), then float64 math
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    V = {k: [f32(x) for x in v] for k, v in vecs.items()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    rel = {k: round(cos(V[k], V[0]), 6) for k in V if k != 0}
+    sel, out = [], []
+    for t in range(1, Q.MMR_K + 1):
+        best = None
+        for c in sorted(rel):
+            if c in sel:
+                continue
+            if t == 1:
+                score = rel[c]
+            else:
+                pen = max(round(cos(V[c], V[s]), 6) for s in sel)
+                score = round(
+                    Q.MMR_LAMBDA * rel[c] - (1 - Q.MMR_LAMBDA) * pen, 6
+                )
+            if best is None or score > best[0]:
+                best = (score, c)
+        sel.append(best[1])
+        out.append((t, best[1], rel[best[1]], best[0]))
+
+    assert [(r.rank, r.vec_id, r.relevance, r.mmr_score) for r in got] == out
+    # diversity must actually bite: selection differs from pure top-k
+    top_rel = [k for k, _ in
+               sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))][:Q.MMR_K]
+    assert [r.vec_id for r in got] != top_rel

@@ -141,6 +141,9 @@ BNLJ_OK = {
     "events_seasonality",
     # 1-row observed-stats broadcast (the relabeling coin's bias)
     "events_permutation_test",
+    # 1-row query-vector broadcast + non-equi self-join on the ≤20-row
+    # candidate pool (contract-small by construction)
+    "mmr_rerank",
 }
 
 
