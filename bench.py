@@ -282,6 +282,10 @@ HEADLINE = [
     "dedup_clusters_distributed",
     "reservoir_sample_ares",
     "mmr_rerank",
+    "user_survival_km",
+    "dp_noisy_counts",
+    "watermark_loss_audit",
+    "join_key_skew",
 ]
 
 

@@ -12047,6 +12047,303 @@ FROM sel{MMR_K}""")
 SQL_MMR_RERANK = _mmr_sql()
 
 
+#: A user whose last event is ≥ this many days before corpus end is a
+#: churn "death"; later last-events are right-censored (still active).
+KM_CENSOR_DAYS = 3
+
+
+def q_user_survival_km(spark, sf):
+    """Kaplan–Meier survival curve over user lifetimes (first→last
+    event), right-censored for users still active near corpus end —
+    the churn analysis events_cohort_retention approximates without
+    censoring (treating "still here" as "will churn at observed
+    lifetime" biases retention DOWN; KM is the fix).  S(t) =
+    Π_{u≤t} (1 − d_u/n_u) over distinct lifetimes.
+
+    Scale shape: the fact reduces to per-user (first, last) then an
+    O(distinct lifetimes ≤ days) event table; BOTH running quantities
+    — at-risk counts and Σ log(1−d/n) (the product via exp-of-sum) —
+    come from _blocked_cumsum_multi passes on that bounded table, no
+    global sort.  A level where d = n (everyone dies) sends S to
+    exactly 0 from there on via an explicit guard, not ln(0)."""
+    e = _t(spark, sf, "events")
+    mx = e.agg(F.to_date(F.max("ts")).alias("mxd"))
+    per_user = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("fd"), F.to_date(F.max("ts")).alias("ld")
+    )
+    life = per_user.crossJoin(F.broadcast(mx)).select(
+        F.datediff("ld", "fd").cast("double").alias("t"),
+        F.when(F.datediff("mxd", "ld") >= KM_CENSOR_DAYS, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("death"),
+    )
+    g = life.groupBy("t").agg(
+        F.sum("death").cast("double").alias("d"),
+        F.sum(F.lit(1) - F.col("death")).cast("double").alias("c"),
+    )
+    n_tot = g.agg(F.sum(F.col("d") + F.col("c")).alias("ntot"))
+    cum = _blocked_cumsum_multi(g, "t", ["d", "c"]).crossJoin(
+        F.broadcast(n_tot)
+    )
+    risk = cum.select(
+        "t",
+        "d",
+        "c",
+        (F.col("ntot") - F.col("below_d") - F.col("below_c")).alias("n"),
+    )
+    logterm = risk.select(
+        "t",
+        "d",
+        "c",
+        "n",
+        F.when(
+            F.col("d") < F.col("n"),
+            F.log(F.lit(1.0) - F.col("d") / F.col("n")),
+        ).alias("lg"),
+    )
+    cum2 = _blocked_cumsum_multi(
+        logterm.select("t", F.coalesce("lg", F.lit(0.0)).alias("lg")),
+        "t",
+        ["lg"],
+    )
+    zero_hit = logterm.where(F.col("lg").isNull()).agg(F.min("t").alias("zt"))
+    return (
+        logterm.drop("lg")
+        .join(cum2, "t")
+        .crossJoin(F.broadcast(zero_hit))
+        .select(
+            F.col("t").cast("long").alias("lifetime_days"),
+            F.col("n").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("n_deaths"),
+            F.col("c").cast("long").alias("n_censored"),
+            F.round(
+                F.when(
+                    F.col("zt").isNotNull() & (F.col("t") >= F.col("zt")),
+                    F.lit(0.0),
+                ).otherwise(F.exp(F.col("below_lg") + F.col("lg"))),
+                6,
+            ).alias("survival"),
+        )
+    )
+
+
+SQL_USER_SURVIVAL_KM = f"""
+WITH mx AS (SELECT CAST(MAX(ts) AS DATE) AS mxd FROM events),
+per_user AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS fd, CAST(MAX(ts) AS DATE) AS ld
+  FROM events GROUP BY 1),
+life AS (
+  SELECT CAST(ld - fd AS DOUBLE) AS t,
+         CASE WHEN mxd - ld >= {KM_CENSOR_DAYS} THEN 1 ELSE 0 END AS death
+  FROM per_user CROSS JOIN mx),
+g AS (SELECT t, CAST(SUM(death) AS DOUBLE) AS d,
+             CAST(SUM(1 - death) AS DOUBLE) AS c
+      FROM life GROUP BY 1),
+tot AS (SELECT SUM(d + c) AS ntot FROM g),
+risk AS (
+  SELECT t, d, c,
+         ntot - COALESCE(SUM(d + c) OVER
+           (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n
+  FROM g CROSS JOIN tot),
+lt AS (
+  SELECT t, d, c, n,
+         CASE WHEN d < n THEN LN(1 - d / n) END AS lg
+  FROM risk),
+cum AS (
+  SELECT t, d, c, n, lg,
+         SUM(COALESCE(lg, 0)) OVER (ORDER BY t) AS cl,
+         MIN(CASE WHEN lg IS NULL THEN t END) OVER () AS zt
+  FROM lt)
+SELECT CAST(t AS BIGINT) AS lifetime_days, CAST(n AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_deaths, CAST(c AS BIGINT) AS n_censored,
+       ROUND(CASE WHEN zt IS NOT NULL AND t >= zt THEN 0.0
+                  ELSE EXP(cl) END, 6) AS survival
+FROM cum
+"""
+
+
+#: ε for the Laplace mechanism demo (sensitivity 1 counting query).
+DP_EPSILON = 1.0
+
+
+def q_dp_noisy_counts(spark, sf):
+    """ε-differentially-private per-type counts via the Laplace
+    mechanism: noise = −(1/ε)·sign(U−½)·ln(1−2|U−½|) with U the
+    md5-deterministic uniform — inverse-CDF sampling, so both engines
+    draw the SAME Laplace deviate and the release is reproducible.
+    Completes the privacy family: k-anonymity / l-diversity audit the
+    quasi-identifier risk of row releases; this is the mechanism for
+    publishing AGGREGATES (true counts kept alongside here because the
+    registry row is a mechanism demo, not an actual release).
+
+    Scale shape: one map-side-combinable count reduce to O(types)
+    rows; the noise is a per-row closed form.  U uses /(2³²+1) so
+    |U−½| < ½ exactly — ln(0) cannot happen."""
+    e = _t(spark, sf, "events")
+    cnt = e.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("event_type")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    centered = u - F.lit(0.5)
+    noise = (
+        -F.lit(1.0 / DP_EPSILON)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return cnt.select(
+        "event_type",
+        "n",
+        F.round(noise, 6).alias("laplace_noise"),
+        F.round(F.col("n") + noise, 6).alias("noisy_n"),
+        F.lit(float(DP_EPSILON)).alias("epsilon"),
+    )
+
+
+SQL_DP_NOISY_COUNTS = f"""
+WITH cnt AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+nz AS (
+  SELECT event_type, n,
+         (CAST(concat('0x', substr(md5(event_type), 1, 8)) AS UBIGINT) + 1.0)
+         / 4294967297.0 - 0.5 AS ctr
+  FROM cnt)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(-(1.0 / {DP_EPSILON}) * SIGN(ctr) * LN(1 - 2 * ABS(ctr)), 6)
+         AS laplace_noise,
+       ROUND(n - (1.0 / {DP_EPSILON}) * SIGN(ctr) * LN(1 - 2 * ABS(ctr)), 6)
+         AS noisy_n,
+       {DP_EPSILON:.1f} AS epsilon
+FROM nz
+"""
+
+
+#: Watermark-audit model: exponential arrival delay (mean 300 s) from
+#: an md5-deterministic uniform; the grid is the candidate watermarks.
+WM_MEAN_DELAY_S = 300
+WM_GRID_S = (60, 300, 900, 3600)
+
+
+def q_watermark_loss_audit(spark, sf):
+    """Watermark tuning audit: under an exponential arrival-delay
+    model (deterministic inverse-CDF, mean 300 s), what fraction of
+    records would a `withWatermark(W)` drop, for each candidate W —
+    the state-size-vs-completeness tradeoff curve behind every
+    streaming window in streaming/windows.py, computed BEFORE
+    committing a production watermark.  (Uses the standard
+    simplification: a record is lost iff its delay exceeds W.)
+
+    Scale shape: map-only delay synthesis, a 4-row grid broadcast,
+    and one (watermark)-grain conditional-count reduce — map-side
+    combinable to 4 cells."""
+    e = _t(spark, sf, "events")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    delayed = e.select(
+        (-F.lit(float(WM_MEAN_DELAY_S)) * F.log(u)).alias("delay_s")
+    )
+    grid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(w) for w in WM_GRID_S])).alias(
+            "watermark_s"
+        )
+    )
+    return (
+        delayed.crossJoin(F.broadcast(grid))
+        .groupBy("watermark_s")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("delay_s") > F.col("watermark_s"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .select(
+            F.col("watermark_s").cast("long").alias("watermark_s"),
+            "n_events",
+            "n_dropped",
+            F.round(F.col("n_dropped") / F.col("n_events"), 6).alias(
+                "loss_frac"
+            ),
+        )
+    )
+
+
+SQL_WATERMARK_LOSS = f"""
+WITH d AS (
+  SELECT -{WM_MEAN_DELAY_S}.0 * LN(
+    (CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+     AS UBIGINT) + 1.0) / 4294967297.0) AS delay_s
+  FROM events),
+grid AS (SELECT unnest([{", ".join(str(w) for w in WM_GRID_S)}]) AS watermark_s)
+SELECT CAST(watermark_s AS BIGINT) AS watermark_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN delay_s > watermark_s THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       ROUND(SUM(CASE WHEN delay_s > watermark_s THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS loss_frac
+FROM d CROSS JOIN grid GROUP BY 1
+"""
+
+
+def q_join_key_skew(spark, sf):
+    """Join-key skew audit for user_id (the key salted_user_join
+    actually salts): per-key row counts bucketed by power-of-two
+    (exact binary-string floor-log2 — float log2 misbuckets exact
+    powers), with per-bucket key counts, row mass, max key, and row
+    share.  The pre-join diagnostic that DECIDES whether salting /
+    AQE skew-join handling is needed: a top bucket holding most of
+    the row mass with few keys is the straggler signature.
+
+    Scale shape: one key-grain reduce (the same shuffle the audited
+    join would do), map-only bucketing, O(log max_count) output
+    cells, 1-row total broadcast."""
+    e = _t(spark, sf, "events")
+    per_key = e.groupBy("user_id").agg(F.count("*").cast("long").alias("c"))
+    bucketed = per_key.select(
+        (F.length(F.conv(F.col("c"), 10, 2)) - 1).cast("int").alias("log2_c"),
+        "c",
+    )
+    tot = per_key.agg(F.sum("c").alias("trows"))
+    return (
+        bucketed.groupBy("log2_c")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.max("c").cast("long").alias("max_key_rows"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "log2_c",
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            F.round(F.col("n_rows") / F.col("trows"), 6).alias("rows_share"),
+        )
+    )
+
+
+SQL_JOIN_KEY_SKEW = """
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+b AS (SELECT CAST(LENGTH(bin(c)) - 1 AS INTEGER) AS log2_c, c FROM per_key),
+tot AS (SELECT SUM(c) AS trows FROM per_key)
+SELECT log2_c, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(MAX(c) AS BIGINT) AS max_key_rows,
+       ROUND(SUM(c) * 1.0 / trows, 6) AS rows_share
+FROM b CROSS JOIN tot GROUP BY 1, trows
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -12368,6 +12665,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "reservoir_sample_ares": (q_reservoir_sample_ares, SQL_RESERVOIR_ARES),
     "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
+    # survival analysis / DP release / watermark tuning / skew audit
+    "user_survival_km": (q_user_survival_km, SQL_USER_SURVIVAL_KM),
+    "dp_noisy_counts": (q_dp_noisy_counts, SQL_DP_NOISY_COUNTS),
+    "watermark_loss_audit": (q_watermark_loss_audit, SQL_WATERMARK_LOSS),
+    "join_key_skew": (q_join_key_skew, SQL_JOIN_KEY_SKEW),
 }
 
 

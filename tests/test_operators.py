@@ -2729,3 +2729,123 @@ def test_mmr_rerank_matches_textbook_greedy(spark):
     top_rel = [k for k, _ in
                sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))][:Q.MMR_K]
     assert [r.vec_id for r in got] != top_rel
+
+
+def test_km_survival_hand_computed_curve(spark):
+    """KM against a hand-computed curve: 4 users with lifetimes
+    0(death), 2(death), 2(censored), 5(censored) give S = 0.75, 0.5,
+    0.5 — the censored users reduce the at-risk set without moving
+    the product."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    d = lambda day: datetime(2024, 3, day)
+    rows = [
+        (0, d(1), 1, "a", 1.0, "{}"),                     # t=0 death
+        (1, d(1), 2, "a", 1.0, "{}"), (2, d(3), 2, "a", 1.0, "{}"),  # t=2 death
+        (3, d(6), 3, "a", 1.0, "{}"), (4, d(8), 3, "a", 1.0, "{}"),  # t=2 cens
+        (5, d(5), 4, "a", 1.0, "{}"), (6, d(10), 4, "a", 1.0, "{}"),  # t=5 cens
+    ]
+    got = sorted(_with_events(spark, Q, rows, Q.q_user_survival_km),
+                 key=lambda r: r.lifetime_days)
+    assert [(r.lifetime_days, r.n_risk, r.n_deaths, r.n_censored, r.survival)
+            for r in got] == [
+        (0, 4, 1, 0, 0.75),
+        (2, 3, 1, 1, 0.5),
+        (5, 1, 0, 1, 0.5),
+    ]
+
+
+def test_km_survival_everyone_dies_hits_zero(spark):
+    """When the last at-risk user dies (d = n at the final level) the
+    curve must reach exactly 0 through the guard, not ln(0)."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    d = lambda day: datetime(2024, 3, day)
+    rows = [
+        (0, d(1), 1, "a", 1.0, "{}"), (1, d(9), 1, "a", 1.0, "{}"),   # t=8 death
+        (2, d(8), 2, "a", 1.0, "{}"), (3, d(10), 2, "a", 1.0, "{}"),  # t=2 death
+        (4, d(30), 3, "a", 1.0, "{}"),                                # t=0 cens
+    ]
+    got = {r.lifetime_days: r for r in
+           _with_events(spark, Q, rows, Q.q_user_survival_km)}
+    assert got[0].survival == 1.0      # only a censoring at t=0
+    assert got[2].survival == 0.5
+    assert got[8].survival == 0.0      # d = n: exact zero, no -inf
+
+
+def test_dp_noisy_counts_closed_form(spark):
+    """The Laplace deviate must reproduce the inverse-CDF closed form
+    from the md5 uniform, bit-for-bit with the engine's rounding, and
+    noisy_n - n must equal it."""
+    import hashlib
+    import math
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    from datetime import datetime
+
+    rows = [(i, datetime(2024, 3, 1), 1, "click", 1.0, "{}")
+            for i in range(7)]
+    r = _with_events(spark, Q, rows, Q.q_dp_noisy_counts)[0]
+    u = (int(hashlib.md5(b"click").hexdigest()[:8], 16) + 1.0) / 4294967297.0
+    ctr = u - 0.5
+    noise = -(1.0 / Q.DP_EPSILON) * math.copysign(1, ctr) * math.log(
+        1 - 2 * abs(ctr))
+    assert (r.event_type, r.n, r.epsilon) == ("click", 7, 1.0)
+    assert r.laplace_noise == round(noise, 6)
+    assert r.noisy_n == round(7 + noise, 6)
+
+
+def test_watermark_loss_matches_python_model(spark):
+    """Per-watermark drop counts must equal a straight Python replay
+    of the md5 exponential-delay model, and loss is monotone
+    non-increasing in the watermark."""
+    import hashlib
+    import math
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    n = 200
+    rows = [(i, datetime(2024, 3, 1), 1, "a", 1.0, "{}") for i in range(n)]
+    got = {r.watermark_s: r for r in
+           _with_events(spark, Q, rows, Q.q_watermark_loss_audit)}
+
+    def delay(eid):
+        u = (int(hashlib.md5(str(eid).encode()).hexdigest()[:8], 16)
+             + 1.0) / 4294967297.0
+        return -Q.WM_MEAN_DELAY_S * math.log(u)
+
+    delays = [delay(i) for i in range(n)]
+    for w in Q.WM_GRID_S:
+        expect = sum(1 for s in delays if s > w)
+        assert (got[w].n_events, got[w].n_dropped) == (n, expect)
+        assert got[w].loss_frac == round(expect / n, 6)
+    fracs = [got[w].loss_frac for w in sorted(Q.WM_GRID_S)]
+    assert fracs == sorted(fracs, reverse=True)
+
+
+def test_join_key_skew_exact_buckets(spark):
+    """Power-of-two bucketing: key counts 1,1,2,3,8 land in buckets
+    0 (two keys), 1 (two keys), 3 (one key, the skew signature) with
+    exact row masses and shares."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows, eid = [], 0
+    for uid, cnt in ((10, 1), (11, 1), (12, 2), (13, 3), (14, 8)):
+        for _ in range(cnt):
+            rows.append((eid, datetime(2024, 3, 1), uid, "a", 1.0, "{}"))
+            eid += 1
+    got = {r.log2_c: r for r in
+           _with_events(spark, Q, rows, Q.q_join_key_skew)}
+    assert set(got) == {0, 1, 3}
+    assert (got[0].n_keys, got[0].n_rows, got[0].max_key_rows) == (2, 2, 1)
+    assert (got[1].n_keys, got[1].n_rows, got[1].max_key_rows) == (2, 5, 3)
+    assert (got[3].n_keys, got[3].n_rows, got[3].max_key_rows) == (1, 8, 8)
+    assert got[3].rows_share == round(8 / 15, 6)

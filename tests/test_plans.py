@@ -144,6 +144,12 @@ BNLJ_OK = {
     # 1-row query-vector broadcast + non-equi self-join on the ≤20-row
     # candidate pool (contract-small by construction)
     "mmr_rerank",
+    # 1-row max-date / total / zero-hit broadcasts (KM at-risk + guard)
+    "user_survival_km",
+    # 4-row watermark-grid broadcast
+    "watermark_loss_audit",
+    # 1-row total-rows broadcast (the rows_share denominator)
+    "join_key_skew",
 }
 
 
