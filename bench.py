@@ -286,6 +286,10 @@ HEADLINE = [
     "dp_noisy_counts",
     "watermark_loss_audit",
     "join_key_skew",
+    "conformal_coverage",
+    "word2vec_sampling_table",
+    "corpus_psi_drift",
+    "cms_error_eval",
 ]
 
 

@@ -12344,6 +12344,314 @@ FROM b CROSS JOIN tot GROUP BY 1, trows
 """
 
 
+#: Split-conformal miscoverage level (target coverage = 1 − α).
+CONF_ALPHA = 0.1
+
+
+def q_conformal_coverage(spark, sf):
+    """Split-conformal prediction on the trained quality classifier:
+    calibrate the nonconformity threshold (the ⌈(n+1)(1−α)⌉-th
+    smallest true-class nonconformity on an md5-split calibration
+    half) and measure empirical coverage on the held-out half.
+    Calibration is what logreg_calibration audits; conformal is the
+    distribution-free FIX — a prediction-set rule whose coverage
+    guarantee holds regardless of how miscalibrated the model is
+    (Vovk; Angelopoulos & Bates 2021).
+
+    Scale shape: reuses the per-(session, sf) cached trained weights;
+    scoring is map-only; the exact order statistic comes from a
+    _blocked_cumsum pass over the DISTINCT-score table (never a global
+    sort), and coverage is one broadcast-threshold aggregate."""
+    feats, w = _logreg_feats_and_weights(spark, sf)
+    z = (
+        F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    p = 1.0 / (1.0 + F.exp(-z))
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        "doc_id",
+        "y",
+        F.when(F.col("y") == 1.0, 1.0 - p).otherwise(p).alias("s"),
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        ).alias("half"),
+    )
+    cal = scored.where(F.col("half") == 0)
+    ev = scored.where(F.col("half") == 1)
+    g = cal.groupBy("s").agg(F.count("*").cast("double").alias("cnt"))
+    nk = g.agg(
+        F.sum("cnt").alias("n_cal"),
+        F.ceil((F.sum("cnt") + 1) * F.lit(1.0 - CONF_ALPHA))
+        .cast("double")
+        .alias("k"),
+    )
+    cum = _blocked_cumsum_multi(g, "s", ["cnt"]).crossJoin(F.broadcast(nk))
+    thr = (
+        cum.where(F.col("below_cnt") + F.col("cnt") >= F.col("k"))
+        .groupBy("n_cal", "k")
+        .agg(F.min("s").alias("thr"))
+    )
+    return ev.crossJoin(F.broadcast(thr)).agg(
+        F.min("n_cal").cast("long").alias("n_cal"),
+        F.min("k").cast("long").alias("k"),
+        F.round(F.min("thr"), 6).alias("threshold"),
+        F.count("*").cast("long").alias("n_eval"),
+        F.round(
+            F.avg((F.col("s") <= F.col("thr")).cast("double")), 6
+        ).alias("coverage"),
+        F.lit(float(1.0 - CONF_ALPHA)).alias("target"),
+    )
+
+
+def _conformal_sql(iters: int) -> str:
+    """Conformal oracle on top of the unrolled training CTE chain."""
+    base = _logreg_sql(iters)
+    head = base.rsplit("final AS", 1)[0].rstrip().rstrip(",")
+    return f"""{head},
+scored AS (
+  SELECT doc_id, y,
+         CASE WHEN y = 1.0
+              THEN 1.0 - 1.0 / (1.0 + EXP(-(w1 * x1 + w2 * x2 + w3 * x3)))
+              ELSE 1.0 / (1.0 + EXP(-(w1 * x1 + w2 * x2 + w3 * x3))) END AS s,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS UBIGINT) % 2 AS half
+  FROM feats CROSS JOIN wa{iters}),
+cal AS (SELECT s FROM scored WHERE half = 0),
+g AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS cnt FROM cal GROUP BY 1),
+nk AS (SELECT SUM(cnt) AS n_cal,
+              CAST(CEIL((SUM(cnt) + 1) * {1.0 - CONF_ALPHA}) AS DOUBLE) AS k
+       FROM g),
+cum AS (
+  SELECT s, cnt, n_cal, k,
+         COALESCE(SUM(cnt) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM g CROSS JOIN nk),
+thr AS (SELECT n_cal, k, MIN(s) AS thr
+        FROM cum WHERE below + cnt >= k GROUP BY 1, 2)
+SELECT CAST(MIN(n_cal) AS BIGINT) AS n_cal, CAST(MIN(k) AS BIGINT) AS k,
+       ROUND(MIN(thr), 6) AS threshold,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       ROUND(AVG(CASE WHEN s <= thr THEN 1.0 ELSE 0.0 END), 6) AS coverage,
+       {1.0 - CONF_ALPHA} AS target
+FROM scored CROSS JOIN thr WHERE half = 1
+"""
+
+
+SQL_CONFORMAL_COVERAGE = _conformal_sql(LOGREG_ITERS)
+
+
+#: word2vec sampling constants: the negative-sampling distribution's
+#: 3/4 power and the subsampling threshold t (Mikolov et al. 2013).
+W2V_POWER = 0.75
+W2V_SUBSAMPLE_T = 0.001
+
+
+def q_word2vec_sampling_table(spark, sf):
+    """The two word2vec sampling tables in one: the negative-sampling
+    distribution P(w) ∝ count^0.75 (with its lift over the raw
+    unigram — the 3/4 power's whole point is boosting the tail) and
+    the frequent-word subsampling keep-probability
+    min(1, (√(f/t)+1)·t/f) from the reference implementation.
+    skipgram_negative_pairs consumes pairs; this is the table that
+    DECIDES which negatives and which skips.
+
+    Scale shape: one term census reduce + 1-row (N, Σc^0.75) totals
+    broadcast, map-only closed forms, TakeOrdered top-10."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("term")).where(
+        F.col("term") != ""
+    )
+    cnt = tok.groupBy("term").agg(F.count("*").cast("double").alias("c"))
+    tot = cnt.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.pow("c", F.lit(W2V_POWER))).alias("zs"),
+    )
+    j = cnt.crossJoin(F.broadcast(tot))
+    freq = F.col("c") / F.col("n")
+    p_neg = F.pow("c", F.lit(W2V_POWER)) / F.col("zs")
+    p_keep = F.least(
+        F.lit(1.0),
+        (F.sqrt(freq / F.lit(W2V_SUBSAMPLE_T)) + 1.0)
+        * F.lit(W2V_SUBSAMPLE_T)
+        / freq,
+    )
+    return (
+        j.orderBy(F.desc("c"), "term")
+        .limit(10)
+        .select(
+            "term",
+            F.col("c").cast("long").alias("count"),
+            F.round(freq, 6).alias("p_unigram"),
+            F.round(p_neg, 6).alias("p_negative"),
+            F.round(p_neg / freq, 6).alias("smoothing_lift"),
+            F.round(p_keep, 6).alias("p_keep"),
+        )
+    )
+
+
+SQL_W2V_SAMPLING = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+cnt AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM tok WHERE term <> '' GROUP BY 1),
+tot AS (SELECT SUM(c) AS n, SUM(POW(c, {W2V_POWER})) AS zs FROM cnt),
+j AS (SELECT term, c, c / n AS freq, POW(c, {W2V_POWER}) / zs AS p_neg,
+             LEAST(1.0, (SQRT(c / n / {W2V_SUBSAMPLE_T}) + 1.0)
+                   * {W2V_SUBSAMPLE_T} / (c / n)) AS p_keep
+      FROM cnt CROSS JOIN tot)
+SELECT term, CAST(c AS BIGINT) AS count,
+       ROUND(freq, 6) AS p_unigram,
+       ROUND(p_neg, 6) AS p_negative,
+       ROUND(p_neg / freq, 6) AS smoothing_lift,
+       ROUND(p_keep, 6) AS p_keep
+FROM j ORDER BY c DESC, term LIMIT 10
+"""
+
+
+def q_corpus_psi_drift(spark, sf):
+    """Population Stability Index between the even- and odd-doc_id
+    halves of the corpus over power-of-two length buckets — the
+    model-monitoring drift metric (PSI = Σ (p−q)·ln(p/q); <0.1 stable,
+    >0.25 action) beside the JS family: events_daily_type_drift
+    watches a categorical mix, PSI watches a BINNED CONTINUOUS
+    feature, add-1 smoothed so a bucket emptying out on one side is a
+    large finite contribution, not ±∞.
+
+    Scale shape: map-only exact floor-log2 binning, one
+    (bucket, half) conditional-count reduce to O(log max_len) cells,
+    1-row totals broadcast, closed-form contributions per bucket."""
+    d = _t(spark, sf, "documents")
+    binned = d.select(
+        (F.length(F.conv(F.col("n_chars"), 10, 2)) - 1)
+        .cast("int")
+        .alias("log2_len"),
+        F.pmod(F.col("doc_id"), F.lit(2)).alias("half"),
+    )
+    census = binned.groupBy("log2_len").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("nr"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("nc"),
+    )
+    tot = census.agg(
+        F.sum("nr").alias("tr"),
+        F.sum("nc").alias("tc"),
+        F.count("*").cast("double").alias("b"),
+    )
+    j = census.crossJoin(F.broadcast(tot))
+    p = (F.col("nr") + 1) / (F.col("tr") + F.col("b"))
+    q = (F.col("nc") + 1) / (F.col("tc") + F.col("b"))
+    return j.select(
+        "log2_len",
+        F.col("nr").cast("long").alias("n_ref"),
+        F.col("nc").cast("long").alias("n_cur"),
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("p_cur"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )
+
+
+SQL_CORPUS_PSI = """
+WITH binned AS (
+  SELECT CAST(LENGTH(bin(n_chars)) - 1 AS INTEGER) AS log2_len,
+         doc_id % 2 AS half
+  FROM documents),
+census AS (
+  SELECT log2_len,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS nr,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS nc
+  FROM binned GROUP BY 1),
+tot AS (SELECT SUM(nr) AS tr, SUM(nc) AS tc,
+               CAST(COUNT(*) AS DOUBLE) AS b FROM census)
+SELECT log2_len, CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+       ROUND((nr + 1) / (tr + b), 6) AS p_ref,
+       ROUND((nc + 1) / (tc + b), 6) AS p_cur,
+       ROUND(((nr + 1) / (tr + b) - (nc + 1) / (tc + b))
+             * LN(((nr + 1) / (tr + b)) / ((nc + 1) / (tc + b))), 6)
+         AS psi_contrib
+FROM census CROSS JOIN tot
+"""
+
+
+def q_cms_error_eval(spark, sf):
+    """Count-min-sketch error harness in the lsh_eval_pr tradition:
+    probe EVERY distinct token against the sketch and report the
+    exact-match fraction, mean/max overestimate and relative mass
+    error.  cms_heavy_hitters shows the top-10 agree; this is the
+    honest whole-vocab readout (on this corpus the vocab is far under
+    the 4×256 cells, so the sketch is exact — and the eval SAYS so
+    instead of leaving it implied; the collision regime is pinned by a
+    forced-small-width unit test).
+
+    Scale shape: the sketch is one bounded agg (depth×width cells);
+    truth is the ordinary census; the probe is an equi-join on
+    (row, bucket) at vocab grain."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    sketch = K.cms_sketch(tok, "token")
+    truth = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("true_count")
+    )
+    est = K.cms_estimate(sketch, truth.select("token"), "token")
+    j = truth.join(est, "token").select(
+        "true_count",
+        F.col("cms_estimate").cast("long").alias("est"),
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(
+            F.avg((F.col("est") == F.col("true_count")).cast("double")), 6
+        ).alias("frac_exact"),
+        F.round(F.avg(F.col("est") - F.col("true_count")), 6).alias(
+            "mean_overestimate"
+        ),
+        F.max(F.col("est") - F.col("true_count"))
+        .cast("long")
+        .alias("max_overestimate"),
+        F.round(
+            F.sum(F.col("est") - F.col("true_count")) / F.sum("true_count"),
+            6,
+        ).alias("rel_mass_error"),
+    )
+
+
+SQL_CMS_ERROR_EVAL = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+cells AS (
+  SELECT r.r AS row,
+         CAST(concat('0x', substr(md5(concat('r', r.r, '|', token)), 1, 8)) AS UBIGINT)
+           % 256 AS bucket
+  FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r),
+sketch AS (SELECT row, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+truth AS (SELECT token, COUNT(*) AS true_count FROM tok GROUP BY 1),
+probes AS (
+  SELECT token, true_count, r.r AS row,
+         CAST(concat('0x', substr(md5(concat('r', r.r, '|', token)), 1, 8)) AS UBIGINT)
+           % 256 AS bucket
+  FROM truth CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r),
+est AS (
+  SELECT token, true_count, MIN(cnt) AS est
+  FROM probes JOIN sketch USING (row, bucket)
+  GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(CASE WHEN est = true_count THEN 1.0 ELSE 0.0 END), 6)
+         AS frac_exact,
+       ROUND(AVG(est - true_count), 6) AS mean_overestimate,
+       CAST(MAX(est - true_count) AS BIGINT) AS max_overestimate,
+       ROUND(SUM(est - true_count) * 1.0 / SUM(true_count), 6)
+         AS rel_mass_error
+FROM est
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -12670,6 +12978,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dp_noisy_counts": (q_dp_noisy_counts, SQL_DP_NOISY_COUNTS),
     "watermark_loss_audit": (q_watermark_loss_audit, SQL_WATERMARK_LOSS),
     "join_key_skew": (q_join_key_skew, SQL_JOIN_KEY_SKEW),
+    # conformal sets / w2v sampling tables / PSI drift / sketch eval
+    "conformal_coverage": (q_conformal_coverage, SQL_CONFORMAL_COVERAGE),
+    "word2vec_sampling_table": (
+        q_word2vec_sampling_table,
+        SQL_W2V_SAMPLING,
+    ),
+    "corpus_psi_drift": (q_corpus_psi_drift, SQL_CORPUS_PSI),
+    "cms_error_eval": (q_cms_error_eval, SQL_CMS_ERROR_EVAL),
 }
 
 

@@ -2849,3 +2849,111 @@ def test_join_key_skew_exact_buckets(spark):
     assert (got[1].n_keys, got[1].n_rows, got[1].max_key_rows) == (2, 5, 3)
     assert (got[3].n_keys, got[3].n_rows, got[3].max_key_rows) == (1, 8, 8)
     assert got[3].rows_share == round(8 / 15, 6)
+
+
+def test_conformal_matches_python_recomputation(spark):
+    """The conformal threshold must equal the ⌈(n+1)(1−α)⌉-th smallest
+    calibration nonconformity recomputed in Python from the SAME
+    cached features/weights, and coverage must be the exact held-out
+    fraction under that threshold."""
+    import hashlib
+    import math
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    got = Q.q_conformal_coverage(spark, sf).collect()[0]
+    feats, w = Q._logreg_feats_and_weights(spark, sf)
+    wr = w.collect()[0]
+    cal, ev = [], []
+    for r in feats.collect():
+        z = wr.w1 * r.x1 + wr.w2 * r.x2 + wr.w3 * r.x3
+        p = 1.0 / (1.0 + math.exp(-z))
+        s = 1.0 - p if r.y == 1.0 else p
+        half = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:4],
+                   16) % 2
+        (cal if half == 0 else ev).append(s)
+    k = math.ceil((len(cal) + 1) * (1 - Q.CONF_ALPHA))
+    thr = sorted(cal)[k - 1]
+    cov = sum(1 for s in ev if s <= thr) / len(ev)
+    assert (got.n_cal, got.k, got.n_eval) == (len(cal), k, len(ev))
+    assert got.threshold == round(thr, 6)
+    assert got.coverage == round(cov, 6)
+
+
+def test_w2v_sampling_closed_forms(spark):
+    """3/4-power lift and subsampling keep-prob against hand
+    arithmetic: with counts a=8, b=1 the rare term's negative-sampling
+    mass is boosted (lift > 1) and the common term's suppressed
+    (lift < 1); keep-prob follows (√(f/t)+1)·t/f capped at 1."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [(0, "a a a a a a a a b", "en", "s", 17)]
+    got = {r.term: r for r in
+           _with_docs(spark, Q, rows, Q.q_word2vec_sampling_table)}
+    z = 8 ** 0.75 + 1.0
+    a, b = got["a"], got["b"]
+    # note: a["count"], not a.count — Row attribute access collides
+    # with tuple.count for a column of that name
+    assert (a["count"], b["count"]) == (8, 1)
+    assert a.p_negative == round(8 ** 0.75 / z, 6)
+    assert b.p_negative == round(1.0 / z, 6)
+    assert b.smoothing_lift > 1.0 > a.smoothing_lift   # tail boost
+    t, fa = Q.W2V_SUBSAMPLE_T, 8 / 9
+    assert a.p_keep == round(min(1.0, ((fa / t) ** 0.5 + 1) * t / fa), 6)
+    fb = 1 / 9
+    assert b.p_keep == round(min(1.0, ((fb / t) ** 0.5 + 1) * t / fb), 6)
+
+
+def test_psi_drift_separation_and_smoothing(spark):
+    """Even-half docs at length 40 (bucket 5), odd-half at length 100
+    (bucket 6): complete separation gives two large finite
+    contributions (add-1 smoothing, never ±inf), matching the closed
+    form."""
+    import math
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = []
+    for i in range(10):
+        n = 40 if i % 2 == 0 else 100
+        rows.append((i, "x", "en", "s", n))
+    got = {r.log2_len: r for r in
+           _with_docs(spark, Q, rows, Q.q_corpus_psi_drift)}
+    assert set(got) == {5, 6}
+    assert (got[5].n_ref, got[5].n_cur) == (5, 0)
+    assert (got[6].n_ref, got[6].n_cur) == (0, 5)
+    p, q = (5 + 1) / (5 + 2), (0 + 1) / (5 + 2)
+    expect = round((p - q) * math.log(p / q), 6)
+    assert got[5].psi_contrib == expect
+    assert got[6].psi_contrib == expect   # symmetric by construction
+
+
+def test_cms_error_eval_exact_and_collision_regimes(spark):
+    """Query level: a vocab far under the cell count is reported
+    EXACT (frac_exact 1, zero error).  Operator level with a forced
+    width of 2: collisions are inevitable, estimates stay one-sided
+    (est >= true, strictly greater somewhere)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
+        sketches as K,
+    )
+
+    rows = [(0, "a b c a", "en", "s", 7), (1, "b d", "en", "s", 3)]
+    r = _with_docs(spark, Q, rows, Q.q_cms_error_eval)[0]
+    assert (r.n_tokens, r.frac_exact) == (4, 1.0)
+    assert (r.mean_overestimate, r.max_overestimate, r.rel_mass_error) == (
+        0.0, 0, 0.0)
+
+    tok = spark.createDataFrame(
+        [(t,) for t in "abcdefgh" * 3], "token string"
+    )
+    sk = K.cms_sketch(tok, "token", depth=2, width=2)
+    est = {
+        r.token: r.cms_estimate
+        for r in K.cms_estimate(
+            sk, tok.select("token").distinct(), "token", depth=2, width=2
+        ).collect()
+    }
+    assert all(v >= 3 for v in est.values())        # one-sided
+    assert any(v > 3 for v in est.values())         # collisions happened

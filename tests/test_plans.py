@@ -150,6 +150,12 @@ BNLJ_OK = {
     "watermark_loss_audit",
     # 1-row total-rows broadcast (the rows_share denominator)
     "join_key_skew",
+    # 1-row trained-weights / (n,k) / threshold broadcasts
+    "conformal_coverage",
+    # 1-row (N, Σc^0.75) totals broadcast
+    "word2vec_sampling_table",
+    # 1-row halves-totals broadcast (the smoothed denominators)
+    "corpus_psi_drift",
 }
 
 
