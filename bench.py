@@ -290,6 +290,10 @@ HEADLINE = [
     "word2vec_sampling_table",
     "corpus_psi_drift",
     "cms_error_eval",
+    "langid_eval_prf",
+    "lsh_band_tuning",
+    "events_brownout_windows",
+    "skyline_quality_length",
 ]
 
 

@@ -12652,6 +12652,430 @@ FROM est
 """
 
 
+# ------------------------------------------------------------ langid PRF
+def q_langid_eval_prf(spark, sf):
+    """Per-language precision / recall / F1 of the n-gram-marker
+    language identifier against the ground-truth lang column — the
+    eval harness for text_langid (which emits the raw confusion
+    pairs).  On this synthetic corpus only English markers actually
+    occur in the template vocabulary, so non-en recall is honestly 0
+    and en precision ~0.42 — the eval QUANTIFIES the heuristic's
+    blind spot instead of letting the confusion table imply it.
+
+    Scale shape: one scored pass, two O(langs) censuses (true-grain
+    and predicted-grain), a left join at language grain; NULL
+    precision/F1 where a language is never predicted (0/0), identical
+    in both engines."""
+    d = _t(spark, sf, "documents")
+    pred = d.select("lang", X.lang_id(F.col("text")).alias("p"))
+    langs = pred.groupBy(F.col("lang").alias("l")).agg(
+        F.count("*").cast("double").alias("n_true"),
+        F.sum((F.col("p") == F.col("lang")).cast("int"))
+        .cast("double")
+        .alias("n_correct"),
+    )
+    preds = pred.groupBy(F.col("p").alias("l")).agg(
+        F.count("*").cast("double").alias("n_pred")
+    )
+    j = langs.join(preds, "l", "left").withColumn(
+        "n_pred", F.coalesce("n_pred", F.lit(0.0))
+    )
+    prec = F.col("n_correct") / F.nullif(F.col("n_pred"), F.lit(0.0))
+    rec = F.col("n_correct") / F.col("n_true")
+    return j.select(
+        F.col("l").alias("lang"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.col("n_correct").cast("long").alias("n_correct"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(2 * prec * rec / F.nullif(prec + rec, F.lit(0.0)), 6).alias(
+            "f1"
+        ),
+    )
+
+
+SQL_LANGID_PRF = r"""
+WITH counts AS (
+  SELECT lang,
+         len(regexp_extract_all(lower(text), '\b(the|and|of)\b')) AS c_en,
+         len(regexp_extract_all(lower(text), '\b(der|die|und)\b')) AS c_de,
+         len(regexp_extract_all(lower(text), '\b(el|la|los)\b')) AS c_es,
+         len(regexp_extract_all(lower(text), '\b(le|les|et)\b')) AS c_fr,
+         len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS c_zh
+  FROM documents),
+pred AS (
+  SELECT lang,
+         CASE
+           WHEN c_zh = GREATEST(c_en, c_de, c_es, c_fr, c_zh) AND c_zh > 0 THEN 'zh'
+           WHEN c_en = GREATEST(c_en, c_de, c_es, c_fr, c_zh) AND c_en > 0 THEN 'en'
+           WHEN c_de = GREATEST(c_en, c_de, c_es, c_fr, c_zh) AND c_de > 0 THEN 'de'
+           WHEN c_es = GREATEST(c_en, c_de, c_es, c_fr, c_zh) AND c_es > 0 THEN 'es'
+           WHEN c_fr = GREATEST(c_en, c_de, c_es, c_fr, c_zh) AND c_fr > 0 THEN 'fr'
+           ELSE 'unknown'
+         END AS p
+  FROM counts),
+langs AS (
+  SELECT lang AS l, CAST(COUNT(*) AS DOUBLE) AS n_true,
+         CAST(SUM(CASE WHEN p = lang THEN 1 ELSE 0 END) AS DOUBLE)
+           AS n_correct
+  FROM pred GROUP BY 1),
+preds AS (SELECT p AS l, CAST(COUNT(*) AS DOUBLE) AS n_pred
+          FROM pred GROUP BY 1),
+j AS (
+  SELECT langs.l, n_true, COALESCE(n_pred, 0) AS n_pred, n_correct
+  FROM langs LEFT JOIN preds ON langs.l = preds.l)
+SELECT l AS lang, CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_correct AS BIGINT) AS n_correct,
+       ROUND(n_correct / NULLIF(n_pred, 0), 6) AS precision,
+       ROUND(n_correct / n_true, 6) AS recall,
+       ROUND(2 * (n_correct / NULLIF(n_pred, 0)) * (n_correct / n_true)
+             / NULLIF(n_correct / NULLIF(n_pred, 0) + n_correct / n_true, 0),
+             6) AS f1
+FROM j
+"""
+
+
+# -------------------------------------------------------- LSH band tuning
+LSH_TUNE_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+LSH_TUNE_S0 = 0.5
+
+
+def q_lsh_band_tuning(spark, sf):
+    """MinHash LSH (bands, rows) tuning table: for every factorization
+    of the 16-hash signature, the S-curve midpoint (1/b)^(1/r) and the
+    DATA-GROUNDED expected candidate volume, recall at Jaccard ≥ 0.5,
+    and false-candidate mass — Σ over observed pair similarities of
+    the banding collision probability 1 − (1 − s^r)^b (MMDS ch. 3).
+    lsh_eval_pr measures the SHIPPED config after the fact; this
+    predicts every config from one pair table, which is how b and r
+    should be chosen before re-hashing a 100 TB corpus.  (It validates
+    the shipped (4, 4): 0.96 expected recall at ~0.001 false
+    candidates.)
+
+    Scale shape: reuses the DF-capped pair-similarity space (bounded
+    by max_df, never all-pairs), an in-row 5-config explode feeding a
+    5-cell map-side-combinable aggregate; collision probabilities are
+    summed as DECIMAL(28,12) so the cross-engine sum is
+    order-independent and exact (float sums of thousands of pc terms
+    differ in the 6th decimal between engines — measured, not
+    theoretical; the jaccard input is 6-dp-rounded to match the
+    operator's output contract)."""
+    d = _t(spark, sf, "documents", parallelize=True)
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.0, max_df=2)
+    cfg = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("bands"), F.lit(r).alias("rows_per_band")
+                )
+                for b, r in LSH_TUNE_CONFIGS
+            ]
+        )
+    ).alias("cfg")
+    e = pairs.select("jaccard", cfg).select(
+        "cfg.bands",
+        "cfg.rows_per_band",
+        "jaccard",
+        (
+            F.lit(1.0)
+            - F.pow(
+                F.lit(1.0) - F.pow("jaccard", F.col("cfg.rows_per_band")),
+                F.col("cfg.bands"),
+            )
+        ).cast("decimal(28,12)").alias("pc"),
+    )
+    return (
+        e.groupBy("bands", "rows_per_band")
+        .agg(
+            F.round(F.sum("pc").cast("double"), 6).alias(
+                "expected_candidates"
+            ),
+            F.round(
+                F.sum(
+                    F.when(F.col("jaccard") >= LSH_TUNE_S0, F.col("pc"))
+                ).cast("double")
+                / F.sum(
+                    F.when(F.col("jaccard") >= LSH_TUNE_S0, F.lit(1.0))
+                ),
+                6,
+            ).alias("expected_recall_at_s0"),
+            F.round(
+                F.sum(
+                    F.when(F.col("jaccard") < LSH_TUNE_S0, F.col("pc"))
+                ).cast("double"),
+                6,
+            ).alias("expected_false_candidates"),
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            F.round(
+                F.pow(
+                    F.lit(1.0) / F.col("bands"),
+                    F.lit(1.0) / F.col("rows_per_band"),
+                ),
+                6,
+            ).alias("s_half"),
+            "expected_candidates",
+            "expected_recall_at_s0",
+            "expected_false_candidates",
+        )
+    )
+
+
+_CFG_DUCK = ", ".join(f"({b}, {r})" for b, r in LSH_TUNE_CONFIGS)
+SQL_LSH_TUNING = (
+    SQL_NGRAM_JACCARD_CAPPED.split("SELECT doc_a")[0].rstrip().rstrip(")")
+    + f"""),
+pairs AS (
+  SELECT ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b),
+cfg AS (SELECT * FROM (VALUES {_CFG_DUCK}) t(bands, rows_per_band)),
+e AS (
+  SELECT bands, rows_per_band, jaccard,
+         CAST(1.0 - POW(1.0 - POW(jaccard, rows_per_band), bands)
+              AS DECIMAL(28,12)) AS pc
+  FROM pairs CROSS JOIN cfg)
+SELECT CAST(bands AS INTEGER) AS bands,
+       CAST(rows_per_band AS INTEGER) AS rows_per_band,
+       ROUND(POW(1.0 / bands, 1.0 / rows_per_band), 6) AS s_half,
+       ROUND(SUM(pc), 6) AS expected_candidates,
+       ROUND(SUM(CASE WHEN jaccard >= {LSH_TUNE_S0} THEN pc END)
+             / SUM(CASE WHEN jaccard >= {LSH_TUNE_S0} THEN 1.0 END), 6)
+         AS expected_recall_at_s0,
+       ROUND(SUM(CASE WHEN jaccard < {LSH_TUNE_S0} THEN pc END), 6)
+         AS expected_false_candidates
+FROM e GROUP BY bands, rows_per_band
+"""
+)
+
+
+# ---------------------------------------------------------- brownouts
+BROWNOUT_FRAC = 0.5
+
+
+def q_events_brownout_windows(spark, sf):
+    """Brownout detection: maximal runs of consecutive hours whose
+    traffic is under 50% of the overall hourly mean (empty hours count
+    — they're the severest brownout), reported as the top-10 longest
+    windows.  events_changepoint_cusum finds the single biggest level
+    shift; this finds every sustained dip, the incident-retro list an
+    on-call actually wants.
+
+    Scale shape: the classic gaps-and-islands, decomposed — complete
+    hour spine from a 1-row range broadcast, island id = hour index −
+    strict-rank from a _blocked_cumsum over the bounded low-hour
+    table (no global row_number), island grain aggregate, TakeOrdered
+    top-10."""
+    e = _t(spark, sf, "events")
+    rng = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = rng.select(
+        F.col("lo"),
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("h"),
+    )
+    hc = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("c0")
+    )
+    hourly = spine.join(hc, "h", "left").select(
+        "lo",
+        "h",
+        F.coalesce("c0", F.lit(0)).cast("double").alias("c"),
+    )
+    mean = hourly.agg(F.avg("c").alias("m"))
+    low = (
+        hourly.crossJoin(F.broadcast(mean))
+        .where(F.col("c") < F.lit(BROWNOUT_FRAC) * F.col("m"))
+        .select(
+            "h",
+            "c",
+            (
+                F.floor(
+                    (F.col("h").cast("long") - F.col("lo").cast("long"))
+                    / 3600
+                )
+            ).cast("double").alias("idx"),
+        )
+    )
+    g = low.groupBy("idx").agg(
+        F.min("h").alias("h"), F.min("c").alias("c")
+    )
+    ranked = _blocked_cumsum(
+        g.select("idx", F.lit(1.0).alias("one")), "idx", "one"
+    )
+    islands = (
+        g.join(ranked.select("idx", "below"), "idx")
+        .select(
+            "h",
+            "c",
+            "idx",
+            (F.col("idx") - F.col("below")).alias("island"),
+        )
+        .groupBy("island")
+        .agg(
+            F.min("h").alias("start_hour"),
+            F.max("h").alias("end_hour"),
+            F.count("*").cast("long").alias("n_hours"),
+            F.round(F.avg("c"), 6).alias("mean_count"),
+        )
+    )
+    return (
+        islands.orderBy(
+            F.desc("n_hours"), "start_hour"
+        )
+        .limit(10)
+        .select(
+            F.date_format("start_hour", "yyyy-MM-dd HH:mm").alias("start"),
+            F.date_format("end_hour", "yyyy-MM-dd HH:mm").alias("end"),
+            "n_hours",
+            "mean_count",
+        )
+    )
+
+
+SQL_BROWNOUT = f"""
+WITH rng AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events),
+spine AS (
+  SELECT lo, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM rng),
+hc AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c0
+       FROM events GROUP BY 1),
+hourly AS (
+  SELECT lo, s.h, CAST(COALESCE(c0, 0) AS DOUBLE) AS c
+  FROM spine s LEFT JOIN hc USING (h)),
+m AS (SELECT AVG(c) AS m FROM hourly),
+low AS (
+  SELECT h, c,
+         CAST(FLOOR(date_diff('second', lo, h) / 3600) AS DOUBLE) AS idx
+  FROM hourly CROSS JOIN m WHERE c < {BROWNOUT_FRAC} * m),
+isl AS (
+  SELECT h, c,
+         idx - (ROW_NUMBER() OVER (ORDER BY idx) - 1) AS island
+  FROM low),
+g AS (
+  SELECT island, MIN(h) AS start_hour, MAX(h) AS end_hour,
+         COUNT(*) AS n_hours, ROUND(AVG(c), 6) AS mean_count
+  FROM isl GROUP BY 1)
+SELECT strftime(start_hour, '%Y-%m-%d %H:%M') AS start,
+       strftime(end_hour, '%Y-%m-%d %H:%M') AS "end",
+       CAST(n_hours AS BIGINT) AS n_hours, mean_count
+FROM g ORDER BY n_hours DESC, start_hour LIMIT 10
+"""
+
+
+# ------------------------------------------------------------- skyline
+def _blocked_suffix_max(g, key, val):
+    """Exact suffix maxima WITHOUT a global single-partition sort: for
+    a distinct-key table ``g(key, val)``, returns (key, val,
+    above_max) where above_max = max val over keys strictly GREATER
+    than ``key`` (−inf when none).  The max-monoid sibling of
+    _blocked_cumsum_multi: width_bucket blocks over the observed range
+    → ≤1024 block maxima in a bounded offset window → within-block
+    running max partitioned by block."""
+    rng = g.agg(
+        F.min(key).cast("double").alias("lo"),
+        F.max(key).cast("double").alias("hi"),
+    )
+    g2 = g.crossJoin(F.broadcast(rng)).withColumn(
+        "blk",
+        F.when(F.col("hi") == F.col("lo"), F.lit(1)).otherwise(
+            F.width_bucket(
+                F.col(key).cast("double"),
+                F.col("lo"),
+                F.col("hi"),
+                F.lit(1024),
+            )
+        ),
+    )
+    w_blocks = Window.orderBy(F.desc("blk")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        g2.groupBy("blk")
+        .agg(F.max(val).alias("bm"))
+        .select(
+            "blk",
+            F.coalesce(
+                F.max("bm").over(w_blocks), F.lit(float("-inf"))
+            ).alias("off"),
+        )
+    )
+    w_in = Window.partitionBy("blk").orderBy(F.desc(key)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        g2.join(F.broadcast(offsets), "blk")
+        .withColumn(
+            "above_max",
+            F.greatest(
+                F.col("off"),
+                F.coalesce(F.max(val).over(w_in), F.lit(float("-inf"))),
+            ),
+        )
+        .select(key, val, "above_max")
+    )
+
+
+def q_skyline_quality_length(spark, sf):
+    """Skyline (Pareto-front) operator over (length, lexical
+    diversity): the documents not dominated in BOTH dimensions — long
+    AND diverse is the curation frontier, since diversity mechanically
+    decays with length and a single scalar threshold on either axis
+    throws away the corner documents.  Börzsönyi et al.'s classic
+    operator (ICDE 2001), absent from every SQL standard.
+
+    Scale shape: for a 2-D skyline the front is exactly the points
+    whose y exceeds the suffix-max of y over larger x — one reduce to
+    distinct-x grain, then _blocked_suffix_max (the new max-monoid
+    blocked pass, no global sort), one filter.  No pairwise dominance
+    join anywhere."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "n_chars",
+        (
+            F.size(F.array_distinct(F.split("text", " ")))
+            / F.size(F.split("text", " "))
+        ).alias("div"),
+    )
+    g = toks.groupBy("n_chars").agg(F.max("div").alias("best_div"))
+    sky = _blocked_suffix_max(g, "n_chars", "best_div")
+    return (
+        sky.where(F.col("best_div") > F.col("above_max"))
+        .select(
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.round("best_div", 6).alias("diversity"),
+        )
+        .orderBy("n_chars")
+    )
+
+
+SQL_SKYLINE = """
+WITH toks AS (
+  SELECT n_chars,
+         len(list_distinct(string_split(text, ' ')))
+         * 1.0 / len(string_split(text, ' ')) AS div
+  FROM documents),
+g AS (SELECT n_chars, MAX(div) AS best_div FROM toks GROUP BY 1),
+s AS (
+  SELECT n_chars, best_div,
+         COALESCE(MAX(best_div) OVER (ORDER BY n_chars DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           -1e308) AS above_max
+  FROM g)
+SELECT CAST(n_chars AS BIGINT) AS n_chars,
+       ROUND(best_div, 6) AS diversity
+FROM s WHERE best_div > above_max ORDER BY n_chars
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -12986,6 +13410,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "corpus_psi_drift": (q_corpus_psi_drift, SQL_CORPUS_PSI),
     "cms_error_eval": (q_cms_error_eval, SQL_CMS_ERROR_EVAL),
+    # langid eval / LSH tuning / brownout islands / skyline
+    "langid_eval_prf": (q_langid_eval_prf, SQL_LANGID_PRF),
+    "lsh_band_tuning": (q_lsh_band_tuning, SQL_LSH_TUNING),
+    "events_brownout_windows": (
+        q_events_brownout_windows,
+        SQL_BROWNOUT,
+    ),
+    "skyline_quality_length": (q_skyline_quality_length, SQL_SKYLINE),
 }
 
 

@@ -2957,3 +2957,95 @@ def test_cms_error_eval_exact_and_collision_regimes(spark):
     }
     assert all(v >= 3 for v in est.values())        # one-sided
     assert any(v > 3 for v in est.values())         # collisions happened
+
+
+def test_langid_prf_blind_spot_semantics(spark):
+    """PRF eval anchors: a language that is never predicted has recall
+    0 and NULL precision/F1 (0/0, not 0); a perfectly-identified
+    language scores 1.0 across the board when nothing else is
+    predicted as it."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        (0, "the and of x", "en", "s", 13),     # en markers → pred en
+        (1, "der die und x", "de", "s", 13),    # de markers → pred de
+        (2, "w x y z", "es", "s", 7),           # no markers → unknown
+    ]
+    got = {r.lang: r for r in
+           _with_docs(spark, Q, rows, Q.q_langid_eval_prf)}
+    en = got["en"]
+    assert (en.n_true, en.n_pred, en.n_correct) == (1, 1, 1)
+    assert (en.precision, en.recall, en.f1) == (1.0, 1.0, 1.0)
+    es = got["es"]
+    assert (es.n_true, es.n_pred, es.n_correct) == (1, 0, 0)
+    assert es.recall == 0.0
+    assert es.precision is None and es.f1 is None
+
+
+def test_lsh_band_tuning_closed_form_single_pair(spark):
+    """One pair at Jaccard 1/3: expected candidates per config must be
+    exactly 1-(1-s^r)^b, recall@0.5 is NULL (no qualifying pairs), and
+    candidate volume increases monotonically with bands."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        (0, "a b c d", "en", "s", 7),    # grams {abc, bcd}
+        (1, "a b c e", "en", "s", 7),    # grams {abc, bce} → J = 1/3
+    ]
+    got = {(r.bands, r.rows_per_band): r for r in
+           _with_docs(spark, Q, rows, Q.q_lsh_band_tuning)}
+    s = round(1 / 3, 6)
+    for (b, r), row in got.items():
+        assert row.expected_candidates == round(1 - (1 - s ** r) ** b, 6)
+        assert row.expected_recall_at_s0 is None
+        assert row.s_half == round((1 / b) ** (1 / r), 6)
+    cands = [got[k].expected_candidates
+             for k in sorted(got, key=lambda k: k[0])]
+    assert cands == sorted(cands)        # more bands → more candidates
+
+
+def test_brownout_islands_and_ordering(spark):
+    """Gaps-and-islands semantics: three consecutive empty hours merge
+    into ONE 3-hour window (empty spine hours count), an isolated
+    1-event hour is its own window, and windows rank by length."""
+    from datetime import datetime, timedelta
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    t0 = datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for h in range(48):
+        if h in (10, 11, 12):
+            n = 0                        # 3-hour outage
+        elif h == 30:
+            n = 1                        # brownout hour
+        else:
+            n = 4
+        for _ in range(n):
+            rows.append((eid, t0 + timedelta(hours=h, minutes=5), 1,
+                         "a", 1.0, "{}"))
+            eid += 1
+    got = _with_events(spark, Q, rows, Q.q_events_brownout_windows)
+    assert [(r.start, r.n_hours, r.mean_count) for r in got] == [
+        ("2024-03-01 10:00", 3, 0.0),
+        ("2024-03-02 06:00", 1, 1.0),
+    ]
+    assert got[0].end == "2024-03-01 12:00"
+
+
+def test_skyline_dominance_semantics(spark):
+    """Pareto-front anchors: the max-x point always survives; a point
+    dominated in both dimensions is dropped; a short-but-diverse
+    corner survives.  (10,0.9) (20,0.5) (30,0.8) (40,0.3) →
+    front {10, 30, 40}."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        (0, "a b c d e f g h i i", "en", "s", 10),   # div 0.9
+        (1, "a a b b", "en", "s", 20),               # div 0.5 dominated
+        (2, "a b c d a", "en", "s", 30),             # div 0.8
+        (3, "a a a a b b b c c c", "en", "s", 40),   # div 0.3 max-x
+    ]
+    got = _with_docs(spark, Q, rows, Q.q_skyline_quality_length)
+    assert [(r.n_chars, r.diversity) for r in got] == [
+        (10, 0.9), (30, 0.8), (40, 0.3)]

@@ -156,6 +156,10 @@ BNLJ_OK = {
     "word2vec_sampling_table",
     # 1-row halves-totals broadcast (the smoothed denominators)
     "corpus_psi_drift",
+    # 1-row spine-range + hourly-mean broadcasts; _blocked_cumsum range
+    "events_brownout_windows",
+    # 1-row range broadcast (_blocked_suffix_max blocks)
+    "skyline_quality_length",
 }
 
 
@@ -213,6 +217,9 @@ SP_SORT_OK = {
     "events_changepoint_cusum": 1,
     # remainder rank over the N_SOURCES-row weight table
     "mixture_token_budget_alloc": 1,
+    # bounded block-offset windows (≤1024 totals / block maxima)
+    "events_brownout_windows": 1,
+    "skyline_quality_length": 1,
 }
 
 
