@@ -12058,7 +12058,14 @@ def q_user_survival_km(spark, sf):
     — at-risk counts and Σ log(1−d/n) (the product via exp-of-sum) —
     come from _blocked_cumsum_multi passes on that bounded table, no
     global sort.  A level where d = n (everyone dies) sends S to
-    exactly 0 from there on via an explicit guard, not ln(0)."""
+    exactly 0 from there on via an explicit guard, not ln(0).
+
+    ``logterm`` is persisted: it is consumed three times (by cum2, by
+    zero_hit, and by the final select) and without the persist Catalyst
+    inlines its whole lineage — including the events scan and both
+    groupBys — into each consumer, i.e. three redundant full passes
+    over the fact table at 100 TB (the r4 verdict's plan-duplication
+    finding).  The persisted table is O(distinct lifetimes ≤ days)."""
     e = _t(spark, sf, "events")
     mx = e.agg(F.to_date(F.max("ts")).alias("mxd"))
     per_user = e.groupBy("user_id").agg(
@@ -12093,7 +12100,7 @@ def q_user_survival_km(spark, sf):
             F.col("d") < F.col("n"),
             F.log(F.lit(1.0) - F.col("d") / F.col("n")),
         ).alias("lg"),
-    )
+    ).persist()
     cum2 = _blocked_cumsum_multi(
         logterm.select("t", F.coalesce("lg", F.lit(0.0)).alias("lg")),
         "t",
@@ -12354,7 +12361,10 @@ def q_conformal_coverage(spark, sf):
     Scale shape: reuses the per-(session, sf) cached trained weights;
     scoring is map-only; the exact order statistic comes from a
     _blocked_cumsum pass over the DISTINCT-score table (never a global
-    sort), and coverage is one broadcast-threshold aggregate."""
+    sort), and coverage is one broadcast-threshold aggregate.  ``g``
+    (the O(distinct s) calibration census) is persisted because nk and
+    the cumsum both hang off it — without the persist the calibration
+    half is scored and grouped twice."""
     feats, w = _logreg_feats_and_weights(spark, sf)
     z = (
         F.col("w1") * F.col("x1")
@@ -12377,7 +12387,9 @@ def q_conformal_coverage(spark, sf):
     )
     cal = scored.where(F.col("half") == 0)
     ev = scored.where(F.col("half") == 1)
-    g = cal.groupBy("s").agg(F.count("*").cast("double").alias("cnt"))
+    g = cal.groupBy("s").agg(
+        F.count("*").cast("double").alias("cnt")
+    ).persist()
     nk = g.agg(
         F.sum("cnt").alias("n_cal"),
         F.ceil((F.sum("cnt") + 1) * F.lit(1.0 - CONF_ALPHA))

@@ -220,6 +220,13 @@ SP_SORT_OK = {
     # bounded block-offset windows (≤1024 totals / block maxima)
     "events_brownout_windows": 1,
     "skyline_quality_length": 1,
+    # two _blocked_cumsum_multi calls over the O(distinct lifetimes)
+    # table — both bounded ≤1024-block-total sorts; the formerly
+    # triplicated logterm subtree is now persisted (r4 verdict fix)
+    "user_survival_km": 2,
+    # one bounded block-total sort from the single _blocked_cumsum_multi
+    # pass over the O(distinct score) calibration census
+    "conformal_coverage": 1,
 }
 
 
@@ -249,6 +256,71 @@ def test_no_unpartitioned_global_sort(spark, name):
         f"(allowed {SP_SORT_OK.get(name, 0)}) — an unpartitioned global "
         "sort; decompose it (two-phase rank/top-k, approx cut-points + "
         "width_bucket) rather than widening SP_SORT_OK"
+    )
+
+
+def test_blocked_cumsum_reuse_contract(spark):
+    """The user_survival_km plan-duplication class, pinned at its cause:
+    a _blocked_cumsum_multi output consumed by MORE than one downstream
+    operator MUST be persisted, else Catalyst inlines the whole lineage
+    (bounded sort included) into every consumer.  This test rebuilds
+    the pre-fix shape — one cumsum output feeding a second cumsum, a
+    null-scan aggregate AND a final join, exactly user_survival_km's
+    logterm — and asserts the persisted variant has strictly fewer
+    Exchange-SinglePartition→Sort stages than the unpersisted one
+    (i.e. the test is RED on the pre-fix shape)."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import (
+        _blocked_cumsum_multi,
+    )
+
+    def shape(persisted: bool):
+        g = spark.range(1, 50).select(
+            F.col("id").cast("double").alias("t"),
+            (F.col("id") % 7).cast("double").alias("d"),
+        )
+        cum = _blocked_cumsum_multi(g, "t", ["d"])
+        # every downstream column depends on the cumsum output (as
+        # user_survival_km's at-risk count does), so no consumer can
+        # prune the window away
+        logterm = cum.select(
+            "t",
+            "d",
+            F.col("below_d").alias("n"),
+            F.when(F.col("d") < F.col("below_d"), F.log("below_d")).alias(
+                "lg"
+            ),
+        )
+        if persisted:
+            logterm = logterm.persist()
+        cum2 = _blocked_cumsum_multi(
+            logterm.select("t", F.coalesce("lg", F.lit(0.0)).alias("lg")),
+            "t",
+            ["lg"],
+        )
+        probe = logterm.where(F.col("lg").isNull()).agg(
+            F.min("t").alias("zt")
+        )
+        out = (
+            logterm.drop("lg")
+            .join(cum2, "t")
+            .crossJoin(F.broadcast(probe))
+            .select("t", "d", "n", "below_lg", "zt")
+        )
+        n = _sp_sort_count(_formatted_plan(out))
+        if persisted:
+            logterm.unpersist()
+        return n
+
+    n_unpersisted, n_persisted = shape(False), shape(True)
+    assert n_persisted < n_unpersisted, (
+        f"persist no longer collapses the duplicated cumsum subtree "
+        f"(persisted={n_persisted}, unpersisted={n_unpersisted}) — the "
+        "reuse-contract detector is broken"
+    )
+    assert n_persisted <= 2, (
+        f"persisted triple-consume shape has {n_persisted} SP sorts — "
+        "more than its two bounded block-total windows; a consumer is "
+        "re-inlining the cumsum lineage despite the persist"
     )
 
 
