@@ -13435,18 +13435,27 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 #: Update this set each round from the new CORRECTNESS_r{N}.json.
 DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
+        "bigram_interp_logprob",
         "bootstrap_ci_mean",
         "bpe_encode_tokens",
         "bpe_merge_step",
         "brand_number_extract",
+        "char_entropy",
+        "chunk_dedup",
+        "cms_heavy_hitters",
+        "contamination_check",
         "corpus_curation",
+        "corpus_datacard",
         "corpus_kl_divergence",
+        "cross_source_prefix_overlap",
+        "cube_status_priority",
         "customer_quartiles",
         "customer_rfm_segments",
         "customers_above_nation_avg",
         "customers_with_orders",
         "customers_without_orders",
         "dataset_split",
+        "dedup_containment",
         "dedup_dup_groups",
         "dedup_exact_log_id",
         "dedup_minhash_lsh",
@@ -13458,6 +13467,9 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "dedup_survivors",
         "deterministic_sample",
         "distinct_aggs",
+        "distinctive_terms_logodds",
+        "doc_chunking",
+        "doc_hash_embedding",
         "dsir_importance",
         "dup_ngram_coverage",
         "embedding_centroid_assign",
@@ -13465,15 +13477,25 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "embedding_dim_stats",
         "embedding_gram_matrix",
         "embedding_lsh_buckets",
+        "embedding_lsh_near_dup",
         "embedding_near_dup",
         "embedding_norms",
+        "embedding_outliers",
         "embedding_power_iteration",
         "embedding_pq_codes",
         "embedding_quantize",
         "events_asof_join",
+        "events_downsample_1h",
+        "events_gap_fill",
+        "events_moving_window",
         "events_quantile_sketch",
+        "events_range_join",
+        "events_session_window",
         "events_sessionize",
+        "events_sliding_window",
+        "events_stats_profile",
         "events_tumbling_window",
+        "events_value_histogram",
         "events_wau_stickiness",
         "events_winsorize",
         "feature_matrix_at_label",
@@ -13481,19 +13503,28 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "global_shuffle_shards",
         "gopher_quality_flags",
         "graph_triangle_degree_ordered",
+        "group_split_events",
         "grouping_sets_status_priority",
         "ivf_eval_recall",
         "json_extract_props",
         "kmeans_lloyd_step",
+        "kmv_distinct_users",
+        "knn_confusion_matrix",
         "knn_label_eval",
+        "label_source_profile",
+        "logreg_auc",
         "logreg_calibration",
         "lsh_eval_pr",
         "market_basket_pairs",
         "minhash_eval_recall",
         "mixture_sample",
         "mrl_truncation_eval",
+        "multimodal_audio_meta",
         "multimodal_image_dims",
+        "open_lineitem_backlog",
         "order_gap_days",
+        "padding_waste_stats",
+        "part_fuzzy_name_pairs",
         "percentiles_by_priority",
         "perplexity_bucket_sample",
         "pipeline_route",
@@ -13529,9 +13560,13 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "rollup_region_nation",
         "rrf_fusion",
         "running_order_total",
+        "salted_group_counts",
+        "salted_user_join",
+        "scd2_user_history",
         "semdedup_prune",
         "sequence_packing",
         "set_ops_nations",
+        "skipgram_negative_pairs",
         "stratified_sample",
         "temperature_mixture_weights",
         "text_bpe_tokens",
@@ -13539,16 +13574,25 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "text_fingerprint",
         "text_langid",
         "text_quality",
+        "text_repetition",
         "text_scrub",
+        "text_sentences_udtf",
         "text_token_stats",
         "text_top_ngram_frac",
+        "text_vocab_topk",
+        "tfidf_top_terms",
+        "time_split_events",
         "top_brands_by_revenue",
         "top_customers_per_nation",
         "unigram_logprob_score",
         "variant_props_stats",
         "vocab_growth_curve",
+        "vocab_oov_rate",
+        "weighted_avg_udaf",
+        "weighted_doc_sample",
         "winnow_fingerprints",
         "winnow_overlap_pairs",
+        "zipf_rank_slope",
     }
 )
 
@@ -13562,20 +13606,12 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 #: batches — diagnostics, corpus statistics, splits, fuzzy join, WAV
 #: audio — lead that backlog by construction).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # re-queued: global ntile -> approx-quantile cut-points +
-    # width_bucket dual-regime (r3 verdict item 4); the exact path still
-    # runs below the row threshold but the enclosing code changed
-    "perplexity_bucket_sample",
-    "logreg_calibration",
-    "vocab_growth_curve",
-    "customer_rfm_segments",
-    # re-queued: JPEG SOF header parse added alongside PNG/GIF
-    # (r3 verdict item 8) and the fixture mix now includes JPEG
-    "multimodal_image_dims",
-    # re-queued: blocking upgraded prefix-only -> prefix+suffix dual
-    # keys after fuzzy_block_eval measured prefix completeness at
-    # 0.167 — the r3 green row covered the old blocking
-    "part_fuzzy_name_pairs",
+    # Round 5: empty.  All six round-4 re-queues came back green in
+    # CORRECTNESS_r04 (the driver ran AFTER the round's last commit, so
+    # the rows cover the shipped code) and were cleared.  This round's
+    # changed implementations (user_survival_km, conformal_coverage —
+    # persist fixes; graph_adamic_adar — skew gate) have no prior green
+    # row, so ordinary never-verified rotation already fronts them.
 )
 
 

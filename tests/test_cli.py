@@ -100,6 +100,25 @@ def test_rotate_green_rows_latest_round_wins(tmp_path):
     assert latest["green_then_red"] is False  # newest row wins
 
 
+def test_rotate_skips_priority_requeues():
+    """A name listed in DRIVER_PRIORITY means its implementation changed
+    after its last green row — priority_names() must surface it so
+    main() never marks since-changed code verified off a stale green
+    (r4 ADVICE item 3)."""
+    mod = _load_rotate_tool()
+    src = (
+        'DRIVER_PRIORITY: tuple[str, ...] = (\n'
+        '    # re-queued: implementation changed\n'
+        '    "changed_query",\n'
+        '    "another_changed",\n'
+        ')\n'
+    )
+    assert mod.priority_names(src) == {"changed_query", "another_changed"}
+    # empty tuple (comments only) -> no names
+    empty = 'DRIVER_PRIORITY: tuple[str, ...] = (\n    # none this round\n)\n'
+    assert mod.priority_names(empty) == set()
+
+
 def test_rotate_driver_verified_block_exists():
     """The tool can still find the DRIVER_VERIFIED block it rewrites."""
     import re

@@ -18,7 +18,11 @@ Run at round start (after the driver drops CORRECTNESS_r{N}.json):
 
 DRIVER_PRIORITY (re-queues for changed implementations) remains a
 hand-maintained judgment call — this tool only handles the mechanical
-union.
+union.  Names currently listed in DRIVER_PRIORITY are NEVER added to
+DRIVER_VERIFIED by this tool: a listed name means the implementation
+changed after its last green row, so that stale green must not mark
+since-changed code as verified (clear the name from DRIVER_PRIORITY
+once a NEW driver round has re-greened it, then re-run this tool).
 """
 
 from __future__ import annotations
@@ -58,12 +62,29 @@ def green_rows(repo: str = REPO) -> set[str]:
     return {n for n, ok in latest_rows(repo).items() if ok}
 
 
+def priority_names(src: str) -> set[str]:
+    """Names currently listed in DRIVER_PRIORITY — implementations that
+    changed after their last green row, so a stale green must not mark
+    them verified."""
+    m = re.search(
+        r"DRIVER_PRIORITY: tuple\[str, \.\.\.\] = \((.*?)\n\)",
+        src,
+        re.DOTALL,
+    )
+    return set(re.findall(r'"([^"]+)"', m.group(1))) if m else set()
+
+
 def main() -> None:
     dry = "--dry" in sys.argv
     latest = latest_rows()
     verified = {n for n, ok in latest.items() if ok}
     red = {n for n, ok in latest.items() if not ok}
     src = open(QUERIES_PY).read()
+    requeued = priority_names(src) & verified
+    if requeued:
+        print(f"SKIPPING {len(requeued)} DRIVER_PRIORITY re-queues whose "
+              f"green rows predate their code change: {sorted(requeued)}")
+        verified -= requeued
     m = re.search(
         r"DRIVER_VERIFIED: frozenset\[str\] = frozenset\(\s*\{(.*?)\}\s*\)",
         src,
