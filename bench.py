@@ -276,6 +276,7 @@ HEADLINE = [
     "events_seasonality",
     "events_permutation_test",
     "graph_adamic_adar",
+    "aa_cap_eval",
     "graph_assortativity",
     "sink_compaction_plan",
     "source_token_simpson",

@@ -3049,3 +3049,43 @@ def test_skyline_dominance_semantics(spark):
     got = _with_docs(spark, Q, rows, Q.q_skyline_quality_length)
     assert [(r.n_chars, r.diversity) for r in got] == [
         (10, 0.9), (30, 0.8), (40, 0.3)]
+
+
+def test_adamic_adar_hub_cap_and_eval_closed_form(spark):
+    """The AA skew gate, pinned on a star graph whose hub exceeds
+    AA_DEG_CAP: the wedge join keeps only the hub's AA_DEG_CAP
+    smallest-id neighbors (pairs of high-id leaves vanish), kept pairs
+    still score with the TRUE hub degree, and aa_cap_eval's closed-form
+    mass bookkeeping matches C(d,2)/ln(d) arithmetic exactly."""
+    import math
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    hub, n_leaves = 1000, Q.AA_DEG_CAP + 3
+    rows = [(4 * (k + 1), p) for k in range(n_leaves)
+            for p in (hub, k + 1)]  # order 4k: {hub, leaf_k}
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    orig = Q._t
+    try:
+        Q._t = lambda spark, sf, name, **k: li
+        aa = Q.q_graph_adamic_adar(spark, "x").collect()
+        ev = Q.q_aa_cap_eval(spark, "x").collect()[0]
+    finally:
+        Q._t = orig
+    # top-15 leaf pairs, deterministic (1,2),(1,3)...; every kept wedge
+    # uses the TRUE degree weight 1/ln(n_leaves), and no leaf beyond the
+    # hub's AA_DEG_CAP smallest ids appears anywhere in the scores
+    assert len(aa) == 15
+    w = round(1.0 / math.log(n_leaves), 6)
+    assert all(r.aa_score == w and r.n_common == 1 for r in aa)
+    assert aa[0].src == 1 and aa[0].dst == 2
+    assert max(max(r.src, r.dst) for r in aa) <= Q.AA_DEG_CAP
+    # closed-form eval: hub is the only capped center; leaves (deg 1)
+    # carry zero wedge mass
+    d, dc = float(n_leaves), float(Q.AA_DEG_CAP)
+    assert ev.n_centers == n_leaves + 1
+    assert ev.n_capped_centers == 1
+    assert ev.wedge_mass_total == round(d * (d - 1) / 2 / math.log(d), 6)
+    assert ev.wedge_mass_kept == round(dc * (dc - 1) / 2 / math.log(d), 6)
+    assert ev.mass_kept_frac == round(
+        (dc * (dc - 1)) / (d * (d - 1)), 6)
