@@ -295,7 +295,46 @@ HEADLINE = [
     "lsh_band_tuning",
     "events_brownout_windows",
     "skyline_quality_length",
+    # round-5 closure of the bench-coverage gap (r4 verdict item 5):
+    # every registry query is either here or in EXCLUDED, pinned by
+    # test_bench_coverage_is_total
+    "brand_number_extract",
+    "dataset_split",
+    "deterministic_sample",
+    "embedding_dim_stats",
+    "stratified_sample",
+    "sequence_packing",
+    "pipeline_schema_profile",
+    "text_scrub",
 ]
+
+#: Registry queries deliberately NOT benched, each with the reason —
+#: the "no silent caps" rule applied to the bench sweep itself.
+#: test_bench_coverage_is_total asserts HEADLINE ∪ EXCLUDED == REGISTRY
+#: exactly, so a new query cannot silently skip the sweep.
+EXCLUDED = {
+    "dedup_ngram_jaccard": (
+        "exact all-pairs n-gram Jaccard — quadratic on the synthetic "
+        "corpus by design; its scale path (dedup_minhash_lsh) is the "
+        "benched entry"
+    ),
+    "minhash_eval_recall": (
+        "eval harness that materializes the exact all-pairs truth to "
+        "score LSH recall (45 s at sf0.1); the production LSH path it "
+        "validates is benched"
+    ),
+    "graph_triangle_parts": (
+        "uncapped exact triangle count — unbounded wedge volume on the "
+        "dense co-purchase graph; graph_triangle_parts_capped is the "
+        "benched entry with the same plan shape"
+    ),
+    "graph_triangle_degree_ordered": (
+        "exact Schank-Wagner count (33 s at sf0.1): the near-uniform "
+        "co-purchase degree distribution leaves no low-degree mass for "
+        "degree-ordering to exploit, so the honest exact cost is the "
+        "wedge volume itself; the capped variant is the bench proxy"
+    ),
+}
 
 
 def main() -> None:

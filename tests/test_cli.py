@@ -128,6 +128,30 @@ def test_rotate_driver_verified_block_exists():
     assert re.search(r"DRIVER_VERIFIED: frozenset\[str\] = frozenset\(", src)
 
 
+def test_bench_coverage_is_total():
+    """Every registry query is benched or carries a documented
+    exclusion: HEADLINE ∪ EXCLUDED == REGISTRY, disjoint, no strays —
+    the 'every query gets a bench entry' claim, machine-checked
+    (r4 verdict item 5)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import REGISTRY
+
+    headline, excluded = set(bench.HEADLINE), set(bench.EXCLUDED)
+    assert len(bench.HEADLINE) == len(headline), "duplicate HEADLINE entry"
+    assert not headline & excluded, headline & excluded
+    assert headline | excluded == set(REGISTRY), (
+        "unbenched without documented exclusion: "
+        f"{sorted(set(REGISTRY) - headline - excluded)}; "
+        f"stray non-registry names: "
+        f"{sorted((headline | excluded) - set(REGISTRY))}"
+    )
+    assert all(bench.EXCLUDED.values()), "every exclusion needs a reason"
+
+
 def test_prose_counts_match_registry():
     """tools/verify_contract.check_prose_counts: README's stated
     registry size must equal len(REGISTRY) — drift is a failure."""
