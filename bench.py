@@ -306,6 +306,7 @@ HEADLINE = [
     "sequence_packing",
     "pipeline_schema_profile",
     "text_scrub",
+    "multimodal_audio_pcm_stats",
 ]
 
 #: Registry queries deliberately NOT benched, each with the reason —

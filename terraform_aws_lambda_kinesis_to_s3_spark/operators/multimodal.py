@@ -269,19 +269,18 @@ def decode_image_meta(
     return df.mapInPandas(batches, IMAGE_META_SCHEMA)
 
 
-def parse_wav_header(blob: bytes) -> tuple[int, int, int, int] | None:
-    """REAL (non-stub) audio codec for the one container whose header
-    is parseable with zero dependencies: RIFF/WAVE PCM (RIFF spec /
-    WAVE fmt chunk: channels u16le @22, sample rate u32le @24, bits
-    u16le @34 for a canonical fmt-first layout; the data chunk is
-    located by walking the chunk list, not assumed at a fixed offset).
-    Returns (sample_rate, n_channels, bits_per_sample, n_frames), or
-    None for anything that is not a well-formed PCM WAV."""
+def _wav_pcm_chunks(blob: bytes) -> tuple[int, int, int, bytes] | None:
+    """The shared RIFF/WAVE chunk walk: returns (sample_rate,
+    n_channels, bits, data_bytes) for a well-formed integer-PCM WAV,
+    else None.  data_bytes is clamped to the bytes actually present —
+    a truncated blob must not report content its data chunk doesn't
+    carry.  parse_wav_header derives the frame count from this;
+    audio_pcm_stats reads the samples themselves."""
     if blob is None or len(blob) < 44:
         return None
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         return None
-    pos, fmt, fmt_body, data_size = 12, None, None, None
+    pos, fmt, fmt_body, data = 12, None, None, None
     while pos + 8 <= len(blob):
         cid = blob[pos : pos + 4]
         csize = int.from_bytes(blob[pos + 4 : pos + 8], "little")
@@ -295,11 +294,10 @@ def parse_wav_header(blob: bytes) -> tuple[int, int, int, int] | None:
                 int.from_bytes(body[14:16], "little"),  # bits/sample
             )
         elif cid == b"data":
-            # clamp to the bytes actually present: a truncated blob
-            # must not report frames its data chunk doesn't carry
-            data_size = min(csize, max(0, len(blob) - pos - 8))
+            # the slice is already clamped to available bytes
+            data = body
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
-    if fmt is None or data_size is None:
+    if fmt is None or data is None:
         return None
     format_tag, n_channels, sample_rate, bits = fmt
     # integer PCM only: tag 1, or WAVE_FORMAT_EXTENSIBLE (0xFFFE)
@@ -313,19 +311,52 @@ def parse_wav_header(blob: bytes) -> tuple[int, int, int, int] | None:
         return None
     if n_channels == 0 or sample_rate == 0 or bits not in (8, 16, 24, 32):
         return None
+    return (sample_rate, n_channels, bits, bytes(data))
+
+
+def parse_wav_header(blob: bytes) -> tuple[int, int, int, int] | None:
+    """REAL (non-stub) audio codec for the one container whose header
+    is parseable with zero dependencies: RIFF/WAVE PCM (RIFF spec /
+    WAVE fmt chunk: channels u16le @22, sample rate u32le @24, bits
+    u16le @34 for a canonical fmt-first layout; the data chunk is
+    located by walking the chunk list, not assumed at a fixed offset).
+    Returns (sample_rate, n_channels, bits_per_sample, n_frames), or
+    None for anything that is not a well-formed PCM WAV."""
+    parsed = _wav_pcm_chunks(blob)
+    if parsed is None:
+        return None
+    sample_rate, n_channels, bits, data = parsed
     frame_bytes = n_channels * (bits // 8)
-    return (sample_rate, n_channels, bits, data_size // frame_bytes)
+    return (sample_rate, n_channels, bits, len(data) // frame_bytes)
 
 
 def synth_wav(
-    sample_rate: int, n_channels: int, bits: int, n_frames: int
+    sample_rate: int,
+    n_channels: int,
+    bits: int,
+    n_frames: int,
+    amps: tuple[int, ...] | None = None,
 ) -> bytes:
-    """Minimal spec-valid PCM WAV: RIFF header + fmt chunk + data chunk
-    of ``n_frames`` zero frames. Deterministic, for tests/oracles."""
+    """Minimal spec-valid PCM WAV: RIFF header + fmt chunk + data chunk.
+    With ``amps`` None the data is ``n_frames`` zero frames; with a
+    per-channel amplitude tuple (16-bit only) each channel carries the
+    square wave +amp, −amp, +amp, … — closed-form RMS/peak/clipping so
+    oracles can predict audio_pcm_stats arithmetically while the reader
+    still has to get interleave, sample width and sign right.
+    Deterministic, for tests/oracles."""
     import struct
 
     frame_bytes = n_channels * (bits // 8)
-    data = bytes(n_frames * frame_bytes)
+    if amps is None:
+        data = bytes(n_frames * frame_bytes)
+    else:
+        if bits != 16 or len(amps) != n_channels:
+            raise ValueError("waveform synth is 16-bit, one amp per channel")
+        import numpy as np
+
+        sgn = np.where(np.arange(n_frames) % 2 == 0, 1, -1)
+        frames = np.outer(sgn, np.asarray(amps, dtype=np.int64))
+        data = frames.astype("<i2").tobytes()
     fmt = struct.pack(
         "<HHIIHH",
         1,  # PCM
@@ -396,6 +427,110 @@ def decode_audio_meta(
             )
 
     return df.mapInPandas(batches, AUDIO_META_SCHEMA)
+
+
+PCM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("clip_rate", T.DoubleType()),
+        T.StructField("duration_ms", T.DoubleType()),
+    ]
+)
+
+
+def pcm_frame_stats(
+    blob: bytes,
+) -> tuple[int, int, float, float, float] | None:
+    """RMS / peak / clipping rate / duration from RAW PCM bytes — no
+    codec library, same pure-byte discipline as the header parsers
+    (8-bit unsigned, 16/32-bit signed LE, 24-bit via 3-byte assembly).
+    Only COMPLETE frames count: a data chunk truncated mid-frame drops
+    the partial tail (fuzz-pinned).  Returns (n_samples, peak_raw,
+    rms_norm, clip_rate, duration_ms) with rms normalized to full
+    scale 2^(bits−1) and a sample clipped iff it sits at either rail.
+    None for anything that is not integer-PCM WAV."""
+    import numpy as np
+
+    parsed = _wav_pcm_chunks(blob)
+    if parsed is None:
+        return None
+    sample_rate, n_channels, bits, data = parsed
+    frame_bytes = n_channels * (bits // 8)
+    n_frames = len(data) // frame_bytes
+    data = data[: n_frames * frame_bytes]
+    if bits == 8:
+        s = np.frombuffer(data, "<u1").astype(np.int64) - 128
+        hi, lo = 127, -128
+    elif bits == 16:
+        s = np.frombuffer(data, "<i2").astype(np.int64)
+        hi, lo = 32767, -32768
+    elif bits == 32:
+        s = np.frombuffer(data, "<i4").astype(np.int64)
+        hi, lo = 2**31 - 1, -(2**31)
+    else:  # 24-bit: assemble 3 LE bytes, sign-extend
+        a = np.frombuffer(data, "<u1").reshape(-1, 3).astype(np.int64)
+        s = a[:, 0] | (a[:, 1] << 8) | (a[:, 2] << 16)
+        s = np.where(s >= 1 << 23, s - (1 << 24), s)
+        hi, lo = (1 << 23) - 1, -(1 << 23)
+    dur = round(n_frames * 1000.0 / sample_rate, 6)
+    n = int(s.size)
+    if n == 0:
+        return (0, 0, 0.0, 0.0, dur)
+    full = float(hi + 1)
+    rms = round(float(np.sqrt(np.mean((s / full) ** 2))), 6)
+    clip = round(float(np.mean((s >= hi) | (s <= lo))), 6)
+    return (n, int(np.max(np.abs(s))), rms, clip, dur)
+
+
+def audio_pcm_stats(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """mapInPandas PCM frame-statistics audit: binary blobs in,
+    (mime, n_samples, peak, rms, clip_rate, duration_ms) out.  The
+    loudness/clipping screen an audio ingest pipeline runs before
+    feature extraction; non-WAV blobs classify as mime='unknown' with
+    NULL stats — the classify-don't-crash contract of
+    decode_audio_meta, one level deeper into the bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, mimes, ns, pk, rm, cl, du = [], [], [], [], [], [], []
+            for did, b in zip(pdf[id_col], pdf[blob_col]):
+                blob = b"" if b is None else bytes(b)
+                stats = pcm_frame_stats(blob)
+                ids.append(did)
+                if stats is None:
+                    mimes.append("unknown")
+                    ns.append(None)
+                    pk.append(None)
+                    rm.append(None)
+                    cl.append(None)
+                    du.append(None)
+                else:
+                    n, peak, rms, clip, dur = stats
+                    mimes.append("audio/wav")
+                    ns.append(n)
+                    pk.append(peak)
+                    rm.append(rms)
+                    cl.append(clip)
+                    du.append(dur)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "mime": mimes,
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "peak": pd.array(pk, dtype="Int32"),
+                    "rms": rm,
+                    "clip_rate": cl,
+                    "duration_ms": du,
+                }
+            )
+
+    return df.mapInPandas(batches, PCM_STATS_SCHEMA)
 
 
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

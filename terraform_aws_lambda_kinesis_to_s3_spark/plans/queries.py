@@ -2095,6 +2095,79 @@ FROM documents
 """
 
 
+def q_multimodal_audio_pcm_stats(spark, sf):
+    """One level deeper than the header audit: RMS / peak / clipping
+    rate / duration computed from the RAW PCM BYTES (operators.
+    multimodal.pcm_frame_stats — numpy over the data chunk, no codec
+    library), the loudness screen an audio ingest runs before feature
+    extraction.  Fixtures are doc_id-derived square waves with
+    per-channel amplitudes (one amplitude tier sits exactly at the
+    +32767 rail, so clipping is a real measured fraction, not a
+    constant); every 7th doc is a corrupt non-WAV blob that must
+    classify, not crash.  The oracle predicts each statistic in closed
+    form from the construction arithmetic — matching requires the
+    reader to get interleave, sample width, sign and frame alignment
+    exactly right.  Scale shape: map-only Arrow batches end to end."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
+        multimodal as MM,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def synth(it):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 7 == 0:
+                    blobs.append(b"\x00corrupt" + bytes(did % 5))
+                    continue
+                sr = (8000, 16000, 44100)[did % 3]
+                ch = 1 + did % 2
+                base = (8192, 16384, 24576, 32767, 30000)[did % 5]
+                amps = (base,) if ch == 1 else (base, base - 1000)
+                blobs.append(
+                    MM.synth_wav(sr, ch, 16, 100 + did % 50, amps=amps)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    with_blobs = d.mapInPandas(synth, "doc_id long, blob binary")
+    return MM.audio_pcm_stats(with_blobs)
+
+
+SQL_MULTIMODAL_AUDIO_PCM_STATS = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 7 = 0 AS corrupt,
+         CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              ELSE 44100 END AS sr,
+         1 + doc_id % 2 AS ch,
+         100 + doc_id % 50 AS nf,
+         CASE doc_id % 5 WHEN 0 THEN 8192 WHEN 1 THEN 16384
+              WHEN 2 THEN 24576 WHEN 3 THEN 32767 ELSE 30000 END AS base
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN corrupt THEN 'unknown' ELSE 'audio/wav' END AS mime,
+       CASE WHEN corrupt THEN NULL ELSE CAST(nf * ch AS BIGINT) END
+         AS n_samples,
+       CASE WHEN corrupt THEN NULL ELSE CAST(base AS INTEGER) END AS peak,
+       CASE WHEN corrupt THEN NULL
+            WHEN ch = 1 THEN ROUND(base / 32768.0, 6)
+            ELSE ROUND(SQRT((CAST(base AS DOUBLE) * base
+                             + CAST(base - 1000 AS DOUBLE) * (base - 1000))
+                            / 2.0) / 32768.0, 6) END AS rms,
+       CASE WHEN corrupt THEN NULL
+            WHEN base = 32767
+              THEN ROUND(CAST((nf + 1) // 2 AS DOUBLE) / (nf * ch), 6)
+            ELSE 0.0 END AS clip_rate,
+       CASE WHEN corrupt THEN NULL
+            ELSE ROUND(nf * 1000.0 / sr, 6) END AS duration_ms
+FROM p
+"""
+
+
 def q_percentiles(spark, sf):
     """Interpolated percentiles of order value per priority."""
     o = _t(spark, sf, "orders")
@@ -13245,6 +13318,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "vocab_growth_curve": (q_vocab_growth_curve, SQL_VOCAB_GROWTH),
     "customer_rfm_segments": (q_customer_rfm_segments, SQL_RFM),
     "multimodal_audio_meta": (q_multimodal_audio_meta, SQL_MULTIMODAL_AUDIO_META),
+    "multimodal_audio_pcm_stats": (
+        q_multimodal_audio_pcm_stats,
+        SQL_MULTIMODAL_AUDIO_PCM_STATS,
+    ),
     "zipf_rank_slope": (q_zipf_rank_slope, SQL_ZIPF),
     "doc_hash_embedding": (q_doc_hash_embedding, SQL_DOC_HASH_EMBED),
     "dedup_containment": (q_containment_pairs, SQL_CONTAINMENT),

@@ -1318,6 +1318,73 @@ def test_wav_parser_fuzz_never_raises():
         assert out is None or (len(out) == 4 and all(isinstance(x, int) for x in out))
 
 
+def test_pcm_stats_known_values_and_frame_alignment():
+    """pcm_frame_stats on constructed byte layouts: exact square-wave
+    RMS/peak/clip values (mono + stereo, incl. a rail-sitting channel),
+    only COMPLETE frames count when the data chunk is truncated
+    mid-frame (every truncation offset of a stereo 16-bit file), 8-bit
+    unsigned centering, 24-bit sign extension, and a 300-case fuzz
+    sweep that must classify, never raise."""
+    import math
+    import random
+    import struct
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        pcm_frame_stats,
+        synth_wav,
+    )
+
+    # mono square wave at half scale: rms = peak/32768 exactly, no clip
+    n, peak, rms, clip, dur = pcm_frame_stats(
+        synth_wav(8000, 1, 16, 100, amps=(16384,))
+    )
+    assert (n, peak, rms, clip, dur) == (100, 16384, 0.5, 0.0, 12.5)
+    # stereo with channel 0 at the +32767 rail: only its positive
+    # (even-frame) samples clip -> ceil(nf/2) of nf*2 samples
+    nf = 101
+    n, peak, rms, clip, dur = pcm_frame_stats(
+        synth_wav(8000, 2, 16, nf, amps=(32767, 31767))
+    )
+    assert (n, peak) == (2 * nf, 32767)
+    assert rms == round(
+        math.sqrt((32767**2 + 31767**2) / 2) / 32768, 6
+    )
+    assert clip == round(((nf + 1) // 2) / (2 * nf), 6)
+    # frame alignment: truncating a stereo 16-bit (4-byte-frame) file
+    # at EVERY offset keeps exactly the complete-frame prefix
+    full = synth_wav(8000, 2, 16, 10, amps=(1000, 2000))
+    data_start = len(full) - 40
+    for drop in range(1, 9):
+        stats = pcm_frame_stats(full[: len(full) - drop])
+        kept_frames = (40 - drop) // 4
+        assert stats[0] == 2 * kept_frames, f"drop={drop}"
+        assert stats[4] == round(kept_frames * 1000.0 / 8000, 6)
+    # zero complete frames: defined zeros, not NaN/crash
+    assert pcm_frame_stats(full[: data_start + 3])[0] == 0
+    # 8-bit unsigned centering: all-zero data decodes to -128 ->
+    # peak 128, rms 1.0, clipped at the negative rail
+    n8, peak8, rms8, clip8, _ = pcm_frame_stats(synth_wav(8000, 1, 8, 50))
+    assert (n8, peak8, rms8, clip8) == (50, 128, 1.0, 1.0)
+    # 24-bit sign extension: hand-packed one-frame files
+    def wav24(sample_bytes):
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        body += b"data" + struct.pack("<I", len(sample_bytes)) + sample_bytes
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    assert pcm_frame_stats(wav24(b"\xff\xff\x7f"))[1] == (1 << 23) - 1
+    assert pcm_frame_stats(wav24(b"\x00\x00\x80"))[1] == 1 << 23  # -2^23
+    assert pcm_frame_stats(wav24(b"\xff\xff\xff"))[1] == 1  # -1
+    # fuzz: arbitrary bytes classify (tuple or None), never raise
+    rng = random.Random(11)
+    for trial in range(300):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 120)))
+        if trial % 3 == 0:
+            blob = b"RIFF" + blob
+        out = pcm_frame_stats(blob)
+        assert out is None or len(out) == 5
+
+
 def test_zipf_slope_exact_powerlaw(spark):
     """A corpus whose frequencies are exactly c = 64 / rank must fit
     slope -1 with r² = 1."""
