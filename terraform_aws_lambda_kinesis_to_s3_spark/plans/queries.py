@@ -10776,12 +10776,18 @@ def q_dedup_threshold_sensitivity(spark, sf):
     One pass over the pair-similarity table (threshold 0 = every
     shingle-sharing pair in the capped space), the whole grid as
     conditional aggregates in a single reduce, then a 9-row in-row
-    explode — the grid costs nothing extra at any scale."""
+    explode — the grid costs nothing extra at any scale.  Degenerate
+    input is engine-parity-pinned (r4 ADVICE item 2): an EMPTY pair
+    space still yields the full 9-row grid with n_pairs 0 and NULL
+    fraction on BOTH engines (sums coalesced, the 0/0 guarded, the
+    oracle's cross join turned into an ON TRUE left join)."""
     d = _t(spark, sf, "documents", parallelize=True)
     pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.0, max_df=2)
     tot = pairs.agg(F.count("*").alias("t"))
     aggs = [
-        F.sum((F.col("jaccard") >= t).cast("long")).alias(f"ge_{i}")
+        F.coalesce(
+            F.sum((F.col("jaccard") >= t).cast("long")), F.lit(0)
+        ).alias(f"ge_{i}")
         for i, t in enumerate(DEDUP_THRESH_GRID)
     ]
     wide = pairs.agg(*aggs).crossJoin(F.broadcast(tot))
@@ -10799,7 +10805,9 @@ def q_dedup_threshold_sensitivity(spark, sf):
     return wide.select(rows, "t").select(
         "x.threshold",
         "x.n_pairs",
-        F.round(F.col("x.n_pairs") / F.col("t"), 6).alias("frac_of_pairs"),
+        F.when(
+            F.col("t") > 0, F.round(F.col("x.n_pairs") / F.col("t"), 6)
+        ).alias("frac_of_pairs"),
     )
 
 
@@ -10813,9 +10821,10 @@ tot AS (SELECT COUNT(*) AS t FROM pairs),
 grid AS (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS threshold)
 SELECT threshold,
        CAST(SUM(CASE WHEN jaccard >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
-       ROUND(SUM(CASE WHEN jaccard >= threshold THEN 1 ELSE 0 END) * 1.0
-             / ANY_VALUE(t), 6) AS frac_of_pairs
-FROM grid CROSS JOIN pairs CROSS JOIN tot
+       CASE WHEN ANY_VALUE(t) > 0
+            THEN ROUND(SUM(CASE WHEN jaccard >= threshold THEN 1 ELSE 0 END)
+                       * 1.0 / ANY_VALUE(t), 6) END AS frac_of_pairs
+FROM grid LEFT JOIN pairs ON TRUE CROSS JOIN tot
 GROUP BY 1
 """
 
@@ -12126,6 +12135,14 @@ def q_mmr_rerank(spark, sf):
     pool = rel.orderBy(F.desc("rel"), "vec_id").limit(MMR_POOL).collect()
     import math as _math
 
+    def _r6(x: float) -> float:
+        # ONE rounding convention across all three engines touching
+        # this tie-sensitive argmax (r4 ADVICE item 1): half-away-from-
+        # zero at 6 dp, matching Spark F.round (HALF_UP) and DuckDB
+        # ROUND — Python's built-in round() is banker's and could flip
+        # a greedy pick on an exact half.
+        return _math.copysign(_math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
     vecs = {r.vec_id: [float(x) for x in r.embedding] for r in pool}
     relv = {r.vec_id: r.rel for r in pool}
 
@@ -12138,7 +12155,7 @@ def q_mmr_rerank(spark, sf):
         return dot / (na * nb)
 
     sims = {
-        (i, j): round(_cos(vecs[i], vecs[j]), 6)
+        (i, j): _r6(_cos(vecs[i], vecs[j]))
         for i in vecs
         for j in vecs
         if i != j
@@ -12154,8 +12171,8 @@ def q_mmr_rerank(spark, sf):
                 score = relv[c]
             else:
                 pen = max(sims[(c, s)] for s in chosen)
-                score = round(
-                    MMR_LAMBDA * relv[c] - (1.0 - MMR_LAMBDA) * pen, 6
+                score = _r6(
+                    MMR_LAMBDA * relv[c] - (1.0 - MMR_LAMBDA) * pen
                 )
             if best is None or score > best[0]:
                 best = (score, c)

@@ -3156,3 +3156,34 @@ def test_adamic_adar_hub_cap_and_eval_closed_form(spark):
     assert ev.wedge_mass_kept == round(dc * (dc - 1) / 2 / math.log(d), 6)
     assert ev.mass_kept_frac == round(
         (dc * (dc - 1)) / (d * (d - 1)), 6)
+
+
+def test_dedup_threshold_sensitivity_empty_pair_space(spark):
+    """Engine parity on degenerate input (r4 ADVICE item 2): documents
+    sharing NO shingle still yield the full 9-row grid with n_pairs 0
+    and NULL fraction — and DuckDB's rewritten ON TRUE left join agrees
+    row for row."""
+    import duckdb
+    import pandas as pd
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s", 9),
+        (2, "one two three four five six seven", "en", "s", 9),
+    ]
+    got = _with_docs(spark, Q, rows, Q.q_dedup_threshold_sensitivity)
+    assert len(got) == 9
+    assert all(r.n_pairs == 0 and r.frac_of_pairs is None for r in got)
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            rows,
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        ),
+    )
+    ora = con.execute(Q.SQL_DEDUP_THRESH_SENS).fetchdf()
+    assert len(ora) == 9
+    assert (ora["n_pairs"] == 0).all()
+    assert ora["frac_of_pairs"].isna().all()
