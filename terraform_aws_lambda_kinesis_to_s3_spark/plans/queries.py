@@ -12853,6 +12853,16 @@ def q_langid_eval_prf(spark, sf):
     and en precision ~0.42 — the eval QUANTIFIES the heuristic's
     blind spot instead of letting the confusion table imply it.
 
+    Round-5 decision on the 0-recall readout (r4 verdict item 10):
+    measured per-stratum marker counts show ZERO German/Spanish/
+    French/Chinese markers in ANY stratum and English markers spread
+    uniformly across all five — the ground-truth lang label is
+    uncorrelated with the text by corpus construction, so no added
+    marker family can raise non-en recall above chance.  The fix
+    belongs in the corpus (marker injection), not the classifier;
+    adding marker vocabulary against THIS corpus would be fitting
+    noise.  The eval stays as the honest ceiling readout.
+
     Scale shape: one scored pass, two O(langs) censuses (true-grain
     and predicted-grain), a left join at language grain; NULL
     precision/F1 where a language is never predicted (0/0), identical
