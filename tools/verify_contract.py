@@ -63,6 +63,24 @@ def check_prose_counts() -> list[str]:
             )
     if not stated:
         problems.append("README no longer states the registry count")
+    # The r4 round-end failure mode: NOTES claiming a "final registry N"
+    # older than the shipped registry.  Only the NEWEST notes file is
+    # checked, and only once it states a final count (a round in
+    # progress without the line yet is fine) — but a stated count that
+    # disagrees with len(REGISTRY) means queries shipped after the
+    # recorded final suite run.
+    import glob
+
+    notes = sorted(glob.glob(os.path.join(repo, "NOTES_r*.md")))
+    if notes:
+        newest = open(notes[-1]).read()
+        for x in re.findall(r"final registry (\d+)", newest, re.IGNORECASE):
+            if int(x) != len(REGISTRY):
+                problems.append(
+                    f"{os.path.basename(notes[-1])} says final registry "
+                    f"{x}; len(REGISTRY) == {len(REGISTRY)} — queries "
+                    "shipped after the recorded round-end suite run"
+                )
     return problems
 
 
