@@ -307,6 +307,13 @@ HEADLINE = [
     "pipeline_schema_profile",
     "text_scrub",
     "multimodal_audio_pcm_stats",
+    # round-5 pipeline-assembly batch
+    "filter_funnel",
+    "scrub_eval",
+    "corpus_snapshot_diff",
+    "logreg_hard_examples",
+    "oov_vs_vocab_curve",
+    "cluster_best_quality",
 ]
 
 #: Registry queries deliberately NOT benched, each with the reason —

@@ -13278,6 +13278,522 @@ FROM s WHERE best_div > above_max ORDER BY n_chars
 
 
 # ---------------------------------------------------------------------------
+# Round 5: pipeline-assembly operators (filter funnel, PII scrub eval,
+# snapshot diff, hard-example mining, OOV-vs-vocab curve, best-quality
+# dup-cluster representative)
+# ---------------------------------------------------------------------------
+
+#: minimum token count for the funnel's length gate
+FUNNEL_MIN_TOKENS = 30
+
+
+def q_filter_funnel(spark, sf):
+    """Quality-filter cascade audit — the per-stage attrition table
+    every corpus paper publishes (C4, Gopher, RefinedWeb all report
+    one): docs surviving each successive gate (length >= 30 tokens ->
+    predicted-English -> duplicated-word fraction <= 0.7 -> exact-dup
+    survivor), with per-stage drop counts and cumulative survival.
+    Stage ATTRIBUTION is the point: "dedup removed 40%" vs "dedup
+    removed 2% after the quality gates already took 38%" are different
+    pipeline decisions.
+
+    Scale shape: ONE narrow pass computes every per-doc predicate
+    (pure Catalyst — split/regexp/md5); the exact-dup survivor flag is
+    a min-over-fingerprint hash-partitioned window (no global sort);
+    the funnel itself is conditional sums in a single reduce and a
+    5-row in-row explode.  Gates reuse the shipped operators' exact
+    definitions (textops.lang_id, the Gopher dup-word rule,
+    textops.fingerprint's normalization)."""
+    d = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    base = d.select(
+        "doc_id",
+        (F.size(toks) >= FUNNEL_MIN_TOKENS).alias("p_len"),
+        (X.lang_id(F.col("text")) == "en").alias("p_lang"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+            <= 0.7
+        ).alias("p_dup"),
+        fp.alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    flags = base.withColumn(
+        "p_uniq", F.min("doc_id").over(w) == F.col("doc_id")
+    )
+    c1 = F.col("p_len")
+    c2 = c1 & F.col("p_lang")
+    c3 = c2 & F.col("p_dup")
+    c4 = c3 & F.col("p_uniq")
+    agg = flags.agg(
+        F.count("*").alias("s0"),
+        F.sum(c1.cast("long")).alias("s1"),
+        F.sum(c2.cast("long")).alias("s2"),
+        F.sum(c3.cast("long")).alias("s3"),
+        F.sum(c4.cast("long")).alias("s4"),
+    )
+    stages = ["all", "min_length", "lang_en", "dup_words", "exact_dedup"]
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("stage_idx"),
+                    F.lit(nm).alias("stage"),
+                    F.col(f"s{i}").alias("n_pass"),
+                    (F.col(f"s{max(i - 1, 0)}") - F.col(f"s{i}")).alias(
+                        "n_dropped_here"
+                    ),
+                )
+                for i, nm in enumerate(stages)
+            ]
+        )
+    ).alias("x")
+    return agg.select(rows, "s0").select(
+        "x.stage_idx",
+        "x.stage",
+        "x.n_pass",
+        "x.n_dropped_here",
+        F.round(F.col("x.n_pass") / F.col("s0"), 6).alias("survival_frac"),
+    )
+
+
+# The oracle's p_lang: lang_id predicts 'en' iff c_en is the strict-
+# positive maximum under zh-first tie priority; on any corpus where
+# non-en markers occur the full CASE is required — spelled out here so
+# the predicate stays exact, not corpus-specialized.
+SQL_FILTER_FUNNEL = rf"""
+WITH c AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(lower(text), '\b(the|and|of)\b')) AS c_en,
+         len(regexp_extract_all(lower(text), '\b(der|die|und)\b')) AS c_de,
+         len(regexp_extract_all(lower(text), '\b(el|la|los)\b')) AS c_es,
+         len(regexp_extract_all(lower(text), '\b(le|les|et)\b')) AS c_fr,
+         len(regexp_extract_all(lower(text), '[\x{{4e00}}-\x{{9fff}}]')) AS c_zh
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) >= {FUNNEL_MIN_TOKENS} AS p_len,
+         (c_zh = 0 AND c_en > 0
+          AND c_en = GREATEST(c_en, c_de, c_es, c_fr, c_zh)) AS p_lang,
+         1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) <= 0.7 AS p_dup,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM c),
+g AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY fp) = doc_id AS p_uniq FROM f),
+a AS (
+  SELECT COUNT(*) AS s0,
+         SUM(CASE WHEN p_len THEN 1 ELSE 0 END) AS s1,
+         SUM(CASE WHEN p_len AND p_lang THEN 1 ELSE 0 END) AS s2,
+         SUM(CASE WHEN p_len AND p_lang AND p_dup THEN 1 ELSE 0 END) AS s3,
+         SUM(CASE WHEN p_len AND p_lang AND p_dup AND p_uniq
+                  THEN 1 ELSE 0 END) AS s4
+  FROM g),
+s AS (
+  SELECT * FROM (VALUES (0, 'all'), (1, 'min_length'), (2, 'lang_en'),
+                        (3, 'dup_words'), (4, 'exact_dedup'))
+       t(stage_idx, stage))
+SELECT stage_idx, stage,
+       CAST(CASE stage_idx WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2
+            WHEN 3 THEN s3 ELSE s4 END AS BIGINT) AS n_pass,
+       CAST(CASE stage_idx WHEN 0 THEN 0 WHEN 1 THEN s0 - s1
+            WHEN 2 THEN s1 - s2 WHEN 3 THEN s2 - s3 ELSE s3 - s4 END
+            AS BIGINT) AS n_dropped_here,
+       ROUND(CAST(CASE stage_idx WHEN 0 THEN s0 WHEN 1 THEN s1
+                  WHEN 2 THEN s2 WHEN 3 THEN s3 ELSE s4 END AS DOUBLE) / s0,
+             6) AS survival_frac
+FROM s CROSS JOIN a
+"""
+
+
+def q_scrub_eval(spark, sf):
+    """PII-scrub recall eval in the fuzzy_block_eval tradition: plant
+    emails and phone numbers (doc_id-derived), with every 4th plant
+    OBFUSCATED ("user N at example dot com", spelled-out digits) to
+    sit exactly in the regex scrubber's blind spot, then measure the
+    detection rate per class — plus the clean class as the false-
+    positive control.  The honest readout is ~0.75 per PII class and
+    0.0 on clean: the obfuscated quarter is what a regex scrubber
+    structurally misses, quantified instead of assumed.
+
+    Scale shape: injection, scrubbing (two regexp_replace chains) and
+    change detection are all map-only Catalyst string expressions; the
+    eval is one 3-group reduce.  The oracle predicts detection from
+    the planting arithmetic — agreement requires the scrub patterns to
+    catch exactly the well-formed plants and nothing else."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    inj = (
+        F.when(
+            did % 3 == 0,
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact user "),
+                    did.cast("string"),
+                    F.lit(" at example dot com"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.when(
+                did % 4 == 0,
+                F.concat(F.col("text"), F.lit(" call five five five oh one")),
+            ).otherwise(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" call 555-01"),
+                    F.lpad((did % 100).cast("string"), 2, "0"),
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    ptype = (
+        F.when(did % 3 == 0, F.lit("email"))
+        .when(did % 3 == 1, F.lit("phone"))
+        .otherwise(F.lit("clean"))
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(inj, r"[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
+        r"\b\d{3}-\d{2,}\b",
+        "<PHONE>",
+    )
+    t = d.select(
+        ptype.alias("pii_type"), inj.alias("it"), scrubbed.alias("st")
+    )
+    return t.groupBy("pii_type").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("st") != F.col("it")).cast("long")).alias("n_detected"),
+        F.round(
+            F.sum((F.col("st") != F.col("it")).cast("long")) / F.count("*"),
+            6,
+        ).alias("detect_rate"),
+    )
+
+
+SQL_SCRUB_EVAL = """
+WITH t AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'email'
+              WHEN doc_id % 3 = 1 THEN 'phone' ELSE 'clean' END AS pii_type,
+         CASE WHEN doc_id % 3 = 2 THEN 0
+              WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS detected
+  FROM documents)
+SELECT pii_type, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(detected) AS BIGINT) AS n_detected,
+       ROUND(SUM(detected) * 1.0 / COUNT(*), 6) AS detect_rate
+FROM t GROUP BY 1
+"""
+
+
+def q_corpus_snapshot_diff(spark, sf):
+    """Corpus version diff — the per-source added / removed / changed /
+    unchanged census between two snapshots that every periodically-
+    recrawled corpus needs before deciding what to re-embed, re-dedup
+    or re-train on.  Snapshots are doc_id-derived (A misses id%11==3,
+    B misses id%11==7, B's text is edited for id%13==0) so the oracle
+    predicts the whole table arithmetically while the Spark side runs
+    the REAL diff plan.
+
+    Scale shape: two filtered projections of one scan, a full-outer
+    equi-join on doc_id (shuffle-hash under AQE; at 100 TB this is the
+    canonical snapshot-diff join and partitions evenly on the id key),
+    fingerprint comparison, one (source, status) reduce."""
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    a = d.where(F.col("doc_id") % 11 != 3).select(
+        "doc_id", "source", F.md5("text").alias("fp_a")
+    )
+    b = d.where(F.col("doc_id") % 11 != 7).select(
+        "doc_id",
+        F.col("source").alias("source_b"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(" edited")),
+            ).otherwise(F.col("text"))
+        ).alias("fp_b"),
+    )
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        .when(F.col("fp_a") != F.col("fp_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce("source", "source_b").alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+SELECT source,
+       CASE WHEN doc_id % 11 = 3 THEN 'added'
+            WHEN doc_id % 11 = 7 THEN 'removed'
+            WHEN doc_id % 13 = 0 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_logreg_hard_examples(spark, sf):
+    """Margin-based hard-example mining on the trained quality
+    classifier: the 20 most ambiguous documents (|p − ½| smallest) —
+    the active-learning / relabeling queue (uncertainty sampling,
+    Lewis & Gale 1994) that a labeling budget should be spent on,
+    where hard_negatives does the same for the retrieval embedder.
+
+    Scale shape: reuses the per-(session, sf) cached trained weights;
+    scoring is one map-only pass over the broadcast 1-row weight
+    vector; TakeOrderedAndProject keeps the global top-20 without a
+    global sort.  Deterministic (margin, doc_id) ordering."""
+    feats, w = _logreg_feats_and_weights(spark, sf)
+    z = (
+        F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    p = 1.0 / (1.0 + F.exp(-z))
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        "doc_id",
+        F.col("y").cast("long").alias("label"),
+        F.round(p, 6).alias("p_hat"),
+        F.round(F.abs(p - 0.5), 6).alias("margin"),
+    )
+    return scored.orderBy("margin", "doc_id").limit(20)
+
+
+def _hard_examples_sql(iters: int) -> str:
+    """Hard-example oracle on the unrolled training CTE chain."""
+    base = _logreg_sql(iters)
+    head = base.rsplit("final AS", 1)[0].rstrip().rstrip(",")
+    return f"""{head},
+scored AS (
+  SELECT doc_id, CAST(y AS BIGINT) AS label,
+         ROUND(1.0 / (1.0 + EXP(-(w1 * x1 + w2 * x2 + w3 * x3))), 6) AS p_hat,
+         ROUND(ABS(1.0 / (1.0 + EXP(-(w1 * x1 + w2 * x2 + w3 * x3))) - 0.5),
+               6) AS margin
+  FROM feats CROSS JOIN wa{iters})
+SELECT * FROM scored ORDER BY margin, doc_id LIMIT 20
+"""
+
+
+SQL_LOGREG_HARD_EXAMPLES = _hard_examples_sql(LOGREG_ITERS)
+
+
+#: nominal vocab sizes for the OOV curve
+OOV_VOCAB_GRID = (50, 100, 200, 400, 800)
+
+
+def q_oov_vs_vocab_curve(spark, sf):
+    """OOV token mass as a function of vocabulary size — the curve
+    that decides a tokenizer's vocab budget (vocab_oov_rate reads ONE
+    point of it; this sweeps the knob).  Vocabulary cut semantics are
+    COUNT-GRAIN: for nominal size K the vocab is the largest
+    whole-tie-group frequency prefix with ≤ K terms (reported as
+    n_vocab), so no term-level tie-break window over the
+    singleton-count group — the group that holds half of any real
+    corpus's vocabulary — is ever needed.
+
+    Scale shape: term census (one shuffle at term grain), collapse to
+    the O(distinct counts) count-grain table, ONE _blocked_cumsum_multi
+    pass for the strictly-above term counts, the whole K-grid as
+    conditional sums in a single reduce + in-row explode.  The
+    singleton skew a rank-based cut would hit is designed out, not
+    mitigated."""
+    d = _t(spark, sf, "documents")
+    terms = d.select(F.explode(F.split("text", " ")).alias("term"))
+    census = terms.groupBy("term").agg(F.count("*").alias("cnt"))
+    grain = census.groupBy("cnt").agg(
+        F.count("*").cast("double").alias("n_terms"),
+        F.sum("cnt").cast("double").alias("mass"),
+    )
+    cum = _blocked_cumsum_multi(
+        grain.withColumn("negcnt", -F.col("cnt")).select(
+            "negcnt", "n_terms", "mass"
+        ),
+        "negcnt",
+        ["n_terms", "mass"],
+    ).select(
+        (-F.col("negcnt")).alias("cnt"),
+        "n_terms",
+        "mass",
+        F.col("below_n_terms").alias("terms_above"),
+    )
+    tot = grain.agg(
+        F.sum("n_terms").alias("v_total"), F.sum("mass").alias("m_total")
+    )
+    g = cum.crossJoin(F.broadcast(tot))
+    aggs = []
+    for k in OOV_VOCAB_GRID:
+        keep = (F.col("terms_above") + F.col("n_terms")) <= k
+        aggs += [
+            F.coalesce(
+                F.sum(F.when(keep, F.col("n_terms"))), F.lit(0.0)
+            ).alias(f"v_{k}"),
+            F.coalesce(F.sum(F.when(keep, F.col("mass"))), F.lit(0.0)).alias(
+                f"m_{k}"
+            ),
+        ]
+    wide = g.groupBy("v_total", "m_total").agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("vocab_k"),
+                    F.col(f"v_{k}").alias("n_vocab"),
+                    F.col(f"m_{k}").alias("covered"),
+                )
+                for k in OOV_VOCAB_GRID
+            ]
+        )
+    ).alias("x")
+    return wide.select(rows, "m_total").select(
+        "x.vocab_k",
+        F.col("x.n_vocab").cast("long").alias("n_vocab"),
+        F.col("x.covered").cast("long").alias("covered_tokens"),
+        F.round(F.lit(1.0) - F.col("x.covered") / F.col("m_total"), 6).alias(
+            "oov_frac"
+        ),
+    )
+
+
+SQL_OOV_VS_VOCAB = """
+WITH census AS (
+  SELECT term, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY 1),
+grain AS (
+  SELECT cnt, CAST(COUNT(*) AS DOUBLE) AS n_terms,
+         CAST(SUM(cnt) AS DOUBLE) AS mass
+  FROM census GROUP BY 1),
+cum AS (
+  SELECT cnt, n_terms, mass,
+         COALESCE(SUM(n_terms) OVER (ORDER BY cnt DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS terms_above
+  FROM grain),
+tot AS (SELECT SUM(n_terms) AS v_total, SUM(mass) AS m_total FROM grain),
+grid AS (SELECT unnest([50, 100, 200, 400, 800]) AS vocab_k)
+SELECT vocab_k,
+       CAST(COALESCE(SUM(CASE WHEN terms_above + n_terms <= vocab_k
+                         THEN n_terms END), 0) AS BIGINT) AS n_vocab,
+       CAST(COALESCE(SUM(CASE WHEN terms_above + n_terms <= vocab_k
+                         THEN mass END), 0) AS BIGINT) AS covered_tokens,
+       ROUND(1.0 - COALESCE(SUM(CASE WHEN terms_above + n_terms <= vocab_k
+                             THEN mass END), 0) / ANY_VALUE(m_total), 6)
+         AS oov_frac
+FROM grid LEFT JOIN cum ON TRUE CROSS JOIN tot
+GROUP BY 1
+"""
+
+
+def q_cluster_best_quality(spark, sf):
+    """Best-representative selection per near-dup cluster: instead of
+    dedup_survivors' keep-min-id policy, keep the member with the
+    HIGHEST quality score (min doc_id on ties) — the consolidation
+    step real dedup pipelines run so the retained copy is the clean
+    one, not the arbitrary one.
+
+    Scale shape: reuses the shared persisted minhash-verified pair
+    stage and the size-probed connected-components labeling
+    (operators.dedup.cluster_pairs); quality is one map-only pass;
+    selection is a cluster-keyed max over a (quality, −doc_id) struct
+    — a plain decomposable aggregate, no per-cluster window.  The
+    oracle replays the closure recursively and argmaxes with the same
+    tie policy."""
+    pairs = _minhash_verified_pairs(spark, sf).select("doc_a", "doc_b")
+    clusters = D.cluster_pairs(pairs)
+    d = _t(spark, sf, "documents")
+    n_tok = F.size(F.split("text", " "))
+    n_stop = F.regexp_count(
+        F.lower("text"), F.lit(r"\b(the|a|of|and|to|in)\b")
+    )
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[.,;:!?]"))
+    n_chars = F.length("text")
+    score = (
+        F.least(n_stop / F.greatest(n_tok, F.lit(1)) * 2, F.lit(1.0)) * 0.4
+        + F.least(n_tok / F.lit(64.0), F.lit(1.0)) * 0.4
+        + (
+            1
+            - F.least(
+                n_punct / F.greatest(n_chars, F.lit(1)) * 4, F.lit(1.0)
+            )
+        )
+        * 0.2
+    )
+    q = d.select("doc_id", F.round(score, 6).alias("q"))
+    m = clusters.join(q, "doc_id")
+    return (
+        m.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.max(
+                F.struct(F.col("q"), (-F.col("doc_id")).alias("nid"))
+            ).alias("m"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            (-F.col("m.nid")).cast("long").alias("kept_doc"),
+            F.col("m.q").alias("kept_quality"),
+        )
+    )
+
+
+SQL_CLUSTER_BEST_QUALITY = rf"""
+WITH RECURSIVE lsh_pairs AS ({SQL_MINHASH_LSH}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+  UNION
+  SELECT doc_b, doc_a FROM lsh_pairs),
+closure(n, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT c.n, e.b FROM closure c JOIN edges e ON e.a = c.r),
+clusters AS (
+  SELECT n AS doc_id, MIN(r) AS cluster_id FROM closure GROUP BY 1),
+feats AS (
+  SELECT doc_id,
+         len(string_split_regex(text, '\s+')) AS n_tok,
+         len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b'))
+           AS n_stop,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         ROUND(LEAST(n_stop / GREATEST(n_tok, 1) * 2, 1.0) * 0.4
+               + LEAST(n_tok / 64.0, 1.0) * 0.4
+               + (1 - LEAST(n_punct / GREATEST(n_chars, 1) * 4, 1.0)) * 0.2,
+               6) AS q
+  FROM feats),
+m AS (SELECT cluster_id, doc_id, q,
+             MAX(q) OVER (PARTITION BY cluster_id) AS mq
+      FROM clusters JOIN q USING (doc_id))
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(CASE WHEN q = mq THEN doc_id END) AS BIGINT) AS kept_doc,
+       MAX(q) AS kept_quality
+FROM m GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -13624,6 +14140,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_BROWNOUT,
     ),
     "skyline_quality_length": (q_skyline_quality_length, SQL_SKYLINE),
+    # round 5: pipeline-assembly batch (funnel, scrub eval, snapshot
+    # diff, hard examples, OOV curve, best-quality representative)
+    "filter_funnel": (q_filter_funnel, SQL_FILTER_FUNNEL),
+    "scrub_eval": (q_scrub_eval, SQL_SCRUB_EVAL),
+    "corpus_snapshot_diff": (q_corpus_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "logreg_hard_examples": (q_logreg_hard_examples, SQL_LOGREG_HARD_EXAMPLES),
+    "oov_vs_vocab_curve": (q_oov_vs_vocab_curve, SQL_OOV_VS_VOCAB),
+    "cluster_best_quality": (q_cluster_best_quality, SQL_CLUSTER_BEST_QUALITY),
 }
 
 

@@ -3187,3 +3187,129 @@ def test_dedup_threshold_sensitivity_empty_pair_space(spark):
     assert len(ora) == 9
     assert (ora["n_pairs"] == 0).all()
     assert ora["frac_of_pairs"].isna().all()
+
+
+def test_filter_funnel_stage_attribution(spark):
+    """Each gate drops exactly its planted doc: a short doc (length), a
+    long no-marker doc (lang), a long repetitive doc (dup words), and
+    an exact duplicate of a surviving doc (dedup); survival counts and
+    per-stage drops are conserved."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    good = (
+        "the quick brown fox " * 3
+        + "jumps and runs of course now ok more unique words appear "
+        + "here too with several extra distinct terms left"
+    )  # 36 tokens, ~78% distinct -> passes every gate
+    rows = [
+        (1, good, "en", "s", 9),                       # survives all
+        (2, "the and of it", "en", "s", 9),            # short: len fail
+        (3, "alpha beta gamma delta " * 10, "en", "s", 9),   # no marker
+        (4, "the the the the the " * 10, "en", "s", 9),      # dup words
+        (5, good, "en", "s", 9),                       # exact dup of 1
+    ]
+    got = {r.stage: r for r in
+           _with_docs(spark, Q, rows, Q.q_filter_funnel)}
+    assert got["all"].n_pass == 5
+    assert got["min_length"].n_pass == 4          # doc 2 dropped
+    assert got["lang_en"].n_pass == 3             # doc 3 dropped
+    assert got["dup_words"].n_pass == 2           # doc 4 dropped
+    assert got["exact_dedup"].n_pass == 1         # doc 5 dropped
+    assert [got[s].n_dropped_here for s in
+            ("all", "min_length", "lang_en", "dup_words", "exact_dedup")
+            ] == [0, 1, 1, 1, 1]
+    assert got["exact_dedup"].survival_frac == 0.2
+
+
+def test_scrub_eval_obfuscation_blind_spot(spark):
+    """Well-formed plants are detected, the every-4th obfuscated plant
+    is the measured miss, clean docs are never touched (the FP
+    control)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    # doc_ids: 3 (email, well-formed), 12 (email, obfuscated: 12%4==0),
+    # 7 (phone, well-formed), 16 (phone, obfuscated), 5/8 (clean)
+    rows = [(i, "plain template words here", "en", "s", 9)
+            for i in (3, 12, 7, 16, 5, 8)]
+    got = {r.pii_type: r for r in _with_docs(spark, Q, rows, Q.q_scrub_eval)}
+    assert (got["email"].n_docs, got["email"].n_detected) == (2, 1)
+    assert (got["phone"].n_docs, got["phone"].n_detected) == (2, 1)
+    assert (got["clean"].n_docs, got["clean"].n_detected) == (2, 0)
+    assert got["email"].detect_rate == 0.5
+
+
+def test_corpus_snapshot_diff_statuses(spark):
+    """doc_id arithmetic drives status exactly: %11==3 -> added,
+    %11==7 -> removed, %13==0 -> changed, else unchanged — and the
+    diff plan (full-outer join on fingerprints) reproduces it."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [(i, f"text body {i}", "en", "s", 9) for i in (3, 7, 13, 1)]
+    got = {(r.source, r.status): r.n_docs for r in
+           _with_docs(spark, Q, rows, Q.q_corpus_snapshot_diff)}
+    assert got == {("s", "added"): 1, ("s", "removed"): 1,
+                   ("s", "changed"): 1, ("s", "unchanged"): 1}
+
+
+def test_logreg_hard_examples_ordering(spark):
+    """Top-20 by ascending margin with doc_id tiebreak; margin is
+    consistent with p_hat; result is deterministic across runs."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = Q.q_logreg_hard_examples(spark, sf).collect()
+    b = Q.q_logreg_hard_examples(spark, sf).collect()
+    assert a == b
+    assert len(a) == 20
+    margins = [r.margin for r in a]
+    assert margins == sorted(margins)
+    for r in a:
+        assert abs(r.margin - round(abs(r.p_hat - 0.5), 6)) <= 1e-6
+
+
+def test_oov_vs_vocab_count_grain_cut(spark):
+    """Whole-tie-group cut semantics: with counts {4:1 term, 2:2 terms,
+    1:3 terms}, K=2 keeps only the cnt-4 group (the cnt-2 group would
+    overshoot), K=3 keeps through cnt-2, K=6 keeps everything."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        (1, "w4 w4 w2a w2b w1a", "en", "s", 9),
+        (2, "w4 w4 w2a w2b w1b w1c", "en", "s", 9),
+    ]
+    orig = Q.OOV_VOCAB_GRID
+    try:
+        Q.OOV_VOCAB_GRID = (2, 3, 6)
+        got = {r.vocab_k: r for r in
+               _with_docs(spark, Q, rows, Q.q_oov_vs_vocab_curve)}
+    finally:
+        Q.OOV_VOCAB_GRID = orig
+    assert (got[2].n_vocab, got[2].covered_tokens) == (1, 4)
+    assert (got[3].n_vocab, got[3].covered_tokens) == (3, 8)
+    assert (got[6].n_vocab, got[6].covered_tokens) == (6, 11)
+    assert got[6].oov_frac == 0.0
+    assert got[2].oov_frac == round(1 - 4 / 11, 6)
+
+
+def test_cluster_best_quality_prefers_quality_not_min_id(spark):
+    """The kept representative is the HIGHEST-quality member even when
+    it has the larger doc_id (the exact policy difference vs
+    dedup_survivors' keep-min-id), with min-doc_id on quality ties."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    # near-identical pair: doc 2 gains stopword hits ('the ... of a')
+    # -> higher quality score than doc 1; shingle overlap keeps them
+    # one LSH cluster
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        (1, t1 + "tail one", "en", "s", 9),
+        (2, t1 + "the of a", "en", "s", 9),
+        (3, "completely different text about other things entirely x y z",
+         "en", "s", 9),
+    ]
+    got = _with_docs(spark, Q, rows, Q.q_cluster_best_quality)
+    assert len(got) == 1
+    r = got[0]
+    assert r.cluster_id == 1 and r.n_members == 2
+    assert r.kept_doc == 2          # quality beats min-id
+    assert r.kept_quality > 0

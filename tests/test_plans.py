@@ -160,6 +160,10 @@ BNLJ_OK = {
     "events_brownout_windows",
     # 1-row range broadcast (_blocked_suffix_max blocks)
     "skyline_quality_length",
+    # 1-row trained-weights broadcast (same class as conformal/logreg)
+    "logreg_hard_examples",
+    # 1-row (lo, hi) range + (v_total, m_total) totals broadcasts
+    "oov_vs_vocab_curve",
 }
 
 
@@ -227,6 +231,9 @@ SP_SORT_OK = {
     # one bounded block-total sort from the single _blocked_cumsum_multi
     # pass over the O(distinct score) calibration census
     "conformal_coverage": 1,
+    # one bounded block-total sort (_blocked_cumsum_multi over the
+    # O(distinct counts) count-grain vocabulary table)
+    "oov_vs_vocab_curve": 1,
 }
 
 
