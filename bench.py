@@ -314,6 +314,9 @@ HEADLINE = [
     "logreg_hard_examples",
     "oov_vs_vocab_curve",
     "cluster_best_quality",
+    "pq_adc_eval",
+    "join_explosion_audit",
+    "text_encoding_audit",
 ]
 
 #: Registry queries deliberately NOT benched, each with the reason —

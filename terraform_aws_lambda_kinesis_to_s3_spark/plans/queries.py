@@ -13793,6 +13793,295 @@ FROM m GROUP BY 1
 """
 
 
+#: PQ ADC eval bounds: database slice, query range, recall depth
+PQ_DB_MAX = 40
+PQ_Q_LO, PQ_Q_HI = 100, 110
+ADC_K = 5
+
+
+def q_pq_adc_eval(spark, sf):
+    """Product-quantization ADC recall eval — completing the ANN eval
+    quartet (lsh_eval_pr: hyperplane LSH; ivf_eval_recall: cell probes;
+    mrl_truncation_eval: dimension truncation; THIS: code compression).
+    Asymmetric Distance Computation exactly as production PQ engines
+    run it (Jegou et al. 2011): the query stays exact, each database
+    vector is its 8 sub-codes, and distance is a sum of LOOKUP-TABLE
+    entries d(q_s, centroid(code)) — the LUT here is a real
+    queries x subspaces x codes broadcast (320 rows), and the scoring
+    join touches only the compressed code table, never the original
+    vectors.  Recall@5 vs exact L2 on the same bounded db slice pins
+    what 64 floats -> 8 codes costs.
+
+    Scale shape: codes and LUT build are narrow passes + broadcast
+    argmin; ADC scoring is codes (O(N x subspaces)) joined to the
+    broadcast LUT with a (query, vec) sum — shuffle grain is the
+    output, never pairs x dims.  The exact-truth side is the eval's
+    deliberate bounded cost (queries x db-slice cross join), same
+    contract as ivf_eval_recall."""
+    e = _t(spark, sf, "embeddings")
+    width = 64 // PQ_SUBSPACES
+    cents = S.label_centroids(e.filter(F.col("label") < PQ_CODES))
+    sub_cents = cents.select(
+        F.col("centroid_label").alias("code"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("centroid", s * width + 1, width).alias("cv"),
+                    )
+                    for s in range(PQ_SUBSPACES)
+                ]
+            )
+        ).alias("sc"),
+    ).select("code", F.col("sc.s").alias("s"), F.col("sc.cv").alias("cv"))
+    def subspaces(df, id_alias):
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            S._as_double(
+                                F.slice("embedding", s * width + 1, width)
+                            ).alias("sv"),
+                        )
+                        for s in range(PQ_SUBSPACES)
+                    ]
+                )
+            ).alias("x"),
+        ).select(id_alias, F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    db = e.filter(F.col("vec_id") < PQ_DB_MAX)
+    qs = e.filter(
+        (F.col("vec_id") >= PQ_Q_LO) & (F.col("vec_id") < PQ_Q_HI)
+    )
+    # codes for database vectors: argmin over sub-centroids
+    db_sub = subspaces(db, "vec_id")
+    scored = db_sub.join(F.broadcast(sub_cents), "s").withColumn("d2", d2)
+    wmin = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    codes = (
+        scored.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code")
+    )
+    # the ADC lookup table: query x subspace x code -> partial distance
+    lut = (
+        subspaces(qs, "query_id")
+        .join(F.broadcast(sub_cents), "s")
+        .withColumn("pd", d2)
+        .select("query_id", "s", "code", "pd")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd").alias("adc"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    adc_top = (
+        adc.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= ADC_K)
+        .select("query_id", F.col("vec_id").alias("nn_id"))
+    )
+    # exact L2 top-k on the same db subset
+    l2 = F.aggregate(
+        F.zip_with(
+            S._as_double(F.col("qe")),
+            S._as_double(F.col("ve")),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = qs.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    ).crossJoin(
+        db.select(F.col("vec_id").alias("nn_id"), F.col("embedding").alias("ve"))
+    ).withColumn("d", l2)
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("nn_id").asc()
+    )
+    exact_top = (
+        pairs.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= ADC_K)
+        .select("query_id", "nn_id")
+    )
+    j = exact_top.withColumn("e", F.lit(1)).join(
+        adc_top.withColumn("v", F.lit(1)), ["query_id", "nn_id"], "full"
+    )
+    hits = F.coalesce(F.sum(F.col("e") * F.col("v")), F.lit(0))
+    return j.agg(
+        F.coalesce(F.sum("e"), F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("n_adc"),
+        hits.cast("long").alias("n_true_pos"),
+        F.round(hits / F.sum("e"), 4).alias("recall"),
+    )
+
+
+SQL_PQ_ADC = f"""
+WITH comp AS (
+  SELECT vec_id, label, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) t(i)),
+cents AS (
+  SELECT label AS code, i, AVG(x) AS m
+  FROM comp WHERE label < {PQ_CODES} GROUP BY 1, 2),
+dists AS (
+  SELECT c.vec_id, c.i // {64 // PQ_SUBSPACES} AS s, ct.code,
+         SUM((c.x - ct.m) * (c.x - ct.m)) AS d2
+  FROM comp c JOIN cents ct ON c.i = ct.i
+  WHERE c.vec_id < {PQ_DB_MAX}
+  GROUP BY 1, 2, 3),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2 ASC, code ASC) AS rn
+    FROM dists) WHERE rn = 1),
+lut AS (
+  SELECT c.vec_id AS query_id, c.i // {64 // PQ_SUBSPACES} AS s, ct.code,
+         SUM((c.x - ct.m) * (c.x - ct.m)) AS pd
+  FROM comp c JOIN cents ct ON c.i = ct.i
+  WHERE c.vec_id >= {PQ_Q_LO} AND c.vec_id < {PQ_Q_HI}
+  GROUP BY 1, 2, 3),
+adc AS (
+  SELECT l.query_id, k.vec_id, SUM(l.pd) AS adc
+  FROM codes k JOIN lut l ON l.s = k.s AND l.code = k.code
+  GROUP BY 1, 2),
+adc_top AS (
+  SELECT query_id, vec_id AS nn_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc ASC, vec_id ASC) AS rn
+    FROM adc) WHERE rn <= {ADC_K}),
+exact AS (
+  SELECT query_id, nn_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS nn_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(v.embedding AS DOUBLE[])) ASC,
+                      v.vec_id ASC) AS rn
+    FROM embeddings q CROSS JOIN embeddings v
+    WHERE q.vec_id >= {PQ_Q_LO} AND q.vec_id < {PQ_Q_HI}
+      AND v.vec_id < {PQ_DB_MAX})
+  WHERE rn <= {ADC_K})
+SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT COUNT(*) FROM adc_top) AS BIGINT) AS n_adc,
+       CAST((SELECT COUNT(*) FROM adc_top a JOIN exact e
+             ON a.query_id = e.query_id AND a.nn_id = e.nn_id) AS BIGINT)
+         AS n_true_pos,
+       ROUND((SELECT COUNT(*) FROM adc_top a JOIN exact e
+              ON a.query_id = e.query_id AND a.nn_id = e.nn_id) * 1.0
+             / (SELECT COUNT(*) FROM exact), 4) AS recall
+"""
+
+
+def q_join_explosion_audit(spark, sf):
+    """Pre-join explosion audit: the EXACT self-join output size
+    sum(c_k^2) computed from the key census alone — no join run — vs
+    the uniform-key estimate N^2/d every naive planner assumes, their
+    ratio (the skew amplification factor), and the hottest key's row
+    share.  At 100 TB this one number decides salting / skew-join
+    hints BEFORE a shuffle materializes billions of rows
+    (complementing join_key_skew's per-key table with the single
+    decision-grade summary).
+
+    Scale shape: one key-grain census, one closed-form aggregate —
+    O(distinct keys), no join anywhere."""
+    ev = _t(spark, sf, "events")
+    census = ev.groupBy("user_id").agg(F.count("*").cast("double").alias("c"))
+    return census.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_selfjoin_rows"),
+        F.round(
+            (F.sum("c") * F.sum("c")) / F.count("*"), 2
+        ).alias("uniform_estimate"),
+        F.round(
+            F.sum(F.col("c") * F.col("c"))
+            / ((F.sum("c") * F.sum("c")) / F.count("*")),
+            6,
+        ).alias("amplification"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_key_share"),
+    )
+
+
+SQL_JOIN_EXPLOSION = """
+WITH census AS (
+  SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS c FROM events GROUP BY 1)
+SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c * c) AS BIGINT) AS exact_selfjoin_rows,
+       ROUND(SUM(c) * SUM(c) / COUNT(*), 2) AS uniform_estimate,
+       ROUND(SUM(c * c) / (SUM(c) * SUM(c) / COUNT(*)), 6) AS amplification,
+       ROUND(MAX(c) / SUM(c), 6) AS top_key_share
+FROM census
+"""
+
+
+def q_text_encoding_audit(spark, sf):
+    """Encoding-anomaly screen: replacement characters (U+FFFD — the
+    mojibake fingerprint), control characters, and non-breaking spaces
+    per source — the ingest audit that catches a bad decode upstream
+    before it poisons tokenization.  Anomalies are doc_id-planted
+    (every 17th/19th/23rd doc) so the oracle predicts the censuses
+    arithmetically while the Spark side genuinely scans the strings
+    with unicode regexes.
+
+    Scale shape: map-only regexp_count predicates + one per-source
+    reduce."""
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    did = F.col("doc_id")
+    t = F.col("text")
+    t = F.when(did % 17 == 0, F.concat(F.lit("\ufffd"), t)).otherwise(t)
+    t = F.when(did % 19 == 0, F.concat(t, F.lit("\u0007"))).otherwise(t)
+    t = F.when(did % 23 == 0, F.concat(t, F.lit("\u00a0end"))).otherwise(t)
+    m = d.select(
+        "source",
+        F.col("doc_id"),
+        t.alias("t"),
+    ).select(
+        "source",
+        (F.regexp_count("t", F.lit("\ufffd")) > 0).alias("a_repl"),
+        (F.regexp_count("t", F.lit(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")) > 0).alias("a_ctrl"),
+        (F.regexp_count("t", F.lit("\u00a0")) > 0).alias("a_nbsp"),
+    )
+    return m.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("a_repl").cast("long")).alias("n_replacement"),
+        F.sum(F.col("a_ctrl").cast("long")).alias("n_control"),
+        F.sum(F.col("a_nbsp").cast("long")).alias("n_nbsp"),
+        F.round(
+            F.sum((F.col("a_repl") | F.col("a_ctrl") | F.col("a_nbsp")).cast("long"))
+            / F.count("*"),
+            6,
+        ).alias("anomaly_rate"),
+    )
+
+
+SQL_ENCODING_AUDIT = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_replacement,
+       CAST(SUM(CASE WHEN doc_id % 19 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_control,
+       CAST(SUM(CASE WHEN doc_id % 23 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nbsp,
+       ROUND(SUM(CASE WHEN doc_id % 17 = 0 OR doc_id % 19 = 0
+                        OR doc_id % 23 = 0 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS anomaly_rate
+FROM documents GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -14148,6 +14437,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "logreg_hard_examples": (q_logreg_hard_examples, SQL_LOGREG_HARD_EXAMPLES),
     "oov_vs_vocab_curve": (q_oov_vs_vocab_curve, SQL_OOV_VS_VOCAB),
     "cluster_best_quality": (q_cluster_best_quality, SQL_CLUSTER_BEST_QUALITY),
+    "pq_adc_eval": (q_pq_adc_eval, SQL_PQ_ADC),
+    "join_explosion_audit": (q_join_explosion_audit, SQL_JOIN_EXPLOSION),
+    "text_encoding_audit": (q_text_encoding_audit, SQL_ENCODING_AUDIT),
 }
 
 

@@ -3313,3 +3313,65 @@ def test_cluster_best_quality_prefers_quality_not_min_id(spark):
     assert r.cluster_id == 1 and r.n_members == 2
     assert r.kept_doc == 2          # quality beats min-id
     assert r.kept_quality > 0
+
+
+def test_pq_adc_exact_reconstruction_gives_full_recall(spark):
+    """When every database vector IS its label centroid, the PQ
+    reconstruction is exact, so ADC distance equals exact L2 and
+    recall is 1.0 — the identity that pins the LUT join wiring
+    (subspace split, code argmin, LUT sum)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    def vec(seed):
+        return [float((seed * 7 + i * 3) % 13) for i in range(64)]
+
+    rows = [(i, vec(i), i) for i in range(4)]          # db = 4 centroids
+    rows.append((100, [v + 0.25 for v in vec(0)], 0))  # query near vec 0
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    orig = Q._t
+    try:
+        Q._t = lambda spark, sf, name, **k: e
+        got = Q.q_pq_adc_eval(spark, "x").collect()[0]
+    finally:
+        Q._t = orig
+    # 1 query x 4 db vectors (ADC_K=5 > 4): both sides return all 4,
+    # identically ranked
+    assert (got.n_exact, got.n_adc, got.n_true_pos) == (4, 4, 4)
+    assert got.recall == 1.0
+
+
+def test_join_explosion_audit_closed_form(spark):
+    """Known census {A:3, B:1}: exact self-join 10 rows vs uniform
+    estimate 8 -> amplification 1.25; hottest key holds 75%."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [(i, datetime(2024, 3, 4, 9, i), 1, "a", 1.0, "{}")
+            for i in range(3)]
+    rows.append((9, datetime(2024, 3, 4, 10, 0), 2, "a", 1.0, "{}"))
+    got = _with_events(spark, Q, rows, Q.q_join_explosion_audit)[0]
+    assert (got.n_rows, got.n_keys) == (4, 2)
+    assert got.exact_selfjoin_rows == 10
+    assert got.uniform_estimate == 8.0
+    assert got.amplification == 1.25
+    assert got.top_key_share == 0.75
+
+
+def test_text_encoding_audit_planted_anomalies(spark):
+    """Each planted class is detected by the unicode regexes (not the
+    arithmetic): doc 17 gains U+FFFD, doc 19 a control char, doc 23 an
+    NBSP, doc 323 = 17*19 carries two classes but counts once in the
+    anomaly rate; doc 1 stays clean."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [(i, "plain words here", "en", "s", 9)
+            for i in (17, 19, 23, 323, 1)]
+    got = _with_docs(spark, Q, rows, Q.q_text_encoding_audit)[0]
+    assert got.n_docs == 5
+    assert got.n_replacement == 2      # 17 and 323
+    assert got.n_control == 2          # 19 and 323
+    assert got.n_nbsp == 1             # 23
+    assert got.anomaly_rate == round(4 / 5, 6)

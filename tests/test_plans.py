@@ -162,6 +162,9 @@ BNLJ_OK = {
     "skyline_quality_length",
     # 1-row trained-weights broadcast (same class as conformal/logreg)
     "logreg_hard_examples",
+    # eval truth side: deliberate bounded queries x db-slice cross join
+    # (10 x 40 by construction, the ivf_eval_recall contract)
+    "pq_adc_eval",
     # 1-row (lo, hi) range + (v_total, m_total) totals broadcasts
     "oov_vs_vocab_curve",
 }
