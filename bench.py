@@ -317,6 +317,8 @@ HEADLINE = [
     "pq_adc_eval",
     "join_explosion_audit",
     "text_encoding_audit",
+    "events_ohlc_hourly",
+    "label_noise_estimate",
 ]
 
 #: Registry queries deliberately NOT benched, each with the reason —

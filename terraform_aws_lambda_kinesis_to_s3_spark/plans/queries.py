@@ -13408,53 +13408,55 @@ FROM s CROSS JOIN a
 
 
 def q_scrub_eval(spark, sf):
-    """PII-scrub recall eval in the fuzzy_block_eval tradition: plant
-    emails and phone numbers (doc_id-derived), with every 4th plant
-    OBFUSCATED ("user N at example dot com", spelled-out digits) to
-    sit exactly in the regex scrubber's blind spot, then measure the
-    detection rate per class — plus the clean class as the false-
-    positive control.  The honest readout is ~0.75 per PII class and
-    0.0 on clean: the obfuscated quarter is what a regex scrubber
-    structurally misses, quantified instead of assumed.
+    """PII-scrub recall eval in the fuzzy_block_eval measure->fix->
+    re-measure tradition.  ROUND 5 ARC: the v1 eval planted spaced
+    emails ("user 12 at example dot com") and spelled phones ("five
+    five five oh one") in the regex blind spot and read 0.75 recall;
+    acting on that readout the scrubber gained a spaced-email pattern
+    and a number-word-run pattern (>=3 words incl. 'oh' — verified
+    absent from the corpus vocabulary at every sf, so no false fires),
+    and the re-measure reads 0.875.  The residual eighth is the NEW
+    harder plant generation: bracket obfuscation
+    ("user[at]example[dot]com", doc_id%24==12) and a U+2012
+    figure-dash phone (doc_id%24==16) — deliberately uncaught, because
+    an eval whose scrubber catches everything it plants has stopped
+    measuring anything.  Clean docs are the FP control (0.0).
 
-    Scale shape: injection, scrubbing (two regexp_replace chains) and
-    change detection are all map-only Catalyst string expressions; the
-    eval is one 3-group reduce.  The oracle predicts detection from
-    the planting arithmetic — agreement requires the scrub patterns to
-    catch exactly the well-formed plants and nothing else."""
+    Scale shape: injection, the 4-pattern scrub chain and change
+    detection are map-only Catalyst string expressions; one 3-group
+    reduce.  The oracle predicts detection from the planting
+    arithmetic — agreement requires the patterns to catch exactly the
+    well-formed + first-generation-obfuscated plants and nothing
+    else."""
     d = _t(spark, sf, "documents").select("doc_id", "text")
     did = F.col("doc_id")
     inj = (
         F.when(
             did % 3 == 0,
             F.when(
+                did % 24 == 12,
+                F.concat(F.col("text"), F.lit(" contact user"), did.cast("string"), F.lit("[at]example[dot]com")),
+            )
+            .when(
                 did % 4 == 0,
-                F.concat(
-                    F.col("text"),
-                    F.lit(" contact user "),
-                    did.cast("string"),
-                    F.lit(" at example dot com"),
-                ),
-            ).otherwise(
-                F.concat(
-                    F.col("text"),
-                    F.lit(" contact user"),
-                    did.cast("string"),
-                    F.lit("@example.com"),
-                ),
+                F.concat(F.col("text"), F.lit(" contact user "), did.cast("string"), F.lit(" at example dot com")),
+            )
+            .otherwise(
+                F.concat(F.col("text"), F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
             ),
         )
         .when(
             did % 3 == 1,
             F.when(
+                did % 24 == 16,
+                F.concat(F.col("text"), F.lit(" call 555‒01"), F.lpad((did % 100).cast("string"), 2, "0")),
+            )
+            .when(
                 did % 4 == 0,
                 F.concat(F.col("text"), F.lit(" call five five five oh one")),
-            ).otherwise(
-                F.concat(
-                    F.col("text"),
-                    F.lit(" call 555-01"),
-                    F.lpad((did % 100).cast("string"), 2, "0"),
-                ),
+            )
+            .otherwise(
+                F.concat(F.col("text"), F.lit(" call 555-01"), F.lpad((did % 100).cast("string"), 2, "0")),
             ),
         )
         .otherwise(F.col("text"))
@@ -13464,8 +13466,17 @@ def q_scrub_eval(spark, sf):
         .when(did % 3 == 1, F.lit("phone"))
         .otherwise(F.lit("clean"))
     )
+    NUMWORD = r"\b(zero|one|two|three|four|five|six|seven|eight|nine|oh)( (zero|one|two|three|four|five|six|seven|eight|nine|oh)){2,}\b"
     scrubbed = F.regexp_replace(
-        F.regexp_replace(inj, r"[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(inj, r"[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
+                r"\b[a-z0-9]+ \d+ at [a-z0-9]+ dot [a-z]{2,3}\b",
+                "<EMAIL>",
+            ),
+            NUMWORD,
+            "<PHONE>",
+        ),
         r"\b\d{3}-\d{2,}\b",
         "<PHONE>",
     )
@@ -13481,13 +13492,13 @@ def q_scrub_eval(spark, sf):
         ).alias("detect_rate"),
     )
 
-
 SQL_SCRUB_EVAL = """
 WITH t AS (
   SELECT CASE WHEN doc_id % 3 = 0 THEN 'email'
               WHEN doc_id % 3 = 1 THEN 'phone' ELSE 'clean' END AS pii_type,
          CASE WHEN doc_id % 3 = 2 THEN 0
-              WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS detected
+              WHEN doc_id % 24 = 12 OR doc_id % 24 = 16 THEN 0
+              ELSE 1 END AS detected
   FROM documents)
 SELECT pii_type, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(detected) AS BIGINT) AS n_detected,
@@ -14082,6 +14093,143 @@ FROM documents GROUP BY 1
 """
 
 
+
+def q_events_ohlc_hourly(spark, sf):
+    """OHLC hourly downsampling — the open/high/low/close rollup
+    telemetry and market pipelines keep when plain min/max/avg
+    (events_downsample_1h) loses the bar's shape.  Open/close are the
+    FIRST/LAST values under the deterministic (ts, event_id) order,
+    via two row_number windows per (hour, type) — hash-partitioned on
+    the same grain the aggregate shuffles on, so the plan is one
+    shuffle + one reduce, no global sort."""
+    ev = _t(spark, sf, "events")
+    key = F.date_format(
+        F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+    ).alias("hour_ts")
+    base = ev.select(key, "event_type", "ts", "event_id", "value")
+    wa = Window.partitionBy("hour_ts", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("hour_ts", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = base.withColumn("ra", F.row_number().over(wa)).withColumn(
+        "rd", F.row_number().over(wd)
+    )
+    return r.groupBy("hour_ts", "event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("close"),
+    )
+
+
+SQL_OHLC = """
+WITH r AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+         event_type, value,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                            ORDER BY ts ASC, event_id ASC) AS ra,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events)
+SELECT hour_ts, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(CASE WHEN ra = 1 THEN value END) AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       MAX(CASE WHEN rd = 1 THEN value END) AS close
+FROM r GROUP BY 1, 2
+"""
+
+
+def q_label_noise_estimate(spark, sf):
+    """Label-noise estimation via the confident-joint (Northcutt's
+    confident learning, binary case): per-class mean self-confidence
+    thresholds t1/t0, each doc confidently assigned to a class only
+    when its score clears that class's threshold (argmax when both
+    clear), off-diagonal mass = the estimated label-noise rate.  The
+    data-centric step BEFORE relabeling: logreg_hard_examples says
+    which docs to re-check, this says how many labels are likely
+    wrong overall.
+
+    Scale shape: reuses the cached trained weights; one scoring pass,
+    one 2-value threshold aggregate broadcast back, one closed-form
+    confusion reduce — no joins beyond 1-row broadcasts."""
+    feats, w = _logreg_feats_and_weights(spark, sf)
+    z = (
+        F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    p = 1.0 / (1.0 + F.exp(-z))
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        "doc_id", "y", p.alias("p")
+    )
+    thr = scored.agg(
+        F.avg(F.when(F.col("y") == 1.0, F.col("p"))).alias("t1"),
+        F.avg(F.when(F.col("y") == 0.0, 1.0 - F.col("p"))).alias("t0"),
+    )
+    s = scored.crossJoin(F.broadcast(thr))
+    q1 = F.col("p") >= F.col("t1")
+    q0 = (1.0 - F.col("p")) >= F.col("t0")
+    j = (
+        F.when(q1 & q0, F.when(F.col("p") >= 0.5, F.lit(1)).otherwise(F.lit(0)))
+        .when(q1, F.lit(1))
+        .when(q0, F.lit(0))
+    )
+    cj = s.withColumn("j", j).where(F.col("j").isNotNull())
+    return cj.agg(
+        F.sum(((F.col("y") == 1.0) & (F.col("j") == 1)).cast("long")).alias("n_11"),
+        F.sum(((F.col("y") == 1.0) & (F.col("j") == 0)).cast("long")).alias("n_10"),
+        F.sum(((F.col("y") == 0.0) & (F.col("j") == 1)).cast("long")).alias("n_01"),
+        F.sum(((F.col("y") == 0.0) & (F.col("j") == 0)).cast("long")).alias("n_00"),
+        F.round(F.min("t1"), 6).alias("t1"),
+        F.round(F.min("t0"), 6).alias("t0"),
+        F.round(
+            F.sum(
+                (((F.col("y") == 1.0) & (F.col("j") == 0))
+                 | ((F.col("y") == 0.0) & (F.col("j") == 1))).cast("long")
+            ) / F.count("*"),
+            6,
+        ).alias("est_noise_rate"),
+    )
+
+
+def _label_noise_sql(iters):
+    base = _logreg_sql(iters)
+    head = base.rsplit("final AS", 1)[0].rstrip().rstrip(",")
+    return f"""{head},
+scored AS (
+  SELECT doc_id, y,
+         1.0 / (1.0 + EXP(-(w1 * x1 + w2 * x2 + w3 * x3))) AS p
+  FROM feats CROSS JOIN wa{iters}),
+thr AS (
+  SELECT AVG(CASE WHEN y = 1.0 THEN p END) AS t1,
+         AVG(CASE WHEN y = 0.0 THEN 1.0 - p END) AS t0
+  FROM scored),
+cj AS (
+  SELECT y,
+         CASE WHEN p >= t1 AND (1.0 - p) >= t0
+                THEN CASE WHEN p >= 0.5 THEN 1 ELSE 0 END
+              WHEN p >= t1 THEN 1
+              WHEN (1.0 - p) >= t0 THEN 0 END AS j,
+         t1, t0
+  FROM scored CROSS JOIN thr
+  WHERE (p >= t1 OR (1.0 - p) >= t0))
+SELECT CAST(SUM(CASE WHEN y = 1.0 AND j = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_11,
+       CAST(SUM(CASE WHEN y = 1.0 AND j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_10,
+       CAST(SUM(CASE WHEN y = 0.0 AND j = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_01,
+       CAST(SUM(CASE WHEN y = 0.0 AND j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_00,
+       ROUND(MIN(t1), 6) AS t1, ROUND(MIN(t0), 6) AS t0,
+       ROUND(SUM(CASE WHEN (y = 1.0 AND j = 0) OR (y = 0.0 AND j = 1)
+                 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS est_noise_rate
+FROM cj
+"""
+
+
+SQL_LABEL_NOISE = _label_noise_sql(LOGREG_ITERS)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -14440,6 +14588,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pq_adc_eval": (q_pq_adc_eval, SQL_PQ_ADC),
     "join_explosion_audit": (q_join_explosion_audit, SQL_JOIN_EXPLOSION),
     "text_encoding_audit": (q_text_encoding_audit, SQL_ENCODING_AUDIT),
+    "events_ohlc_hourly": (q_events_ohlc_hourly, SQL_OHLC),
+    "label_noise_estimate": (q_label_noise_estimate, SQL_LABEL_NOISE),
 }
 
 

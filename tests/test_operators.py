@@ -3222,20 +3222,22 @@ def test_filter_funnel_stage_attribution(spark):
 
 
 def test_scrub_eval_obfuscation_blind_spot(spark):
-    """Well-formed plants are detected, the every-4th obfuscated plant
-    is the measured miss, clean docs are never touched (the FP
-    control)."""
+    """v2 plant generations: plain AND first-generation obfuscations
+    (spaced email, spelled phone) are now caught — the round-5
+    measure->fix->re-measure — while the second-generation plants
+    (bracket email at %24==12, figure-dash phone at %24==16) remain
+    the deliberate residual; clean docs are the FP control."""
     import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
 
-    # doc_ids: 3 (email, well-formed), 12 (email, obfuscated: 12%4==0),
-    # 7 (phone, well-formed), 16 (phone, obfuscated), 5/8 (clean)
+    # email: 3 plain, 24 spaced (caught since v2), 12 bracket (miss)
+    # phone: 7 plain, 4 spelled (caught since v2), 16 dash (miss)
     rows = [(i, "plain template words here", "en", "s", 9)
-            for i in (3, 12, 7, 16, 5, 8)]
+            for i in (3, 24, 12, 7, 4, 16, 5)]
     got = {r.pii_type: r for r in _with_docs(spark, Q, rows, Q.q_scrub_eval)}
-    assert (got["email"].n_docs, got["email"].n_detected) == (2, 1)
-    assert (got["phone"].n_docs, got["phone"].n_detected) == (2, 1)
-    assert (got["clean"].n_docs, got["clean"].n_detected) == (2, 0)
-    assert got["email"].detect_rate == 0.5
+    assert (got["email"].n_docs, got["email"].n_detected) == (3, 2)
+    assert (got["phone"].n_docs, got["phone"].n_detected) == (3, 2)
+    assert (got["clean"].n_docs, got["clean"].n_detected) == (1, 0)
+    assert got["email"].detect_rate == round(2 / 3, 6)
 
 
 def test_corpus_snapshot_diff_statuses(spark):
@@ -3375,3 +3377,42 @@ def test_text_encoding_audit_planted_anomalies(spark):
     assert got.n_control == 2          # 19 and 323
     assert got.n_nbsp == 1             # 23
     assert got.anomaly_rate == round(4 / 5, 6)
+
+
+def test_events_ohlc_first_last_semantics(spark):
+    """Open/close are the deterministic first/last by (ts, event_id):
+    a same-timestamp tie breaks on event_id, high/low are independent
+    of arrival order."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        (1, datetime(2024, 3, 4, 9, 0), 1, "a", 5.0, "{}"),   # open
+        (2, datetime(2024, 3, 4, 9, 10), 1, "a", 9.0, "{}"),  # high
+        (3, datetime(2024, 3, 4, 9, 20), 1, "a", 1.0, "{}"),  # low
+        (5, datetime(2024, 3, 4, 9, 30), 1, "a", 7.0, "{}"),  # close: tie
+        (4, datetime(2024, 3, 4, 9, 30), 1, "a", 6.0, "{}"),  # on ts ->
+    ]                                                          # id 5 wins
+    got = _with_events(spark, Q, rows, Q.q_events_ohlc_hourly)
+    assert len(got) == 1
+    r = got[0]
+    assert (r.open, r.high, r.low, r.close) == (5.0, 9.0, 1.0, 7.0)
+    assert r.n_events == 5
+
+
+def test_label_noise_confident_joint_consistency(spark):
+    """Confident-joint bookkeeping: counted docs never exceed the
+    corpus, the noise rate is the off-diagonal share of counted docs,
+    thresholds are valid probabilities, and the result is
+    deterministic."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = Q.q_label_noise_estimate(spark, sf).collect()[0]
+    b = Q.q_label_noise_estimate(spark, sf).collect()[0]
+    assert a == b
+    counted = a.n_11 + a.n_10 + a.n_01 + a.n_00
+    assert 0 < counted <= 500   # sf0.001 documents corpus size
+    assert a.est_noise_rate == round((a.n_10 + a.n_01) / counted, 6)
+    assert 0.0 < a.t1 < 1.0 and 0.0 < a.t0 < 1.0

@@ -165,6 +165,8 @@ BNLJ_OK = {
     # eval truth side: deliberate bounded queries x db-slice cross join
     # (10 x 40 by construction, the ivf_eval_recall contract)
     "pq_adc_eval",
+    # 1-row trained-weights + 1-row (t1, t0) threshold broadcasts
+    "label_noise_estimate",
     # 1-row (lo, hi) range + (v_total, m_total) totals broadcasts
     "oov_vs_vocab_curve",
 }
