@@ -319,6 +319,9 @@ HEADLINE = [
     "text_encoding_audit",
     "events_ohlc_hourly",
     "label_noise_estimate",
+    "privacy_t_closeness",
+    "brier_decomposition",
+    "doremi_mixture_step",
 ]
 
 #: Registry queries deliberately NOT benched, each with the reason —

@@ -14230,6 +14230,288 @@ FROM cj
 SQL_LABEL_NOISE = _label_noise_sql(LOGREG_ITERS)
 
 
+#: t-closeness: sensitive-value bands and the leak threshold
+TCLOSE_BUCKETS = 5
+TCLOSE_LO, TCLOSE_HI = 0.0, 500.0
+TCLOSE_T = 0.2
+
+
+def q_privacy_t_closeness(spark, sf):
+    """t-closeness audit — completing the release-gate trio with
+    k-anonymity and l-diversity: for each quasi-identifier group
+    (event_type, day), the total-variation distance between the
+    group's sensitive-value distribution (value bucketed into 5 fixed
+    bands, identical explicit arithmetic on both engines) and the
+    global distribution; a group whose distribution leaks (TV > t)
+    identifies members' value profile even when k and l pass.
+    Missing buckets contribute their full global mass — TV =
+    0.5 * (sum_present |p_g − p| + (1 − sum_present p)) — so sparse
+    groups are not undercounted.
+
+    Scale shape: one (group, bucket) census, one group-total reduce,
+    a 5-row global-distribution broadcast, per-type rollup.  No
+    windows, no sorts."""
+    ev = _t(spark, sf, "events")
+    wdt = (TCLOSE_HI - TCLOSE_LO) / TCLOSE_BUCKETS
+    b = (
+        F.when(F.col("value") < TCLOSE_LO, F.lit(0))
+        .when(F.col("value") >= TCLOSE_HI, F.lit(TCLOSE_BUCKETS + 1))
+        .otherwise(
+            F.floor((F.col("value") - TCLOSE_LO) / wdt).cast("int") + 1
+        )
+    )
+    base = ev.select("event_type", F.to_date("ts").alias("day"), b.alias("sb"))
+    gb = base.groupBy("event_type", "day", "sb").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    gt = gb.groupBy("event_type", "day").agg(F.sum("c").alias("gn"))
+    glob = base.groupBy("sb").agg(F.count("*").cast("double").alias("gc"))
+    gtot = glob.agg(F.sum("gc").alias("N"))
+    gdist = glob.crossJoin(F.broadcast(gtot)).select(
+        "sb", (F.col("gc") / F.col("N")).alias("gp")
+    )
+    # per (group, bucket): |c/gn - gp|; buckets missing from a group
+    # contribute gp each -> TV = 0.5 * (sum_present |c/gn - gp| +
+    # (1 - sum_present gp))
+    j = gb.join(gt, ["event_type", "day"]).join(F.broadcast(gdist), "sb")
+    per_group = j.groupBy("event_type", "day", "gn").agg(
+        F.sum(F.abs(F.col("c") / F.col("gn") - F.col("gp"))).alias("present"),
+        F.sum("gp").alias("gp_present"),
+    )
+    tv = per_group.select(
+        "event_type",
+        "day",
+        (
+            0.5 * (F.col("present") + (F.lit(1.0) - F.col("gp_present")))
+        ).alias("tv"),
+    )
+    return tv.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.round(F.max("tv"), 6).alias("max_tv"),
+        F.sum((F.col("tv") > TCLOSE_T).cast("long")).alias("n_exceeding"),
+    )
+
+
+SQL_T_CLOSENESS = f"""
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CASE WHEN value < {TCLOSE_LO} THEN 0
+              WHEN value >= {TCLOSE_HI} THEN {TCLOSE_BUCKETS} + 1
+              ELSE CAST(FLOOR((value - {TCLOSE_LO})
+                   / (({TCLOSE_HI} - {TCLOSE_LO}) / {TCLOSE_BUCKETS})) AS INT)
+                   + 1 END AS sb
+  FROM events),
+gb AS (SELECT event_type, day, sb, CAST(COUNT(*) AS DOUBLE) AS c
+       FROM base GROUP BY 1, 2, 3),
+gt AS (SELECT event_type, day, SUM(c) AS gn FROM gb GROUP BY 1, 2),
+gall AS (SELECT sb, CAST(COUNT(*) AS DOUBLE) AS gc FROM base GROUP BY 1),
+gdist AS (SELECT sb, gc / (SELECT SUM(gc) FROM gall) AS gp FROM gall),
+per_group AS (
+  SELECT gb.event_type, gb.day, gt.gn,
+         SUM(ABS(gb.c / gt.gn - gdist.gp)) AS present,
+         SUM(gdist.gp) AS gp_present
+  FROM gb JOIN gt ON gb.event_type = gt.event_type AND gb.day = gt.day
+       JOIN gdist ON gb.sb = gdist.sb
+  GROUP BY 1, 2, 3),
+tv AS (SELECT event_type, day,
+              0.5 * (present + (1.0 - gp_present)) AS tv
+       FROM per_group)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       ROUND(MAX(tv), 6) AS max_tv,
+       CAST(SUM(CASE WHEN tv > {TCLOSE_T} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exceeding
+FROM tv GROUP BY 1
+"""
+
+
+def q_brier_decomposition(spark, sf):
+    """Murphy decomposition of the Brier score over the trained
+    quality classifier's 10 equal-count bins: brier,
+    reliability (Σ n_k (p̄_k − ȳ_k)²/N — what logreg_calibration
+    shows per bin, collapsed to one number), resolution
+    (Σ n_k (ȳ_k − ȳ)²/N — how much the bins separate outcomes) and
+    uncertainty (ȳ(1−ȳ) — the no-skill floor).  brier ≈ reliability −
+    resolution + uncertainty up to within-bin variance; the
+    decomposition says whether a bad score needs recalibration
+    (reliability) or a better model (resolution).
+
+    Scale shape: reuses the cached weights and _equal_count_bins'
+    dual regime; one binned reduce + one 1-row totals broadcast."""
+    feats, w = _logreg_feats_and_weights(spark, sf)
+    z = (
+        F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    p = 1.0 / (1.0 + F.exp(-z))
+    scored = _equal_count_bins(
+        feats.crossJoin(F.broadcast(w)).withColumn("p", p),
+        "p",
+        "doc_id",
+        10,
+        "bin",
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count("*").cast("double").alias("nk"),
+        F.avg("p").alias("pk"),
+        F.avg("y").alias("yk"),
+    )
+    tot = scored.agg(
+        F.count("*").cast("double").alias("N"),
+        F.avg("y").alias("ybar"),
+        F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias(
+            "brier"
+        ),
+    )
+    return bins.crossJoin(F.broadcast(tot)).agg(
+        F.round(F.min("brier"), 6).alias("brier"),
+        F.round(
+            F.sum(
+                F.col("nk")
+                * (F.col("pk") - F.col("yk"))
+                * (F.col("pk") - F.col("yk"))
+            )
+            / F.min("N"),
+            6,
+        ).alias("reliability"),
+        F.round(
+            F.sum(
+                F.col("nk")
+                * (F.col("yk") - F.col("ybar"))
+                * (F.col("yk") - F.col("ybar"))
+            )
+            / F.min("N"),
+            6,
+        ).alias("resolution"),
+        F.round(
+            F.min("ybar") * (F.lit(1.0) - F.min("ybar")), 6
+        ).alias("uncertainty"),
+    )
+
+
+def _brier_sql(iters):
+    base = _logreg_sql(iters)
+    head = base.rsplit("final AS", 1)[0].rstrip().rstrip(",")
+    return f"""{head},
+scored AS (
+  SELECT doc_id, y,
+         1.0 / (1.0 + EXP(-(w1 * x1 + w2 * x2 + w3 * x3))) AS p
+  FROM feats CROSS JOIN wa{iters}),
+binned AS (
+  SELECT y, p, NTILE(10) OVER (ORDER BY p, doc_id) AS bin FROM scored),
+bins AS (
+  SELECT bin, CAST(COUNT(*) AS DOUBLE) AS nk, AVG(p) AS pk, AVG(y) AS yk
+  FROM binned GROUP BY 1),
+tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS N, AVG(y) AS ybar,
+         AVG((p - y) * (p - y)) AS brier
+  FROM scored)
+SELECT ROUND(MIN(brier), 6) AS brier,
+       ROUND(SUM(nk * (pk - yk) * (pk - yk)) / MIN(N), 6) AS reliability,
+       ROUND(SUM(nk * (yk - ybar) * (yk - ybar)) / MIN(N), 6) AS resolution,
+       ROUND(MIN(ybar) * (1.0 - MIN(ybar)), 6) AS uncertainty
+FROM bins CROSS JOIN tot
+"""
+
+
+SQL_BRIER_DECOMPOSITION = _brier_sql(LOGREG_ITERS)
+
+
+#: DoReMi step size for the multiplicative-weights update
+DOREMI_ETA = 1.0
+
+
+def q_doremi_mixture_step(spark, sf):
+    """One DoReMi-style mixture-reweighting step (Xie et al. 2023,
+    simplified to the unigram proxy): per-source mean NLL per token
+    under the GLOBAL unigram LM stands in for the per-domain excess
+    loss; sources with positive excess (harder than the corpus
+    average) get exponentially up-weighted from their token-mass
+    prior, normalized — the multiplicative-weights update that turns
+    corpus statistics into a training mixture.  Companion to
+    mixture_token_budget_alloc (which apportions a budget GIVEN
+    weights; this one produces the weights).
+
+    Scale shape: one (source, term) census joined to the term-grain
+    global census, two 1-row broadcasts (corpus total, normalizer),
+    closed-form exponential update.  No windows, no sorts."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    sc = tok.groupBy("source", "term").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    gc = sc.groupBy("term").agg(F.sum("c").alias("g"))
+    tot = gc.agg(F.sum("g").alias("N"))
+    # per-source mean NLL per token under the GLOBAL unigram LM
+    j = sc.join(gc, "term").crossJoin(F.broadcast(tot))
+    per_src = j.groupBy("source").agg(
+        F.sum("c").alias("n_tok"),
+        (
+            F.sum(F.col("c") * -F.log(F.col("g") / F.col("N")))
+            / F.sum("c")
+        ).alias("loss"),
+    )
+    gl = per_src.agg(
+        (F.sum(F.col("loss") * F.col("n_tok")) / F.sum("n_tok")).alias(
+            "gloss"
+        ),
+        F.sum("n_tok").alias("T"),
+    )
+    e = per_src.crossJoin(F.broadcast(gl)).select(
+        "source",
+        "n_tok",
+        "loss",
+        F.greatest(F.col("loss") - F.col("gloss"), F.lit(0.0)).alias("excess"),
+        (F.col("n_tok") / F.col("T")).alias("w_old"),
+    )
+    z = e.agg(
+        F.sum(F.col("w_old") * F.exp(F.lit(DOREMI_ETA) * F.col("excess"))).alias(
+            "Z"
+        )
+    )
+    return e.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        F.round("loss", 6).alias("mean_nll"),
+        F.round("excess", 6).alias("excess_loss"),
+        F.round("w_old", 6).alias("w_old"),
+        F.round(
+            F.col("w_old") * F.exp(F.lit(DOREMI_ETA) * F.col("excess")) / F.col("Z"),
+            6,
+        ).alias("w_new"),
+    )
+
+
+SQL_DOREMI = f"""
+WITH sc AS (
+  SELECT source, term, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY 1, 2),
+gc AS (SELECT term, SUM(c) AS g FROM sc GROUP BY 1),
+tot AS (SELECT SUM(g) AS N FROM gc),
+per_src AS (
+  SELECT source, SUM(c) AS n_tok,
+         SUM(c * -LN(g / N)) / SUM(c) AS loss
+  FROM sc JOIN gc USING (term) CROSS JOIN tot
+  GROUP BY 1),
+gl AS (SELECT SUM(loss * n_tok) / SUM(n_tok) AS gloss, SUM(n_tok) AS T
+       FROM per_src),
+e AS (
+  SELECT source, n_tok, loss,
+         GREATEST(loss - gloss, 0.0) AS excess,
+         n_tok / T AS w_old
+  FROM per_src CROSS JOIN gl),
+z AS (SELECT SUM(w_old * EXP({DOREMI_ETA} * excess)) AS Z FROM e)
+SELECT source, CAST(n_tok AS BIGINT) AS n_tokens,
+       ROUND(loss, 6) AS mean_nll,
+       ROUND(excess, 6) AS excess_loss,
+       ROUND(w_old, 6) AS w_old,
+       ROUND(w_old * EXP({DOREMI_ETA} * excess) / Z, 6) AS w_new
+FROM e CROSS JOIN z
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -14590,6 +14872,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_encoding_audit": (q_text_encoding_audit, SQL_ENCODING_AUDIT),
     "events_ohlc_hourly": (q_events_ohlc_hourly, SQL_OHLC),
     "label_noise_estimate": (q_label_noise_estimate, SQL_LABEL_NOISE),
+    "privacy_t_closeness": (q_privacy_t_closeness, SQL_T_CLOSENESS),
+    "brier_decomposition": (q_brier_decomposition, SQL_BRIER_DECOMPOSITION),
+    "doremi_mixture_step": (q_doremi_mixture_step, SQL_DOREMI),
 }
 
 

@@ -3416,3 +3416,73 @@ def test_label_noise_confident_joint_consistency(spark):
     assert 0 < counted <= 500   # sf0.001 documents corpus size
     assert a.est_noise_rate == round((a.n_10 + a.n_01) / counted, 6)
     assert 0.0 < a.t1 < 1.0 and 0.0 < a.t0 < 1.0
+
+
+def test_t_closeness_uniform_vs_skewed_group(spark):
+    """A group mirroring the global distribution scores TV ~ 0; a
+    one-bucket group's TV is the complement of that bucket's global
+    share; missing buckets contribute their global mass."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = []
+    eid = 0
+    # type 'a', day 1: values spread over buckets 1..5 (100-wide bands)
+    for v in (50.0, 150.0, 250.0, 350.0, 450.0):
+        rows.append((eid, datetime(2024, 3, 1, 9, eid), 1, "a", v, "{}"))
+        eid += 1
+    # type 'b', day 1: all mass in bucket 1
+    for _ in range(5):
+        rows.append((eid, datetime(2024, 3, 1, 10, eid), 2, "b", 10.0, "{}"))
+        eid += 1
+    got = {r.event_type: r for r in
+           _with_events(spark, Q, rows, Q.q_privacy_t_closeness)}
+    # global: bucket1 = 6/10, buckets 2-5 = 1/10 each
+    # group a: each bucket 1/5 -> TV = 0.5*(|.2-.6| + 4*|.2-.1|) = 0.4
+    # group b: bucket1 only -> TV = 0.5*(|1-.6| + .4 missing) = 0.4
+    assert got["a"].n_groups == 1 and got["b"].n_groups == 1
+    assert got["a"].max_tv == 0.4
+    assert got["b"].max_tv == 0.4
+    assert got["a"].n_exceeding == 1  # 0.4 > t=0.2
+
+
+def test_brier_decomposition_identity(spark):
+    """Murphy identity: brier == reliability - resolution + uncertainty
+    + mean within-bin variance of p (exactly, by algebra); all terms
+    non-negative and deterministic."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = Q.q_brier_decomposition(spark, sf).collect()[0]
+    b = Q.q_brier_decomposition(spark, sf).collect()[0]
+    assert a == b
+    assert a.brier >= 0 and a.reliability >= 0 and a.resolution >= 0
+    assert 0 <= a.uncertainty <= 0.25
+    # the three-term approximation differs from brier only by the
+    # within-bin variance of p (>= 0), so it must not exceed brier + eps
+    approx = a.reliability - a.resolution + a.uncertainty
+    assert approx <= a.brier + 1e-4
+    assert a.resolution <= a.uncertainty + 1e-6  # resolution is bounded
+
+
+def test_doremi_step_upweights_hard_sources(spark):
+    """A source of rare tokens (high NLL under the global unigram LM)
+    gains weight; an easy common-token source loses; weights stay a
+    distribution summing to 1."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    common = "alpha " * 40
+    rows = [
+        (1, common.strip(), "en", "easy", 9),
+        (2, common.strip(), "en", "easy", 9),
+        (3, "rare1 rare2 rare3 rare4 rare5 rare6 rare7 rare8", "en",
+         "hard", 9),
+    ]
+    got = {r.source: r for r in
+           _with_docs(spark, Q, rows, Q.q_doremi_mixture_step)}
+    assert got["hard"].excess_loss > 0
+    assert got["easy"].excess_loss == 0.0
+    assert got["hard"].w_new > got["hard"].w_old
+    assert got["easy"].w_new < got["easy"].w_old
+    assert abs(got["hard"].w_new + got["easy"].w_new - 1.0) < 1e-5

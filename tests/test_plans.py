@@ -167,6 +167,12 @@ BNLJ_OK = {
     "pq_adc_eval",
     # 1-row trained-weights + 1-row (t1, t0) threshold broadcasts
     "label_noise_estimate",
+    # 1-row global-bucket-total broadcast (the TV denominator)
+    "privacy_t_closeness",
+    # 1-row trained-weights + 1-row (N, ybar, brier) totals broadcasts
+    "brier_decomposition",
+    # two 1-row broadcasts (corpus token total, softmax normalizer)
+    "doremi_mixture_step",
     # 1-row (lo, hi) range + (v_total, m_total) totals broadcasts
     "oov_vs_vocab_curve",
 }
@@ -239,6 +245,9 @@ SP_SORT_OK = {
     # one bounded block-total sort (_blocked_cumsum_multi over the
     # O(distinct counts) count-grain vocabulary table)
     "oov_vs_vocab_curve": 1,
+    # _equal_count_bins exact-ntile path (scale-gated; sf-test only —
+    # same class as logreg_calibration)
+    "brier_decomposition": 1,
 }
 
 
