@@ -481,8 +481,12 @@ def main() -> None:
         "overhead_sec_per_entry": overhead,
         "envelope_records_per_sec": envelope_rps,
     }
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json")
+    # --only runs write a separate sidecar: a 3-entry partial must not
+    # clobber the archived full-sweep map the driver and bench_diff read
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_FULL.json" if args.only is None else "BENCH_FULL_partial.json",
+    )
     try:
         with open(sidecar, "w") as f:
             json.dump(full, f, separators=(",", ":"))
