@@ -322,6 +322,8 @@ HEADLINE = [
     "privacy_t_closeness",
     "brier_decomposition",
     "doremi_mixture_step",
+    "embedding_snapshot_drift",
+    "label_centroid_similarity",
 ]
 
 #: Registry queries deliberately NOT benched, each with the reason —

@@ -14512,6 +14512,156 @@ FROM e CROSS JOIN z
 """
 
 
+
+def q_embedding_snapshot_drift(spark, sf):
+    """Embedding version-skew check: split the corpus into two
+    md5-deterministic halves (standing in for "embeddings computed by
+    model v1 vs v2" — the same reproducible-split contract as
+    corpus_psi_drift), and per label compare the half-centroids:
+    cosine ~ 1 and small L2 shift mean the space is stable; a label
+    whose centroid moved is where a re-embed or an index rebuild is
+    needed.  The regression gate an embedding-pipeline upgrade runs
+    before swapping indexes.
+
+    Scale shape: one posexplode to (label, half, dim) grain —
+    O(rows x 64) narrow — then all reductions are at the bounded
+    (labels x 2 x 64) grain.  No windows, no sorts."""
+    e = _t(spark, sf, "embeddings")
+    half = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+        ).cast("long"),
+        F.lit(2),
+    )
+    comp = e.select(
+        "label",
+        half.alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    )
+    means = comp.groupBy("label", "half", "i").agg(F.avg("x").alias("m"))
+    a = means.where(F.col("half") == 0).select(
+        "label", "i", F.col("m").alias("ma")
+    )
+    b = means.where(F.col("half") == 1).select(
+        "label", "i", F.col("m").alias("mb")
+    )
+    j = a.join(b, ["label", "i"])
+    per = j.groupBy("label").agg(
+        (
+            F.sum(F.col("ma") * F.col("mb"))
+            / (
+                F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+            )
+        ).alias("cos"),
+        F.sqrt(
+            F.sum(
+                (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+            )
+        ).alias("shift"),
+    )
+    counts = e.select("label", half.alias("half")).groupBy("label").agg(
+        F.sum((F.col("half") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("half") == 1).cast("long")).alias("n_b"),
+    )
+    return per.join(counts, "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round("cos", 6).alias("centroid_cosine"),
+        F.round("shift", 6).alias("centroid_shift_l2"),
+    )
+
+
+SQL_EMB_SNAPSHOT_DRIFT = """
+WITH halves AS (
+  SELECT label, vec_id, embedding,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))
+              AS UBIGINT) % 2 AS half
+  FROM embeddings),
+comp AS (
+  SELECT label, half, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM halves, range(1, 65) t(i)),
+means AS (
+  SELECT label, half, i, AVG(x) AS m FROM comp GROUP BY 1, 2, 3),
+j AS (
+  SELECT a.label, a.i, a.m AS ma, b.m AS mb
+  FROM (SELECT * FROM means WHERE half = 0) a
+  JOIN (SELECT * FROM means WHERE half = 1) b
+    ON a.label = b.label AND a.i = b.i),
+per AS (
+  SELECT label,
+         SUM(ma * mb) / (SQRT(SUM(ma * ma)) * SQRT(SUM(mb * mb))) AS cos,
+         SQRT(SUM((ma - mb) * (ma - mb))) AS shift
+  FROM j GROUP BY 1),
+counts AS (
+  SELECT label,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM halves GROUP BY 1)
+SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(cos, 6) AS centroid_cosine,
+       ROUND(shift, 6) AS centroid_shift_l2
+FROM per JOIN counts USING (label)
+"""
+
+
+def q_label_centroid_similarity(spark, sf):
+    """Label-centroid similarity matrix: pairwise cosine and L2
+    between class centroids — the cluster-merge / taxonomy-overlap
+    readout (two labels whose centroids nearly coincide are candidates
+    for merging, and embedding_centroid_assign's confusions between
+    them are expected, not bugs).  Complements knn_confusion_matrix
+    from geometry rather than prediction.
+
+    Scale shape: centroid build is one (label, dim) reduce; the pair
+    matrix joins the bounded (labels x 64) table to itself on the
+    dim key — O(labels^2 x 64), independent of corpus size."""
+    e = _t(spark, sf, "embeddings")
+    comp = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    )
+    means = comp.groupBy("label", "i").agg(F.avg("x").alias("m"))
+    a = means.select(F.col("label").alias("la"), "i", F.col("m").alias("ma"))
+    b = means.select(F.col("label").alias("lb"), "i", F.col("m").alias("mb"))
+    j = a.join(b, "i").where(F.col("la") < F.col("lb"))
+    return j.groupBy("la", "lb").agg(
+        F.round(
+            F.sum(F.col("ma") * F.col("mb"))
+            / (
+                F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+                )
+            ),
+            6,
+        ).alias("centroid_l2"),
+    )
+
+
+SQL_LABEL_CENTROID_SIM = """
+WITH comp AS (
+  SELECT label, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) t(i)),
+means AS (SELECT label, i, AVG(x) AS m FROM comp GROUP BY 1, 2),
+j AS (
+  SELECT a.label AS la, b.label AS lb, a.i, a.m AS ma, b.m AS mb
+  FROM means a JOIN means b ON a.i = b.i AND a.label < b.label)
+SELECT la, lb,
+       ROUND(SUM(ma * mb) / (SQRT(SUM(ma * ma)) * SQRT(SUM(mb * mb))), 6)
+         AS centroid_cosine,
+       ROUND(SQRT(SUM((ma - mb) * (ma - mb))), 6) AS centroid_l2
+FROM j GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -14875,6 +15025,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "privacy_t_closeness": (q_privacy_t_closeness, SQL_T_CLOSENESS),
     "brier_decomposition": (q_brier_decomposition, SQL_BRIER_DECOMPOSITION),
     "doremi_mixture_step": (q_doremi_mixture_step, SQL_DOREMI),
+    "embedding_snapshot_drift": (
+        q_embedding_snapshot_drift,
+        SQL_EMB_SNAPSHOT_DRIFT,
+    ),
+    "label_centroid_similarity": (
+        q_label_centroid_similarity,
+        SQL_LABEL_CENTROID_SIM,
+    ),
 }
 
 

@@ -3486,3 +3486,56 @@ def test_doremi_step_upweights_hard_sources(spark):
     assert got["hard"].w_new > got["hard"].w_old
     assert got["easy"].w_new < got["easy"].w_old
     assert abs(got["hard"].w_new + got["easy"].w_new - 1.0) < 1e-5
+
+
+def test_embedding_snapshot_drift_identical_halves(spark):
+    """Vectors identical across both halves -> cosine exactly 1, shift
+    exactly 0 per label (the no-drift fixed point); counts track the
+    md5 half split."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    base = [float(i % 7 + 1) for i in range(64)]
+    rows = [(i, base, i % 2) for i in range(40)]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    orig = Q._t
+    try:
+        Q._t = lambda spark, sf, name, **k: e
+        got = Q.q_embedding_snapshot_drift(spark, "x").collect()
+    finally:
+        Q._t = orig
+    assert len(got) == 2
+    for r in got:
+        assert r.centroid_cosine == 1.0
+        assert r.centroid_shift_l2 == 0.0
+        assert r.n_a + r.n_b == 20
+
+
+def test_label_centroid_similarity_orthogonal_and_identical(spark):
+    """Orthogonal one-hot-block centroids score cosine 0 at L2
+    sqrt(2); a duplicated label pair scores cosine 1 at L2 0."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    def onehot(k):
+        return [1.0 if i == k else 0.0 for i in range(64)]
+
+    rows = (
+        [(i, onehot(0), 0) for i in range(3)]
+        + [(10 + i, onehot(1), 1) for i in range(3)]
+        + [(20 + i, onehot(0), 2) for i in range(3)]   # same as label 0
+    )
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    orig = Q._t
+    try:
+        Q._t = lambda spark, sf, name, **k: e
+        got = {(r.la, r.lb): r for r in
+               Q.q_label_centroid_similarity(spark, "x").collect()}
+    finally:
+        Q._t = orig
+    assert got[(0, 1)].centroid_cosine == 0.0
+    assert got[(0, 1)].centroid_l2 == round(2 ** 0.5, 6)
+    assert got[(0, 2)].centroid_cosine == 1.0
+    assert got[(0, 2)].centroid_l2 == 0.0
