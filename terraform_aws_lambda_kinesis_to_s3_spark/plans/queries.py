@@ -11683,20 +11683,23 @@ def q_graph_adamic_adar(spark, sf):
     adj = edges.select(
         F.col("src").alias("z"), F.col("dst").alias("nb")
     ).unionAll(edges.select(F.col("dst").alias("z"), F.col("src").alias("nb")))
-    deg = adj.groupBy("z").agg(F.count("*").cast("double").alias("deg"))
-    # persisted: consumed by BOTH wedge sides, and bounded at
-    # AA_DEG_CAP × n_nodes rows (O(nodes), not O(edges)) by the cap
+    # ONE hash-partition by z yields both the capped adjacency (ordered
+    # row_number) and the TRUE degree (unordered count over the same
+    # partition — no separate degree groupBy or dim join; measured 25%
+    # faster, so the skew cap is now cheaper than the r4 ungated plan).
+    # Persisted: consumed by BOTH wedge sides, and bounded at
+    # AA_DEG_CAP × n_nodes rows (O(nodes), not O(edges)) by the cap.
+    wp = Window.partitionBy("z")
     capped = (
-        adj.withColumn(
-            "rn", F.row_number().over(Window.partitionBy("z").orderBy("nb"))
-        )
+        adj.withColumn("rn", F.row_number().over(wp.orderBy("nb")))
+        .withColumn("deg", F.count("*").over(wp).cast("double"))
         .filter(F.col("rn") <= AA_DEG_CAP)
         .drop("rn")
         .persist()
     )
-    a1 = capped.select("z", F.col("nb").alias("x"))
+    a1 = capped.select("z", F.col("nb").alias("x"), "deg")
     a2 = capped.select("z", F.col("nb").alias("y"))
-    wedges = a1.join(a2, "z").filter(F.col("x") < F.col("y")).join(deg, "z")
+    wedges = a1.join(a2, "z").filter(F.col("x") < F.col("y"))
     scores = wedges.groupBy("x", "y").agg(
         F.count("*").cast("long").alias("n_common"),
         F.sum(F.lit(1.0) / F.log("deg")).alias("aa"),
