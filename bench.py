@@ -324,6 +324,8 @@ HEADLINE = [
     "doremi_mixture_step",
     "embedding_snapshot_drift",
     "label_centroid_similarity",
+    "events_asof_tolerance",
+    "revenue_theil_decomposition",
 ]
 
 #: Registry queries deliberately NOT benched, each with the reason —

@@ -14665,6 +14665,172 @@ FROM j GROUP BY 1, 2
 """
 
 
+#: attribution window for the forward as-of tolerance join
+ASOF_TOL_S = 3600
+
+
+def q_events_asof_tolerance(spark, sf):
+    """Forward as-of join WITH tolerance: each click attributed to the
+    user's next purchase within a 1-hour window — the attribution
+    query, exercising operators.events.asof_join_forward's tolerance
+    path (previously unit-tested only; this row makes it
+    driver-verifiable against DuckDB's native ASOF JOIN plus the
+    tolerance null-out).
+
+    Scale shape: the union-and-carry plan — one shuffle on the key,
+    first(ignorenulls) over the following frame, tolerance as a
+    map-side null-out.  No range join, no explosion."""
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    j = E.asof_join_forward(
+        clicks,
+        purchases,
+        on="user_id",
+        ts_col="ts",
+        right_cols=("purchase_id",),
+        tolerance_seconds=ASOF_TOL_S,
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_clicks"),
+        F.count("r_purchase_id").cast("long").alias("n_attributed"),
+        F.countDistinct("r_purchase_id").cast("long").alias("n_purchases_used"),
+        F.round(
+            F.count("r_purchase_id") / F.count("*"), 6
+        ).alias("attribution_rate"),
+    )
+
+
+SQL_ASOF_TOLERANCE = f"""
+WITH j AS (
+  SELECT c.event_id AS click_id, c.ts AS cts, p.event_id AS pid, p.ts AS pts
+  FROM (SELECT * FROM events WHERE event_type = 'click') c
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ON c.user_id = p.user_id AND p.ts >= c.ts),
+t AS (
+  SELECT click_id,
+         CASE WHEN pid IS NOT NULL
+                AND date_diff('second', cts, pts) <= {ASOF_TOL_S}
+              THEN pid END AS apid
+  FROM j)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(COUNT(apid) AS BIGINT) AS n_attributed,
+       CAST(COUNT(DISTINCT apid) AS BIGINT) AS n_purchases_used,
+       ROUND(COUNT(apid) * 1.0 / COUNT(*), 6) AS attribution_rate
+FROM t
+"""
+
+
+def q_revenue_theil_decomposition(spark, sf):
+    """Theil-T inequality of customer revenue, DECOMPOSED into
+    within-nation and between-nation components that sum exactly to
+    the total — the property Gini famously lacks (and the reason
+    customer_revenue_gini needs the _midranks machinery while this
+    needs none): Theil is additively decomposable, so the whole
+    statistic is two closed-form passes.  The decomposition answers
+    "is revenue inequality a nation story or a within-market story"
+    with one row.
+
+    Scale shape: per-customer reduce → per-nation reduce → 1-row
+    totals broadcast → closed-form combine.  No ranks, no windows,
+    no sorts — the scale-better alternative when decomposability
+    matters more than the Gini's familiarity."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("double")).alias("x"))
+        .join(
+            c.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("c_nationkey"), "n_name"
+                )
+            ),
+            "c_nationkey",
+        )
+        .select("n_name", "x")
+    )
+    tot = rev.agg(
+        F.count("*").cast("double").alias("N"), F.avg("x").alias("mu")
+    )
+    rg = rev.join(
+        rev.groupBy("n_name").agg(
+            F.count("*").cast("double").alias("ng"), F.avg("x").alias("mug")
+        ),
+        "n_name",
+    )
+    tg = rg.groupBy("n_name").agg(
+        F.min("ng").alias("ng"),
+        F.min("mug").alias("mug"),
+        (
+            F.sum(
+                (F.col("x") / F.col("mug")) * F.log(F.col("x") / F.col("mug"))
+            )
+            / F.min("ng")
+        ).alias("t_within_g"),
+    )
+    comb = tg.crossJoin(F.broadcast(tot))
+    out = comb.agg(
+        F.round(
+            F.sum(
+                (F.col("ng") * F.col("mug"))
+                / (F.col("N") * F.col("mu"))
+                * F.col("t_within_g")
+            ),
+            6,
+        ).alias("theil_within"),
+        F.round(
+            F.sum(
+                (F.col("ng") * F.col("mug"))
+                / (F.col("N") * F.col("mu"))
+                * F.log(F.col("mug") / F.col("mu"))
+            ),
+            6,
+        ).alias("theil_between"),
+    )
+    return out.select(
+        "theil_within",
+        "theil_between",
+        F.round(F.col("theil_within") + F.col("theil_between"), 6).alias(
+            "theil_total"
+        ),
+    )
+
+
+SQL_THEIL = """
+WITH rev AS (
+  SELECT n.n_name, SUM(CAST(o.o_totalprice AS DOUBLE)) AS x
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY o.o_custkey, n.n_name),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS N, AVG(x) AS mu FROM rev),
+grp AS (SELECT n_name, CAST(COUNT(*) AS DOUBLE) AS ng, AVG(x) AS mug
+        FROM rev GROUP BY 1),
+tg AS (
+  SELECT rev.n_name, MIN(grp.ng) AS ng, MIN(grp.mug) AS mug,
+         SUM((x / grp.mug) * LN(x / grp.mug)) / MIN(grp.ng) AS t_within_g
+  FROM rev JOIN grp ON rev.n_name = grp.n_name
+  GROUP BY 1),
+agg AS (
+  SELECT ROUND(SUM(ng * mug / (N * mu) * t_within_g), 6) AS theil_within,
+         ROUND(SUM(ng * mug / (N * mu) * LN(mug / mu)), 6) AS theil_between
+  FROM tg CROSS JOIN tot)
+SELECT theil_within, theil_between,
+       ROUND(theil_within + theil_between, 6) AS theil_total
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -15035,6 +15201,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "label_centroid_similarity": (
         q_label_centroid_similarity,
         SQL_LABEL_CENTROID_SIM,
+    ),
+    "events_asof_tolerance": (q_events_asof_tolerance, SQL_ASOF_TOLERANCE),
+    "revenue_theil_decomposition": (
+        q_revenue_theil_decomposition,
+        SQL_THEIL,
     ),
 }
 

@@ -3539,3 +3539,63 @@ def test_label_centroid_similarity_orthogonal_and_identical(spark):
     assert got[(0, 1)].centroid_l2 == round(2 ** 0.5, 6)
     assert got[(0, 2)].centroid_cosine == 1.0
     assert got[(0, 2)].centroid_l2 == 0.0
+
+
+def test_asof_tolerance_attribution_window(spark):
+    """A purchase 30 min after the click attributes; one 2 h after
+    does not; a user with no later purchase stays unattributed —
+    pinning the tolerance null-out inside the registry query."""
+    from datetime import datetime
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = [
+        (1, datetime(2024, 3, 4, 9, 0), 1, "click", 1.0, "{}"),
+        (2, datetime(2024, 3, 4, 9, 30), 1, "purchase", 1.0, "{}"),  # in
+        (3, datetime(2024, 3, 4, 10, 0), 2, "click", 1.0, "{}"),
+        (4, datetime(2024, 3, 4, 12, 30), 2, "purchase", 1.0, "{}"), # out
+        (5, datetime(2024, 3, 4, 11, 0), 3, "click", 1.0, "{}"),     # none
+    ]
+    got = _with_events(spark, Q, rows, Q.q_events_asof_tolerance)[0]
+    assert got.n_clicks == 3
+    assert got.n_attributed == 1
+    assert got.n_purchases_used == 1
+    assert got.attribution_rate == round(1 / 3, 6)
+
+
+def test_theil_decomposition_properties(spark):
+    """Equal values within every nation -> within-component exactly 0
+    and total == between; scaling all revenues leaves Theil unchanged
+    (scale invariance)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    custs = [(i, i % 2) for i in range(1, 9)]   # 8 customers, 2 nations
+    cust_rows = [(i, f"c{i}", nk) for i, nk in custs]
+    c = spark.createDataFrame(
+        cust_rows, "c_custkey long, c_name string, c_nationkey long"
+    )
+    n = spark.createDataFrame(
+        [(0, "A"), (1, "B")], "n_nationkey long, n_name string"
+    )
+
+    def run(scale):
+        # nation A customers all earn 100*scale, nation B all 300*scale
+        o = spark.createDataFrame(
+            [(i * 10, i, (100.0 if nk == 0 else 300.0) * scale)
+             for i, nk in custs],
+            "o_orderkey long, o_custkey long, o_totalprice double",
+        )
+        tables = {"customer": c, "orders": o, "nation": n}
+        orig = Q._t
+        try:
+            Q._t = lambda spark, sf, name, **k: tables[name]
+            return Q.q_revenue_theil_decomposition(spark, "x").collect()[0]
+        finally:
+            Q._t = orig
+
+    r1 = run(1.0)
+    assert r1.theil_within == 0.0
+    assert r1.theil_between > 0
+    assert r1.theil_total == r1.theil_between
+    r2 = run(7.0)
+    assert r2.theil_total == r1.theil_total  # scale invariant

@@ -173,6 +173,8 @@ BNLJ_OK = {
     "brier_decomposition",
     # two 1-row broadcasts (corpus token total, softmax normalizer)
     "doremi_mixture_step",
+    # 1-row (N, mu) grand-totals broadcast (the Theil denominators)
+    "revenue_theil_decomposition",
     # 1-row (lo, hi) range + (v_total, m_total) totals broadcasts
     "oov_vs_vocab_curve",
 }
