@@ -326,6 +326,12 @@ HEADLINE = [
     "label_centroid_similarity",
     "events_asof_tolerance",
     "revenue_theil_decomposition",
+    # round-5b sketch-eval / agreement / sequential batch
+    "hll_error_eval",
+    "sampled_quantile_error_eval",
+    "quality_rater_kappa",
+    "epoch_repetition_plan",
+    "ab_sprt_daily",
 ]
 
 #: Registry queries deliberately NOT benched, each with the reason —

@@ -14831,6 +14831,412 @@ FROM agg
 """
 
 
+def q_hll_error_eval(spark, sf):
+    """HyperLogLog distinct-count sketch (Flajolet 2007) implemented
+    deterministically in pure relational ops — md5-derived 60-bit hash,
+    8-bit register index via shiftright, rank-of-first-one via the
+    binary-string length — so the IDENTICAL sketch runs on both engines
+    and the oracle pins the estimate AND its relative error against the
+    exact count.  Completes the sketch-eval trio with cms_error_eval
+    (frequency) and the KMV estimator (kmv_distinct_users): the three
+    answers to "how wrong is the cheap answer".
+
+    Both HLL branches are implemented (linear counting when the raw
+    estimate ≤ 2.5m with empty registers, raw harmonic mean otherwise)
+    identically in both engines, so the row stays green as the user
+    count crosses the regime boundary between scale factors.
+
+    100 TB shape: one distinct reduce (the thing being sketched — at
+    production scale you'd sketch per partition and merge registers,
+    which is the same groupBy(bucket).max shape), a ≤256-row register
+    table, 1-row combine.  The exact count rides the same single pass
+    (sum of per-bucket counts), so the fact table is scanned once."""
+    e = _t(spark, sf, "events")
+    m = 256  # registers (b = 8 bits)
+    two52 = 4503599627370496  # 2^52: low-bit mask / shift for the 60-bit hash
+    h = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("hv")
+        )
+        .select(
+            F.shiftright("hv", 52).alias("bucket"),
+            (F.col("hv") % F.lit(two52)).alias("w"),
+        )
+        .select(
+            "bucket",
+            F.when(F.col("w") == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.bin("w")))
+            .alias("rho"),
+        )
+    )
+    reg = h.groupBy("bucket").agg(
+        F.max("rho").alias("mreg"), F.count("*").alias("cnt")
+    )
+    s = reg.agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("mreg")))
+            + (F.lit(m) - F.count("*"))
+        ).alias("z"),
+        (F.lit(m) - F.count("*")).alias("v"),
+        F.sum("cnt").alias("exact_distinct"),
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = s.select(
+        "exact_distinct",
+        "v",
+        (F.lit(alpha * m * m) / F.col("z")).alias("e_raw"),
+    )
+    hll = F.when(
+        (F.col("e_raw") <= 2.5 * m) & (F.col("v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
+    ).otherwise(F.col("e_raw"))
+    return est.select(
+        "exact_distinct",
+        F.round(hll, 3).cast("double").alias("hll_estimate"),
+        F.round(F.abs(hll - F.col("exact_distinct")) / F.col("exact_distinct"), 6)
+        .cast("double")
+        .alias("rel_error"),
+    )
+
+
+SQL_HLL_ERROR_EVAL = """
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM (SELECT DISTINCT user_id FROM events)),
+hb AS (
+  SELECT hv >> 52 AS bucket, hv & 4503599627370495 AS w FROM h),
+reg AS (
+  SELECT bucket,
+         MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mreg,
+         COUNT(*) AS cnt
+  FROM hb GROUP BY 1),
+s AS (
+  SELECT SUM(POWER(2.0, -mreg)) + (256 - COUNT(*)) AS z,
+         256 - COUNT(*) AS v,
+         CAST(SUM(cnt) AS BIGINT) AS exact_distinct
+  FROM reg),
+est AS (
+  SELECT exact_distinct, v,
+         (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / z AS e_raw
+  FROM s)
+SELECT exact_distinct,
+       CAST(ROUND(CASE WHEN e_raw <= 2.5 * 256 AND v > 0
+                       THEN 256.0 * LN(256.0 / v) ELSE e_raw END, 3) AS DOUBLE)
+         AS hll_estimate,
+       CAST(ROUND(ABS(CASE WHEN e_raw <= 2.5 * 256 AND v > 0
+                           THEN 256.0 * LN(256.0 / v) ELSE e_raw END
+                      - exact_distinct) / exact_distinct, 6) AS DOUBLE)
+         AS rel_error
+FROM est
+"""
+
+
+def q_sampled_quantile_error_eval(spark, sf):
+    """Quantile estimation from a deterministic 5% hash sample vs the
+    exact quantiles — the eval row behind every "approx is fine here"
+    decision (dashboard p99s, partition-size planning): it MEASURES the
+    rank error a 20× data reduction costs at each tail depth, in the
+    cms_error_eval / aa_cap_eval measure-don't-guess tradition.  The
+    md5(event_id) % 20 sample is engine-reproducible, so both sides
+    compute the identical sample and the identical error.
+
+    100 TB shape: the sample side is the production path (a map-only
+    filter keeping 5%, then an exact aggregate over the reduced set);
+    the exact side over the full fact is the audit truth, priced like
+    minhash_eval_recall's exact pass — run at audit scale, not per
+    batch.  Interpolation convention (linear on (n-1)p rank) matches
+    Spark percentile() and DuckDB quantile_cont() exactly."""
+    e = _t(spark, sf, "events")
+    samp = e.where(
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 20
+        == 0
+    )
+    q = samp.agg(
+        F.percentile("value", 0.5).alias("s50"),
+        F.percentile("value", 0.9).alias("s90"),
+        F.percentile("value", 0.99).alias("s99"),
+        F.count("*").alias("n_sample"),
+    )
+    ex = e.agg(
+        F.percentile("value", 0.5).alias("e50"),
+        F.percentile("value", 0.9).alias("e90"),
+        F.percentile("value", 0.99).alias("e99"),
+        F.count("*").alias("n_total"),
+    )
+    j = ex.crossJoin(F.broadcast(q))
+    return j.select(
+        "n_total",
+        "n_sample",
+        F.round("e50", 4).cast("double").alias("exact_p50"),
+        F.round("s50", 4).cast("double").alias("sample_p50"),
+        F.round("e90", 4).cast("double").alias("exact_p90"),
+        F.round("s90", 4).cast("double").alias("sample_p90"),
+        F.round("e99", 4).cast("double").alias("exact_p99"),
+        F.round("s99", 4).cast("double").alias("sample_p99"),
+        F.round(
+            (
+                F.abs(F.col("s50") - F.col("e50"))
+                + F.abs(F.col("s90") - F.col("e90"))
+                + F.abs(F.col("s99") - F.col("e99"))
+            )
+            / (F.col("e50") + F.col("e90") + F.col("e99")),
+            6,
+        )
+        .cast("double")
+        .alias("mean_rel_error"),
+    )
+
+
+SQL_SAMPLED_QUANTILE_ERROR_EVAL = """
+WITH samp AS (
+  SELECT value FROM events
+  WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) % 20 = 0),
+q AS (
+  SELECT quantile_cont(value, 0.5) AS s50, quantile_cont(value, 0.9) AS s90,
+         quantile_cont(value, 0.99) AS s99, COUNT(*) AS n_sample
+  FROM samp),
+e AS (
+  SELECT quantile_cont(value, 0.5) AS e50, quantile_cont(value, 0.9) AS e90,
+         quantile_cont(value, 0.99) AS e99, COUNT(*) AS n_total
+  FROM events)
+SELECT n_total, n_sample,
+       CAST(ROUND(e50, 4) AS DOUBLE) AS exact_p50,
+       CAST(ROUND(s50, 4) AS DOUBLE) AS sample_p50,
+       CAST(ROUND(e90, 4) AS DOUBLE) AS exact_p90,
+       CAST(ROUND(s90, 4) AS DOUBLE) AS sample_p90,
+       CAST(ROUND(e99, 4) AS DOUBLE) AS exact_p99,
+       CAST(ROUND(s99, 4) AS DOUBLE) AS sample_p99,
+       CAST(ROUND((ABS(s50 - e50) + ABS(s90 - e90) + ABS(s99 - e99))
+                  / (e50 + e90 + e99), 6) AS DOUBLE) AS mean_rel_error
+FROM e CROSS JOIN q
+"""
+
+
+def q_quality_rater_kappa(spark, sf):
+    """Cohen's kappa (1960) between two independent document-quality
+    raters — a length rater (word count ≥ 55) and a stopword-density
+    rater (the/a fraction ≤ 0.06, the corpus median) — the
+    chance-corrected agreement number behind every "do our quality
+    signals measure the same thing" audit.  Raw agreement is inflated
+    by marginal imbalance; kappa subtracts the agreement two
+    independent raters with these marginals would reach by luck.
+
+    100 TB shape: map-only per-doc rating (split + filter + size, all
+    JVM), one 1-row 2×2-confusion reduce, closed-form combine.  No
+    joins, no windows."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    wc = F.size(toks)
+    sw = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    rated = d.select(
+        F.when(wc >= 55, 1).otherwise(0).alias("ra"),
+        F.when((sw.cast("double") / wc) <= 0.06, 1).otherwise(0).alias("rb"),
+    )
+    cm = rated.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).alias("a11"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).alias("a10"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).alias("a01"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb"))).alias("a00"),
+    )
+    po = (F.col("a11") + F.col("a00")) / F.col("n")
+    pe = (
+        (F.col("a11") + F.col("a10")) * (F.col("a11") + F.col("a01"))
+        + (F.col("a01") + F.col("a00")) * (F.col("a10") + F.col("a00"))
+    ) / (F.col("n") * F.col("n"))
+    return cm.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("a11").cast("long").alias("both_pass"),
+        F.col("a00").cast("long").alias("both_fail"),
+        F.col("a10").cast("long").alias("len_only"),
+        F.col("a01").cast("long").alias("stop_only"),
+        F.round(po, 6).cast("double").alias("observed_agreement"),
+        F.round(pe, 6).cast("double").alias("expected_agreement"),
+        F.round((po - pe) / (1 - pe), 6).cast("double").alias("cohen_kappa"),
+    )
+
+
+SQL_QUALITY_RATER_KAPPA = """
+WITH rated AS (
+  SELECT CASE WHEN len(string_split(text, ' ')) >= 55 THEN 1 ELSE 0 END AS ra,
+         CASE WHEN len(list_filter(string_split(text, ' '),
+                                   x -> x IN ('the', 'a'))) * 1.0
+                   / len(string_split(text, ' ')) <= 0.06
+              THEN 1 ELSE 0 END AS rb
+  FROM documents),
+cm AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(ra * rb) AS BIGINT) AS a11,
+         CAST(SUM(ra * (1 - rb)) AS BIGINT) AS a10,
+         CAST(SUM((1 - ra) * rb) AS BIGINT) AS a01,
+         CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS a00
+  FROM rated)
+SELECT CAST(n AS BIGINT) AS n_docs, a11 AS both_pass, a00 AS both_fail,
+       a10 AS len_only, a01 AS stop_only,
+       CAST(ROUND((a11 + a00) / n, 6) AS DOUBLE) AS observed_agreement,
+       CAST(ROUND(((a11 + a10) * (a11 + a01) + (a01 + a00) * (a10 + a00))
+                  / (n * n), 6) AS DOUBLE) AS expected_agreement,
+       CAST(ROUND(((a11 + a00) / n
+                   - ((a11 + a10) * (a11 + a01) + (a01 + a00) * (a10 + a00)) / (n * n))
+                  / (1 - ((a11 + a10) * (a11 + a01) + (a01 + a00) * (a10 + a00)) / (n * n)),
+                  6) AS DOUBLE) AS cohen_kappa
+FROM cm
+"""
+
+
+def q_epoch_repetition_plan(spark, sf):
+    """Multi-epoch repetition plan for a token budget of 4× the corpus
+    (the data-constrained regime of Muennighoff 2023): each source's
+    budget share is proportional to tokens^0.7 (the same
+    temperature-flattening as temperature_mixture_weights, so small
+    sources are repeated MORE), capped at 4 epochs, with
+    diminishing-returns effective tokens under a geometric per-repeat
+    decay (d = 0.5) — the closed-form illustration of why the 4th
+    epoch of a tiny source buys less than the 1st of a fresh one.
+    Completes the mixture trio: temperature_mixture_weights picks
+    sampling weights, mixture_token_budget_alloc splits one epoch's
+    budget, this plans REPEATS when the budget exceeds the corpus.
+
+    100 TB shape: per-source token census (one reduce to O(sources)
+    rows), two 1-row totals broadcast back, closed-form per-source
+    arithmetic.  No windows, no sorts."""
+    d = _t(spark, sf, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("double").alias("tokens")
+    )
+    tot = src.agg(
+        F.sum("tokens").alias("corpus_tokens"),
+        F.sum(F.pow("tokens", F.lit(0.7))).alias("sum_pow"),
+    )
+    j = src.crossJoin(F.broadcast(tot))
+    budget_share = (
+        F.lit(4.0) * F.col("corpus_tokens") * F.pow("tokens", F.lit(0.7)) / F.col("sum_pow")
+    )
+    repeats = F.least(F.lit(4.0), budget_share / F.col("tokens"))
+    return j.select(
+        "source",
+        F.col("tokens").cast("long").alias("tokens"),
+        F.round(budget_share, 2).cast("double").alias("budget_share"),
+        F.round(repeats, 4).cast("double").alias("repeats"),
+        F.round(
+            F.col("tokens") * (1 - F.pow(F.lit(0.5), repeats)) / F.lit(0.5), 2
+        )
+        .cast("double")
+        .alias("effective_tokens"),
+    )
+
+
+SQL_EPOCH_REPETITION_PLAN = """
+WITH src AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS tokens
+  FROM documents GROUP BY 1),
+tot AS (
+  SELECT SUM(tokens) AS corpus_tokens, SUM(POWER(tokens, 0.7)) AS sum_pow
+  FROM src),
+plan AS (
+  SELECT s.source, s.tokens,
+         4.0 * t.corpus_tokens * POWER(s.tokens, 0.7) / t.sum_pow AS budget_share,
+         LEAST(4.0, 4.0 * t.corpus_tokens * POWER(s.tokens, 0.7) / t.sum_pow
+                    / s.tokens) AS repeats
+  FROM src s CROSS JOIN tot t)
+SELECT source, CAST(tokens AS BIGINT) AS tokens,
+       CAST(ROUND(budget_share, 2) AS DOUBLE) AS budget_share,
+       CAST(ROUND(repeats, 4) AS DOUBLE) AS repeats,
+       CAST(ROUND(tokens * (1 - POWER(0.5, repeats)) / 0.5, 2) AS DOUBLE)
+         AS effective_tokens
+FROM plan
+"""
+
+
+def q_ab_sprt_daily(spark, sf):
+    """Wald's sequential probability ratio test (1945) on the daily
+    purchase-conversion stream of the treatment arm (odd user_id) —
+    cumulative log-likelihood ratio of H1 "lift = 1.2×" vs H0 "rate =
+    control's", with the ±ln(19) decision boundaries (5% error both
+    ways).  The sequential companion to ab_test_welch's fixed-horizon
+    test: SPRT answers "can we stop the experiment early" day by day
+    instead of waiting for the full sample.  Since both arms draw from
+    the same synthetic distribution, the honest readout is a random
+    walk that never crosses — the null behaving as a null.
+
+    100 TB shape: fact reduces to an O(days) daily census, control
+    rate is a 1-row broadcast, the cumulative LLR window runs over the
+    bounded day-grain table (same allowlisted class as
+    events_changepoint_cusum's cumsum)."""
+    e = _t(spark, sf, "events")
+    daily = (
+        e.where(F.col("user_id") % 2 == 1)
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "conv"
+            ),
+        )
+    )
+    p0t = (
+        e.where(F.col("user_id") % 2 == 0)
+        .agg(
+            (
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+                / F.count("*").cast("double")
+            ).alias("p0")
+        )
+    )
+    j = daily.crossJoin(F.broadcast(p0t))
+    p1 = F.least(F.col("p0") * 1.2, F.lit(0.999))
+    llr_day = F.col("conv") * F.log(p1 / F.col("p0")) + (
+        F.col("n") - F.col("conv")
+    ) * F.log((1 - p1) / (1 - F.col("p0")))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = j.select("d", "n", "conv", F.sum(llr_day).over(w).alias("cum_llr"))
+    import math
+
+    up, lo = math.log(19.0), math.log(1.0 / 19.0)
+    return cum.select(
+        F.col("d").cast("string").alias("day"),
+        F.col("n").cast("long").alias("n_obs"),
+        F.col("conv").cast("long").alias("n_conv"),
+        F.round("cum_llr", 6).cast("double").alias("cum_llr"),
+        F.when(F.col("cum_llr") >= up, "accept_h1")
+        .when(F.col("cum_llr") <= lo, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+
+
+SQL_AB_SPRT_DAILY = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events WHERE user_id % 2 = 1
+  GROUP BY 1),
+p0t AS (
+  SELECT SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           / CAST(COUNT(*) AS DOUBLE) AS p0
+  FROM events WHERE user_id % 2 = 0),
+llr AS (
+  SELECT d, n, conv,
+         SUM(conv * LN(LEAST(p0 * 1.2, 0.999) / p0)
+             + (n - conv) * LN((1 - LEAST(p0 * 1.2, 0.999)) / (1 - p0)))
+           OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum_llr
+  FROM daily CROSS JOIN p0t)
+SELECT CAST(d AS VARCHAR) AS day, CAST(n AS BIGINT) AS n_obs,
+       CAST(conv AS BIGINT) AS n_conv,
+       CAST(ROUND(cum_llr, 6) AS DOUBLE) AS cum_llr,
+       CASE WHEN cum_llr >= LN(19.0) THEN 'accept_h1'
+            WHEN cum_llr <= LN(1.0 / 19.0) THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM llr
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -15203,6 +15609,17 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_LABEL_CENTROID_SIM,
     ),
     "events_asof_tolerance": (q_events_asof_tolerance, SQL_ASOF_TOLERANCE),
+    "hll_error_eval": (q_hll_error_eval, SQL_HLL_ERROR_EVAL),
+    "sampled_quantile_error_eval": (
+        q_sampled_quantile_error_eval,
+        SQL_SAMPLED_QUANTILE_ERROR_EVAL,
+    ),
+    "quality_rater_kappa": (q_quality_rater_kappa, SQL_QUALITY_RATER_KAPPA),
+    "epoch_repetition_plan": (
+        q_epoch_repetition_plan,
+        SQL_EPOCH_REPETITION_PLAN,
+    ),
+    "ab_sprt_daily": (q_ab_sprt_daily, SQL_AB_SPRT_DAILY),
     "revenue_theil_decomposition": (
         q_revenue_theil_decomposition,
         SQL_THEIL,

@@ -3599,3 +3599,167 @@ def test_theil_decomposition_properties(spark):
     assert r1.theil_total == r1.theil_between
     r2 = run(7.0)
     assert r2.theil_total == r1.theil_total  # scale invariant
+
+
+def _with_tables(tables, fn):
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    orig = Q._t
+    try:
+        Q._t = lambda spark, sf, name, **k: tables[name]
+        return fn(Q)
+    finally:
+        Q._t = orig
+
+
+def test_hll_error_eval_matches_python_reimpl(spark):
+    """The pure-SQL HLL must agree bit-for-bit with an independent
+    Python implementation of the same md5/60-bit/256-register sketch,
+    and the exact count must ride the same pass."""
+    import hashlib
+
+    users = [(i * 7 + 3,) for i in range(120)]  # 120 distinct ids
+    e = spark.createDataFrame(
+        [(u[0],) for u in users] * 3, "user_id long"  # 3x duplication
+    )
+
+    def run(Q):
+        return Q.q_hll_error_eval(spark, "x").collect()[0]
+
+    got = _with_tables({"events": e}, run)
+    assert got.exact_distinct == 120
+
+    regs = {}
+    for (u,) in users:
+        hv = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        bucket, w = hv >> 52, hv & (2**52 - 1)
+        rho = 53 if w == 0 else 53 - len(bin(w)[2:])
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    m = 256
+    z = sum(2.0**-v for v in regs.values()) + (m - len(regs))
+    v = m - len(regs)
+    e_raw = (0.7213 / (1 + 1.079 / m)) * m * m / z
+    import math
+
+    est = m * math.log(m / v) if (e_raw <= 2.5 * m and v > 0) else e_raw
+    assert got.hll_estimate == round(est, 3)
+    assert abs(got.hll_estimate - 120) / 120 < 0.25  # sane at 256 registers
+
+
+def test_sampled_quantile_error_eval_exact_side(spark):
+    """On 1..1000 the exact side is closed-form ((n-1)p interpolation);
+    the sample side must contain exactly the md5(event_id)%20==0 ids."""
+    import hashlib
+
+    e = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 1001)], "event_id long, value double"
+    )
+
+    def run(Q):
+        return Q.q_sampled_quantile_error_eval(spark, "x").collect()[0]
+
+    got = _with_tables({"events": e}, run)
+    assert got.n_total == 1000
+    assert got.exact_p50 == 500.5
+    assert got.exact_p90 == round(1 + 0.9 * 999, 4)
+    assert got.exact_p99 == round(1 + 0.99 * 999, 4)
+    expected_sample = [
+        i
+        for i in range(1, 1001)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) % 20 == 0
+    ]
+    assert got.n_sample == len(expected_sample)
+    assert got.mean_rel_error >= 0.0
+
+
+def test_quality_rater_kappa_edges(spark):
+    """Perfect agreement with mixed marginals -> kappa exactly 1;
+    one constant rater -> kappa 0 (chance-corrected away)."""
+
+    def run(Q):
+        return Q.q_quality_rater_kappa(spark, "x").collect()[0]
+
+    long_clean = " ".join(["word"] * 60)          # ra=1, rb=1 (no stopwords)
+    short_stopy = " ".join(["the"] * 10)          # ra=0, rb=0 (all stopwords)
+    d1 = spark.createDataFrame(
+        [(long_clean,)] * 2 + [(short_stopy,)] * 2, "text string"
+    )
+    got = _with_tables({"documents": d1}, run)
+    assert got.both_pass == 2 and got.both_fail == 2
+    assert got.observed_agreement == 1.0
+    assert got.cohen_kappa == 1.0
+
+    long_stopy = " ".join(["the"] * 60)           # ra=1, rb=0
+    d2 = spark.createDataFrame(
+        [(long_clean,)] * 1 + [(long_stopy,)] * 1 + [(short_stopy,)] * 2,
+        "text string",
+    )
+    got2 = _with_tables({"documents": d2}, run)
+    # rater B: rb=1 only for long_clean -> marginals (2/4, 1/4)
+    assert got2.both_pass == 1 and got2.len_only == 1 and got2.both_fail == 2
+    assert 0 < got2.cohen_kappa < 1
+
+
+def test_epoch_repetition_plan_uniform_and_cap(spark):
+    """Equal sources under a 4x budget -> exactly 4 epochs each and
+    effective = tokens * 1.875; a small source always repeats at least
+    as much as a big one (temperature flattening)."""
+    text50 = " ".join(["w"] * 50)
+
+    def run(Q):
+        return {
+            r.source: r
+            for r in Q.q_epoch_repetition_plan(spark, "x").collect()
+        }
+
+    d1 = spark.createDataFrame(
+        [(f"s{i}", text50) for i in range(4) for _ in range(3)],
+        "source string, text string",
+    )
+    got = _with_tables({"documents": d1}, run)
+    for r in got.values():
+        assert r.tokens == 150
+        assert r.repeats == 4.0
+        assert r.effective_tokens == round(150 * (1 - 0.5**4) / 0.5, 2)
+
+    d2 = spark.createDataFrame(
+        [("big", text50)] * 9 + [("small", text50)],
+        "source string, text string",
+    )
+    got2 = _with_tables({"documents": d2}, run)
+    assert got2["small"].repeats >= got2["big"].repeats
+    assert got2["small"].repeats == 4.0  # tiny source hits the epoch cap
+
+
+def test_ab_sprt_daily_lift_crosses_and_null_wanders(spark):
+    """A deterministic 1.2x-lift treatment arm must drift up and reach
+    accept_h1; an exactly-null treatment arm must drift DOWN and
+    accept_h0 (SPRT's power against the alternative under H0)."""
+    import datetime
+
+    def mk_events(treat_rate):
+        rows = []
+        eid = 0
+        for day in range(1, 11):
+            ts = datetime.datetime(2024, 3, day, 12, 0, 0)
+            for arm, rate in ((0, 0.5), (1, treat_rate)):
+                n_conv = int(100 * rate)
+                for i in range(100):
+                    et = "purchase" if i < n_conv else "view"
+                    rows.append((eid, ts, 2 * eid + arm, et))
+                    eid += 1
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+
+    def run(Q):
+        rows = Q.q_ab_sprt_daily(spark, "x").collect()
+        return sorted(rows, key=lambda r: r.day)
+
+    lifted = _with_tables({"events": mk_events(0.6)}, run)
+    assert lifted[-1].decision == "accept_h1"
+    assert lifted[-1].cum_llr > lifted[0].cum_llr > 0
+
+    null = _with_tables({"events": mk_events(0.5)}, run)
+    assert null[-1].decision == "accept_h0"
+    assert null[-1].cum_llr < null[0].cum_llr < 0  # monotone drift down

@@ -73,6 +73,12 @@ BNLJ_OK = {
     "corpus_kl_divergence",
     # 1-row (grand total, temperature norm) broadcast
     "temperature_mixture_weights",
+    # 1-row exact-quantile truth side x 1-row sample-estimate side (eval)
+    "sampled_quantile_error_eval",
+    # 1-row (corpus tokens, temperature norm) totals broadcast
+    "epoch_repetition_plan",
+    # 1-row control-arm conversion-rate broadcast (the LLR null rate)
+    "ab_sprt_daily",
     # 1-row probe-count broadcast (the recall denominator)
     "mrl_truncation_eval",
     # 1-row corpus max-orderdate anchor broadcast (recency origin)
@@ -232,6 +238,8 @@ SP_SORT_OK = {
     "events_peak_concurrency": 1,
     # bounded day-grain cumsum (O(days) table, same class as backlog)
     "events_changepoint_cusum": 1,
+    # bounded day-grain cumulative LLR (same O(days) class as cusum)
+    "ab_sprt_daily": 1,
     # remainder rank over the N_SOURCES-row weight table
     "mixture_token_budget_alloc": 1,
     # bounded block-offset windows (≤1024 totals / block maxima)
