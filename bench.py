@@ -332,6 +332,10 @@ HEADLINE = [
     "quality_rater_kappa",
     "epoch_repetition_plan",
     "ab_sprt_daily",
+    "hll_merge_eval",
+    "tokenizer_fertility_by_source",
+    "outlier_method_agreement",
+    "curriculum_schedule",
 ]
 
 #: Registry queries deliberately NOT benched, each with the reason —

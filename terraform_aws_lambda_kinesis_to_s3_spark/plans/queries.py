@@ -15237,6 +15237,314 @@ FROM llr
 """
 
 
+def q_hll_merge_eval(spark, sf):
+    """Mergeability audit for the HLL sketch — the property that makes
+    it THE distributed distinct counter: per-shard registers (one
+    sketch per event_type) merged by bucket-wise max must yield the
+    identical estimate as one global sketch.  hll_error_eval pins the
+    sketch against exact truth; this row pins the scale path itself —
+    at 100 TB you never build a global sketch, you sketch per
+    partition and merge, and this is the oracle-checked proof the
+    merge loses nothing (max is associative and commutative).
+
+    Shape: one distinct reduce to (shard, hash), two bounded register
+    aggs (≤ shards×256 and ≤256 rows), three 1-row sides cross-joined.
+    The shard and global register paths scan the distinct table twice —
+    the price of computing the global side INDEPENDENTLY rather than
+    deriving it from the merge being audited."""
+    e = _t(spark, sf, "events")
+    m = 256
+    two52m1 = 4503599627370495  # 2^52 - 1
+    hb = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("hv"),
+        )
+        .select(
+            "event_type",
+            F.shiftright("hv", 52).alias("bucket"),
+            F.when(F.col("hv").bitwiseAND(F.lit(two52m1)) == 0, F.lit(53))
+            .otherwise(
+                F.lit(53) - F.length(F.bin(F.col("hv").bitwiseAND(F.lit(two52m1))))
+            )
+            .alias("rho"),
+        )
+    )
+    shard_reg = hb.groupBy("event_type", "bucket").agg(F.max("rho").alias("mreg"))
+    merged_reg = shard_reg.groupBy("bucket").agg(F.max("mreg").alias("mreg"))
+    global_reg = hb.groupBy("bucket").agg(F.max("rho").alias("mreg"))
+
+    def est_1row(reg, prefix):
+        return reg.agg(
+            (F.sum(F.pow(F.lit(2.0), -F.col("mreg"))) + (F.lit(m) - F.count("*"))).alias(
+                f"{prefix}_z"
+            ),
+            (F.lit(m) - F.count("*")).alias(f"{prefix}_v"),
+        )
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    sh = shard_reg.agg(F.countDistinct("event_type").alias("n_shards"))
+    j = est_1row(merged_reg, "m").crossJoin(
+        F.broadcast(est_1row(global_reg, "g"))
+    ).crossJoin(F.broadcast(sh))
+
+    def hll(prefix):
+        e_raw = F.lit(alpha * m * m) / F.col(f"{prefix}_z")
+        return F.when(
+            (e_raw <= 2.5 * m) & (F.col(f"{prefix}_v") > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col(f"{prefix}_v")),
+        ).otherwise(e_raw)
+
+    return j.select(
+        F.col("n_shards").cast("long").alias("n_shards"),
+        F.round(hll("m"), 3).cast("double").alias("merged_estimate"),
+        F.round(hll("g"), 3).cast("double").alias("global_estimate"),
+        (F.round(hll("m"), 3) == F.round(hll("g"), 3)).alias("merge_lossless"),
+    )
+
+
+SQL_HLL_MERGE_EVAL = """
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM (SELECT DISTINCT event_type, user_id FROM events)),
+hb AS (
+  SELECT event_type, hv >> 52 AS bucket,
+         CASE WHEN hv & 4503599627370495 = 0 THEN 53
+              ELSE 53 - length(bin(hv & 4503599627370495)) END AS rho
+  FROM h),
+shard_reg AS (
+  SELECT event_type, bucket, MAX(rho) AS mreg FROM hb GROUP BY 1, 2),
+merged_reg AS (
+  SELECT bucket, MAX(mreg) AS mreg FROM shard_reg GROUP BY 1),
+global_reg AS (
+  SELECT bucket, MAX(rho) AS mreg FROM hb GROUP BY 1),
+m_est AS (
+  SELECT SUM(POWER(2.0, -mreg)) + (256 - COUNT(*)) AS m_z, 256 - COUNT(*) AS m_v
+  FROM merged_reg),
+g_est AS (
+  SELECT SUM(POWER(2.0, -mreg)) + (256 - COUNT(*)) AS g_z, 256 - COUNT(*) AS g_v
+  FROM global_reg),
+sh AS (SELECT COUNT(DISTINCT event_type) AS n_shards FROM shard_reg),
+calc AS (
+  SELECT n_shards,
+         CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 65536 / m_z <= 640 AND m_v > 0
+              THEN 256.0 * LN(256.0 / m_v)
+              ELSE (0.7213 / (1 + 1.079 / 256)) * 65536 / m_z END AS merged_e,
+         CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 65536 / g_z <= 640 AND g_v > 0
+              THEN 256.0 * LN(256.0 / g_v)
+              ELSE (0.7213 / (1 + 1.079 / 256)) * 65536 / g_z END AS global_e
+  FROM m_est CROSS JOIN g_est CROSS JOIN sh)
+SELECT CAST(n_shards AS BIGINT) AS n_shards,
+       CAST(ROUND(merged_e, 3) AS DOUBLE) AS merged_estimate,
+       CAST(ROUND(global_e, 3) AS DOUBLE) AS global_estimate,
+       ROUND(merged_e, 3) = ROUND(global_e, 3) AS merge_lossless
+FROM calc
+"""
+
+
+def q_tokenizer_fertility_by_source(spark, sf):
+    """Tokenizer fertility census per source — subword tokens per
+    whitespace word (the ceil(len/4) model of a ~4-chars/token BPE)
+    and characters per subword token.  Fertility is THE tokenizer-
+    budget translator: a source at fertility 1.6 costs 60% more
+    sequence length per word than one at 1.0, which is exactly how
+    multilingual and code-heavy sources blow past token budgets that
+    were estimated from word counts.
+
+    Shape: map-only per-doc array arithmetic (split + transform +
+    aggregate, all JVM — the sums are exact integers, so no float
+    summation-order risk), one reduce to O(sources) rows."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    bpe = F.aggregate(
+        F.transform(toks, lambda x: F.ceil(F.length(x) / 4.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per_doc = d.select(
+        "source",
+        F.length(F.regexp_replace("text", " ", "")).cast("long").alias("chars"),
+        F.size(toks).cast("long").alias("words"),
+        bpe.alias("bpe_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("words").alias("n_words"),
+        F.sum("bpe_tokens").alias("n_bpe_tokens"),
+        F.round(F.sum("bpe_tokens") / F.sum("words"), 4)
+        .cast("double")
+        .alias("fertility"),
+        F.round(F.sum("chars") / F.sum("bpe_tokens"), 4)
+        .cast("double")
+        .alias("chars_per_token"),
+    )
+
+
+SQL_TOKENIZER_FERTILITY = """
+WITH per_doc AS (
+  SELECT source,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+                                      x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))
+              AS BIGINT) AS bpe_tokens
+  FROM documents)
+SELECT source,
+       CAST(SUM(words) AS BIGINT) AS n_words,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(ROUND(SUM(bpe_tokens) * 1.0 / SUM(words), 4) AS DOUBLE) AS fertility,
+       CAST(ROUND(SUM(chars) * 1.0 / SUM(bpe_tokens), 4) AS DOUBLE)
+         AS chars_per_token
+FROM per_doc GROUP BY 1
+"""
+
+
+def q_outlier_method_agreement(spark, sf):
+    """Confusion census between the two outlier gates the engine
+    ships — parametric z-score (|x−μ| > 3σ) and robust median/MAD
+    (|x−med| > 3·1.4826·MAD) — plus the Jaccard of their flag sets.
+    The agreement number IS the masking readout: on heavy tails the
+    outliers inflate μ and σ and the z-gate under-flags (here MAD
+    flags ~3× more), which is why the robust gate exists.  Same
+    method-agreement discipline as quality_rater_kappa, applied to
+    the anomaly gates.
+
+    Shape: two 1-row statistic passes (μ/σ/median, then MAD over
+    deviations) broadcast back, one 1-row confusion reduce — the
+    events_anomaly_mad scan structure with a global grain."""
+    e = _t(spark, sf, "events")
+    stats = e.agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.expr("percentile(value, 0.5)").alias("med"),
+    )
+    dev = e.crossJoin(F.broadcast(stats)).withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    madt = dev.agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    flags = dev.crossJoin(F.broadcast(madt)).select(
+        F.when(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"), 1)
+        .otherwise(0)
+        .alias("fz"),
+        F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0).alias("fm"),
+    )
+    return flags.agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.col("fz") * F.col("fm")).cast("long").alias("flagged_both"),
+        F.sum(F.col("fz") * (1 - F.col("fm"))).cast("long").alias("zscore_only"),
+        F.sum((1 - F.col("fz")) * F.col("fm")).cast("long").alias("mad_only"),
+        F.round(
+            F.sum(F.col("fz") * F.col("fm"))
+            / (F.sum("fz") + F.sum("fm") - F.sum(F.col("fz") * F.col("fm"))),
+            6,
+        )
+        .cast("double")
+        .alias("flag_jaccard"),
+    )
+
+
+SQL_OUTLIER_METHOD_AGREEMENT = """
+WITH stats AS (
+  SELECT AVG(value) AS mu, stddev_samp(value) AS sigma,
+         quantile_cont(value, 0.5) AS med
+  FROM events),
+dev AS (
+  SELECT e.value, s.mu, s.sigma, s.med, ABS(e.value - s.med) AS adev
+  FROM events e CROSS JOIN stats s),
+madt AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dev),
+flags AS (
+  SELECT CASE WHEN ABS(value - mu) > 3 * sigma THEN 1 ELSE 0 END AS fz,
+         CASE WHEN adev > 3 * 1.4826 * mad THEN 1 ELSE 0 END AS fm
+  FROM dev CROSS JOIN madt)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(fz * fm) AS BIGINT) AS flagged_both,
+       CAST(SUM(fz * (1 - fm)) AS BIGINT) AS zscore_only,
+       CAST(SUM((1 - fz) * fm) AS BIGINT) AS mad_only,
+       CAST(ROUND(SUM(fz * fm) * 1.0
+                  / (SUM(fz) + SUM(fm) - SUM(fz * fm)), 6) AS DOUBLE)
+         AS flag_jaccard
+FROM flags
+"""
+
+
+def q_curriculum_schedule(spark, sf):
+    """Curriculum phase assignment per source — difficulty proxy is
+    mean characters per word (exact integer sums, so the cross-engine
+    value is deterministic), sources cut into three phases at the
+    difficulty tertiles, each source's within-phase token share
+    reported.  The pacing companion to the mixture trio: weights say
+    HOW MUCH of each source, this says WHEN it enters training
+    (easy-first ordering).
+
+    Shape: O(sources) census → 1-row tertile-cut broadcast (exact
+    interpolated percentile — no window, no sort, unlike an ntile
+    assignment) → 3-row phase-total broadcast join."""
+    d = _t(spark, sf, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("tokens_i"),
+        F.sum(F.length(F.regexp_replace("text", " ", ""))).cast("long").alias("chars_i"),
+    ).select(
+        "source",
+        F.col("tokens_i").cast("double").alias("tokens"),
+        (F.col("chars_i").cast("double") / F.col("tokens_i")).alias("difficulty"),
+    )
+    cuts = src.agg(
+        F.expr("percentile(difficulty, cast(1.0/3 as double))").alias("t1"),
+        F.expr("percentile(difficulty, cast(2.0/3 as double))").alias("t2"),
+    )
+    phased = src.crossJoin(F.broadcast(cuts)).select(
+        "source",
+        "tokens",
+        "difficulty",
+        F.when(F.col("difficulty") <= F.col("t1"), 1)
+        .when(F.col("difficulty") <= F.col("t2"), 2)
+        .otherwise(3)
+        .alias("phase"),
+    )
+    ptot = phased.groupBy("phase").agg(F.sum("tokens").alias("phase_tokens"))
+    return phased.join(F.broadcast(ptot), "phase").select(
+        "source",
+        F.col("tokens").cast("long").alias("tokens"),
+        F.round("difficulty", 4).cast("double").alias("difficulty"),
+        F.col("phase").cast("int").alias("phase"),
+        F.round(F.col("tokens") / F.col("phase_tokens"), 6)
+        .cast("double")
+        .alias("within_phase_frac"),
+    )
+
+
+SQL_CURRICULUM_SCHEDULE = """
+WITH src AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_i,
+         CAST(SUM(length(replace(text, ' ', ''))) AS BIGINT) AS chars_i
+  FROM documents GROUP BY 1),
+srcd AS (
+  SELECT source, CAST(tokens_i AS DOUBLE) AS tokens,
+         CAST(chars_i AS DOUBLE) / tokens_i AS difficulty
+  FROM src),
+cuts AS (
+  SELECT quantile_cont(difficulty, 1.0/3) AS t1,
+         quantile_cont(difficulty, 2.0/3) AS t2
+  FROM srcd),
+phased AS (
+  SELECT s.source, s.tokens, s.difficulty,
+         CASE WHEN s.difficulty <= c.t1 THEN 1
+              WHEN s.difficulty <= c.t2 THEN 2 ELSE 3 END AS phase
+  FROM srcd s CROSS JOIN cuts c),
+ptot AS (SELECT phase, SUM(tokens) AS phase_tokens FROM phased GROUP BY 1)
+SELECT p.source, CAST(p.tokens AS BIGINT) AS tokens,
+       CAST(ROUND(p.difficulty, 4) AS DOUBLE) AS difficulty,
+       CAST(p.phase AS INTEGER) AS phase,
+       CAST(ROUND(p.tokens / t.phase_tokens, 6) AS DOUBLE) AS within_phase_frac
+FROM phased p JOIN ptot t ON p.phase = t.phase
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -15620,6 +15928,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_EPOCH_REPETITION_PLAN,
     ),
     "ab_sprt_daily": (q_ab_sprt_daily, SQL_AB_SPRT_DAILY),
+    "hll_merge_eval": (q_hll_merge_eval, SQL_HLL_MERGE_EVAL),
+    "tokenizer_fertility_by_source": (
+        q_tokenizer_fertility_by_source,
+        SQL_TOKENIZER_FERTILITY,
+    ),
+    "outlier_method_agreement": (
+        q_outlier_method_agreement,
+        SQL_OUTLIER_METHOD_AGREEMENT,
+    ),
+    "curriculum_schedule": (q_curriculum_schedule, SQL_CURRICULUM_SCHEDULE),
     "revenue_theil_decomposition": (
         q_revenue_theil_decomposition,
         SQL_THEIL,

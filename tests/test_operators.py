@@ -3763,3 +3763,80 @@ def test_ab_sprt_daily_lift_crosses_and_null_wanders(spark):
     null = _with_tables({"events": mk_events(0.5)}, run)
     assert null[-1].decision == "accept_h0"
     assert null[-1].cum_llr < null[0].cum_llr < 0  # monotone drift down
+
+
+def test_hll_merge_eval_lossless_with_overlap(spark):
+    """Shards with heavily overlapping user sets: bucket-wise max merge
+    must still equal the global sketch exactly (max associativity)."""
+    rows = []
+    for shard in ("a", "b", "c"):
+        lo = {"a": 0, "b": 50, "c": 100}[shard]
+        rows += [(shard, u) for u in range(lo, lo + 120)]  # overlaps
+    e = spark.createDataFrame(rows, "event_type string, user_id long")
+
+    def run(Q):
+        return Q.q_hll_merge_eval(spark, "x").collect()[0]
+
+    got = _with_tables({"events": e}, run)
+    assert got.n_shards == 3
+    assert got.merge_lossless is True
+    assert got.merged_estimate == got.global_estimate
+
+
+def test_tokenizer_fertility_closed_form(spark):
+    """'abcd ab abcdefgh' -> 3 words, ceil-len/4 tokens 1+1+2=4,
+    14 chars: fertility 4/3, chars/token 3.5."""
+    d = spark.createDataFrame(
+        [("s1", "abcd ab abcdefgh")], "source string, text string"
+    )
+
+    def run(Q):
+        return Q.q_tokenizer_fertility_by_source(spark, "x").collect()[0]
+
+    got = _with_tables({"documents": d}, run)
+    assert got.n_words == 3
+    assert got.n_bpe_tokens == 4
+    assert got.fertility == round(4 / 3, 4)
+    assert got.chars_per_token == 3.5
+
+
+def test_outlier_method_agreement_masking(spark):
+    """The textbook masking case: 10 outliers at 1000 among 90 zeros
+    inflate sigma until the z-gate misses ALL of them, while the MAD
+    gate (median 0, MAD 0) flags exactly the 10."""
+    vals = [0.0] * 90 + [1000.0] * 10
+    e = spark.createDataFrame([(v,) for v in vals], "value double")
+
+    def run(Q):
+        return Q.q_outlier_method_agreement(spark, "x").collect()[0]
+
+    got = _with_tables({"events": e}, run)
+    assert got.n_points == 100
+    assert got.zscore_only == 0
+    assert got.flagged_both == 0      # z-gate fully masked
+    assert got.mad_only == 10         # robust gate catches all 10
+    assert got.flag_jaccard == 0.0
+
+
+def test_curriculum_schedule_phases_and_fracs(spark):
+    """Three sources with strictly increasing chars-per-word land in
+    phases 1..3 with within-phase fraction 1; difficulty ordering is
+    preserved by phase assignment."""
+    docs = [
+        ("easy", "ab ab ab ab"),            # 2 chars/word
+        ("mid", "abcd abcd abcd abcd"),     # 4 chars/word
+        ("hard", "abcdefgh abcdefgh"),      # 8 chars/word
+    ]
+    d = spark.createDataFrame(docs, "source string, text string")
+
+    def run(Q):
+        return {r.source: r for r in Q.q_curriculum_schedule(spark, "x").collect()}
+
+    got = _with_tables({"documents": d}, run)
+    assert got["easy"].phase == 1
+    assert got["mid"].phase == 2
+    assert got["hard"].phase == 3
+    for r in got.values():
+        assert r.within_phase_frac == 1.0
+    assert got["easy"].difficulty == 2.0
+    assert got["hard"].difficulty == 8.0

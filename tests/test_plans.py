@@ -79,6 +79,12 @@ BNLJ_OK = {
     "epoch_repetition_plan",
     # 1-row control-arm conversion-rate broadcast (the LLR null rate)
     "ab_sprt_daily",
+    # three 1-row register-estimate/shard-count sides cross-joined (eval)
+    "hll_merge_eval",
+    # two 1-row statistic broadcasts (mu/sigma/median, then MAD)
+    "outlier_method_agreement",
+    # 1-row tertile-cut broadcast (exact percentile, no ntile window)
+    "curriculum_schedule",
     # 1-row probe-count broadcast (the recall denominator)
     "mrl_truncation_eval",
     # 1-row corpus max-orderdate anchor broadcast (recency origin)
