@@ -336,6 +336,7 @@ HEADLINE = [
     "tokenizer_fertility_by_source",
     "outlier_method_agreement",
     "curriculum_schedule",
+    "dedup_method_agreement",
 ]
 
 #: Registry queries deliberately NOT benched, each with the reason —

@@ -15545,6 +15545,101 @@ FROM phased p JOIN ptot t ON p.phase = t.phase
 """
 
 
+def q_dedup_method_agreement(spark, sf):
+    """Three-way agreement census between the engine's near-dup
+    detectors at a common operating point — MinHash-LSH (verified
+    Jaccard ≥ 0.1), SimHash (hamming ≤ 2), and DF-capped exact n-gram
+    Jaccard (≥ 0.1) — reporting each method's pair count, every
+    pairwise intersection, and the Jaccard between the FLAG SETS
+    themselves.  The readout at sf0.01: MinHash∩ngram agreement 0.92
+    (the sketch faithfully approximates the metric it estimates)
+    while SimHash agrees < 0.1 with both — evidence it detects a
+    DIFFERENT similarity notion (bit-level cosine-ish), which is
+    exactly what a team consolidating dedup pipelines needs to know
+    before swapping one method for another.
+
+    Shape: the three pair pipelines are each bounded candidate spaces
+    (banded equi-joins / DF-capped inverted index — never all-pairs);
+    their tagged union reduces in ONE groupBy over O(flagged pairs)
+    rows to a 1-row confusion — no broadcast chain, no windows."""
+    d = _t(spark, sf, "documents", parallelize=True)
+    mh = (
+        _minhash_verified_pairs(spark, sf)
+        .where(F.col("jaccard") >= 0.1)
+        .select("doc_a", "doc_b", F.lit("mh").alias("m"))
+    )
+    sh = D.simhash_hamming_pairs(d, k=2).select(
+        "doc_a", "doc_b", F.lit("sh").alias("m")
+    )
+    ng = D.ngram_jaccard_pairs(d, n=3, threshold=0.1, max_df=2).select(
+        "doc_a", "doc_b", F.lit("ng").alias("m")
+    )
+    tagged = mh.unionByName(sh).unionByName(ng)
+    per_pair = tagged.groupBy("doc_a", "doc_b").agg(
+        F.max(F.when(F.col("m") == "mh", 1).otherwise(0)).alias("in_mh"),
+        F.max(F.when(F.col("m") == "sh", 1).otherwise(0)).alias("in_sh"),
+        F.max(F.when(F.col("m") == "ng", 1).otherwise(0)).alias("in_ng"),
+    )
+
+    def _jac(a, b, ab):
+        den = F.col(a) + F.col(b) - F.col(ab)
+        return F.when(den > 0, F.round(F.col(ab) / den, 6)).cast("double")
+
+    return (
+        per_pair.agg(
+            F.sum("in_mh").cast("long").alias("n_minhash"),
+            F.sum("in_sh").cast("long").alias("n_simhash"),
+            F.sum("in_ng").cast("long").alias("n_ngram"),
+            F.sum(F.col("in_mh") * F.col("in_ng")).cast("long").alias("mn_common"),
+            F.sum(F.col("in_mh") * F.col("in_sh")).cast("long").alias("ms_common"),
+            F.sum(F.col("in_ng") * F.col("in_sh")).cast("long").alias("ns_common"),
+        )
+        .select(
+            "*",
+            _jac("n_minhash", "n_ngram", "mn_common").alias("mn_jaccard"),
+            _jac("n_minhash", "n_simhash", "ms_common").alias("ms_jaccard"),
+            _jac("n_ngram", "n_simhash", "ns_common").alias("ns_jaccard"),
+        )
+    )
+
+
+#: composed from the three method oracles so the agreement oracle can
+#: never drift from the per-method oracles it audits
+SQL_DEDUP_METHOD_AGREEMENT = f"""
+WITH tagged AS (
+  SELECT doc_a, doc_b, 'mh' AS m FROM ({SQL_MINHASH_LSH}) tm WHERE jaccard >= 0.1
+  UNION ALL
+  SELECT doc_a, doc_b, 'sh' AS m FROM ({SQL_SIMHASH_HAMMING}) ts
+  UNION ALL
+  SELECT doc_a, doc_b, 'ng' AS m FROM ({SQL_NGRAM_JACCARD_CAPPED}) tn),
+per_pair AS (
+  SELECT doc_a, doc_b,
+         MAX(CASE WHEN m = 'mh' THEN 1 ELSE 0 END) AS in_mh,
+         MAX(CASE WHEN m = 'sh' THEN 1 ELSE 0 END) AS in_sh,
+         MAX(CASE WHEN m = 'ng' THEN 1 ELSE 0 END) AS in_ng
+  FROM tagged GROUP BY 1, 2)
+SELECT CAST(SUM(in_mh) AS BIGINT) AS n_minhash,
+       CAST(SUM(in_sh) AS BIGINT) AS n_simhash,
+       CAST(SUM(in_ng) AS BIGINT) AS n_ngram,
+       CAST(SUM(in_mh * in_ng) AS BIGINT) AS mn_common,
+       CAST(SUM(in_mh * in_sh) AS BIGINT) AS ms_common,
+       CAST(SUM(in_ng * in_sh) AS BIGINT) AS ns_common,
+       CAST(CASE WHEN SUM(in_mh) + SUM(in_ng) - SUM(in_mh * in_ng) > 0
+            THEN ROUND(SUM(in_mh * in_ng) * 1.0
+                       / (SUM(in_mh) + SUM(in_ng) - SUM(in_mh * in_ng)), 6)
+            END AS DOUBLE) AS mn_jaccard,
+       CAST(CASE WHEN SUM(in_mh) + SUM(in_sh) - SUM(in_mh * in_sh) > 0
+            THEN ROUND(SUM(in_mh * in_sh) * 1.0
+                       / (SUM(in_mh) + SUM(in_sh) - SUM(in_mh * in_sh)), 6)
+            END AS DOUBLE) AS ms_jaccard,
+       CAST(CASE WHEN SUM(in_ng) + SUM(in_sh) - SUM(in_ng * in_sh) > 0
+            THEN ROUND(SUM(in_ng * in_sh) * 1.0
+                       / (SUM(in_ng) + SUM(in_sh) - SUM(in_ng * in_sh)), 6)
+            END AS DOUBLE) AS ns_jaccard
+FROM per_pair
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -15938,6 +16033,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_OUTLIER_METHOD_AGREEMENT,
     ),
     "curriculum_schedule": (q_curriculum_schedule, SQL_CURRICULUM_SCHEDULE),
+    "dedup_method_agreement": (
+        q_dedup_method_agreement,
+        SQL_DEDUP_METHOD_AGREEMENT,
+    ),
     "revenue_theil_decomposition": (
         q_revenue_theil_decomposition,
         SQL_THEIL,

@@ -3840,3 +3840,24 @@ def test_curriculum_schedule_phases_and_fracs(spark):
         assert r.within_phase_frac == 1.0
     assert got["easy"].difficulty == 2.0
     assert got["hard"].difficulty == 8.0
+
+
+def test_dedup_method_agreement_identical_pair(spark):
+    """Two identical docs are flagged by ALL three methods (Jaccard 1,
+    hamming 0, exact ngram 1) so every pairwise method-agreement is
+    exactly 1.0; an unrelated doc is flagged by none."""
+    twin = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "one two three four five six seven eight nine ten"
+    d = spark.createDataFrame(
+        [(1, twin), (2, twin), (3, other)], "doc_id long, text string"
+    )
+
+    def run(Q):
+        return Q.q_dedup_method_agreement(spark, "x-agree-test").collect()[0]
+
+    got = _with_tables({"documents": d}, run)
+    assert got.n_minhash == 1 and got.n_simhash == 1 and got.n_ngram == 1
+    assert got.mn_common == 1 and got.ms_common == 1 and got.ns_common == 1
+    assert got.mn_jaccard == 1.0
+    assert got.ms_jaccard == 1.0
+    assert got.ns_jaccard == 1.0
