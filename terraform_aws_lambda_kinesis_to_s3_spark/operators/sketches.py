@@ -149,14 +149,35 @@ def hll_distinct(
     Returns ``group_cols + [hll_est]`` (rounded to 2 decimals).
     """
     reg, rank = hll_register_rank(F.col(value_col))
-    m = HLL_M
     per_reg = (
         df.select(*group_cols, reg.alias("__reg"), rank.alias("__rank"))
         .groupBy(*group_cols, "__reg")
         .agg(F.max("__rank").alias("__mrank"))
     )
+    return hll_estimate_from_registers(per_reg, group_cols)
+
+
+def hll_estimate_from_registers(
+    per_reg: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Estimate from a (group_cols..., __reg, __mrank) max-rank register
+    table — the combine step of ``hll_distinct``, exposed so STORED
+    registers can be re-estimated: the streaming monitor
+    (streaming/sketches.py) persists per-batch partial registers and
+    max-merges them here, which is exactly how a 1000-executor cluster
+    merges per-partition sketches.  Same exact-integer harmonic sum and
+    both correction branches as ``hll_distinct`` (this IS that code,
+    factored out)."""
+    group_cols = group_cols or []
+    m = HLL_M
     two53 = F.lit(1 << 53).cast("long")
-    agg = per_reg.groupBy(*group_cols).agg(
+    # max-merge first: partials may carry the same register several
+    # times (one row per micro-batch / per partition); max is
+    # idempotent, so already-merged input passes through unchanged
+    merged = per_reg.groupBy(*group_cols, "__reg").agg(
+        F.max("__mrank").alias("__mrank")
+    )
+    agg = merged.groupBy(*group_cols).agg(
         F.sum(
             # 2^(53 - rank) as an exact long (pow is exact for e <= 53)
             F.pow(F.lit(2.0), F.lit(53) - F.col("__mrank")).cast("long")
