@@ -337,6 +337,7 @@ HEADLINE = [
     "outlier_method_agreement",
     "curriculum_schedule",
     "dedup_method_agreement",
+    "salting_effectiveness_eval",
 ]
 
 #: Registry queries deliberately NOT benched, each with the reason —

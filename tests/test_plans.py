@@ -85,6 +85,8 @@ BNLJ_OK = {
     "outlier_method_agreement",
     # 1-row tertile-cut broadcast (exact percentile, no ntile window)
     "curriculum_schedule",
+    # three 1-row partition-load maxima / totals cross-joined (eval)
+    "salting_effectiveness_eval",
     # 1-row probe-count broadcast (the recall denominator)
     "mrl_truncation_eval",
     # 1-row corpus max-orderdate anchor broadcast (recency origin)
