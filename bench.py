@@ -338,6 +338,7 @@ HEADLINE = [
     "curriculum_schedule",
     "dedup_method_agreement",
     "salting_effectiveness_eval",
+    "hash_embedding_fidelity_eval",
 ]
 
 #: Registry queries deliberately NOT benched, each with the reason —

