@@ -339,6 +339,7 @@ HEADLINE = [
     "dedup_method_agreement",
     "salting_effectiveness_eval",
     "hash_embedding_fidelity_eval",
+    "hash_dim_fidelity_sweep",
 ]
 
 #: Registry queries deliberately NOT benched, each with the reason —

