@@ -340,6 +340,10 @@ HEADLINE = [
     "salting_effectiveness_eval",
     "hash_embedding_fidelity_eval",
     "hash_dim_fidelity_sweep",
+    # round-5c storage-layout / distributed-sketch / retrieval evals
+    "zonemap_pruning_eval",
+    "topk_shard_merge_eval",
+    "ndcg_retrieval_eval",
 ]
 
 #: Registry queries deliberately NOT benched, each with the reason —

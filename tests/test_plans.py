@@ -191,6 +191,15 @@ BNLJ_OK = {
     "revenue_theil_decomposition",
     # 1-row (lo, hi) range + (v_total, m_total) totals broadcasts
     "oov_vs_vocab_curve",
+    # 3-row predicate grid broadcast against the bounded day census and
+    # the 64-row zone-map census (closed-form file arithmetic)
+    "zonemap_pruning_eval",
+    # 8-row per-shard threshold table broadcast against the 10-row
+    # exact-truth side (the merge-bound audit grain)
+    "topk_shard_merge_eval",
+    # 1-row corpus stats broadcast + 10-position grid against the
+    # bounded per-query grade histogram (the IDCG arithmetic)
+    "ndcg_retrieval_eval",
 }
 
 
