@@ -344,6 +344,10 @@ HEADLINE = [
     "zonemap_pruning_eval",
     "topk_shard_merge_eval",
     "ndcg_retrieval_eval",
+    "fleiss_kappa_raters",
+    "contribution_cap_eval",
+    "bloom_fpr_eval",
+    "cv_fold_balance",
 ]
 
 #: Registry queries deliberately NOT benched, each with the reason —

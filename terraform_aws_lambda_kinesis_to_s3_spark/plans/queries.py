@@ -16444,6 +16444,387 @@ FROM dcg d JOIN idcg i ON i.qid = d.qid
 """
 
 
+def q_fleiss_kappa_raters(spark, sf):
+    """Fleiss' kappa (1971) across THREE independent binary quality
+    raters — length (>= 55 words), stopword density (<= 0.06), and
+    chars-per-word (>= 5.8) — the multi-rater generalization of
+    quality_rater_kappa's Cohen pair.  Per-item agreement P_i counts
+    agreeing rater pairs out of C(3,2); chance agreement uses the
+    pooled positive rate.  Readout at sf0.01: kappa = -0.136 — the
+    three signals agree LESS than chance, the honest reading that
+    they measure genuinely different things and a quality gate should
+    treat them as independent axes, not redundant votes.
+
+    100 TB shape: map-only per-doc rating (split/filter/size, all
+    JVM), one 1-row sufficient-statistic reduce, closed-form kappa."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    wc = F.size(toks)
+    sw = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    n_pos = (
+        F.when(wc >= 55, 1).otherwise(0)
+        + F.when((sw.cast("double") / wc) <= 0.06, 1).otherwise(0)
+        + F.when((F.col("n_chars") / wc.cast("double")) >= 5.8, 1).otherwise(0)
+    )
+    agg = d.select(n_pos.alias("np")).agg(
+        F.count("*").cast("double").alias("n"),
+        (
+            F.sum(
+                F.col("np") * (F.col("np") - 1)
+                + (3 - F.col("np")) * (2 - F.col("np"))
+            )
+            / 6.0
+        ).alias("sum_p"),
+        F.sum("np").alias("tot_pos"),
+    )
+    p1 = F.col("tot_pos") / (F.col("n") * 3)
+    pe = F.pow(p1, 2) + F.pow(1 - p1, 2)
+    pbar = F.col("sum_p") / F.col("n")
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(pbar, 6).cast("double").alias("observed_pbar"),
+        F.round(p1, 6).cast("double").alias("p_positive"),
+        F.round((pbar - pe) / (1 - pe), 6).cast("double").alias("fleiss_kappa"),
+    )
+
+
+SQL_FLEISS_KAPPA_RATERS = """
+WITH rated AS (
+  SELECT CASE WHEN len(string_split(text,' ')) >= 55 THEN 1 ELSE 0 END
+       + CASE WHEN len(list_filter(string_split(text,' '),
+                       x -> x IN ('the','a')))
+              / CAST(len(string_split(text,' ')) AS DOUBLE) <= 0.06
+         THEN 1 ELSE 0 END
+       + CASE WHEN n_chars / CAST(len(string_split(text,' ')) AS DOUBLE)
+              >= 5.8 THEN 1 ELSE 0 END AS n_pos
+  FROM documents),
+agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(n_pos * (n_pos - 1) + (3 - n_pos) * (2 - n_pos)) / 6.0 AS sum_p,
+         SUM(n_pos) AS tot_pos
+  FROM rated)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(ROUND(sum_p / n, 6) AS DOUBLE) AS observed_pbar,
+       CAST(ROUND(tot_pos / (n * 3), 6) AS DOUBLE) AS p_positive,
+       CAST(ROUND((sum_p/n - (POW(tot_pos/(n*3),2) + POW(1 - tot_pos/(n*3),2)))
+             / (1 - (POW(tot_pos/(n*3),2) + POW(1 - tot_pos/(n*3),2))), 6)
+         AS DOUBLE) AS fleiss_kappa
+FROM agg
+"""
+
+
+CONTRIB_CAPS = (1, 4, 16)
+
+
+def q_contribution_cap_eval(spark, sf):
+    """What bounding per-user contribution COSTS, measured before any
+    DP noise is added: cap each user at their first k events
+    (k = 1/4/16, deterministic ts+event_id order) and read the kept
+    fraction plus the L1 distance between the capped and true
+    event-type distributions.  User-level DP needs bounded sensitivity
+    (the cap IS the sensitivity dp_noisy_counts scales its Laplace
+    noise by), and this row prices the bias side of that trade:
+    sf0.01 reads L1 0.187 at k=1 shrinking to 0.024 at k=16 — the
+    histogram barely moves once the cap clears typical activity.
+
+    100 TB shape: one per-user rank window (hash-partitioned on the
+    user key, never single-partition), ONE event-type-grain census
+    with all three caps as conditional sums, a 1-row total, and a
+    3-row explode — the fact table is scanned once."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = e.select("event_type", F.row_number().over(w).alias("rn"))
+    census = rn.groupBy("event_type").agg(
+        F.count("*").alias("true_c"),
+        *[
+            F.sum(F.when(F.col("rn") <= k, 1).otherwise(0)).alias(f"c{k}")
+            for k in CONTRIB_CAPS
+        ],
+    )
+    tot = census.agg(
+        F.sum("true_c").alias("n"),
+        *[F.sum(f"c{k}").alias(f"n{k}") for k in CONTRIB_CAPS],
+    )
+    l1 = (
+        census.crossJoin(F.broadcast(tot))
+        .agg(
+            *[
+                F.sum(
+                    F.abs(
+                        F.col(f"c{k}") / F.col(f"n{k}").cast("double")
+                        - F.col("true_c") / F.col("n").cast("double")
+                    )
+                ).alias(f"l1_{k}")
+                for k in CONTRIB_CAPS
+            ]
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    rows = l1.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("cap"),
+                        F.col(f"n{k}").alias("kept_rows"),
+                        F.col(f"l1_{k}").alias("l1"),
+                        F.col("n").alias("n"),
+                    )
+                    for k in CONTRIB_CAPS
+                ]
+            )
+        ).alias("s")
+    )
+    return rows.select(
+        F.col("s.cap").cast("int").alias("cap"),
+        F.col("s.kept_rows").cast("long").alias("kept_rows"),
+        F.round(F.col("s.kept_rows") / F.col("s.n").cast("double"), 6)
+        .cast("double")
+        .alias("kept_frac"),
+        F.round(F.col("s.l1"), 6).cast("double").alias("type_dist_l1_bias"),
+    )
+
+
+SQL_CONTRIBUTION_CAP_EVAL = """
+WITH rn AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+census AS (
+  SELECT event_type, COUNT(*) AS true_c,
+         SUM(CASE WHEN rn <= 1 THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN rn <= 4 THEN 1 ELSE 0 END) AS c4,
+         SUM(CASE WHEN rn <= 16 THEN 1 ELSE 0 END) AS c16
+  FROM rn GROUP BY 1),
+tot AS (SELECT SUM(true_c) AS n, SUM(c1) AS n1, SUM(c4) AS n4,
+               SUM(c16) AS n16 FROM census),
+l1 AS (
+  SELECT SUM(ABS(c1/CAST(n1 AS DOUBLE) - true_c/CAST(n AS DOUBLE))) AS l1_1,
+         SUM(ABS(c4/CAST(n4 AS DOUBLE) - true_c/CAST(n AS DOUBLE))) AS l1_4,
+         SUM(ABS(c16/CAST(n16 AS DOUBLE) - true_c/CAST(n AS DOUBLE))) AS l1_16
+  FROM census CROSS JOIN tot)
+SELECT CAST(g.cap AS INTEGER) AS cap,
+       CAST(CASE g.cap WHEN 1 THEN n1 WHEN 4 THEN n4 ELSE n16 END AS BIGINT)
+         AS kept_rows,
+       CAST(ROUND((CASE g.cap WHEN 1 THEN n1 WHEN 4 THEN n4 ELSE n16 END)
+             / CAST(n AS DOUBLE), 6) AS DOUBLE) AS kept_frac,
+       CAST(ROUND(CASE g.cap WHEN 1 THEN l1_1 WHEN 4 THEN l1_4 ELSE l1_16 END,
+             6) AS DOUBLE) AS type_dist_l1_bias
+FROM tot CROSS JOIN l1 CROSS JOIN (VALUES (1),(4),(16)) g(cap)
+"""
+
+
+def q_bloom_fpr_eval(spark, sf):
+    """The capacity curve of the SHIPPED Bloom geometry (m=4096, k=3 —
+    bloom_semi_events' exact md5 position construction via
+    ``bloom_positions``), measured against theory: member sets of
+    ~313/1250/5000 even event-ids probed with 5000 disjoint odd ids.
+    Readout at sf0.01: measured FPR 0.0104 / 0.2102 / 0.9200 vs
+    theoretical 0.0086 / 0.2157 / 0.9250 — the knee where the 4 KB
+    filter stops filtering is now a pinned number, i.e. how many keys
+    the bloom semi-join can carry before the exact-join cleanup pass
+    does all the work.
+
+    100 TB shape: nested member variants tagged once (tag 0 ⊂ 1 ⊂ 2),
+    ONE position census carrying min_tag (so all three filters come
+    from one pass), probe verdicts via a position equi-join (never a
+    bitmask per variant), cumulative counts on the 3/4-row censuses.
+    Member count and probe count both scale; every post-census table
+    is O(m) or smaller."""
+    e = _t(spark, sf, "events")
+    ids = e.select("event_id").distinct()
+    members = ids.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("k"),
+        F.when((F.col("event_id") / 2).cast("long") % 16 == 0, 0)
+        .when((F.col("event_id") / 2).cast("long") % 4 == 0, 1)
+        .otherwise(2)
+        .alias("tag"),
+    )
+    probes = ids.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("k")
+    )
+    mpos = (
+        members.select(
+            "tag",
+            F.explode(F.array(*BL.bloom_positions(F.col("k")))).alias("p"),
+        )
+        .groupBy("p")
+        .agg(F.min("tag").alias("min_tag"))
+    )
+    ppos = probes.select(
+        "k", F.explode(F.array(*BL.bloom_positions(F.col("k")))).alias("p")
+    )
+    worst = (
+        ppos.join(mpos, "p", "left")
+        .groupBy("k")
+        .agg(F.max(F.coalesce(F.col("min_tag"), F.lit(3))).alias("w"))
+    )
+    grid = spark.range(0, 3).select(F.col("id").cast("int").alias("v"))
+    mem_c = members.groupBy("tag").agg(F.count("*").alias("nm"))
+    bit_c = mpos.groupBy("min_tag").agg(F.count("*").alias("nb"))
+    fp_c = worst.groupBy("w").agg(F.count("*").alias("nf"))
+    np_ = probes.agg(F.count("*").alias("n_probes"))
+    mem_v = (
+        grid.join(F.broadcast(mem_c), F.col("tag") <= F.col("v"))
+        .groupBy("v")
+        .agg(F.sum("nm").alias("n_members"))
+    )
+    bit_v = (
+        grid.join(F.broadcast(bit_c), F.col("min_tag") <= F.col("v"))
+        .groupBy("v")
+        .agg(F.sum("nb").alias("bits_set"))
+    )
+    fp_v = (
+        grid.join(F.broadcast(fp_c), F.col("w") <= F.col("v"), "left")
+        .groupBy("v")
+        .agg(F.coalesce(F.sum("nf"), F.lit(0)).alias("n_false_pos"))
+    )
+    j = (
+        mem_v.join(bit_v, "v")
+        .join(fp_v, "v")
+        .crossJoin(F.broadcast(np_))
+    )
+    theo = F.pow(
+        1
+        - F.pow(
+            F.lit(1.0) - 1.0 / BL.BLOOM_M,
+            F.lit(float(BL.BLOOM_K)) * F.col("n_members"),
+        ),
+        BL.BLOOM_K,
+    )
+    return j.select(
+        F.col("v").cast("int").alias("variant"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("bits_set").cast("long").alias("bits_set"),
+        F.round(F.col("bits_set") / float(BL.BLOOM_M), 6)
+        .cast("double")
+        .alias("fill_frac"),
+        F.col("n_probes").cast("long").alias("n_probes"),
+        F.col("n_false_pos").cast("long").alias("n_false_pos"),
+        F.round(F.col("n_false_pos") / F.col("n_probes").cast("double"), 6)
+        .cast("double")
+        .alias("measured_fpr"),
+        F.round(theo, 6).cast("double").alias("theoretical_fpr"),
+    )
+
+
+SQL_BLOOM_FPR_EVAL = """
+WITH ids AS (SELECT DISTINCT event_id FROM events),
+members AS (
+  SELECT event_id AS k,
+         CASE WHEN (event_id/2) % 16 = 0 THEN 0
+              WHEN (event_id/2) % 4 = 0 THEN 1 ELSE 2 END AS tag
+  FROM ids WHERE event_id % 2 = 0),
+probes AS (SELECT event_id AS k FROM ids WHERE event_id % 2 = 1),
+mpos AS (
+  SELECT CAST(('0x' || substr(md5('b' || j || '|' || CAST(k AS VARCHAR)),
+               1, 8)) AS BIGINT) % 4096 AS p,
+         MIN(tag) AS min_tag
+  FROM members CROSS JOIN (VALUES (0),(1),(2)) h(j)
+  GROUP BY 1),
+ppos AS (
+  SELECT k, CAST(('0x' || substr(md5('b' || j || '|' || CAST(k AS VARCHAR)),
+                  1, 8)) AS BIGINT) % 4096 AS p
+  FROM probes CROSS JOIN (VALUES (0),(1),(2)) h(j)),
+worst AS (
+  SELECT pp.k, MAX(COALESCE(mp.min_tag, 3)) AS w
+  FROM ppos pp LEFT JOIN mpos mp ON mp.p = pp.p
+  GROUP BY 1),
+grid AS (SELECT unnest(generate_series(0, 2)) AS v),
+mstat AS (
+  SELECT v,
+         (SELECT COUNT(*) FROM members WHERE tag <= v) AS n_members,
+         (SELECT COUNT(*) FROM mpos WHERE min_tag <= v) AS bits_set,
+         (SELECT COUNT(*) FROM probes) AS n_probes,
+         (SELECT COUNT(*) FROM worst WHERE w <= v) AS n_fp
+  FROM grid)
+SELECT CAST(v AS INTEGER) AS variant,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(bits_set AS BIGINT) AS bits_set,
+       CAST(ROUND(bits_set / 4096.0, 6) AS DOUBLE) AS fill_frac,
+       CAST(n_probes AS BIGINT) AS n_probes,
+       CAST(n_fp AS BIGINT) AS n_false_pos,
+       CAST(ROUND(n_fp / CAST(n_probes AS DOUBLE), 6) AS DOUBLE)
+         AS measured_fpr,
+       CAST(ROUND(POW(1 - POW(1 - 1.0/4096, 3.0 * n_members), 3), 6)
+         AS DOUBLE) AS theoretical_fpr
+FROM mstat
+"""
+
+
+def q_cv_fold_balance(spark, sf):
+    """Deterministic 5-fold cross-validation assignment (md5 of doc_id
+    mod 5 — reproducible on any engine, no RNG state) with the
+    per-fold label-balance audit that decides whether plain hashing is
+    good enough or stratification is needed: per (fold, lang) the
+    in-fold share vs the global share and their absolute deviation.
+    Readout at sf0.01: max deviation 0.078 on the smallest labels —
+    the number that justifies stratified_sample when per-label
+    metrics must be comparable across folds.
+
+    100 TB shape: map-only fold assignment, one (fold × label)-grain
+    census (25 cells), two tiny marginal reduces joined back, 1-row
+    total broadcast."""
+    d = _t(spark, sf, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 5
+    ).cast("int")
+    cell = (
+        d.select(fold.alias("fold"), "lang")
+        .groupBy("fold", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+    ft = cell.groupBy("fold").agg(F.sum("n").alias("fn"))
+    lt = cell.groupBy("lang").agg(F.sum("n").alias("ln"))
+    tot = cell.agg(F.sum("n").alias("nt"))
+    return (
+        cell.join(F.broadcast(ft), "fold")
+        .join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            F.round(F.col("n") / F.col("fn").cast("double"), 6)
+            .cast("double")
+            .alias("share_in_fold"),
+            F.round(F.col("ln") / F.col("nt").cast("double"), 6)
+            .cast("double")
+            .alias("global_share"),
+            F.round(
+                F.abs(
+                    F.col("n") / F.col("fn").cast("double")
+                    - F.col("ln") / F.col("nt").cast("double")
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("abs_dev"),
+        )
+    )
+
+
+SQL_CV_FOLD_BALANCE = """
+WITH folds AS (
+  SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 5 AS INTEGER) AS fold,
+         lang
+  FROM documents),
+cell AS (SELECT fold, lang, COUNT(*) AS n FROM folds GROUP BY 1, 2),
+ft AS (SELECT fold, SUM(n) AS fn FROM cell GROUP BY 1),
+lt AS (SELECT lang, SUM(n) AS ln FROM cell GROUP BY 1),
+tot AS (SELECT SUM(n) AS nt FROM cell)
+SELECT cell.fold, cell.lang, CAST(cell.n AS BIGINT) AS n_docs,
+       CAST(ROUND(cell.n / CAST(fn AS DOUBLE), 6) AS DOUBLE) AS share_in_fold,
+       CAST(ROUND(ln / CAST(nt AS DOUBLE), 6) AS DOUBLE) AS global_share,
+       CAST(ROUND(ABS(cell.n / CAST(fn AS DOUBLE) - ln / CAST(nt AS DOUBLE)),
+             6) AS DOUBLE) AS abs_dev
+FROM cell JOIN ft USING (fold) JOIN lt USING (lang) CROSS JOIN tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -16863,6 +17244,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_TOPK_SHARD_MERGE_EVAL,
     ),
     "ndcg_retrieval_eval": (q_ndcg_retrieval_eval, SQL_NDCG_RETRIEVAL_EVAL),
+    "fleiss_kappa_raters": (q_fleiss_kappa_raters, SQL_FLEISS_KAPPA_RATERS),
+    "contribution_cap_eval": (
+        q_contribution_cap_eval,
+        SQL_CONTRIBUTION_CAP_EVAL,
+    ),
+    "bloom_fpr_eval": (q_bloom_fpr_eval, SQL_BLOOM_FPR_EVAL),
+    "cv_fold_balance": (q_cv_fold_balance, SQL_CV_FOLD_BALANCE),
 }
 
 

@@ -4090,3 +4090,126 @@ def test_ndcg_is_one_when_ranking_matches_relevance(spark):
     assert r.qid == 1
     assert r.dcg == r.idcg
     assert r.ndcg == 1.0
+
+
+def test_fleiss_kappa_perfect_agreement(spark):
+    """Docs engineered so every rater votes the same way per doc (one
+    all-positive doc, one all-negative): P_i = 1 for every item, so
+    kappa == 1 despite mixed marginals."""
+    long_doc = " ".join(["wonderful"] * 60)  # 60 words, 0 stopwords, 9 cpw
+    short_doc = " ".join(["the"] * 20)  # 20 words, all stopwords, ~4 cpw
+    d = spark.createDataFrame(
+        [(1, long_doc, len(long_doc)), (2, short_doc, len(short_doc))],
+        "doc_id long, text string, n_chars long",
+    )
+
+    def run(Q):
+        return Q.q_fleiss_kappa_raters(spark, "x").collect()[0]
+
+    got = _with_tables({"documents": d}, run)
+    assert got.n_docs == 2
+    assert got.observed_pbar == 1.0
+    assert got.p_positive == 0.5
+    assert got.fleiss_kappa == 1.0
+
+
+def test_contribution_cap_known_histogram(spark):
+    """User 1: 20 type-A events; user 2: 2 type-B events.  Every cap's
+    kept counts and L1 bias must match hand arithmetic."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, t0 + datetime.timedelta(minutes=i), 1, "A") for i in range(20)]
+    rows += [
+        (100 + i, t0 + datetime.timedelta(minutes=i), 2, "B") for i in range(2)
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+    def run(Q):
+        return {r.cap: r for r in Q.q_contribution_cap_eval(spark, "x").collect()}
+
+    got = _with_tables({"events": e}, run)
+    n = 22.0
+
+    def l1(ca, cb):
+        tot = ca + cb
+        return round(abs(ca / tot - 20 / n) + abs(cb / tot - 2 / n), 6)
+
+    assert got[1].kept_rows == 2 and got[1].type_dist_l1_bias == l1(1, 1)
+    assert got[4].kept_rows == 6 and got[4].type_dist_l1_bias == l1(4, 2)
+    assert got[16].kept_rows == 18 and got[16].type_dist_l1_bias == l1(16, 2)
+    assert got[16].kept_frac == round(18 / n, 6)
+
+
+def test_bloom_fpr_matches_hashlib_mirror(spark):
+    """Tiny id universe: measured FPR must equal an exact hashlib
+    mirror of the md5 position model, and theoretical FPR must be
+    monotone in member count."""
+    import datetime
+    import hashlib
+
+    t0 = datetime.datetime(2024, 1, 1)
+    e = spark.createDataFrame(
+        [(i, t0, 1, "A") for i in range(256)],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+    def run(Q):
+        return sorted(
+            Q.q_bloom_fpr_eval(spark, "x").collect(), key=lambda r: r.variant
+        )
+
+    rows = _with_tables({"events": e}, run)
+
+    def pos(k):
+        return {
+            int(hashlib.md5(f"b{j}|{k}".encode()).hexdigest()[:8], 16) % 4096
+            for j in range(3)
+        }
+
+    members = {k: (0 if (k // 2) % 16 == 0 else 1 if (k // 2) % 4 == 0 else 2)
+               for k in range(0, 256, 2)}
+    probes = list(range(1, 256, 2))
+    for v, r in enumerate(rows):
+        mset = set()
+        for k, tag in members.items():
+            if tag <= v:
+                mset |= pos(k)
+        fp = sum(1 for k in probes if pos(k) <= mset)
+        assert r.n_members == sum(1 for t in members.values() if t <= v)
+        assert r.bits_set == len(mset)
+        assert r.n_probes == len(probes)
+        assert r.n_false_pos == fp
+    assert (
+        rows[0].theoretical_fpr
+        <= rows[1].theoretical_fpr
+        <= rows[2].theoretical_fpr
+    )
+
+
+def test_cv_fold_balance_mirror_and_shares(spark):
+    """Fold assignment must equal the md5 mirror; per-fold shares sum
+    to 1 and global shares are label-constant."""
+    import hashlib
+
+    docs = [(i, f"t{i}", "en" if i % 3 else "de", 5) for i in range(60)]
+    d = spark.createDataFrame(docs, "doc_id long, text string, lang string, n_chars long")
+
+    def run(Q):
+        return Q.q_cv_fold_balance(spark, "x").collect()
+
+    rows = _with_tables({"documents": d}, run)
+    mirror = {}
+    for i, _, lang, _ in docs:
+        f = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 5
+        mirror[(f, lang)] = mirror.get((f, lang), 0) + 1
+    assert {(r.fold, r.lang): r.n_docs for r in rows} == mirror
+    from collections import defaultdict
+
+    per_fold = defaultdict(float)
+    for r in rows:
+        per_fold[r.fold] += r.share_in_fold
+    for s in per_fold.values():
+        assert abs(s - 1.0) < 1e-9

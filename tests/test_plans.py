@@ -200,6 +200,13 @@ BNLJ_OK = {
     # 1-row corpus stats broadcast + 10-position grid against the
     # bounded per-query grade histogram (the IDCG arithmetic)
     "ndcg_retrieval_eval",
+    # 1-row cap totals broadcast into the type census + 3-row explode
+    "contribution_cap_eval",
+    # 3-row variant grid against the 3/4-row tag censuses + 1-row
+    # probe-count broadcast (the FPR denominators)
+    "bloom_fpr_eval",
+    # 1-row corpus-total broadcast (the global-share denominator)
+    "cv_fold_balance",
 }
 
 
