@@ -348,6 +348,10 @@ HEADLINE = [
     "contribution_cap_eval",
     "bloom_fpr_eval",
     "cv_fold_balance",
+    # round-5 snapshot batch, gated in round 6 (r5 verdict item 1)
+    "chao1_vocab_richness",
+    "isotonic_calibration",
+    "quantile_merge_eval",
 ]
 
 #: Registry queries deliberately NOT benched, each with the reason —

@@ -16841,13 +16841,19 @@ def q_chao1_vocab_richness(spark, sf):
     dedup pipeline already pays), one 1-row spectrum reduce — F1/F2
     are conditional sums, no second pass, no sort."""
     d = _t(spark, sf, "documents", parallelize=True)
-    ws = F.split(F.col("text"), " ")
+    # sequence(0, -1) DESCENDS in Spark, so a <3-word doc would emit
+    # null shingles through the greatest() bound — the null filter pins
+    # "short docs contribute no shingles" (= the oracle's
+    # generate_series semantics, which is empty for len < 3)
     sh = d.select(
         F.explode(
             F.expr(
-                "transform(sequence(0, greatest(size(split(text, ' ')) - 3, -1)),"
-                " i -> concat(split(text, ' ')[i], ' ',"
-                " split(text, ' ')[i+1], ' ', split(text, ' ')[i+2]))"
+                "filter(transform("
+                "sequence(0, greatest(size(split(text, ' ')) - 3, -1)),"
+                " i -> concat(get(split(text, ' '), i), ' ',"
+                " get(split(text, ' '), i+1), ' ',"
+                " get(split(text, ' '), i+2))),"
+                " x -> x is not null)"
             )
         ).alias("shingle")
     )

@@ -4213,3 +4213,102 @@ def test_cv_fold_balance_mirror_and_shares(spark):
         per_fold[r.fold] += r.share_in_fold
     for s in per_fold.values():
         assert abs(s - 1.0) < 1e-9
+
+
+def test_chao1_closed_form_and_short_doc_guard(spark):
+    """Chao1 on a hand-computable shingle spectrum: counts {"a b c": 2,
+    "b c d": 1, "x y z": 1} give V=3, N=4, F1=2, F2=1 ->
+    chao1 = 3 + 2*1/(2*2) = 3.5, coverage = 1 - 2/4 = 0.5.  The 2-word
+    doc must contribute NOTHING (sequence(0,-1) descends in Spark; the
+    null filter pins the oracle's empty-generate_series semantics)."""
+    d = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b c d"),
+            (3, "x y z"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def run(Q):
+        return Q.q_chao1_vocab_richness(spark, "x").collect()[0]
+
+    got = _with_tables({"documents": d}, run)
+    assert got.shingles_seen == 3
+    assert got.n_shingles == 4
+    assert got.singletons == 2
+    assert got.doubletons == 1
+    assert got.chao1_estimate == 3.5
+    assert got.goods_coverage == 0.5
+    assert got.unseen_multiplier == round(3.5 / 3, 4)
+
+
+def test_isotonic_pav_pools_hand_fixture(spark):
+    """PAV minimax on a 4-populated-bin fixture: raw rates
+    [1.0, 0.0, 0.5, 1.0] with weights [2, 2, 2, 1] must pool the
+    leading violation to 0.5 and pass the rest through ->
+    iso = [0.5, 0.5, 0.5, 1.0].  cpw is pinned directly via n_chars on
+    1-word docs (cpw = n_chars), so lo=0, hi=3 put the docs in bins
+    {0, 3, 6, 9} exactly; y=1 for the non-stopword doc, 0 for 'the'."""
+    rows = []
+
+    def doc(i, cpw, y):
+        rows.append((i, "zed" if y else "the", cpw))
+
+    doc(1, 0, 1)
+    doc(2, 0, 1)  # bin 0: rate 1.0
+    doc(3, 1, 0)
+    doc(4, 1, 0)  # bin 3: rate 0.0
+    doc(5, 2, 1)
+    doc(6, 2, 0)  # bin 6: rate 0.5
+    doc(7, 3, 1)  # bin 9: rate 1.0
+    d = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+
+    def run(Q):
+        return {
+            r.bin: r for r in Q.q_isotonic_calibration(spark, "x").collect()
+        }
+
+    got = _with_tables({"documents": d}, run)
+    assert set(got) == {0, 3, 6, 9}
+    assert [got[b].raw_rate for b in (0, 3, 6, 9)] == [1.0, 0.0, 0.5, 1.0]
+    assert [got[b].iso_rate for b in (0, 3, 6, 9)] == [0.5, 0.5, 0.5, 1.0]
+    assert [got[b].n_docs for b in (0, 3, 6, 9)] == [2, 2, 2, 1]
+
+
+def test_quantile_merge_rank_error_python_mirror(spark):
+    """values 1..64 (one per bucket by construction: the bin width
+    63/64 makes floor((v-1)*64/63) a bijection onto 0..63), 8 shards.
+    Every estimate and rank error must match a pure-Python mirror of
+    the interpolation arithmetic, and the shard-merged histogram must
+    equal the direct one (0 mismatched buckets)."""
+    import math
+
+    vals = list(range(1, 65))
+    e = spark.createDataFrame(
+        [(v - 1, float(v)) for v in vals], "event_id long, value double"
+    )
+
+    def run(Q):
+        return {
+            r.target_q: r
+            for r in Q.q_quantile_merge_eval(spark, "x").collect()
+        }
+
+    got = _with_tables({"events": e}, run)
+
+    def rha(x, nd):  # half-away-from-zero, matching F.round
+        return math.floor(x * 10**nd + 0.5) / 10**nd
+
+    lo, hi, n = 1.0, 64.0, 64.0
+    for q in (0.5, 0.9, 0.99):
+        # bucket b has before=b, c=1; the probe lands where b < q*n <= b+1
+        b = math.ceil(q * n) - 1
+        v_est = lo + (hi - lo) / 64 * (b + (q * n - b) / 1.0)
+        achieved = sum(1 for v in vals if v <= v_est) / n
+        r = got[q]
+        assert r.est_value == rha(v_est, 6)
+        assert r.achieved_rank == rha(achieved, 6)
+        assert r.rank_error == rha(abs(achieved - q), 6)
+        assert r.merge_mismatch_buckets == 0

@@ -207,6 +207,12 @@ BNLJ_OK = {
     "bloom_fpr_eval",
     # 1-row corpus-total broadcast (the global-share denominator)
     "cv_fold_balance",
+    # 1-row (lo, hi) range broadcast + three range joins on the
+    # 10-row bin census (the O(B^3) PAV minimax runs on B=10 rows)
+    "isotonic_calibration",
+    # 1-row range/total broadcast + 3-row quantile grid + 1-row
+    # mismatch count against the 64-row bucket census
+    "quantile_merge_eval",
 }
 
 
@@ -282,6 +288,8 @@ SP_SORT_OK = {
     # _equal_count_bins exact-ntile path (scale-gated; sf-test only —
     # same class as logreg_calibration)
     "brier_decomposition": 1,
+    # one bounded cumsum window over the 64-row merged histogram
+    "quantile_merge_eval": 1,
 }
 
 
