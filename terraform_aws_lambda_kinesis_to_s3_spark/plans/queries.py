@@ -2266,11 +2266,58 @@ FROM events GROUP BY 1
 
 
 def q_ivf_topk(spark, sf):
-    """IVF-probed approximate top-k (rows-only: recall<1 by design, so
-    no exact oracle; the exact baseline is embedding_cosine_topk)."""
+    """IVF-probed approximate top-k.  Recall<1 vs the exact baseline
+    (embedding_cosine_topk) by design — but the IVF RESULT itself is
+    fully deterministic given the label-mean centroids, so the oracle
+    mirrors the whole pipeline exactly: cell assignment (cosine argmax,
+    ties to the smaller label), nprobe=3 probe selection per query, and
+    exact re-scoring inside the probed cells (r5 verdict item 3)."""
     e = _t(spark, sf, "embeddings")
     cents = S.label_centroids(e)
     return S.ivf_topk(e, e.filter(F.col("vec_id") < 10), cents, k=5, nprobe=3)
+
+
+SQL_IVF_TOPK = """
+WITH comp AS (
+  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) t(i)),
+cents AS (
+  SELECT label AS centroid_label, i, AVG(x) AS m FROM comp GROUP BY 1, 2),
+vdots AS (
+  SELECT c.vec_id, ct.centroid_label,
+         SUM(c.x * ct.m) AS dot,
+         SQRT(SUM(c.x * c.x)) AS nv,
+         SQRT(SUM(ct.m * ct.m)) AS nc
+  FROM comp c JOIN cents ct ON c.i = ct.i
+  GROUP BY 1, 2),
+cells AS (
+  SELECT vec_id AS nn_id, centroid_label AS cell
+  FROM (SELECT vec_id, centroid_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot/(nv*nc) DESC, centroid_label) AS rn
+        FROM vdots) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, centroid_label AS cell
+  FROM (SELECT vec_id, centroid_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot/(nv*nc) DESC, centroid_label) AS rn
+        FROM vdots WHERE vec_id < 10) WHERE rn <= 3),
+scored AS (
+  SELECT p.query_id, c.nn_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(v.embedding AS DOUBLE[])) AS cos
+  FROM probes p
+  JOIN cells c ON c.cell = p.cell AND c.nn_id <> p.query_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings v ON v.vec_id = c.nn_id),
+ranked AS (
+  SELECT query_id, nn_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, nn_id) AS rank
+  FROM scored)
+SELECT query_id, nn_id, ROUND(cos, 4) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 def q_dedup_clusters(spark, sf):
@@ -2633,8 +2680,14 @@ GROUP BY 1, 2
 
 
 def q_schema_profile(spark, sf):
-    """Schema-drift profile over routed payloads (rows-only: Spark's
-    schema_of_variant string format is engine-specific)."""
+    """Schema-drift profile over routed payloads.  schema_of_variant's
+    string format is Spark-specific but DETERMINISTIC, and the payload
+    generator is known — so the oracle reconstructs the exact schema
+    strings independently: alphabetical key order, `time` present iff
+    event_id % 7 != 0, and value's DECIMAL(p,s) derived from the
+    trailing-zero-trimmed shortest decimal repr of the double (both
+    Java's Double.toString and DuckDB's VARCHAR cast are shortest
+    round-trip, so the reprs agree; r5 verdict item 3)."""
     from terraform_aws_lambda_kinesis_to_s3_spark.operators.envelope import (
         payload_schema_profile,
     )
@@ -2647,6 +2700,30 @@ def q_schema_profile(spark, sf):
     return payload_schema_profile(routed).select(
         "route", "payload_schema", "n_records"
     )
+
+
+SQL_SCHEMA_PROFILE = """
+WITH p AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN 'unknown' ELSE event_type END AS route,
+         event_id % 7 = 0 AS no_time,
+         CAST(value AS VARCHAR) AS v
+  FROM events),
+d AS (
+  SELECT route, no_time,
+         CASE WHEN strpos(v, '.') > 0
+              THEN rtrim(split_part(v, '.', 2), '0') ELSE '' END AS frac,
+         CASE WHEN split_part(v, '.', 1) = '0' THEN 0
+              ELSE len(split_part(v, '.', 1)) END AS int_digits
+  FROM p)
+SELECT route,
+       'OBJECT<log_id: STRING, log_type: STRING, ' ||
+       CASE WHEN no_time THEN '' ELSE 'time: STRING, ' END ||
+       'user_id: BIGINT, value: DECIMAL(' ||
+       CAST(GREATEST(int_digits + len(frac), 1) AS VARCHAR) || ',' ||
+       CAST(len(frac) AS VARCHAR) || ')>' AS payload_schema,
+       COUNT(*) AS n_records
+FROM d GROUP BY 1, 2
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -17393,9 +17470,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # iterative near-dup clustering (rows-only: iterative algorithm)
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     # approximate ANN (rows-only: recall<1 vs exact oracle by design)
-    "embedding_ivf_topk": (q_ivf_topk, None),
+    "embedding_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     # schema-drift monitor (rows-only: schema string format is engine-specific)
-    "pipeline_schema_profile": (q_schema_profile, None),
+    "pipeline_schema_profile": (q_schema_profile, SQL_SCHEMA_PROFILE),
     # multimodal (mapInPandas — no SQL oracle, rows-only check)
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     # retrieval scoring + corpus lexical statistics (round 4)
@@ -17594,14 +17671,23 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 #: Update this set each round from the new CORRECTNESS_r{N}.json.
 DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
+        "ab_test_welch",
+        "array_functions_suite",
+        "bigram_cond_prob",
         "bigram_interp_logprob",
+        "bitwise_functions_suite",
+        "bloom_semi_events",
+        "bm25_topk_docs",
         "bootstrap_ci_mean",
         "bpe_encode_tokens",
         "bpe_merge_step",
         "brand_number_extract",
+        "cdc_merge_upsert",
         "char_entropy",
         "chunk_dedup",
         "cms_heavy_hitters",
+        "column_profile_orders",
+        "conditional_functions_suite",
         "contamination_check",
         "corpus_curation",
         "corpus_datacard",
@@ -17614,6 +17700,8 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "customers_with_orders",
         "customers_without_orders",
         "dataset_split",
+        "date_functions_suite",
+        "dedup_clusters",
         "dedup_containment",
         "dedup_dup_groups",
         "dedup_exact_log_id",
@@ -17629,6 +17717,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "distinctive_terms_logodds",
         "doc_chunking",
         "doc_hash_embedding",
+        "domain_cap_sample",
         "dsir_importance",
         "dup_ngram_coverage",
         "embedding_centroid_assign",
@@ -17643,8 +17732,12 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "embedding_power_iteration",
         "embedding_pq_codes",
         "embedding_quantize",
+        "events_anomaly_mad",
         "events_asof_join",
+        "events_cohort_retention",
         "events_downsample_1h",
+        "events_ewma",
+        "events_funnel",
         "events_gap_fill",
         "events_moving_window",
         "events_quantile_sketch",
@@ -17653,18 +17746,29 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "events_sessionize",
         "events_sliding_window",
         "events_stats_profile",
+        "events_throttle_first",
         "events_tumbling_window",
         "events_value_histogram",
         "events_wau_stickiness",
         "events_winsorize",
+        "events_zorder_stats",
+        "events_zscore_outliers",
         "feature_matrix_at_label",
         "frequent_buyers",
         "global_shuffle_shards",
         "gopher_quality_flags",
+        "graph_pagerank_parts",
         "graph_triangle_degree_ordered",
+        "graph_triangle_parts",
+        "graph_triangle_parts_capped",
         "group_split_events",
         "grouping_sets_status_priority",
+        "hard_negatives",
+        "hll_distinct_users",
+        "incremental_agg_merge",
+        "incremental_dedup_check",
         "ivf_eval_recall",
+        "join_types_suite",
         "json_extract_props",
         "kmeans_lloyd_step",
         "kmv_distinct_users",
@@ -17674,14 +17778,21 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "logreg_auc",
         "logreg_calibration",
         "lsh_eval_pr",
+        "map_functions_suite",
         "market_basket_pairs",
+        "math_functions_suite",
         "minhash_eval_recall",
         "mixture_sample",
         "mrl_truncation_eval",
         "multimodal_audio_meta",
+        "multimodal_audio_pcm_stats",
+        "multimodal_features",
         "multimodal_image_dims",
+        "multimodal_meta_audit",
         "open_lineitem_backlog",
         "order_gap_days",
+        "ordered_string_agg",
+        "orders_yoy_growth",
         "padding_waste_stats",
         "part_fuzzy_name_pairs",
         "percentiles_by_priority",
@@ -17691,7 +17802,10 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "pipeline_unknown_routing",
         "pipeline_whitelist",
         "pivot_priority_by_status",
+        "pmi_collocations",
         "point_in_time_join",
+        "privacy_k_anonymity",
+        "privacy_l_diversity",
         "q10_returned_items",
         "q11_important_stock",
         "q12_priority_by_linestatus",
@@ -17715,7 +17829,10 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q8_market_share",
         "q9_product_type_profit",
         "quality_fasttext_score",
+        "quality_length_spearman",
         "quality_logreg_train",
+        "recursive_hierarchy",
+        "regex_functions_suite",
         "rollup_region_nation",
         "rrf_fusion",
         "running_order_total",
@@ -17726,7 +17843,9 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "sequence_packing",
         "set_ops_nations",
         "skipgram_negative_pairs",
+        "source_vocab_jaccard",
         "stratified_sample",
+        "string_functions_suite",
         "temperature_mixture_weights",
         "text_bpe_tokens",
         "text_edit_distance",
@@ -17743,12 +17862,17 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "time_split_events",
         "top_brands_by_revenue",
         "top_customers_per_nation",
+        "topk_per_type_salted",
+        "type_user_overlap",
         "unigram_logprob_score",
+        "unpivot_status_metrics",
+        "user_transition_matrix",
         "variant_props_stats",
         "vocab_growth_curve",
         "vocab_oov_rate",
         "weighted_avg_udaf",
         "weighted_doc_sample",
+        "window_functions_suite",
         "winnow_fingerprints",
         "winnow_overlap_pairs",
         "zipf_rank_slope",
@@ -17777,12 +17901,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 def _rotated_names() -> list[str]:
     """Registry names ordered so the driver's first-50 CORRECTNESS window
     lands on queries without a prior green driver row, highest-value first
-    (see DRIVER_PRIORITY)."""
+    (see DRIVER_PRIORITY).  Oracle-less entries (should any ever exist
+    again) sort LAST within the unverified backlog: they can only yield
+    `err: no_oracle` rows, so they must never consume a window slot
+    ahead of a verifiable query (r5 verdict item 3 — as of round 6 all
+    registry entries carry oracle SQL, so this is a guard, not a path)."""
     names = list(REGISTRY)
     front = ["pipeline_route"] + [n for n in DRIVER_PRIORITY if n in names]
     unverified = [
         n for n in names if n not in DRIVER_VERIFIED and n not in front
     ]
+    unverified.sort(key=lambda n: REGISTRY[n][1] is None)  # stable
     verified = [
         n for n in names if n in DRIVER_VERIFIED and n not in front
     ]
