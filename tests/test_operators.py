@@ -4312,3 +4312,53 @@ def test_quantile_merge_rank_error_python_mirror(spark):
         assert r.achieved_rank == rha(achieved, 6)
         assert r.rank_error == rha(abs(achieved - q), 6)
         assert r.merge_mismatch_buckets == 0
+
+
+def test_quantile_bucket_sweep_mirror_and_monotone(spark):
+    """All 9 (geometry, quantile) cells must match a pure-Python mirror
+    of the derive-from-256 binning + interpolation arithmetic, and the
+    worst-case rank error must be non-increasing in bucket count."""
+    import math
+
+    vals = [float(v) for v in range(1, 65)]
+    e = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "event_id long, value double"
+    )
+
+    def run(Q):
+        return {
+            (r.n_buckets, r.target_q): r
+            for r in Q.q_quantile_bucket_sweep(spark, "x").collect()
+        }
+
+    got = _with_tables({"events": e}, run)
+    assert len(got) == 9
+
+    def rha(x, nd):
+        return math.floor(x * 10**nd + 0.5) / 10**nd
+
+    lo, hi, n = 1.0, 64.0, 64.0
+    worst = {}
+    for nb in (16, 64, 256):
+        census = {}
+        for v in vals:
+            b256 = min(int(math.floor((v - lo) * 256 / (hi - lo))), 255)
+            b = int(math.floor(b256 / (256 / nb)))
+            census[b] = census.get(b, 0) + 1
+        for q in (0.5, 0.9, 0.99):
+            before = 0
+            for b in sorted(census):
+                c = census[b]
+                if before < q * n <= before + c:
+                    v_est = lo + (hi - lo) / nb * (
+                        b + (q * n - before) / c
+                    )
+                    break
+                before += c
+            achieved = sum(1 for v in vals if v <= v_est) / n
+            r = got[(nb, q)]
+            assert r.est_value == rha(v_est, 6)
+            assert r.achieved_rank == rha(achieved, 6)
+            assert r.rank_error == rha(abs(achieved - q), 6)
+            worst[nb] = max(worst.get(nb, 0.0), r.rank_error)
+    assert worst[16] >= worst[64] >= worst[256]

@@ -213,6 +213,9 @@ BNLJ_OK = {
     # 1-row range/total broadcast + 3-row quantile grid + 1-row
     # mismatch count against the 64-row bucket census
     "quantile_merge_eval",
+    # 1-row range broadcast + 3-row geometry/quantile grids + 9-row
+    # estimate broadcast against the <=256-row bucket census
+    "quantile_bucket_sweep",
 }
 
 

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Round-close gate: ONE command that proves the round may end.
+
+The r4 and r5 rounds both closed RED because registry entries were
+inserted AFTER the final full-suite run — real implementations with no
+tests, no bench entries, no COVERAGE/EXPLAINS rows and stale prose
+counts.  The builder's individual machine-checks all existed and all
+fired; what was missing was the habit of running them, in order, after
+the LAST change.  This tool is that habit (r5 verdict item 10):
+
+    python tools/round_close.py            # full gate (~20 min)
+    python tools/round_close.py --fast     # skip the pytest suite
+
+Order (each step must pass before the next runs):
+  1. registry bookkeeping  — prose counts, EXPLAINS coverage, bench
+     coverage (HEADLINE ∪ EXCLUDED == REGISTRY), every entry has
+     oracle SQL or a documented reason
+  2. pytest tests/ -q      — the full suite, collected fresh
+  3. summary               — ONE "ROUND CLOSE: PASS/FAIL" line to
+     stdout, ready to paste into NOTES_r{N}.md
+
+If step 1 fails there is no point paying for step 2; if anything
+fails, the round is NOT closed — fix and re-run.  A registry change
+after a PASS line invalidates it by definition: re-run the tool.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def bookkeeping() -> list[str]:
+    import bench
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import REGISTRY
+    from tools.verify_contract import check_explains_count, check_prose_counts
+
+    problems = check_prose_counts() + check_explains_count()
+
+    headline, excluded = set(bench.HEADLINE), set(bench.EXCLUDED)
+    if len(bench.HEADLINE) != len(headline):
+        problems.append("duplicate bench HEADLINE entry")
+    if headline & excluded:
+        problems.append(f"bench HEADLINE ∩ EXCLUDED: {sorted(headline & excluded)}")
+    uncovered = sorted(set(REGISTRY) - headline - excluded)
+    strays = sorted((headline | excluded) - set(REGISTRY))
+    if uncovered:
+        problems.append(f"registry queries not benched/excluded: {uncovered}")
+    if strays:
+        problems.append(f"bench names not in registry: {strays}")
+    if not all(bench.EXCLUDED.values()):
+        problems.append("bench EXCLUDED entry without a reason")
+
+    oracle_less = sorted(n for n, (_, sql) in REGISTRY.items() if sql is None)
+    if oracle_less:
+        problems.append(
+            f"registry entries without oracle SQL: {oracle_less} — write "
+            "the oracle or document why it is impossible"
+        )
+    return problems
+
+
+def main() -> int:
+    fast = "--fast" in sys.argv
+    t0 = time.time()
+
+    print("== step 1: registry bookkeeping ==")
+    problems = bookkeeping()
+    for p in problems:
+        print(f"  FAIL: {p}")
+    if problems:
+        print(f"\nROUND CLOSE: FAIL (bookkeeping, {len(problems)} problems)")
+        return 1
+    print("  ok")
+
+    if not fast:
+        print("== step 2: pytest tests/ -q (full suite) ==")
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=line"],
+            cwd=REPO,
+        )
+        if r.returncode != 0:
+            print("\nROUND CLOSE: FAIL (pytest)")
+            return 1
+    else:
+        print("== step 2: SKIPPED (--fast) — not a valid round close ==")
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import REGISTRY
+
+    dt = int(time.time() - t0)
+    tag = "PASS" if not fast else "PASS-FAST (suite skipped; rerun without --fast)"
+    print(
+        f"\nROUND CLOSE: {tag} — registry {len(REGISTRY)}, "
+        f"bookkeeping clean, {dt}s"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

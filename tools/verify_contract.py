@@ -71,7 +71,10 @@ def check_prose_counts() -> list[str]:
     # recorded final suite run.
     import glob
 
-    notes = sorted(glob.glob(os.path.join(repo, "NOTES_r*.md")))
+    notes = sorted(
+        glob.glob(os.path.join(repo, "NOTES_r*.md")),
+        key=lambda p: int(re.search(r"NOTES_r(\d+)", p).group(1)),
+    )
     if notes:
         newest = open(notes[-1]).read()
         for x in re.findall(r"final registry (\d+)", newest, re.IGNORECASE):
@@ -84,13 +87,42 @@ def check_prose_counts() -> list[str]:
     return problems
 
 
+def check_explains_count() -> list[str]:
+    """EXPLAINS.md must carry one plan section per registry query —
+    the file lagged the registry in r4 AND r5 despite 'can never lag
+    again' claims, so the invariant is now machine-checked (r5 verdict
+    item 6).  Regenerate with tools/gen_explains.py after the round's
+    LAST registry change."""
+    import re
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import REGISTRY
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "EXPLAINS.md")
+    if not os.path.exists(path):
+        return ["EXPLAINS.md missing"]
+    shown = set(re.findall(r"^## (\S+)$", open(path).read(), re.MULTILINE))
+    missing = sorted(set(REGISTRY) - shown)
+    stale = sorted(shown - set(REGISTRY))
+    problems = []
+    if missing:
+        problems.append(
+            f"EXPLAINS.md lags the registry by {len(missing)} plans: "
+            f"{missing[:5]}{'...' if len(missing) > 5 else ''} — run "
+            "tools/gen_explains.py"
+        )
+    if stale:
+        problems.append(f"EXPLAINS.md has non-registry sections: {stale[:5]}")
+    return problems
+
+
 def main() -> int:
     import duckdb
 
     import __spark_entry__ as m
     from terraform_aws_lambda_kinesis_to_s3_spark.session import get_spark
 
-    prose_problems = check_prose_counts()
+    prose_problems = check_prose_counts() + check_explains_count()
     for p in prose_problems:
         print(f"PROSE DRIFT: {p}")
 
