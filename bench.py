@@ -378,6 +378,9 @@ HEADLINE = [
     "quantile_merge_eval",
     # round-6: bucket-geometry sweep closing the quantile eval loop
     "quantile_bucket_sweep",
+    # round-6: near-dup leakage across the split + context-length census
+    "cross_split_contamination",
+    "context_length_plan",
 ]
 
 #: Registry queries deliberately NOT benched, each with the reason —

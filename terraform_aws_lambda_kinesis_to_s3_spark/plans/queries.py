@@ -17227,6 +17227,214 @@ FROM rank
 """
 
 
+def q_cross_split_contamination(spark, sf):
+    """Near-dup contamination ACROSS the train/val/test boundary — the
+    leakage `contamination_check` (exact 8-gram overlap) cannot see:
+    a test document whose near-duplicate sits in train inflates eval
+    scores without sharing a single exact 8-gram.  Reuses the shared
+    persisted MinHash-LSH pair stage (same (4,4) banding, same 0.05
+    verify threshold as dedup_minhash_lsh) and the SAME md5 80/10/10
+    split rule as dataset_split, so the readout prices the leakage the
+    shipped splitter actually produces.  Per eval split: distinct
+    contaminated docs, contamination rate, cross-pair count, max and
+    DECIMAL-summed mean jaccard of the leaking pairs (order-independent
+    cross-engine sum, the lsh_band_tuning trick).  Readout at sf0.01:
+    14.9% of test docs (7/47) and 3.5% of val docs (2/57) have a
+    near-dup in train at mean jaccard ~0.97 — the synthetic corpus's
+    injected twins land across the hash split exactly as they would in
+    a real crawl, and exact-overlap checking alone would have reported
+    a cleaner eval set than the one being trained against.
+
+    100 TB shape: the pair stage is the banded equi-join the dedup
+    pipeline already pays (never all-pairs); everything after is two
+    broadcast-size split-label joins on the pair table + an O(splits)
+    census.  Decontamination = anti-join train against the leaking
+    pair list — this row is the audit that says whether that pass is
+    needed."""
+    pairs = _minhash_verified_pairs(spark, sf)
+    d = _t(spark, sf, "documents")
+    b = _md5_bucket(F.col("doc_id"), 10)
+    split = (
+        F.when(b <= 7, F.lit("train"))
+        .when(b == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    s = d.select("doc_id", split.alias("split"))
+    sa = s.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = s.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    labeled = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    c1 = labeled.filter(
+        (F.col("split_b") == "train") & (F.col("split_a") != "train")
+    ).select(
+        F.col("doc_a").alias("doc"),
+        F.col("split_a").alias("split"),
+        "jaccard",
+    )
+    c2 = labeled.filter(
+        (F.col("split_a") == "train") & (F.col("split_b") != "train")
+    ).select(
+        F.col("doc_b").alias("doc"),
+        F.col("split_b").alias("split"),
+        "jaccard",
+    )
+    contam = c1.unionByName(c2)
+    per = contam.groupBy("split").agg(
+        F.countDistinct("doc").alias("n_contaminated"),
+        F.count("*").alias("n_cross_pairs"),
+        F.max("jaccard").alias("max_jaccard"),
+        (
+            F.sum(F.col("jaccard").cast("decimal(16,6)"))
+            / F.count("*")
+        )
+        .cast("double")
+        .alias("mean_j_raw"),
+    )
+    totals = s.filter(F.col("split") != "train").groupBy("split").agg(
+        F.count("*").alias("n_docs")
+    )
+    return totals.join(per, "split", "left").select(
+        "split",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.coalesce(F.col("n_contaminated"), F.lit(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.round(
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            / F.col("n_docs").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("contamination_rate"),
+        F.coalesce(F.col("n_cross_pairs"), F.lit(0))
+        .cast("long")
+        .alias("n_cross_pairs"),
+        F.round("max_jaccard", 6).cast("double").alias("max_jaccard"),
+        F.round("mean_j_raw", 6).cast("double").alias("mean_jaccard"),
+    )
+
+
+SQL_CROSS_SPLIT_CONTAMINATION = f"""
+WITH lsh_pairs AS ({SQL_MINHASH_LSH}),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS UBIGINT) % 10 AS b
+        FROM documents)),
+labeled AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard, a.split AS split_a, b.split AS split_b
+  FROM lsh_pairs p
+  JOIN splits a ON a.doc_id = p.doc_a
+  JOIN splits b ON b.doc_id = p.doc_b),
+contam AS (
+  SELECT doc_a AS doc, split_a AS split, jaccard FROM labeled
+  WHERE split_b = 'train' AND split_a <> 'train'
+  UNION ALL
+  SELECT doc_b, split_b, jaccard FROM labeled
+  WHERE split_a = 'train' AND split_b <> 'train'),
+per AS (
+  SELECT split, COUNT(DISTINCT doc) AS n_contaminated,
+         COUNT(*) AS n_cross_pairs,
+         MAX(jaccard) AS max_jaccard,
+         CAST(SUM(CAST(jaccard AS DECIMAL(16,6))) / COUNT(*) AS DOUBLE)
+           AS mean_j_raw
+  FROM contam GROUP BY 1),
+totals AS (
+  SELECT split, COUNT(*) AS n_docs FROM splits
+  WHERE split <> 'train' GROUP BY 1)
+SELECT t.split, CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(p.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CAST(ROUND(COALESCE(p.n_contaminated, 0)
+                  / CAST(t.n_docs AS DOUBLE), 6) AS DOUBLE)
+         AS contamination_rate,
+       CAST(COALESCE(p.n_cross_pairs, 0) AS BIGINT) AS n_cross_pairs,
+       CAST(ROUND(p.max_jaccard, 6) AS DOUBLE) AS max_jaccard,
+       CAST(ROUND(p.mean_j_raw, 6) AS DOUBLE) AS mean_jaccard
+FROM totals t LEFT JOIN per p ON p.split = t.split
+"""
+
+
+CONTEXT_PLAN_LS = (32, 64, 96)
+
+
+def q_context_length_plan(spark, sf):
+    """Context-length planning census: for max_seq_len in {32, 64, 96}
+    tokens, what fraction of documents would be truncated and what
+    token mass is lost?  The complement of padding_waste_stats (which
+    prices SHORT docs under a fixed length) and sequence_packing
+    (which reclaims the padding): this row prices the LONG tail before
+    anyone picks the training context.  Readout at sf0.01 (p50=56,
+    p90=88 whitespace tokens): L=32 truncates 73.6% of docs and drops
+    45.7% of token mass, L=64 truncates 38.8%/11.9%, L=96 truncates
+    2.0%/0.06% — the corpus wants a 96-token context; 64 silently
+    deletes an eighth of the token mass.
+
+    100 TB shape: ONE map-only census — every cap is a conditional
+    sum in the same aggregate (the contribution_cap_eval trick), the
+    3-row reshape is a stack() on the 1-row result; all ratios are
+    exact-integer sums with one final double division, so both engines
+    agree bit-for-bit."""
+    d = _t(spark, sf, "documents")
+    n = F.size(F.split("text", " "))
+    base = d.select(n.alias("n"))
+    agg = base.agg(
+        F.count("*").alias("docs"),
+        F.sum("n").alias("toks"),
+        *[
+            F.sum((F.col("n") > L).cast("long")).alias(f"over_{L}")
+            for L in CONTEXT_PLAN_LS
+        ],
+        *[
+            F.sum(F.least(F.col("n"), F.lit(L))).alias(f"kept_{L}")
+            for L in CONTEXT_PLAN_LS
+        ],
+    )
+    stack = "stack(3, " + ", ".join(
+        f"{L}, over_{L}, kept_{L}" for L in CONTEXT_PLAN_LS
+    ) + ") as (max_len, docs_truncated, tokens_kept)"
+    return agg.select("docs", "toks", F.expr(stack)).select(
+        F.col("max_len").cast("int").alias("max_len"),
+        F.col("docs_truncated").cast("long").alias("docs_truncated"),
+        F.round(
+            F.col("docs_truncated") / F.col("docs").cast("double"), 6
+        )
+        .cast("double")
+        .alias("frac_docs_truncated"),
+        F.col("tokens_kept").cast("long").alias("tokens_kept"),
+        F.round(
+            1 - F.col("tokens_kept") / F.col("toks").cast("double"), 6
+        )
+        .cast("double")
+        .alias("token_mass_lost"),
+    )
+
+
+SQL_CONTEXT_LENGTH_PLAN = """
+WITH t AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+per AS (
+  SELECT L.l,
+         SUM(CASE WHEN n > L.l THEN 1 ELSE 0 END) AS over_l,
+         SUM(LEAST(n, L.l)) AS kept
+  FROM t CROSS JOIN (VALUES (32),(64),(96)) L(l)
+  GROUP BY 1),
+tot AS (SELECT COUNT(*) AS docs, SUM(n) AS toks FROM t)
+SELECT CAST(l AS INT) AS max_len,
+       CAST(over_l AS BIGINT) AS docs_truncated,
+       CAST(ROUND(over_l / CAST(docs AS DOUBLE), 6) AS DOUBLE)
+         AS frac_docs_truncated,
+       CAST(kept AS BIGINT) AS tokens_kept,
+       CAST(ROUND(1 - kept / CAST(toks AS DOUBLE), 6) AS DOUBLE)
+         AS token_mass_lost
+FROM per CROSS JOIN tot
+"""
+
+
 QUANTILE_SWEEP_BS = (16, 64, 256)
 
 
@@ -17821,6 +18029,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_quantile_bucket_sweep,
         SQL_QUANTILE_BUCKET_SWEEP,
     ),
+    "cross_split_contamination": (
+        q_cross_split_contamination,
+        SQL_CROSS_SPLIT_CONTAMINATION,
+    ),
+    "context_length_plan": (q_context_length_plan, SQL_CONTEXT_LENGTH_PLAN),
 }
 
 

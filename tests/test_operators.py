@@ -4362,3 +4362,91 @@ def test_quantile_bucket_sweep_mirror_and_monotone(spark):
             assert r.rank_error == rha(abs(achieved - q), 6)
             worst[nb] = max(worst.get(nb, 0.0), r.rank_error)
     assert worst[16] >= worst[64] >= worst[256]
+
+
+def test_cross_split_contamination_twin_fixture(spark):
+    """Hand-placed twins: pick doc_ids whose md5 buckets land one copy
+    in train and one in test/val, give them identical text (jaccard
+    1.0), plus unique-text docs in every split that must NOT count.
+    The readout must be exactly the planted leakage."""
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 10
+
+    train_ids = [i for i in range(200) if bucket(i) <= 7]
+    val_ids = [i for i in range(200) if bucket(i) == 8]
+    test_ids = [i for i in range(200) if bucket(i) == 9]
+    assert len(val_ids) >= 3 and len(test_ids) >= 3
+
+    twin_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    twin_b = "north south east west up down left right front back"
+    docs = []
+    # one train/test twin pair, one train/val NEAR-dup pair —
+    # disjoint vocabularies so the two groups cannot cross-pair
+    docs.append((train_ids[0], twin_a))
+    docs.append((test_ids[0], twin_a))
+    docs.append((train_ids[1], twin_b))
+    docs.append((val_ids[0], twin_b + " center"))  # near-dup, J = 8/9
+    # unique fillers in every split (no shared shingles)
+    fillers = [
+        (train_ids[2], "one two three four five six seven eight nine ten"),
+        (val_ids[1], "red orange yellow green blue indigo violet pink brown black"),
+        (test_ids[1], "cat dog bird fish horse cow sheep goat duck hen"),
+    ]
+    docs += fillers
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def run(Q):
+        Q._LSH_PAIRS_CACHE.clear()
+        try:
+            return {
+                r.split: r
+                for r in Q.q_cross_split_contamination(spark, "twin-fx").collect()
+            }
+        finally:
+            Q._LSH_PAIRS_CACHE.clear()
+
+    got = _with_tables({"documents": d}, run)
+    assert set(got) == {"val", "test"}
+    assert got["test"].n_docs == 2 and got["val"].n_docs == 2
+    assert got["test"].n_contaminated == 1
+    assert got["val"].n_contaminated == 1
+    assert got["test"].contamination_rate == 0.5
+    assert got["test"].max_jaccard == 1.0  # identical twins
+    # the near-dup val pair: 8 of the twin's shingles in a 9-shingle doc
+    assert got["val"].max_jaccard == round(8 / 9, 6)
+    assert got["test"].n_cross_pairs == 1 and got["val"].n_cross_pairs == 1
+
+
+def test_context_length_plan_hand_counts(spark):
+    """Token counts {5, 40, 70, 100}: every cell of the 3-geometry
+    census is hand-computable."""
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    d = spark.createDataFrame(
+        [(1, words(5)), (2, words(40)), (3, words(70)), (4, words(100))],
+        "doc_id long, text string",
+    )
+
+    def run(Q):
+        return {
+            r.max_len: r
+            for r in Q.q_context_length_plan(spark, "x").collect()
+        }
+
+    got = _with_tables({"documents": d}, run)
+    toks = 5 + 40 + 70 + 100  # 215
+    # L=32: docs over = 3; kept = 5+32+32+32 = 101
+    assert got[32].docs_truncated == 3
+    assert got[32].tokens_kept == 101
+    assert got[32].frac_docs_truncated == 0.75
+    assert got[32].token_mass_lost == round(1 - 101 / toks, 6)
+    # L=64: over = 2; kept = 5+40+64+64 = 173
+    assert got[64].docs_truncated == 2
+    assert got[64].tokens_kept == 173
+    # L=96: over = 1; kept = 5+40+70+96 = 211
+    assert got[96].docs_truncated == 1
+    assert got[96].tokens_kept == 211
+    assert got[96].token_mass_lost == round(1 - 211 / toks, 6)
