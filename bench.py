@@ -381,6 +381,7 @@ HEADLINE = [
     # round-6: near-dup leakage across the split + context-length census
     "cross_split_contamination",
     "context_length_plan",
+    "dedup_source_flow",
 ]
 
 #: Registry queries deliberately NOT benched, each with the reason —

@@ -17360,6 +17360,91 @@ FROM totals t LEFT JOIN per p ON p.split = t.split
 """
 
 
+def q_dedup_source_flow(spark, sf):
+    """Dedup provenance: the source x source near-dup flow matrix —
+    which sources duplicate WHOM.  Diagonal cells are intra-source
+    duplication (a crawler re-fetching itself), off-diagonal cells are
+    cross-source copying (mirrors, scrapers, syndication) — the number
+    that decides whether dedup can run per-source (cheap, partitioned)
+    or must run globally.  Reuses the shared persisted MinHash-LSH
+    pair stage; source pairs are normalized unordered (least/greatest)
+    so each flow is one cell.  Per cell: pair count, strong-pair count
+    (J >= 0.5), max + DECIMAL-summed mean jaccard.  Readout at sf0.01:
+    22 of 23 flow cells are OFF-diagonal (cross-source) at jaccard
+    0.93-0.99 — the injected twins land across source boundaries, so
+    per-source dedup would catch almost NOTHING of this corpus's
+    near-dup mass; dedup must run globally.  That is exactly the
+    go/no-go this row exists to answer (a syndication-heavy crawl
+    looks like this; a re-fetch-heavy one is diagonal).
+
+    100 TB shape: the banded pair join is already paid and shared;
+    labeling is two broadcast-size joins against the (doc_id, source)
+    projection; the flow matrix itself is an O(sources^2) census."""
+    pairs = _minhash_verified_pairs(spark, sf)
+    d = _t(spark, sf, "documents")
+    s = d.select("doc_id", "source")
+    labeled = pairs.join(
+        s.select(
+            F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a")
+        ),
+        "doc_a",
+    ).join(
+        s.select(
+            F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b")
+        ),
+        "doc_b",
+    )
+    return (
+        labeled.groupBy(
+            F.least("source_a", "source_b").alias("src_lo"),
+            F.greatest("source_a", "source_b").alias("src_hi"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum((F.col("jaccard") >= 0.5).cast("long")).alias(
+                "n_strong_pairs"
+            ),
+            F.round(F.max("jaccard"), 6).cast("double").alias("max_jaccard"),
+            F.round(
+                (
+                    F.sum(F.col("jaccard").cast("decimal(16,6)"))
+                    / F.count("*")
+                ).cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("mean_jaccard"),
+        )
+        .select(
+            "src_lo",
+            "src_hi",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_strong_pairs").cast("long").alias("n_strong_pairs"),
+            "max_jaccard",
+            "mean_jaccard",
+        )
+    )
+
+
+SQL_DEDUP_SOURCE_FLOW = f"""
+WITH lsh_pairs AS ({SQL_MINHASH_LSH}),
+labeled AS (
+  SELECT p.jaccard, a.source AS source_a, b.source AS source_b
+  FROM lsh_pairs p
+  JOIN documents a ON a.doc_id = p.doc_a
+  JOIN documents b ON b.doc_id = p.doc_b)
+SELECT LEAST(source_a, source_b) AS src_lo,
+       GREATEST(source_a, source_b) AS src_hi,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_strong_pairs,
+       CAST(ROUND(MAX(jaccard), 6) AS DOUBLE) AS max_jaccard,
+       CAST(ROUND(CAST(SUM(CAST(jaccard AS DECIMAL(16,6))) / COUNT(*)
+                       AS DOUBLE), 6) AS DOUBLE) AS mean_jaccard
+FROM labeled GROUP BY 1, 2
+"""
+
+
 CONTEXT_PLAN_LS = (32, 64, 96)
 
 
@@ -18034,6 +18119,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_CROSS_SPLIT_CONTAMINATION,
     ),
     "context_length_plan": (q_context_length_plan, SQL_CONTEXT_LENGTH_PLAN),
+    "dedup_source_flow": (q_dedup_source_flow, SQL_DEDUP_SOURCE_FLOW),
 }
 
 

@@ -1,0 +1,181 @@
+"""Streaming heavy-hitters monitor: per-batch top-K summaries with
+Misra-Gries-style thresholds, merged on read — the streaming
+counterpart of the batch ``topk_shard_merge_eval``, for the feed where
+"who are the top users and HOW SURE are we" must be answerable after
+every batch without keeping a full per-key census forever.
+
+Dataflow per micro-batch (foreachBatch):
+
+    batch ── per-key census, keep top K' + threshold ──>
+                                 summaries/run=<t>/batch=N
+                     │
+                     └─ read all summaries ─ merge ─ bound-checked
+                        top-10 ─ append to metrics
+
+Merge math (identical to the batch eval, streamed): a key absent from
+batch b's summary had at most ``thr_b`` occurrences there, so
+
+    lower(key) = Σ_b present  c_b(key)
+    upper(key) = lower(key) + Σ_b thr_b − Σ_{b: key present} thr_b
+
+and the per-key error bound is upper − lower, CHECKED row by row in
+the tests against exact truth.  Each summary row carries its batch's
+``__thr`` and ``__n`` so the merge needs no side table — per-batch
+totals are recovered by a distinct over (batch, thr, n), O(batches)
+rows.
+
+State contract — alongside streaming/quantiles.py on the replay
+ladder (both are count-state, unlike the HLL's max-state):
+
+- per-batch summaries land under ``run=<token>/batch=N``; a same-run
+  retried batch OVERWRITES its own summary (exactly-once for the
+  common at-least-once retry);
+- a replay from a fresh checkpoint appends a second copy of every
+  summary: absolute counts and absolute bounds DOUBLE, but the
+  top-k ORDERING, every frequency FRACTION (lower/total), and the
+  RELATIVE bound (bound/total) are exactly unchanged — uniform
+  scaling cancels in every ratio.  Pinned by
+  tests/test_streaming_heavyhitters.py::test_streaming_replay_ranking_invariant.
+- state size is O(K' x batches) per run regardless of key cardinality
+  — the 1000-executor story and the laptop story are the same plan:
+  one per-batch census (the shuffle the batch query would pay anyway)
+  truncated to K' rows + one threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_s3_spark.streaming.ingest import (
+    _hadoop_path_exists,
+)
+
+SUMMARY_K = 20
+
+
+def hh_partial(
+    batch_df: DataFrame, key_col: str = "user_id", k: int = SUMMARY_K
+) -> DataFrame:
+    """Map a micro-batch to its top-``k`` summary: (``__key``, ``__c``)
+    for the k most frequent keys (count desc, key asc ties) plus the
+    per-batch ``__thr`` (max count EXCLUDED — 0 when nothing is) and
+    ``__n`` (batch row total) on every row."""
+    census = (
+        batch_df.select(F.col(key_col).alias("__key"))
+        .groupBy("__key")
+        .agg(F.count("*").alias("__c"))
+    )
+    w = Window.orderBy(F.col("__c").desc(), F.col("__key").asc())
+    ranked = census.withColumn("__rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("__rn") <= k).drop("__rn")
+    thr = (
+        ranked.filter(F.col("__rn") > k)
+        .agg(F.coalesce(F.max("__c"), F.lit(0)).alias("__thr"))
+    )
+    n = census.agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"))
+    return kept.crossJoin(F.broadcast(thr)).crossJoin(F.broadcast(n))
+
+
+def hh_merged_topk(
+    summaries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Bound-checked top-``k`` from any pile of per-batch summaries.
+
+    Requires a ``__batch`` column distinguishing the piles (the monitor
+    writes one summary per run/batch path and stamps it).  Returns
+    (key, est_count, upper_count, error_bound, est_frac, bound_frac)
+    ordered by est_count desc, key asc."""
+    per_batch = summaries.select("__batch", "__thr", "__n").distinct()
+    totals = per_batch.agg(
+        F.sum("__thr").alias("__thr_total"),
+        F.sum("__n").cast("double").alias("__mass"),
+    )
+    merged = summaries.groupBy("__key").agg(
+        F.sum("__c").alias("__lower"),
+        F.sum("__thr").alias("__thr_present"),
+    )
+    w = Window.orderBy(F.col("__lower").desc(), F.col("__key").asc())
+    return (
+        merged.crossJoin(F.broadcast(totals))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("__key").alias("key"),
+            F.col("__lower").cast("long").alias("est_count"),
+            (F.col("__lower") + F.col("__thr_total") - F.col("__thr_present"))
+            .cast("long")
+            .alias("upper_count"),
+            (F.col("__thr_total") - F.col("__thr_present"))
+            .cast("long")
+            .alias("error_bound"),
+            (F.col("__lower") / F.col("__mass")).alias("est_frac"),
+            (
+                (F.col("__thr_total") - F.col("__thr_present"))
+                / F.col("__mass")
+            ).alias("bound_frac"),
+            F.col("__rn").cast("int").alias("rank"),
+        )
+    )
+
+
+def run_heavyhitter_monitor(
+    event_stream: DataFrame,
+    summaries_path: str,
+    checkpoint: str,
+    metrics: list | None = None,
+    key_col: str = "user_id",
+    summary_k: int = SUMMARY_K,
+    top_k: int = 10,
+    available_now: bool = True,
+):
+    """Start the heavy-hitters monitor.  Returns the StreamingQuery.
+
+    ``metrics``: driver-side list; each micro-batch appends
+    ``{batch_id, topk: [(key, est_count, upper_count, est_frac,
+    bound_frac), ...]}`` AFTER the summary write."""
+    import uuid
+
+    run_token = uuid.uuid4().hex[:12]
+
+    def summary_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = hh_partial(batch_df, key_col, summary_k).withColumn(
+            "__batch", F.lit(f"{run_token}/{batch_id}")
+        )
+        subdir = f"run={run_token}/batch={batch_id}"
+        partial.write.mode("overwrite").parquet(f"{summaries_path}/{subdir}")
+        if metrics is None:
+            return
+        summaries = (
+            spark.read.option("recursiveFileLookup", "true").parquet(
+                summaries_path
+            )
+            if _hadoop_path_exists(spark, summaries_path)
+            else partial
+        )
+        rows = hh_merged_topk(summaries, top_k).collect()
+        metrics.append(
+            {
+                "batch_id": batch_id,
+                "topk": [
+                    (
+                        r.key,
+                        r.est_count,
+                        r.upper_count,
+                        r.est_frac,
+                        r.bound_frac,
+                    )
+                    for r in rows
+                ],
+            }
+        )
+
+    writer = (
+        event_stream.writeStream.foreachBatch(summary_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -4450,3 +4450,37 @@ def test_context_length_plan_hand_counts(spark):
     assert got[96].docs_truncated == 1
     assert got[96].tokens_kept == 211
     assert got[96].token_mass_lost == round(1 - 211 / toks, 6)
+
+
+def test_dedup_source_flow_cells(spark):
+    """Two cross-source twin pairs + one intra-source twin pair with
+    disjoint vocabularies: the flow matrix must be exactly those three
+    cells, unordered-normalized, with jaccard 1.0 (identical texts)."""
+    ta = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tb = "north south east west up down left right front back"
+    tc = "one two three four five six seven eight nine ten"
+    docs = [
+        (1, ta, "srcA"), (2, ta, "srcB"),      # A <-> B
+        (3, tb, "srcC"), (4, tb, "srcA"),      # A <-> C
+        (5, tc, "srcB"), (6, tc, "srcB"),      # B diagonal
+        (7, "cat dog bird fish horse cow sheep goat duck hen", "srcC"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string, source string")
+
+    def run(Q):
+        Q._LSH_PAIRS_CACHE.clear()
+        try:
+            return {
+                (r.src_lo, r.src_hi): r
+                for r in Q.q_dedup_source_flow(spark, "flow-fx").collect()
+            }
+        finally:
+            Q._LSH_PAIRS_CACHE.clear()
+
+    got = _with_tables({"documents": d}, run)
+    assert set(got) == {("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcB")}
+    for cell in got.values():
+        assert cell.n_pairs == 1
+        assert cell.n_strong_pairs == 1
+        assert cell.max_jaccard == 1.0
+        assert cell.mean_jaccard == 1.0
