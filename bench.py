@@ -382,6 +382,7 @@ HEADLINE = [
     "cross_split_contamination",
     "context_length_plan",
     "dedup_source_flow",
+    "ab_fdr_bh",
 ]
 
 #: Registry queries deliberately NOT benched, each with the reason —

@@ -17360,6 +17360,209 @@ FROM totals t LEFT JOIN per p ON p.split = t.split
 """
 
 
+FDR_REPLICATES = 100
+
+
+def q_ab_fdr_bh(spark, sf):
+    """Benjamini-Hochberg FDR control across per-type A/B permutation
+    tests — the multiple-testing rung above the single-test family
+    (ab_test_welch / events_mann_whitney / events_permutation_test /
+    ab_sprt_daily): a team running one experiment per event type needs
+    the FAMILY of decisions controlled, not each test's alpha.  Per
+    type, the A/B arm is the md5 user-hash split and the null is an
+    md5-coin relabeling (events_permutation_test's machinery), but
+    every 'is this replicate at least as extreme' comparison is done
+    in CROSS-MULTIPLIED EXACT INTEGER arithmetic on cent sums
+    (|t1/m1 - t0/m0| >= |s1/n1 - s0/n0| as decimal(38) products), so
+    the Monte-Carlo p-values are bit-identical across engines — no
+    float summation order anywhere.  BH step-up is then 5 rows of
+    integer comparisons: reject ranks <= k* = max{r: (k_r+1)*10*m <=
+    r*(R+1)} at alpha=0.10.  Readout at sf0.01: p-values
+    {0.040, 0.376, 0.822, 0.941, 0.941} — the user-hash split is a
+    null A/A-style split, and BH correctly rejects NOTHING even though
+    the smallest p (signup, 0.04) would have looked 'significant'
+    under a naive per-test alpha=0.05: the exact false positive this
+    procedure exists to stop.
+
+    100 TB shape: one census pass, then the R-replicate explode
+    feeding a hash aggregate at (type, rep) grain — map-side combine
+    keeps the shuffle at types x R cells regardless of corpus size;
+    the BH step-up runs on an m-row table (m = #types).  The one
+    ordered window is over those m rows (bounded SP_SORT_OK grain)."""
+    e = _t(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    arm = _md5_bucket(F.col("user_id"), 2)
+    base = e.select(
+        "event_type",
+        F.col("event_id").cast("string").alias("eid"),
+        cents.alias("cents"),
+        arm.alias("arm"),
+    )
+    census = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents")).otherwise(0)).alias(
+            "s1"
+        ),
+    )
+    cens2 = census.select(
+        "event_type",
+        "n",
+        "s",
+        "n1",
+        F.abs(
+            F.col("s1") * (F.col("n") - F.col("n1"))
+            - (F.col("s") - F.col("s1")) * F.col("n1")
+        ).alias("obs_num"),
+        (F.col("n1") * (F.col("n") - F.col("n1"))).alias("obs_den"),
+    )
+    rep = (
+        base.join(F.broadcast(cens2), "event_type")  # join BEFORE the
+        # R-fold explode: one broadcast probe per event, not per cell
+        .select(
+            "event_type",
+            "eid",
+            "cents",
+            "n",
+            "s",
+            "n1",
+            "obs_num",
+            "obs_den",
+            F.explode(
+                F.expr(f"sequence(0, {FDR_REPLICATES - 1})")
+            ).alias("rep"),
+        )
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", "eid", F.col("rep").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+        .withColumn(
+            "c1",
+            (
+                F.col("h") * F.col("n")
+                < F.col("n1") * F.lit(4294967296)
+            ).cast("long"),
+        )
+    )
+    per = rep.groupBy(
+        "event_type", "rep", "n", "s", "obs_num", "obs_den"
+    ).agg(
+        F.sum("c1").alias("m1"),
+        F.sum(F.col("c1") * F.col("cents")).alias("t1"),
+    )
+    D38 = "decimal(38,0)"
+    m0 = F.col("n") - F.col("m1")
+    t0 = F.col("s") - F.col("t1")
+    lhs = (
+        F.abs(F.col("t1") * m0 - t0 * F.col("m1")).cast(D38)
+        * F.col("obs_den").cast(D38)
+    )
+    rhs = F.col("obs_num").cast(D38) * (F.col("m1") * m0).cast(D38)
+    extreme = (
+        per.select("event_type", (lhs >= rhs).cast("long").alias("x"))
+        .groupBy("event_type")
+        .agg(F.sum("x").alias("k"))
+    )
+    w = Window.orderBy(F.col("k").asc(), F.col("event_type").asc())
+    ranked = (
+        extreme.withColumn("r", F.row_number().over(w))
+        .withColumn("m", F.count("*").over(Window.partitionBy()))
+    )
+    R1 = FDR_REPLICATES + 1
+    kstar = ranked.agg(
+        F.max(
+            F.when(
+                (F.col("k") + 1) * 10 * F.col("m") <= F.col("r") * R1,
+                F.col("r"),
+            )
+        ).alias("ks")
+    )
+    return ranked.crossJoin(F.broadcast(kstar)).select(
+        "event_type",
+        F.round((F.col("k") + 1) / F.lit(float(R1)), 6)
+        .cast("double")
+        .alias("p_value"),
+        F.col("r").cast("int").alias("p_rank"),
+        F.round(F.col("r") / (10.0 * F.col("m")), 6)
+        .cast("double")
+        .alias("bh_threshold"),
+        (F.col("r") <= F.coalesce(F.col("ks"), F.lit(0)))
+        .cast("int")
+        .alias("rejected"),
+    )
+
+
+SQL_AB_FDR_BH = f"""
+WITH base AS (
+  SELECT event_type, CAST(event_id AS VARCHAR) AS eid,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+              AS UBIGINT) % 2 AS arm
+  FROM events),
+census AS (
+  SELECT event_type, COUNT(*) AS n, SUM(cents) AS s,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS s1
+  FROM base GROUP BY 1),
+cens2 AS (
+  SELECT event_type, n, s, n1,
+         ABS(CAST(s1 AS HUGEINT) * (n - n1)
+             - CAST(s - s1 AS HUGEINT) * n1) AS obs_num,
+         CAST(n1 AS HUGEINT) * (n - n1) AS obs_den
+  FROM census),
+rep AS (
+  SELECT b.event_type, b.cents, r.rep, c.n, c.s, c.n1, c.obs_num, c.obs_den,
+         CAST(concat('0x', substr(md5(b.eid || ':' || CAST(r.rep AS VARCHAR)),
+                                  1, 8)) AS UBIGINT) AS h
+  FROM base b
+  CROSS JOIN (SELECT unnest(generate_series(0, {FDR_REPLICATES - 1})) AS rep) r
+  JOIN cens2 c ON c.event_type = b.event_type),
+per AS (
+  SELECT event_type, rep, n, s, obs_num, obs_den,
+         SUM(CASE WHEN CAST(h AS HUGEINT) * n
+                       < CAST(n1 AS HUGEINT) * 4294967296
+                  THEN 1 ELSE 0 END) AS m1,
+         SUM(CASE WHEN CAST(h AS HUGEINT) * n
+                       < CAST(n1 AS HUGEINT) * 4294967296
+                  THEN cents ELSE 0 END) AS t1
+  FROM rep GROUP BY 1, 2, 3, 4, 5, 6),
+ex AS (
+  SELECT event_type,
+         SUM(CASE WHEN ABS(CAST(t1 AS HUGEINT) * (n - m1)
+                           - CAST(s - t1 AS HUGEINT) * m1) * obs_den
+                       >= obs_num * (CAST(m1 AS HUGEINT) * (n - m1))
+                  THEN 1 ELSE 0 END) AS k
+  FROM per GROUP BY 1),
+ranked AS (
+  SELECT event_type, k,
+         row_number() OVER (ORDER BY k, event_type) AS r,
+         COUNT(*) OVER () AS m
+  FROM ex),
+kstar AS (
+  SELECT MAX(CASE WHEN (k + 1) * 10 * m <= r * {FDR_REPLICATES + 1}
+                  THEN r END) AS ks
+  FROM ranked)
+SELECT event_type,
+       CAST(ROUND((k + 1) / {FDR_REPLICATES + 1}.0, 6) AS DOUBLE) AS p_value,
+       CAST(r AS INT) AS p_rank,
+       CAST(ROUND(r / (10.0 * m), 6) AS DOUBLE) AS bh_threshold,
+       CAST(CASE WHEN r <= COALESCE((SELECT ks FROM kstar), 0)
+                 THEN 1 ELSE 0 END AS INT) AS rejected
+FROM ranked
+"""
+
+
 def q_dedup_source_flow(spark, sf):
     """Dedup provenance: the source x source near-dup flow matrix —
     which sources duplicate WHOM.  Diagonal cells are intra-source
@@ -18120,6 +18323,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "context_length_plan": (q_context_length_plan, SQL_CONTEXT_LENGTH_PLAN),
     "dedup_source_flow": (q_dedup_source_flow, SQL_DEDUP_SOURCE_FLOW),
+    "ab_fdr_bh": (q_ab_fdr_bh, SQL_AB_FDR_BH),
 }
 
 

@@ -4484,3 +4484,72 @@ def test_dedup_source_flow_cells(spark):
         assert cell.n_strong_pairs == 1
         assert cell.max_jaccard == 1.0
         assert cell.mean_jaccard == 1.0
+
+
+def test_ab_fdr_bh_matches_md5_mirror(spark):
+    """Every cell — arm split, per-replicate coins, exact-integer
+    extremeness comparisons, BH step-up — must match a pure-Python
+    mirror on a 2-type fixture (R is the module constant)."""
+    import hashlib
+    from fractions import Fraction
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as QQ
+
+    rows = []
+    for i in range(60):
+        rows.append((i, i % 9, "tA" if i % 2 else "tB", float(1 + i % 7)))
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+
+    def run(Q):
+        return {
+            r.event_type: r for r in Q.q_ab_fdr_bh(spark, "x").collect()
+        }
+
+    got = _with_tables({"events": e}, run)
+
+    def h16(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    R = QQ.FDR_REPLICATES
+    ks = {}
+    for t in ("tA", "tB"):
+        ev = [(i, u, v) for (i, u, tt, v) in rows if tt == t]
+        cents = {i: round(v * 100) for i, _, v in ev}
+        n = len(ev)
+        s = sum(cents.values())
+        arm1 = [i for i, u, _ in ev if h16(str(u)) % 2 == 1]
+        n1, s1 = len(arm1), sum(cents[i] for i in arm1)
+        n0, s0 = n - n1, s - s1
+        obs_num, obs_den = abs(s1 * n0 - s0 * n1), n1 * n0
+        k = 0
+        for rep in range(R):
+            m1 = t1 = 0
+            for i, _, _ in ev:
+                if h32(f"{i}:{rep}") * n < n1 * 2**32:
+                    m1 += 1
+                    t1 += cents[i]
+            m0, t0 = n - m1, s - t1
+            if abs(t1 * m0 - t0 * m1) * obs_den >= obs_num * (m1 * m0):
+                k += 1
+        ks[t] = k
+        assert got[t].p_value == round((k + 1) / (R + 1), 6)
+    # BH on m=2: rank by (k, type); reject r<=k* where (k+1)*10*2 <= r*(R+1)
+    order = sorted(ks, key=lambda t: (ks[t], t))
+    m = 2
+    kstar = 0
+    for r, t in enumerate(order, 1):
+        if (ks[t] + 1) * 10 * m <= r * (R + 1):
+            kstar = r
+    for r, t in enumerate(order, 1):
+        assert got[t].p_rank == r
+        assert got[t].bh_threshold == round(r / (10.0 * m), 6)
+        assert got[t].rejected == (1 if r <= kstar else 0)
+    # sanity: Fraction check of the add-one p for one type
+    assert Fraction(ks["tA"] + 1, R + 1) == Fraction(
+        int(round(got["tA"].p_value * (R + 1) / 1)), R + 1
+    )

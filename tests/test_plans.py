@@ -216,6 +216,8 @@ BNLJ_OK = {
     # 1-row range broadcast + 3-row geometry/quantile grids + 9-row
     # estimate broadcast against the <=256-row bucket census
     "quantile_bucket_sweep",
+    # 1-row BH-crossing-rank (k*) broadcast into the m-row p table
+    "ab_fdr_bh",
 }
 
 
@@ -293,6 +295,8 @@ SP_SORT_OK = {
     "brier_decomposition": 1,
     # one bounded cumsum window over the 64-row merged histogram
     "quantile_merge_eval": 1,
+    # BH step-up rank window over the m-row (m = #types) p table
+    "ab_fdr_bh": 1,
 }
 
 
