@@ -17378,7 +17378,7 @@ def q_ab_fdr_bh(spark, sf):
     float summation order anywhere.  BH step-up is then 5 rows of
     integer comparisons: reject ranks <= k* = max{r: (k_r+1)*10*m <=
     r*(R+1)} at alpha=0.10.  Readout at sf0.01: p-values
-    {0.040, 0.376, 0.822, 0.941, 0.941} — the user-hash split is a
+    {0.040, 0.356, 0.842, 0.941, 0.970} — the user-hash split is a
     null A/A-style split, and BH correctly rejects NOTHING even though
     the smallest p (signup, 0.04) would have looked 'significant'
     under a naive per-test alpha=0.05: the exact false positive this
@@ -17417,9 +17417,15 @@ def q_ab_fdr_bh(spark, sf):
         ).alias("obs_num"),
         (F.col("n1") * (F.col("n") - F.col("n1"))).alias("obs_den"),
     )
+    # one md5 yields FOUR 32-bit coins (8-hex slices): the hash is the
+    # dominant cost of the replicate explode, so blocks of 4 replicates
+    # share one digest — 25 md5s per event instead of 100, identical
+    # exact-integer coin semantics (h * n < n1 * 2^32), and the oracle
+    # mirrors the same (block, slice) construction
+    n_blocks = (FDR_REPLICATES + 3) // 4
     rep = (
         base.join(F.broadcast(cens2), "event_type")  # join BEFORE the
-        # R-fold explode: one broadcast probe per event, not per cell
+        # explode: one broadcast probe per event, not per cell
         .select(
             "event_type",
             "eid",
@@ -17429,22 +17435,22 @@ def q_ab_fdr_bh(spark, sf):
             "n1",
             "obs_num",
             "obs_den",
-            F.explode(
-                F.expr(f"sequence(0, {FDR_REPLICATES - 1})")
-            ).alias("rep"),
+            F.explode(F.expr(f"sequence(0, {n_blocks - 1})")).alias("blk"),
         )
+        .withColumn(
+            "md5s",
+            F.md5(F.concat_ws(":", "eid", F.col("blk").cast("string"))),
+        )
+        .select(
+            "*",
+            F.explode(F.expr("sequence(0, 3)")).alias("sl"),
+        )
+        .withColumn("rep", F.col("blk") * 4 + F.col("sl"))
+        .filter(F.col("rep") < FDR_REPLICATES)
         .withColumn(
             "h",
             F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(":", "eid", F.col("rep").cast("string"))
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
+                F.expr("substring(md5s, 1 + sl * 8, 8)"), 16, 10
             ).cast("long"),
         )
         .withColumn(
@@ -17521,13 +17527,20 @@ cens2 AS (
              - CAST(s - s1 AS HUGEINT) * n1) AS obs_num,
          CAST(n1 AS HUGEINT) * (n - n1) AS obs_den
   FROM census),
-rep AS (
-  SELECT b.event_type, b.cents, r.rep, c.n, c.s, c.n1, c.obs_num, c.obs_den,
-         CAST(concat('0x', substr(md5(b.eid || ':' || CAST(r.rep AS VARCHAR)),
-                                  1, 8)) AS UBIGINT) AS h
+blocks AS (
+  SELECT b.event_type, b.cents, c.n, c.s, c.n1, c.obs_num, c.obs_den,
+         g.blk, md5(b.eid || ':' || CAST(g.blk AS VARCHAR)) AS md5s
   FROM base b
-  CROSS JOIN (SELECT unnest(generate_series(0, {FDR_REPLICATES - 1})) AS rep) r
+  CROSS JOIN (SELECT unnest(generate_series(0, {(FDR_REPLICATES + 3) // 4 - 1}))
+              AS blk) g
   JOIN cens2 c ON c.event_type = b.event_type),
+rep AS (
+  SELECT event_type, cents, n, s, n1, obs_num, obs_den,
+         blk * 4 + sl.sl AS rep,
+         CAST(concat('0x', substr(md5s, 1 + sl.sl * 8, 8)) AS UBIGINT) AS h
+  FROM blocks
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS sl) sl
+  WHERE blk * 4 + sl.sl < {FDR_REPLICATES}),
 per AS (
   SELECT event_type, rep, n, s, obs_num, obs_den,
          SUM(CASE WHEN CAST(h AS HUGEINT) * n

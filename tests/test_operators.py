@@ -4512,8 +4512,11 @@ def test_ab_fdr_bh_matches_md5_mirror(spark):
     def h16(s):
         return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
 
-    def h32(s):
-        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+    def h32(eid, rep):
+        # block-of-4 coin scheme: one md5 per (eid, rep//4), 8-hex slice
+        hx = hashlib.md5(f"{eid}:{rep // 4}".encode()).hexdigest()
+        off = (rep % 4) * 8
+        return int(hx[off:off + 8], 16)
 
     R = QQ.FDR_REPLICATES
     ks = {}
@@ -4530,7 +4533,7 @@ def test_ab_fdr_bh_matches_md5_mirror(spark):
         for rep in range(R):
             m1 = t1 = 0
             for i, _, _ in ev:
-                if h32(f"{i}:{rep}") * n < n1 * 2**32:
+                if h32(i, rep) * n < n1 * 2**32:
                     m1 += 1
                     t1 += cents[i]
             m0, t0 = n - m1, s - t1
