@@ -611,6 +611,11 @@ def main() -> None:
         line = json.dumps(summary, separators=(",", ":"))
     sys.stdout.write(line + "\n")
     sys.stdout.flush()
+    # the JSON line is out and the sidecar is durable — stop the JVM
+    # explicitly: a lingering non-daemon py4j thread has twice kept the
+    # process alive minutes past completion, which a caller waiting on
+    # process exit reads as a hang
+    spark.stop()
 
 
 if __name__ == "__main__":
