@@ -143,3 +143,29 @@ def test_same_run_retry_absorbed_exactly(spark, tmp_path):
     once = read_topk()
     part.write.mode("overwrite").parquet(p)  # retry
     assert read_topk() == once
+
+
+def test_empty_batch_contributes_nothing(spark, tmp_path):
+    """An empty micro-batch writes an empty summary (schema only) and
+    the merged top-k over a real + empty summary pile equals the
+    real-only answer — no phantom thresholds, no crash."""
+    df = spark.createDataFrame([(u,) for u in _zipfish(5, 6)], "user_id long")
+    empty = df.filter("user_id < 0")
+    base = str(tmp_path / "sm")
+    hh_partial(df, "user_id", 3).withColumn("__batch", F.lit("t/0")) \
+        .write.mode("overwrite").parquet(base + "/run=t/batch=0")
+    real_only = [
+        tuple(r)
+        for r in hh_merged_topk(
+            spark.read.option("recursiveFileLookup", "true").parquet(base), 5
+        ).collect()
+    ]
+    hh_partial(empty, "user_id", 3).withColumn("__batch", F.lit("t/1")) \
+        .write.mode("overwrite").parquet(base + "/run=t/batch=1")
+    with_empty = [
+        tuple(r)
+        for r in hh_merged_topk(
+            spark.read.option("recursiveFileLookup", "true").parquet(base), 5
+        ).collect()
+    ]
+    assert with_empty == real_only

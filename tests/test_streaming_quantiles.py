@@ -168,3 +168,29 @@ def test_same_run_retry_absorbed_exactly(spark, tmp_path):
     }
     assert once == twice
     assert once[0.5][1] == 100
+
+
+def test_empty_batch_contributes_nothing(spark, tmp_path):
+    """An empty micro-batch census merges as zero mass: estimates over
+    a real + empty census pile equal the real-only answer."""
+    df = spark.createDataFrame(
+        [(0.5 + 0.3 * i,) for i in range(50)], "value double"
+    )
+    base = str(tmp_path / "bk")
+    bucket_partial(df).write.mode("overwrite").parquet(base + "/run=t/batch=0")
+    real_only = {
+        r.q: (r.v_est, r.n_total)
+        for r in quantile_estimate(
+            spark.read.option("recursiveFileLookup", "true").parquet(base)
+        ).collect()
+    }
+    bucket_partial(df.filter("value < 0")).write.mode("overwrite").parquet(
+        base + "/run=t/batch=1"
+    )
+    with_empty = {
+        r.q: (r.v_est, r.n_total)
+        for r in quantile_estimate(
+            spark.read.option("recursiveFileLookup", "true").parquet(base)
+        ).collect()
+    }
+    assert with_empty == real_only
