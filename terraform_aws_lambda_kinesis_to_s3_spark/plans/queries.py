@@ -18349,6 +18349,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 #: Update this set each round from the new CORRECTNESS_r{N}.json.
 DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
+        "aa_cap_eval",
         "ab_test_welch",
         "array_functions_suite",
         "bigram_cond_prob",
@@ -18363,16 +18364,20 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "cdc_merge_upsert",
         "char_entropy",
         "chunk_dedup",
+        "cms_error_eval",
         "cms_heavy_hitters",
         "column_profile_orders",
         "conditional_functions_suite",
+        "conformal_coverage",
         "contamination_check",
         "corpus_curation",
         "corpus_datacard",
         "corpus_kl_divergence",
+        "corpus_psi_drift",
         "cross_source_prefix_overlap",
         "cube_status_priority",
         "customer_quartiles",
+        "customer_revenue_gini",
         "customer_rfm_segments",
         "customers_above_nation_avg",
         "customers_with_orders",
@@ -18380,6 +18385,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "dataset_split",
         "date_functions_suite",
         "dedup_clusters",
+        "dedup_clusters_distributed",
         "dedup_containment",
         "dedup_dup_groups",
         "dedup_exact_log_id",
@@ -18390,18 +18396,22 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "dedup_simhash_hamming",
         "dedup_span_removal",
         "dedup_survivors",
+        "dedup_threshold_sensitivity",
         "deterministic_sample",
         "distinct_aggs",
         "distinctive_terms_logodds",
         "doc_chunking",
         "doc_hash_embedding",
+        "doc_rarity_score",
         "domain_cap_sample",
+        "dp_noisy_counts",
         "dsir_importance",
         "dup_ngram_coverage",
         "embedding_centroid_assign",
         "embedding_cosine_topk",
         "embedding_dim_stats",
         "embedding_gram_matrix",
+        "embedding_ivf_topk",
         "embedding_lsh_buckets",
         "embedding_lsh_near_dup",
         "embedding_near_dup",
@@ -18412,20 +18422,34 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "embedding_quantize",
         "events_anomaly_mad",
         "events_asof_join",
+        "events_changepoint_cusum",
+        "events_chi2_type_dow",
         "events_cohort_retention",
+        "events_daily_type_drift",
         "events_downsample_1h",
         "events_ewma",
         "events_funnel",
         "events_gap_fill",
+        "events_hourly_autocorr",
+        "events_ks_test",
+        "events_load_heatmap",
+        "events_mann_whitney",
         "events_moving_window",
+        "events_peak_concurrency",
+        "events_permutation_test",
         "events_quantile_sketch",
         "events_range_join",
+        "events_seasonality",
         "events_session_window",
         "events_sessionize",
         "events_sliding_window",
         "events_stats_profile",
+        "events_theil_sen",
         "events_throttle_first",
         "events_tumbling_window",
+        "events_type_burstiness",
+        "events_user_entropy",
+        "events_value_benford",
         "events_value_histogram",
         "events_wau_stickiness",
         "events_winsorize",
@@ -18433,8 +18457,12 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "events_zscore_outliers",
         "feature_matrix_at_label",
         "frequent_buyers",
+        "fuzzy_block_eval",
         "global_shuffle_shards",
         "gopher_quality_flags",
+        "gram_frequency_spectrum",
+        "graph_adamic_adar",
+        "graph_assortativity",
         "graph_pagerank_parts",
         "graph_triangle_degree_ordered",
         "graph_triangle_parts",
@@ -18442,17 +18470,21 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "group_split_events",
         "grouping_sets_status_priority",
         "hard_negatives",
+        "heaps_law_fit",
         "hll_distinct_users",
         "incremental_agg_merge",
         "incremental_dedup_check",
         "ivf_eval_recall",
+        "join_key_skew",
         "join_types_suite",
         "json_extract_props",
+        "keyword_tag_counts",
         "kmeans_lloyd_step",
         "kmv_distinct_users",
         "knn_confusion_matrix",
         "knn_label_eval",
         "label_source_profile",
+        "langid_eval_prf",
         "logreg_auc",
         "logreg_calibration",
         "lsh_eval_pr",
@@ -18461,21 +18493,28 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "math_functions_suite",
         "minhash_eval_recall",
         "mixture_sample",
+        "mixture_token_budget_alloc",
+        "mmr_rerank",
         "mrl_truncation_eval",
         "multimodal_audio_meta",
         "multimodal_audio_pcm_stats",
         "multimodal_features",
         "multimodal_image_dims",
         "multimodal_meta_audit",
+        "ngram_novelty_curve",
         "open_lineitem_backlog",
         "order_gap_days",
         "ordered_string_agg",
+        "orders_priority_anova",
         "orders_yoy_growth",
         "padding_waste_stats",
         "part_fuzzy_name_pairs",
+        "parts_abc_classification",
         "percentiles_by_priority",
         "perplexity_bucket_sample",
+        "pipeline_error_taxonomy",
         "pipeline_route",
+        "pipeline_schema_profile",
         "pipeline_tz_partition",
         "pipeline_unknown_routing",
         "pipeline_whitelist",
@@ -18511,6 +18550,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "quality_logreg_train",
         "recursive_hierarchy",
         "regex_functions_suite",
+        "reservoir_sample_ares",
         "rollup_region_nation",
         "rrf_fusion",
         "running_order_total",
@@ -18520,10 +18560,15 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "semdedup_prune",
         "sequence_packing",
         "set_ops_nations",
+        "simhash_bit_balance",
+        "sink_compaction_plan",
         "skipgram_negative_pairs",
+        "source_token_simpson",
         "source_vocab_jaccard",
+        "span_corruption_stats",
         "stratified_sample",
         "string_functions_suite",
+        "supplier_nation_hhi",
         "temperature_mixture_weights",
         "text_bpe_tokens",
         "text_edit_distance",
@@ -18538,21 +18583,25 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "text_vocab_topk",
         "tfidf_top_terms",
         "time_split_events",
+        "token_len_histogram",
         "top_brands_by_revenue",
         "top_customers_per_nation",
         "topk_per_type_salted",
         "type_user_overlap",
         "unigram_logprob_score",
         "unpivot_status_metrics",
+        "user_survival_km",
         "user_transition_matrix",
         "variant_props_stats",
         "vocab_growth_curve",
         "vocab_oov_rate",
+        "watermark_loss_audit",
         "weighted_avg_udaf",
         "weighted_doc_sample",
         "window_functions_suite",
         "winnow_fingerprints",
         "winnow_overlap_pairs",
+        "word2vec_sampling_table",
         "zipf_rank_slope",
     }
 )
