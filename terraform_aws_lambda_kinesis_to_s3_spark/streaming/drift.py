@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from terraform_aws_lambda_kinesis_to_s3_spark.streaming.ingest import (
     _hadoop_path_exists,
+    _run_token,
 )
 
 
@@ -99,9 +100,11 @@ def run_type_drift_monitor(
     census write (a failed batch is never recorded; consumers dedupe
     on batch_id, last entry wins).  ``alert`` fires when the newest
     day-over-day JS exceeds ``alert_threshold``."""
-    import uuid
-
-    run_token = uuid.uuid4().hex[:12]
+    # pure function of the checkpoint location: a restart recovering
+    # from the same checkpoint overwrites the same run/batch subdirs
+    # (exactly-once across restarts, not just same-process retries); a
+    # fresh checkpoint still gets its own token (see ingest._run_token)
+    run_token = _run_token(checkpoint)
 
     def drift_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -27,19 +27,28 @@ rows.
 State contract — alongside streaming/quantiles.py on the replay
 ladder (both are count-state, unlike the HLL's max-state):
 
-- per-batch summaries land under ``run=<token>/batch=N``; a same-run
-  retried batch OVERWRITES its own summary (exactly-once for the
-  common at-least-once retry);
-- a replay from a fresh checkpoint appends a second copy of every
-  summary: absolute counts and absolute bounds DOUBLE, but the
-  top-k ORDERING, every frequency FRACTION (lower/total), and the
-  RELATIVE bound (bound/total) are exactly unchanged — uniform
-  scaling cancels in every ratio.  Pinned by
+- per-batch summaries land under ``run=<token>/batch=N`` where the
+  token is a PURE FUNCTION of the checkpoint location: a same-run
+  retried batch OVERWRITES its own summary, and — because a driver
+  restart recovering from the SAME checkpoint derives the SAME token —
+  a re-delivered batch after a crash-restart also overwrites rather
+  than double-counting.  Exactly-once across both retries and the
+  standard checkpoint-recovery restart path, not just within one
+  process lifetime.  Pinned by
+  tests/test_streaming_heavyhitters.py::test_restart_same_checkpoint_absorbed.
+- a replay from a FRESH checkpoint (a different location → a different
+  token) appends a second copy of every summary: absolute counts and
+  absolute bounds DOUBLE, but the top-k ORDERING, every frequency
+  FRACTION (lower/total), and the RELATIVE bound (bound/total) are
+  exactly unchanged — uniform scaling cancels in every ratio.  Pinned
+  by
   tests/test_streaming_heavyhitters.py::test_streaming_replay_ranking_invariant.
 - state size is O(K' x batches) per run regardless of key cardinality
   — the 1000-executor story and the laptop story are the same plan:
   one per-batch census (the shuffle the batch query would pay anyway)
-  truncated to K' rows + one threshold.
+  pruned to its top rows by a two-stage rank (per-salt-group truncate,
+  then a global re-rank over the <= (k+1) x NSALT survivors), so no
+  stage ever sorts the full distinct-key census on one partition.
 """
 
 from __future__ import annotations
@@ -49,9 +58,11 @@ from pyspark.sql import functions as F
 
 from terraform_aws_lambda_kinesis_to_s3_spark.streaming.ingest import (
     _hadoop_path_exists,
+    _run_token,
 )
 
 SUMMARY_K = 20
+NSALT = 32
 
 
 def hh_partial(
@@ -60,17 +71,38 @@ def hh_partial(
     """Map a micro-batch to its top-``k`` summary: (``__key``, ``__c``)
     for the k most frequent keys (count desc, key asc ties) plus the
     per-batch ``__thr`` (max count EXCLUDED — 0 when nothing is) and
-    ``__n`` (batch row total) on every row."""
+    ``__n`` (batch row total) on every row.
+
+    Two-stage rank: the census is first truncated to the top ``k+1``
+    rows WITHIN each of ``NSALT`` hash-of-key groups (a partitioned,
+    distributed window), and only the <= (k+1) x NSALT survivors see
+    the global ordering.  Each key appears exactly once post-census,
+    so the global top-(k+1) is contained in the union of per-group
+    top-(k+1)s for ANY disjoint grouping — the prune is exact, and the
+    single-partition sort is over a bounded row count instead of the
+    full distinct-key census."""
     census = (
         batch_df.select(F.col(key_col).alias("__key"))
         .groupBy("__key")
         .agg(F.count("*").alias("__c"))
     )
-    w = Window.orderBy(F.col("__c").desc(), F.col("__key").asc())
-    ranked = census.withColumn("__rn", F.row_number().over(w))
+    order = (F.col("__c").desc(), F.col("__key").asc())
+    lw = Window.partitionBy("__salt").orderBy(*order)
+    pruned = (
+        census.withColumn(
+            "__salt", F.pmod(F.xxhash64("__key"), F.lit(NSALT))
+        )
+        .withColumn("__lrn", F.row_number().over(lw))
+        .filter(F.col("__lrn") <= k + 1)
+        .drop("__salt", "__lrn")
+    )
+    w = Window.orderBy(*order)
+    ranked = pruned.withColumn("__rn", F.row_number().over(w))
     kept = ranked.filter(F.col("__rn") <= k).drop("__rn")
+    # Ordering is count-desc, so the max count among ALL excluded keys
+    # is the count at global rank k+1 — which the prune provably keeps.
     thr = (
-        ranked.filter(F.col("__rn") > k)
+        ranked.filter(F.col("__rn") == k + 1)
         .agg(F.coalesce(F.max("__c"), F.lit(0)).alias("__thr"))
     )
     n = census.agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"))
@@ -133,10 +165,13 @@ def run_heavyhitter_monitor(
 
     ``metrics``: driver-side list; each micro-batch appends
     ``{batch_id, topk: [(key, est_count, upper_count, est_frac,
-    bound_frac), ...]}`` AFTER the summary write."""
-    import uuid
+    bound_frac), ...]}`` AFTER the summary write.
 
-    run_token = uuid.uuid4().hex[:12]
+    The run token is derived from ``checkpoint`` (not a fresh uuid) so
+    a driver restart recovering from the same checkpoint overwrites
+    the same ``run=<t>/batch=N`` subdirs — the re-delivered batch is
+    absorbed instead of double-counted (see module docstring)."""
+    run_token = _run_token(checkpoint)
 
     def summary_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -51,6 +51,19 @@ def _hadoop_path_exists(spark, path: str) -> bool:
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(hpath))
 
+
+def _run_token(checkpoint: str) -> str:
+    """Run identity for monitor state paths, derived from the
+    checkpoint location.  A driver restart that recovers from the SAME
+    checkpoint (the standard streaming recovery path) must overwrite
+    the same ``run=<t>/batch=N`` subdirs so a re-delivered batch is
+    absorbed, not double-counted; a replay from a FRESH checkpoint (a
+    different location) gets a different token and appends.  Hash of
+    the raw location string: scheme-agnostic, no filesystem call."""
+    import hashlib
+
+    return hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:12]
+
 #: quality-gate threshold on textops.quality_features' composite score
 QUALITY_MIN_SCORE = 0.55
 #: documents shorter than this many whitespace tokens are rejected
@@ -96,20 +109,24 @@ def run_corpus_ingest(
     - same-run retry of a micro-batch (the common at-least-once case):
       EXACTLY-ONCE — the batch overwrites its own run/batch
       subdirectory;
-    - replay from a fresh checkpoint (batch numbering restarts):
-      no loss, no duplicates — a new run token means no directory
-      collision with prior runs, and re-delivered docs anti-join away
-      against history;
-    - driver death in the window between the curated write and the
-      history write, followed by a NEW process: that one batch may be
-      curated twice (at-least-once). Writing history first would turn
-      the same window into data LOSS, which is strictly worse.
+    - driver restart recovering from the SAME checkpoint: the run
+      token is a pure function of the checkpoint location, so the
+      re-delivered batch overwrites the same run/batch subdirectory —
+      the crashed attempt's partial curated/history writes for that
+      batch are replaced, not duplicated (this closes the
+      curated-written-history-not-yet window for the recovery path);
+    - replay from a FRESH checkpoint (a different location; batch
+      numbering restarts): no loss, no duplicates — a different token
+      means no directory collision with prior runs, and re-delivered
+      docs anti-join away against history;
+    - driver death between the curated and history writes followed by
+      a NEW process on a NEW checkpoint: that one batch may be curated
+      twice (at-least-once). Writing history first would turn the same
+      window into data LOSS, which is strictly worse.  The
+      ``rejected`` sink is mode("append") and stays at-least-once
+      across restarts; consumers dedupe on (batch_id, doc_id).
     """
-    import uuid
-
-    # one token per run_corpus_ingest call: same-run retries overwrite
-    # their own directory; distinct runs can never collide
-    run_token = uuid.uuid4().hex[:12]
+    run_token = _run_token(checkpoint)
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

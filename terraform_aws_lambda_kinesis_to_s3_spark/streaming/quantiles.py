@@ -26,11 +26,16 @@ Dataflow per micro-batch (foreachBatch):
 State contract — the rung BETWEEN streaming/drift.py and
 streaming/sketches.py on the replay ladder:
 
-- per-batch partial censuses land under ``run=<token>/batch=N``; a
-  same-run retried batch OVERWRITES its own partial — exactly-once
-  for the common at-least-once retry, identical to the HLL monitor;
-- a replay from a fresh checkpoint appends a second copy of every
-  partial.  Counts are ADDITIVE, so unlike HLL registers the total
+- per-batch partial censuses land under ``run=<token>/batch=N`` where
+  the token is a PURE FUNCTION of the checkpoint location: a same-run
+  retried batch OVERWRITES its own partial, and a driver restart
+  recovering from the SAME checkpoint derives the SAME token, so a
+  re-delivered batch after a crash-restart also overwrites — exactly-
+  once across both retries and the standard checkpoint-recovery
+  restart path (pinned by tests/test_streaming_quantiles.py::
+  test_restart_same_checkpoint_absorbed);
+- a replay from a FRESH checkpoint (a different location → a different
+  token) appends a second copy of every partial.  Counts are ADDITIVE, so unlike HLL registers the total
   mass doubles — but every quantile estimate is EXACTLY unchanged:
   interpolation depends only on relative mass (before/n and c/n both
   scale by the same factor), so the monitor's actual deliverable is
@@ -52,6 +57,7 @@ from pyspark.sql import functions as F
 
 from terraform_aws_lambda_kinesis_to_s3_spark.streaming.ingest import (
     _hadoop_path_exists,
+    _run_token,
 )
 
 MONITOR_QS = (0.5, 0.9, 0.99)
@@ -132,10 +138,13 @@ def run_quantile_monitor(
     ``metrics``: driver-side list; each micro-batch appends
     ``{batch_id, n_total, p50, p90, p99}`` AFTER the census write (a
     failed batch is never recorded; consumers dedupe on batch_id,
-    last entry wins)."""
-    import uuid
+    last entry wins).
 
-    run_token = uuid.uuid4().hex[:12]
+    The run token is derived from ``checkpoint`` (not a fresh uuid) so
+    a driver restart recovering from the same checkpoint overwrites
+    the same ``run=<t>/batch=N`` subdirs — the re-delivered batch is
+    absorbed instead of double-counted (see module docstring)."""
+    run_token = _run_token(checkpoint)
 
     def census_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -45,6 +45,7 @@ from terraform_aws_lambda_kinesis_to_s3_spark.operators.sketches import (
 )
 from terraform_aws_lambda_kinesis_to_s3_spark.streaming.ingest import (
     _hadoop_path_exists,
+    _run_token,
 )
 
 
@@ -84,9 +85,12 @@ def run_distinct_monitor(
     ``{batch_id, n_registers_set, estimate}`` AFTER the register write
     (a failed batch is never recorded; consumers dedupe on batch_id,
     last entry wins)."""
-    import uuid
-
-    run_token = uuid.uuid4().hex[:12]
+    # pure function of the checkpoint location: a restart recovering
+    # from the same checkpoint overwrites the same run/batch subdirs
+    # (exactly-once across restarts; for max-merged registers this is
+    # belt-and-braces — duplicates are absorbed anyway); a fresh
+    # checkpoint still gets its own token (see ingest._run_token)
+    run_token = _run_token(checkpoint)
 
     def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -169,3 +169,24 @@ def test_empty_batch_contributes_nothing(spark, tmp_path):
         ).collect()
     ]
     assert with_empty == real_only
+
+
+def test_restart_same_checkpoint_absorbed(spark, tmp_path):
+    """A driver restart recovering from the SAME checkpoint re-delivers
+    the in-flight batch; the checkpoint-derived run token makes the
+    re-delivery OVERWRITE the same run/batch summary, so absolute
+    counts and bounds are EXACTLY those of a single delivery — unlike
+    the fresh-checkpoint replay, which doubles them.  Simulated by
+    wiping the checkpoint (the un-committed-offsets crash point) and
+    restarting at the same location."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    u1 = _zipfish(12, 15)
+    _write_events(src, "b1.json", [_ev(i, u) for i, u in enumerate(u1)])
+    sm = str(tmp_path / "sm")
+    ckpt = str(tmp_path / "ck")
+    m1 = _run(spark, src, sm, ckpt, summary_k=5)
+    shutil.rmtree(ckpt)  # crash before the offset commit
+    m2 = _run(spark, src, sm, ckpt, summary_k=5)  # restart, SAME location
+    assert m1[-1]["topk"] == m2[-1]["topk"]  # absorbed, not doubled

@@ -194,3 +194,28 @@ def test_empty_batch_contributes_nothing(spark, tmp_path):
         ).collect()
     }
     assert with_empty == real_only
+
+
+def test_restart_same_checkpoint_absorbed(spark, tmp_path):
+    """A driver restart recovering from the SAME checkpoint re-delivers
+    the in-flight batch; because the run token is a pure function of
+    the checkpoint location, the re-delivery OVERWRITES the same
+    run/batch partial — n_total and every quantile are EXACTLY those of
+    a single delivery (the crash-restart path is exactly-once, not just
+    the same-process retry).  Simulated by wiping the checkpoint (the
+    un-committed-offsets crash point) and restarting at the same
+    location."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    vals = [1.0 + 0.77 * i for i in range(300)]
+    _write_events(src, "b1.json", [_ev(i, v) for i, v in enumerate(vals)])
+    buckets = str(tmp_path / "bkts")
+    ckpt = str(tmp_path / "ckpt")
+    m1 = _run(spark, src, buckets, ckpt)
+    shutil.rmtree(ckpt)  # crash before the offset commit
+    m2 = _run(spark, src, buckets, ckpt)  # restart, SAME location
+    assert m1 and m2
+    assert m2[-1]["n_total"] == m1[-1]["n_total"]  # absorbed, not doubled
+    for key in ("p50", "p90", "p99"):
+        assert m2[-1][key] == m1[-1][key]
