@@ -17406,35 +17406,56 @@ def q_ab_fdr_bh(spark, sf):
             "s1"
         ),
     )
+    # every product below is computed in decimal(38,0) — operands cast
+    # BEFORE the multiply, never after — so the exact-integer contract
+    # holds for any sf whose intermediates fit 38 digits (the same
+    # envelope as the oracle's HUGEINT); 64-bit longs would wrap
+    # silently once cent-sum x count products pass 2^63
+    D38 = "decimal(38,0)"
     cens2 = census.select(
         "event_type",
         "n",
         "s",
         "n1",
         F.abs(
-            F.col("s1") * (F.col("n") - F.col("n1"))
-            - (F.col("s") - F.col("s1")) * F.col("n1")
+            F.col("s1").cast(D38) * (F.col("n") - F.col("n1")).cast(D38)
+            - (F.col("s") - F.col("s1")).cast(D38) * F.col("n1").cast(D38)
         ).alias("obs_num"),
-        (F.col("n1") * (F.col("n") - F.col("n1"))).alias("obs_den"),
+        (F.col("n1").cast(D38) * (F.col("n") - F.col("n1")).cast(D38)).alias(
+            "obs_den"
+        ),
+    )
+    # the coin compare h * n < n1 * 2^32 has a PER-TYPE exact integer
+    # threshold: h <= thr where thr = floor((n1*2^32 - 1)/n) — computed
+    # ONCE per type on the m-row census in decimal(38) (x - pmod(x, n)
+    # is exactly divisible, so the decimal quotient is an exact integer
+    # <= 2^32 that fits a long), so the 10M-row explode does a pure
+    # long-vs-long compare instead of per-row wide-decimal products
+    x = (
+        F.col("n1").cast(D38) * F.lit(4294967296).cast(D38)
+        - F.lit(1).cast(D38)
+    )
+    nd = F.col("n").cast(D38)
+    coin_thr = census.select(
+        "event_type",
+        ((x - F.pmod(x, nd)) / nd).cast("long").alias("thr"),
     )
     # one md5 yields FOUR 32-bit coins (8-hex slices): the hash is the
     # dominant cost of the replicate explode, so blocks of 4 replicates
     # share one digest — 25 md5s per event instead of 100, identical
-    # exact-integer coin semantics (h * n < n1 * 2^32), and the oracle
-    # mirrors the same (block, slice) construction
+    # exact-integer coin semantics, and the oracle mirrors the same
+    # (block, slice) construction.  Only the 1-column threshold rides
+    # through the explode; the wide census columns rejoin at the
+    # (type, rep) grain (m x R rows) after the aggregate.
     n_blocks = (FDR_REPLICATES + 3) // 4
     rep = (
-        base.join(F.broadcast(cens2), "event_type")  # join BEFORE the
+        base.join(F.broadcast(coin_thr), "event_type")  # join BEFORE the
         # explode: one broadcast probe per event, not per cell
         .select(
             "event_type",
             "eid",
             "cents",
-            "n",
-            "s",
-            "n1",
-            "obs_num",
-            "obs_den",
+            "thr",
             F.explode(F.expr(f"sequence(0, {n_blocks - 1})")).alias("blk"),
         )
         .withColumn(
@@ -17453,28 +17474,26 @@ def q_ab_fdr_bh(spark, sf):
                 F.expr("substring(md5s, 1 + sl * 8, 8)"), 16, 10
             ).cast("long"),
         )
-        .withColumn(
-            "c1",
-            (
-                F.col("h") * F.col("n")
-                < F.col("n1") * F.lit(4294967296)
-            ).cast("long"),
+        .withColumn("c1", (F.col("h") <= F.col("thr")).cast("long"))
+    )
+    per = (
+        rep.groupBy("event_type", "rep")
+        .agg(
+            F.sum("c1").alias("m1"),
+            F.sum(F.col("c1") * F.col("cents")).alias("t1"),
         )
+        .join(F.broadcast(cens2), "event_type")
     )
-    per = rep.groupBy(
-        "event_type", "rep", "n", "s", "obs_num", "obs_den"
-    ).agg(
-        F.sum("c1").alias("m1"),
-        F.sum(F.col("c1") * F.col("cents")).alias("t1"),
-    )
-    D38 = "decimal(38,0)"
     m0 = F.col("n") - F.col("m1")
     t0 = F.col("s") - F.col("t1")
     lhs = (
-        F.abs(F.col("t1") * m0 - t0 * F.col("m1")).cast(D38)
-        * F.col("obs_den").cast(D38)
+        F.abs(
+            F.col("t1").cast(D38) * m0.cast(D38)
+            - t0.cast(D38) * F.col("m1").cast(D38)
+        )
+        * F.col("obs_den")
     )
-    rhs = F.col("obs_num").cast(D38) * (F.col("m1") * m0).cast(D38)
+    rhs = F.col("obs_num") * (F.col("m1").cast(D38) * m0.cast(D38))
     extreme = (
         per.select("event_type", (lhs >= rhs).cast("long").alias("x"))
         .groupBy("event_type")
