@@ -383,6 +383,8 @@ HEADLINE = [
     "context_length_plan",
     "dedup_source_flow",
     "ab_fdr_bh",
+    # round-7: streaming heavy-hitters merge bounds, batch-analog
+    "hh_merge_bounds",
 ]
 
 #: Registry queries deliberately NOT benched, each with the reason —

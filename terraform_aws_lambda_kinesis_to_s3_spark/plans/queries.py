@@ -17913,6 +17913,106 @@ FROM rank
 """
 
 
+HH_MERGE_SHARDS = 4
+HH_MERGE_SUMMARY_K = 10
+
+
+def q_hh_merge_bounds(spark, sf):
+    """The streaming heavy-hitters monitor's merge arithmetic, oracle-
+    checked over a static shard split — the batch-analog rung the HLL
+    (hll_merge_eval) and quantile (quantile_merge_eval) monitors
+    already have.  The callable REUSES the monitor's actual code
+    (streaming/heavyhitters.py hh_partial / hh_merged_topk, the same
+    functions foreachBatch runs): events split into 4 shards by
+    event_id %% 4 stand in for 4 micro-batches, each shard keeps its
+    top-K'=10 user counts plus the Misra-Gries threshold (count at
+    rank K'+1 — the max EXCLUDED count) and its row total, and the
+    merge recovers per-key lower/upper bounds and mass fractions from
+    summary rows alone.  The oracle reconstructs the identical
+    lower = sum of present counts, upper = lower + thr_total -
+    thr_present arithmetic in SQL, so the bound math the monitor runs
+    per micro-batch is hash-pinned cross-engine, not just pytest-
+    pinned.  Readout at sf0.01: 150 users over 4 shards with K'=10
+    forces drops on every shard — non-zero thresholds and non-trivial
+    bounds on every reported row.
+
+    Scale shape: identical to the monitor's (per-shard census = the
+    keyed shuffle a batch census pays anyway; per-shard top rows via
+    the two-stage salted rank, never a vocab-wide single-partition
+    sort; the merge and final rank operate on <= (K'+1) x shards kept
+    rows).  The shard base is persisted once and feeds all 4 partials."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.streaming.heavyhitters import (
+        hh_merged_topk,
+        hh_partial,
+    )
+
+    e = (
+        _t(spark, sf, "events")
+        .select(
+            "user_id",
+            (F.col("event_id") % HH_MERGE_SHARDS).alias("shard"),
+        )
+        .persist()
+    )
+    summaries = None
+    for s in range(HH_MERGE_SHARDS):
+        part = hh_partial(
+            e.filter(F.col("shard") == s).select("user_id"),
+            "user_id",
+            HH_MERGE_SUMMARY_K,
+        ).withColumn("__batch", F.lit(f"shard/{s}"))
+        summaries = part if summaries is None else summaries.unionByName(part)
+    return hh_merged_topk(summaries, 10).select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("est_count"),
+        F.col("upper_count"),
+        F.col("error_bound"),
+        F.col("est_frac"),
+        F.col("bound_frac"),
+        F.col("rank"),
+    )
+
+
+SQL_HH_MERGE_BOUNDS = f"""
+WITH base AS (
+  SELECT user_id, event_id % {HH_MERGE_SHARDS} AS shard FROM events),
+census AS (
+  SELECT shard, user_id, COUNT(*) AS c FROM base GROUP BY 1, 2),
+ranked AS (
+  SELECT shard, user_id, c,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY c DESC, user_id)
+           AS rn
+  FROM census),
+kept AS (SELECT shard, user_id, c FROM ranked
+         WHERE rn <= {HH_MERGE_SUMMARY_K}),
+thr AS (
+  SELECT shard,
+         COALESCE(MAX(CASE WHEN rn = {HH_MERGE_SUMMARY_K + 1} THEN c END),
+                  0) AS t
+  FROM ranked GROUP BY 1),
+shard_n AS (SELECT shard, SUM(c) AS n FROM census GROUP BY 1),
+totals AS (
+  SELECT (SELECT SUM(t) FROM thr) AS thr_total,
+         (SELECT CAST(SUM(n) AS DOUBLE) FROM shard_n) AS mass),
+merged AS (
+  SELECT k.user_id, SUM(k.c) AS lower_c, SUM(t.t) AS thr_present
+  FROM kept k JOIN thr t USING (shard) GROUP BY 1),
+top AS (
+  SELECT user_id, lower_c, thr_present,
+         ROW_NUMBER() OVER (ORDER BY lower_c DESC, user_id) AS rank
+  FROM merged QUALIFY rank <= 10)
+SELECT user_id,
+       CAST(lower_c AS BIGINT) AS est_count,
+       CAST(lower_c + totals.thr_total - thr_present AS BIGINT)
+         AS upper_count,
+       CAST(totals.thr_total - thr_present AS BIGINT) AS error_bound,
+       lower_c / totals.mass AS est_frac,
+       (totals.thr_total - thr_present) / totals.mass AS bound_frac,
+       CAST(rank AS INTEGER) AS rank
+FROM top CROSS JOIN totals
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -18356,16 +18456,20 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "context_length_plan": (q_context_length_plan, SQL_CONTEXT_LENGTH_PLAN),
     "dedup_source_flow": (q_dedup_source_flow, SQL_DEDUP_SOURCE_FLOW),
     "ab_fdr_bh": (q_ab_fdr_bh, SQL_AB_FDR_BH),
+    # round-7: the streaming heavy-hitters monitor's merge bounds,
+    # oracle-checked over a static shard split (r6 verdict item 5)
+    "hh_merge_bounds": (q_hh_merge_bounds, SQL_HH_MERGE_BOUNDS),
 }
 
 
 #: Queries with a green driver CORRECTNESS row from a past round
-#: (CORRECTNESS_r01 ∪ CORRECTNESS_r02).  The driver only hashes the first
-#: 50 entries of ``queries()`` each round, so ``_rotated_names`` floats
-#: never-driver-verified queries to the front of the dict (pipeline_route
-#: stays first — ``entry()`` uses it — and q12_priority_by_linestatus is
-#: re-queued because its r2 row was red on a since-fixed oracle dtype).
-#: Update this set each round from the new CORRECTNESS_r{N}.json.
+#: (union of all CORRECTNESS_r*.json, latest round wins).  The driver
+#: only hashes the first 50 entries of ``queries()`` each round, so
+#: ``_rotated_names`` floats never-driver-verified queries to the
+#: front of the dict (pipeline_route leads its section — ``entry()``
+#: uses it by name — but never displaces a never-verified name from
+#: the window).  Update via tools/rotate_driver_window.py each round
+#: from the new CORRECTNESS_r{N}.json.
 DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "aa_cap_eval",
@@ -18653,7 +18757,7 @@ def _rotated_names() -> list[str]:
     ahead of a verifiable query (r5 verdict item 3 — as of round 6 all
     registry entries carry oracle SQL, so this is a guard, not a path)."""
     names = list(REGISTRY)
-    front = ["pipeline_route"] + [n for n in DRIVER_PRIORITY if n in names]
+    front = [n for n in DRIVER_PRIORITY if n in names]
     unverified = [
         n for n in names if n not in DRIVER_VERIFIED and n not in front
     ]
@@ -18661,6 +18765,15 @@ def _rotated_names() -> list[str]:
     verified = [
         n for n in names if n in DRIVER_VERIFIED and n not in front
     ]
+    # pipeline_route (the entry() flagship) leads whichever section it
+    # falls in — but it must never crowd a never-verified name out of
+    # the driver's first-50 window, so once it IS driver-verified it
+    # leads the verified tail instead of holding a window slot hostage
+    for sec in (front, unverified, verified):
+        if "pipeline_route" in sec:
+            sec.remove("pipeline_route")
+            sec.insert(0, "pipeline_route")
+            break
     return front + unverified + verified
 
 

@@ -22,7 +22,10 @@ and the per-key error bound is upper − lower, CHECKED row by row in
 the tests against exact truth.  Each summary row carries its batch's
 ``__thr`` and ``__n`` so the merge needs no side table — per-batch
 totals are recovered by a distinct over (batch, thr, n), O(batches)
-rows.
+rows.  The same arithmetic is ALSO oracle-checked cross-engine: the
+registry query ``hh_merge_bounds`` (plans/queries.py) runs this
+module's hh_partial/hh_merged_topk over a static shard split against
+an independent DuckDB reconstruction of the bounds.
 
 State contract — alongside streaming/quantiles.py on the replay
 ladder (both are count-state, unlike the HLL's max-state):

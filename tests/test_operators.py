@@ -4556,3 +4556,75 @@ def test_ab_fdr_bh_matches_md5_mirror(spark):
     assert Fraction(ks["tA"] + 1, R + 1) == Fraction(
         int(round(got["tA"].p_value * (R + 1) / 1)), R + 1
     )
+
+
+def test_hh_merge_bounds_exact_when_nothing_dropped(spark):
+    """Every shard's user set fits inside K'=10: thresholds are 0, the
+    merged estimates are exact, bounds 0, fractions = count/total."""
+    rows = []
+    eid = 0
+    for s in range(4):
+        for u in range(1, 6):  # 5 users/shard, u appears u times
+            for _ in range(u):
+                rows.append((eid * 4 + s, u))
+                eid += 1
+
+    def run(Q):
+        return Q.q_hh_merge_bounds(spark, "x").collect()
+
+    got = _with_tables(
+        {"events": spark.createDataFrame(rows, "event_id long, user_id long")},
+        run,
+    )
+    total = 4 * (1 + 2 + 3 + 4 + 5)
+    assert [r.user_id for r in got] == [5, 4, 3, 2, 1]
+    for r in got:
+        assert r.est_count == 4 * r.user_id  # appears u times in each shard
+        assert r.upper_count == r.est_count and r.error_bound == 0
+        assert r.est_frac == 4 * r.user_id / total and r.bound_frac == 0.0
+
+
+def test_hh_merge_bounds_covers_dropped_key(spark):
+    """user 99 is below shard 0's top-10 cut (count 1 vs threshold 2)
+    but heavy in shard 1: its merged lower bound understates the truth
+    by exactly the dropped shard-0 count, inside the published bound;
+    keys present in EVERY contributing shard get exact zero-width
+    bounds (thr_present == thr_total); empty shards contribute nothing."""
+    rows = []
+    eid = [0]
+
+    def ev(shard, user, n):
+        for _ in range(n):
+            rows.append((eid[0] * 4 + shard, user))
+            eid[0] += 1
+
+    for u in range(1, 12):  # shard 0: 11 users with count 2 ...
+        ev(0, u, 2)
+    ev(0, 99, 1)  # ... + user 99 once -> 12 distinct, K'=10 drops it
+    ev(1, 99, 30)  # shard 1: only 2 users, nothing dropped, thr 0
+    ev(1, 50, 3)  # shards 2, 3 deliberately empty
+
+    def run(Q):
+        return Q.q_hh_merge_bounds(spark, "x").collect()
+
+    got = _with_tables(
+        {"events": spark.createDataFrame(rows, "event_id long, user_id long")},
+        run,
+    )
+    by = {r.user_id: r for r in got}
+    # shard 0: ranks 1..10 = users 1..10 (count 2, key-asc ties), rank
+    # 11 = user 11 -> thr = 2; user 99 (count 1) dropped.  mass = 56.
+    assert [r.user_id for r in got] == [99, 50, 1, 2, 3, 4, 5, 6, 7, 8]
+    assert (by[99].est_count, by[99].upper_count, by[99].error_bound) == (
+        30,
+        32,
+        2,
+    )  # true count 31 sits inside [30, 32]
+    assert by[99].est_frac == 30 / 56 and by[99].bound_frac == 2 / 56
+    assert (by[50].est_count, by[50].upper_count) == (3, 5)
+    for u in range(1, 9):  # present in the only thresholded shard
+        assert (by[u].est_count, by[u].upper_count, by[u].error_bound) == (
+            2,
+            2,
+            0,
+        )

@@ -218,6 +218,10 @@ BNLJ_OK = {
     "quantile_bucket_sweep",
     # 1-row BH-crossing-rank (k*) broadcast into the m-row p table
     "ab_fdr_bh",
+    # per-shard 1-row threshold/total broadcasts (hh_partial's monitor
+    # code, x4 shards) + the 1-row merge-totals broadcast into the
+    # <= (K'+1) x shards kept rows
+    "hh_merge_bounds",
 }
 
 
