@@ -175,3 +175,51 @@ def test_explains_covers_registry():
     from tools.verify_contract import check_explains_count
 
     assert check_explains_count() == []
+
+
+def test_round_close_head_is_final():
+    """tools/verify_contract.check_round_close_head: once the newest
+    NOTES file records a ROUND CLOSE PASS with its HEAD sha, no
+    registry-touching commit may follow it (the r4/r5
+    insert-after-the-gate failure mode, machine-checked)."""
+    from tools.verify_contract import check_round_close_head
+
+    assert check_round_close_head() == []
+
+
+def test_round_close_head_detects_stale_pass(tmp_path):
+    """The checker's teeth: in a scratch repo whose newest NOTES records
+    a PASS HEAD, a later commit touching plans/queries.py flags the
+    PASS as stale, an uncommitted edit flags too, and a clean tree with
+    no later registry commits passes."""
+    import subprocess
+
+    from tools.verify_contract import check_round_close_head
+
+    repo = str(tmp_path)
+
+    def git(*args):
+        return subprocess.run(
+            ["git", *args], cwd=repo, capture_output=True, text=True
+        ).stdout.strip()
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    qdir = tmp_path / "terraform_aws_lambda_kinesis_to_s3_spark" / "plans"
+    qdir.mkdir(parents=True)
+    qfile = qdir / "queries.py"
+    qfile.write_text("REGISTRY = {}\n")
+    git("add", "-A")
+    git("commit", "-qm", "registry v1")
+    head = git("rev-parse", "--short", "HEAD")
+    notes = tmp_path / "NOTES_r9.md"
+    notes.write_text(f"ROUND CLOSE: PASS — registry 1, clean, 1s, HEAD {head}\n")
+    git("add", "-A")
+    git("commit", "-qm", "notes")  # non-registry commit after PASS: fine
+    assert check_round_close_head(repo) == []
+    qfile.write_text("REGISTRY = {'x': 1}\n")  # uncommitted edit
+    assert any("uncommitted" in p for p in check_round_close_head(repo))
+    git("add", "-A")
+    git("commit", "-qm", "registry v2 after the gate")
+    assert any("AFTER" in p for p in check_round_close_head(repo))

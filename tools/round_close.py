@@ -38,9 +38,35 @@ sys.path.insert(0, REPO)
 def bookkeeping() -> list[str]:
     import bench
     from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import REGISTRY
-    from tools.verify_contract import check_explains_count, check_prose_counts
+    from tools.verify_contract import (
+        check_explains_count,
+        check_prose_counts,
+        check_round_close_head,
+    )
 
-    problems = check_prose_counts() + check_explains_count()
+    problems = (
+        check_prose_counts() + check_explains_count() + check_round_close_head()
+    )
+    # a PASS line records HEAD; uncommitted registry changes would make
+    # that recording a lie before it is even written
+    r = subprocess.run(
+        [
+            "git",
+            "status",
+            "--porcelain",
+            "--",
+            "terraform_aws_lambda_kinesis_to_s3_spark/plans/queries.py",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    if r.stdout.strip():
+        problems.append(
+            "uncommitted changes to plans/queries.py — commit the final "
+            "registry state BEFORE closing the round (the PASS line "
+            "records HEAD)"
+        )
 
     headline, excluded = set(bench.HEADLINE), set(bench.EXCLUDED)
     if len(bench.HEADLINE) != len(headline):
@@ -94,9 +120,18 @@ def main() -> int:
 
     dt = int(time.time() - t0)
     tag = "PASS" if not fast else "PASS-FAST (suite skipped; rerun without --fast)"
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    ).stdout.strip()
+    # the HEAD sha makes the PASS line verifiable: verify_contract.
+    # check_round_close_head fails if any later commit touches
+    # plans/queries.py (paste this line into NOTES_r{N}.md verbatim)
     print(
         f"\nROUND CLOSE: {tag} — registry {len(REGISTRY)}, "
-        f"bookkeeping clean, {dt}s"
+        f"bookkeeping clean, {dt}s, HEAD {head}"
     )
     return 0
 

@@ -116,13 +116,78 @@ def check_explains_count() -> list[str]:
     return problems
 
 
+def check_round_close_head(repo: str | None = None) -> list[str]:
+    """r6 verdict item 6: once the newest NOTES_r*.md records a
+    ``ROUND CLOSE: PASS ... HEAD <sha>`` line, no commit touching
+    plans/queries.py may follow that sha, and the working-tree copy
+    must be clean — the insert-after-the-gate failure mode that sank
+    r4 and r5, machine-checked instead of habit-checked.  A NOTES file
+    without a recorded PASS HEAD (a round in progress, or pre-r7
+    history) checks nothing."""
+    import glob
+    import re
+    import subprocess
+
+    if repo is None:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    notes = sorted(
+        glob.glob(os.path.join(repo, "NOTES_r*.md")),
+        key=lambda p: int(re.search(r"NOTES_r(\d+)", p).group(1)),
+    )
+    if not notes:
+        return []
+    m = re.search(
+        r"ROUND CLOSE: PASS[^\n]*?HEAD ([0-9a-f]{7,40})",
+        open(notes[-1]).read(),
+    )
+    if not m:
+        return []
+    sha = m.group(1)
+    qpath = "terraform_aws_lambda_kinesis_to_s3_spark/plans/queries.py"
+    try:
+        log = subprocess.run(
+            ["git", "log", "--format=%h", f"{sha}..HEAD", "--", qpath],
+            capture_output=True,
+            text=True,
+            cwd=repo,
+        )
+    except OSError as e:  # git missing in this environment
+        return [f"cannot run git for the round-close HEAD check: {e}"]
+    if log.returncode != 0:
+        return [
+            f"recorded ROUND CLOSE HEAD {sha} does not resolve: "
+            f"{log.stderr.strip()[:120]}"
+        ]
+    if log.stdout.strip():
+        return [
+            f"registry-touching commit(s) {log.stdout.split()} AFTER the "
+            f"recorded ROUND CLOSE PASS (HEAD {sha}) — the PASS line is "
+            "stale; re-run tools/round_close.py and update it"
+        ]
+    st = subprocess.run(
+        ["git", "status", "--porcelain", "--", qpath],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+    )
+    if st.stdout.strip():
+        return [
+            f"uncommitted plans/queries.py changes after the recorded "
+            f"ROUND CLOSE PASS (HEAD {sha}) — commit and re-run "
+            "tools/round_close.py"
+        ]
+    return []
+
+
 def main() -> int:
     import duckdb
 
     import __spark_entry__ as m
     from terraform_aws_lambda_kinesis_to_s3_spark.session import get_spark
 
-    prose_problems = check_prose_counts() + check_explains_count()
+    prose_problems = (
+        check_prose_counts() + check_explains_count() + check_round_close_head()
+    )
     for p in prose_problems:
         print(f"PROSE DRIFT: {p}")
 
