@@ -13,9 +13,18 @@ stages to it, recording:
   spill_mem / spill_disk  spill activity (MUST be zero at test SF)
   tasks                task count across its stages
 
-plus per-query shuffle amplification (shuffle_write / input; >1 means
-the plan moves more than it reads — worth a look unless it is a
-deliberate explode/eval harness) and a registry-wide audit:
+plus per-query shuffle amplification and a registry-wide audit.
+
+``parallelize=True`` tables enter the plan through an in-memory
+round-robin repartition (the synthetic single-row-group files are
+unsplittable; production inputs would not pay this).  That ingest
+shuffle is MEASURED per query — each query that loads a parallelize
+table is re-run once with parallelize forced off (same keyed work,
+no ingest exchange; the module-level LSH pair cache is rolled back
+around the re-run so both runs pay the same shared builds) and the
+delta is charged to an explicit ``ingest_shuffle_bytes`` column.
+Amplification is then work_shuffle / input — interpretable for every
+row:
 
   * ZERO disk spill across every query is asserted and printed —
     partitions are sized to fit executor memory at this SF, and a
@@ -84,9 +93,25 @@ def main() -> None:
         for n in REGISTRY
         if only is None or any(p in n for p in only)
     ]
-    rows: dict[str, dict] = {}
-    for name in names:
-        fn, _ = REGISTRY[name]
+
+    # instrument _t: record whether the query loaded any table with
+    # parallelize=True, and allow forcing parallelize OFF for the
+    # ingest-delta re-run
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    state = {"par_seen": False, "force_off": False}
+    orig_t = Q._t
+
+    def instrumented_t(spark, sf, name, parallelize=False, **kw):
+        if parallelize:
+            state["par_seen"] = True
+            if state["force_off"]:
+                parallelize = False
+        return orig_t(spark, sf, name, parallelize=parallelize, **kw)
+
+    Q._t = instrumented_t
+
+    def run_once(fn):
         before = {s["stageId"] for s in _stages(ui, app)}
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         new = [
@@ -96,25 +121,60 @@ def main() -> None:
         ]
         agg = {m: sum(s[m] for s in new) for m in METRICS}
         agg["n_stages"] = len(new)
-        agg["shuffle_amplification"] = (
-            round(agg["shuffleWriteBytes"] / agg["inputBytes"], 3)
-            if agg["inputBytes"]
-            else None
-        )
-        rows[name] = agg
+        return agg
+
+    rows: dict[str, dict] = {}
+    try:
+        for name in names:
+            fn, _ = REGISTRY[name]
+            pre_cache = dict(Q._LSH_PAIRS_CACHE)
+            state["par_seen"] = False
+            agg = run_once(fn)
+            ingest = 0
+            if state["par_seen"]:
+                # re-run with the ingest exchange removed; roll the
+                # shared LSH cache back so BOTH runs pay the same
+                # shared builds and the delta is the ingest alone
+                post_cache = dict(Q._LSH_PAIRS_CACHE)
+                Q._LSH_PAIRS_CACHE.clear()
+                Q._LSH_PAIRS_CACHE.update(pre_cache)
+                state["force_off"] = True
+                try:
+                    agg_off = run_once(fn)
+                finally:
+                    state["force_off"] = False
+                    Q._LSH_PAIRS_CACHE.clear()
+                    Q._LSH_PAIRS_CACHE.update(post_cache)
+                ingest = max(
+                    0, agg["shuffleWriteBytes"] - agg_off["shuffleWriteBytes"]
+                )
+            agg["ingest_shuffle_bytes"] = ingest
+            work = agg["shuffleWriteBytes"] - ingest
+            agg["work_shuffle_bytes"] = work
+            agg["shuffle_amplification"] = (
+                round(work / agg["inputBytes"], 3)
+                if agg["inputBytes"]
+                else None
+            )
+            rows[name] = agg
+    finally:
+        Q._t = orig_t
 
     spill = [n for n, r in rows.items() if r["diskBytesSpilled"] > 0]
     total_in = sum(r["inputBytes"] for r in rows.values())
     total_sw = sum(r["shuffleWriteBytes"] for r in rows.values())
+    total_ing = sum(r["ingest_shuffle_bytes"] for r in rows.values())
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "PLAN_COSTS.json"), "w") as f:
+    suffix = os.environ.get("SPARK_GRAFT_PLAN_COSTS_SUFFIX", "")
+    with open(os.path.join(repo, f"PLAN_COSTS{suffix}.json"), "w") as f:
         json.dump(
             {
                 "sf": sf_dir,
                 "n_queries": len(rows),
                 "total_input_bytes": total_in,
                 "total_shuffle_write_bytes": total_sw,
+                "total_ingest_shuffle_bytes": total_ing,
                 "disk_spill_queries": spill,
                 "queries": rows,
             },
@@ -137,33 +197,38 @@ def main() -> None:
         "watermark; AQE on.",
         "",
         f"- total input read: **{mb(total_in)} MB**; total shuffle "
-        f"write: **{mb(total_sw)} MB** "
-        f"(registry-wide amplification {total_sw / total_in:.2f}x)",
+        f"write: **{mb(total_sw)} MB**, of which measured ingest "
+        f"repartition **{mb(total_ing)} MB** (registry-wide WORK "
+        f"amplification {(total_sw - total_ing) / total_in:.2f}x)",
         f"- queries with ANY disk spill: **{len(spill)}**"
         + (f" — {spill}" if spill else " (the 100 TB sizing invariant holds "
            "at this SF)"),
         "",
         "Attribution caveats: shared persisted stages (the LSH pair "
         "cache, graph edge builds) are charged to the FIRST query that "
-        "materializes them; `parallelize=True` tables enter via an "
-        "in-memory repartition, so their file `input MB` reads ~0 and "
-        "the amplification ratio is meaningless for those rows (the "
-        "absolute shuffle bytes are still real).  The headline "
-        "numbers to watch: the spill count (must stay 0) and the "
-        "absolute top movers (they should all be documented quadratic "
-        "eval harnesses or bench-EXCLUDED exact counts).",
+        "materializes them.  `ingest MB` is the MEASURED cost of the "
+        "`parallelize=True` round-robin repartition (delta vs a "
+        "parallelize-off re-run of the same query) — a test-data "
+        "artifact production inputs would not pay — and is excluded "
+        "from the amplification ratio, so every row's ratio is "
+        "work moved per byte read.  The headline numbers to watch: "
+        "the spill count (must stay 0) and the absolute top movers "
+        "(they should all be documented quadratic eval harnesses or "
+        "bench-EXCLUDED exact counts).",
         "",
         "## Top 15 shuffle writers",
         "",
-        "| query | input MB | shuffle write MB | shuffle read MB | "
-        "amplification | tasks | stages |",
-        "|---|---|---|---|---|---|---|",
+        "| query | input MB | shuffle write MB | ingest MB | "
+        "shuffle read MB | amplification | tasks | stages |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for n, r in top:
         amp = r["shuffle_amplification"]
         out.append(
             f"| {n} | {mb(r['inputBytes'])} | "
-            f"{mb(r['shuffleWriteBytes'])} | {mb(r['shuffleReadBytes'])} | "
+            f"{mb(r['shuffleWriteBytes'])} | "
+            f"{mb(r['ingest_shuffle_bytes'])} | "
+            f"{mb(r['shuffleReadBytes'])} | "
             f"{amp if amp is not None else '—'} | {r['numTasks']} | "
             f"{r['n_stages']} |"
         )
@@ -171,8 +236,9 @@ def main() -> None:
         "",
         "## All queries",
         "",
-        "| query | input MB | shuffle write MB | amplification | spill |",
-        "|---|---|---|---|---|",
+        "| query | input MB | shuffle write MB | ingest MB | "
+        "amplification | spill |",
+        "|---|---|---|---|---|---|",
     ]
     for n in sorted(rows):
         r = rows[n]
@@ -181,9 +247,10 @@ def main() -> None:
         out.append(
             f"| {n} | {mb(r['inputBytes'])} | "
             f"{mb(r['shuffleWriteBytes'])} | "
+            f"{mb(r['ingest_shuffle_bytes'])} | "
             f"{amp if amp is not None else '—'} | {sp} |"
         )
-    with open(os.path.join(repo, "PLAN_COSTS.md"), "w") as f:
+    with open(os.path.join(repo, f"PLAN_COSTS{suffix}.md"), "w") as f:
         f.write("\n".join(out) + "\n")
     print(
         f"wrote PLAN_COSTS.md/json: {len(rows)} queries, "
