@@ -21,8 +21,15 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    # local mode: shuffle partitions ~= cores; on a cluster AQE coalesces
-    shuffle = str(shuffle_partitions or cpus)
+    # local mode: shuffle partitions ~= cores; on a cluster AQE coalesces.
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for scale runs: partitions
+    # must grow with the input so per-partition state keeps fitting in
+    # executor memory — the sizing lever tools/plan_cost.py validates
+    shuffle = str(
+        shuffle_partitions
+        or os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        or cpus
+    )
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
