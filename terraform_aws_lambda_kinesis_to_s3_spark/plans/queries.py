@@ -17388,8 +17388,12 @@ def q_ab_fdr_bh(spark, sf):
     feeding a hash aggregate at (type, rep) grain — map-side combine
     keeps the shuffle at types x R cells regardless of corpus size;
     the BH step-up runs on an m-row table (m = #types).  The one
-    ordered window is over those m rows (bounded SP_SORT_OK grain)."""
-    e = _t(spark, sf, "events")
+    ordered window is over those m rows (bounded SP_SORT_OK grain).
+    ``parallelize=True``: the single-row-group test file would
+    otherwise run the whole 2.5M-row md5 battery in ONE task —
+    measured 4.4 s single-threaded vs ~0.3 s rebalanced; production
+    inputs with natural splits do not pay the rebalance."""
+    e = _t(spark, sf, "events", parallelize=True)
     cents = F.round(F.col("value") * 100).cast("long")
     arm = _md5_bucket(F.col("user_id"), 2)
     base = e.select(
@@ -17444,11 +17448,24 @@ def q_ab_fdr_bh(spark, sf):
     # dominant cost of the replicate explode, so blocks of 4 replicates
     # share one digest — 25 md5s per event instead of 100, identical
     # exact-integer coin semantics, and the oracle mirrors the same
-    # (block, slice) construction.  Only the 1-column threshold rides
-    # through the explode; the wide census columns rejoin at the
+    # (block, slice) construction.  The FOUR slice coins stay as four
+    # COLUMNS through the per-event explode (rows = events x blocks,
+    # not events x replicates) and are aggregated as 4+4 conditional
+    # sums at the (type, block) grain; only the m x blocks census
+    # explodes to (type, rep).  Only the 1-column threshold rides
+    # through the big explode; the wide census columns rejoin at the
     # (type, rep) grain (m x R rows) after the aggregate.
     n_blocks = (FDR_REPLICATES + 3) // 4
-    rep = (
+    coins = [
+        (
+            F.conv(
+                F.expr(f"substring(md5s, {1 + s * 8}, 8)"), 16, 10
+            ).cast("long")
+            <= F.col("thr")
+        ).cast("long")
+        for s in range(4)
+    ]
+    per_blk = (
         base.join(F.broadcast(coin_thr), "event_type")  # join BEFORE the
         # explode: one broadcast probe per event, not per cell
         .select(
@@ -17462,26 +17479,39 @@ def q_ab_fdr_bh(spark, sf):
             "md5s",
             F.md5(F.concat_ws(":", "eid", F.col("blk").cast("string"))),
         )
-        .select(
-            "*",
-            F.explode(F.expr("sequence(0, 3)")).alias("sl"),
+        .groupBy("event_type", "blk")
+        .agg(
+            *[F.sum(coins[s]).alias(f"m1_{s}") for s in range(4)],
+            *[
+                F.sum(coins[s] * F.col("cents")).alias(f"t1_{s}")
+                for s in range(4)
+            ],
         )
-        .withColumn("rep", F.col("blk") * 4 + F.col("sl"))
-        .filter(F.col("rep") < FDR_REPLICATES)
-        .withColumn(
-            "h",
-            F.conv(
-                F.expr("substring(md5s, 1 + sl * 8, 8)"), 16, 10
-            ).cast("long"),
-        )
-        .withColumn("c1", (F.col("h") <= F.col("thr")).cast("long"))
     )
     per = (
-        rep.groupBy("event_type", "rep")
-        .agg(
-            F.sum("c1").alias("m1"),
-            F.sum(F.col("c1") * F.col("cents")).alias("t1"),
+        per_blk.select(
+            "event_type",
+            "blk",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("sl"),
+                            F.col(f"m1_{s}").alias("m1"),
+                            F.col(f"t1_{s}").alias("t1"),
+                        )
+                        for s in range(4)
+                    ]
+                )
+            ).alias("x"),
         )
+        .select(
+            "event_type",
+            (F.col("blk") * 4 + F.col("x.sl")).alias("rep"),
+            F.col("x.m1").alias("m1"),
+            F.col("x.t1").alias("t1"),
+        )
+        .filter(F.col("rep") < FDR_REPLICATES)
         .join(F.broadcast(cens2), "event_type")
     )
     m0 = F.col("n") - F.col("m1")
