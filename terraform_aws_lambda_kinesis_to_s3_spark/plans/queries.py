@@ -11620,8 +11620,11 @@ def q_events_permutation_test(spark, sf):
     grain — map-side combine keeps the shuffle at R×2 cells regardless
     of corpus size; R=100 is a constant fan-out (the cost knob is a
     module constant).  p-value uses the add-one convention
-    (n_ge+1)/(R+1) so it can never report zero."""
-    e = _t(spark, sf, "events").where(
+    (n_ge+1)/(R+1) so it can never report zero.  ``parallelize=True``:
+    the single-row-group test file would otherwise run the whole
+    4M-row md5 relabeling in ONE task (same finding as ab_fdr_bh);
+    production inputs with natural splits do not pay the rebalance."""
+    e = _t(spark, sf, "events", parallelize=True).where(
         F.col("event_type").isin(PERM_ARM_A, PERM_ARM_B)
     )
     obs = e.agg(
@@ -17976,6 +17979,12 @@ def q_hh_merge_bounds(spark, sf):
         hh_partial,
     )
 
+    # NOT parallelize=True: the 4 shard subtrees + the census race the
+    # persisted base's first materialization inside one job, and a
+    # repartitioned base turns each cache-miss recompute into a full
+    # shuffle (measured 2.3 -> 7.9 s); the plain single-task scan is
+    # cheap to recompute and the heavy work starts after the per-shard
+    # census exchange anyway
     e = (
         _t(spark, sf, "events")
         .select(
