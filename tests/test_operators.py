@@ -984,6 +984,7 @@ def _with_docs(spark, Q, rows, fn, *args, **kw):
     Clears the per-session shared-stage caches first — a census cached
     from a previous fixture would otherwise leak into this one."""
     Q._TERM_CENSUS_CACHE.clear()
+    Q._NGRAM_PAIRS_CACHE.clear()
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
@@ -994,6 +995,7 @@ def _with_docs(spark, Q, rows, fn, *args, **kw):
     finally:
         Q._t = orig
         Q._TERM_CENSUS_CACHE.clear()
+        Q._NGRAM_PAIRS_CACHE.clear()
 
 
 def test_top_ngram_frac_semantics(spark):
@@ -3605,11 +3607,13 @@ def _with_tables(tables, fn):
     import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
 
     orig = Q._t
+    Q._NGRAM_PAIRS_CACHE.clear()  # sf keys repeat across fixtures ("x")
     try:
         Q._t = lambda spark, sf, name, **k: tables[name]
         return fn(Q)
     finally:
         Q._t = orig
+        Q._NGRAM_PAIRS_CACHE.clear()
 
 
 def test_hll_error_eval_matches_python_reimpl(spark):

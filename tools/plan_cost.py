@@ -20,8 +20,9 @@ round-robin repartition (the synthetic single-row-group files are
 unsplittable; production inputs would not pay this).  That ingest
 shuffle is MEASURED per query — each query that loads a parallelize
 table is re-run once with parallelize forced off (same keyed work,
-no ingest exchange; the module-level LSH pair cache is rolled back
-around the re-run so both runs pay the same shared builds) and the
+no ingest exchange; the module-level LSH and n-gram pair caches are
+rolled back around the re-run so both runs pay the same shared
+builds) and the
 delta is charged to an explicit ``ingest_shuffle_bytes`` column.
 Amplification is then work_shuffle / input — interpretable for every
 row:
@@ -127,24 +128,30 @@ def main() -> None:
     try:
         for name in names:
             fn, _ = REGISTRY[name]
-            pre_cache = dict(Q._LSH_PAIRS_CACHE)
+            pre_lsh = dict(Q._LSH_PAIRS_CACHE)
+            pre_ng = dict(Q._NGRAM_PAIRS_CACHE)
             state["par_seen"] = False
             agg = run_once(fn)
             ingest = 0
             if state["par_seen"]:
                 # re-run with the ingest exchange removed; roll the
-                # shared LSH cache back so BOTH runs pay the same
+                # shared pair caches back so BOTH runs pay the same
                 # shared builds and the delta is the ingest alone
-                post_cache = dict(Q._LSH_PAIRS_CACHE)
+                post_lsh = dict(Q._LSH_PAIRS_CACHE)
+                post_ng = dict(Q._NGRAM_PAIRS_CACHE)
                 Q._LSH_PAIRS_CACHE.clear()
-                Q._LSH_PAIRS_CACHE.update(pre_cache)
+                Q._LSH_PAIRS_CACHE.update(pre_lsh)
+                Q._NGRAM_PAIRS_CACHE.clear()
+                Q._NGRAM_PAIRS_CACHE.update(pre_ng)
                 state["force_off"] = True
                 try:
                     agg_off = run_once(fn)
                 finally:
                     state["force_off"] = False
                     Q._LSH_PAIRS_CACHE.clear()
-                    Q._LSH_PAIRS_CACHE.update(post_cache)
+                    Q._LSH_PAIRS_CACHE.update(post_lsh)
+                    Q._NGRAM_PAIRS_CACHE.clear()
+                    Q._NGRAM_PAIRS_CACHE.update(post_ng)
                 ingest = max(
                     0, agg["shuffleWriteBytes"] - agg_off["shuffleWriteBytes"]
                 )
@@ -204,8 +211,9 @@ def main() -> None:
         + (f" — {spill}" if spill else " (the 100 TB sizing invariant holds "
            "at this SF)"),
         "",
-        "Attribution caveats: shared persisted stages (the LSH pair "
-        "cache, graph edge builds) are charged to the FIRST query that "
+        "Attribution caveats: shared persisted stages (the LSH and "
+        "n-gram pair caches, graph edge builds) are charged to the "
+        "FIRST query that "
         "materializes them.  `ingest MB` is the MEASURED cost of the "
         "`parallelize=True` round-robin repartition (delta vs a "
         "parallelize-off re-run of the same query) — a test-data "
