@@ -114,7 +114,10 @@ def run_corpus_ingest(
       re-delivered batch overwrites the same run/batch subdirectory —
       the crashed attempt's partial curated/history writes for that
       batch are replaced, not duplicated (this closes the
-      curated-written-history-not-yet window for the recovery path);
+      curated-written-history-not-yet window for the recovery path;
+      both recovery-path crash points are pinned by
+      ``test_restart_same_checkpoint_absorbed`` in
+      tests/test_streaming_ingest.py);
     - replay from a FRESH checkpoint (a different location; batch
       numbering restarts): no loss, no duplicates — a different token
       means no directory collision with prior runs, and re-delivered

@@ -152,3 +152,50 @@ def test_drift_monitor_same_batch_redelivery_and_parity(spark, tmp_path):
     finally:
         Q._t = orig
     assert metrics[-1]["latest_js"] == batch_js["2024-03-02"]
+
+
+def test_restart_same_checkpoint_absorbed(spark, tmp_path):
+    """A driver restart recovering from the SAME checkpoint re-delivers
+    the in-flight batch; the checkpoint-derived run token makes the
+    re-delivery OVERWRITE the same run/batch census partial, so the
+    ABSOLUTE (day, type) counts equal a single delivery's — the JS
+    readout alone cannot see this (it is count-scale invariant by
+    contract), so this pins the rung the fresh-checkpoint replay test
+    cannot: restart semantics are exactly-once, not just
+    ratio-preserving.  Simulated by wiping the checkpoint (the
+    un-committed-offsets crash point) and restarting at the same
+    location — the same simulation the heavyhitters and quantiles
+    monitors pin."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    census = str(tmp_path / "census")
+    ckpt = str(tmp_path / "ckpt")
+    rows = []
+    eid = 0
+    for day, types in [(1, ["a", "b"]), (2, ["a", "b"])]:
+        for t in types:
+            for _ in range(5):
+                rows.append(_ev(eid, day, t)); eid += 1
+    _write_events(src, "b1.json", rows)
+
+    def day_counts():
+        df = spark.read.option("recursiveFileLookup", "true").parquet(census)
+        return {
+            (str(r.d), r.event_type): r.total
+            for r in df.groupBy("d", "event_type")
+            .agg(F.sum("c").alias("total"))
+            .collect()
+        }
+
+    q = run_type_drift_monitor(_stream(spark, src), census, ckpt, metrics=[])
+    q.awaitTermination(120)
+    once = day_counts()
+    assert set(once.values()) == {5}  # 5 events per (day, type) cell
+
+    shutil.rmtree(ckpt)  # crash before the offset commit
+    q = run_type_drift_monitor(_stream(spark, src), census, ckpt, metrics=[])
+    q.awaitTermination(120)
+    assert day_counts() == once  # absorbed, not doubled

@@ -200,3 +200,49 @@ def test_corpus_ingest_quality_reason_column(spark, tmp_path):
     rej = {r.doc_id: r.reject_reason for r in spark.read.parquet(rejected).collect()}
     assert rej[2] == "too_short"
     assert rej.get(1) in ("low_quality", None) or 1 not in rej
+
+
+def test_restart_same_checkpoint_absorbed(spark, tmp_path):
+    """A driver restart recovering from the SAME checkpoint re-delivers
+    the in-flight batch; the checkpoint-derived run token makes both
+    recovery-path crash points exactly-once (the guarantee ladder's
+    second rung, previously pinned only by the docstring):
+
+    - crash AFTER the curated+history writes: the re-delivered docs
+      anti-join away against the crashed attempt's own history — the
+      curated output is not touched;
+    - crash BETWEEN the curated and history writes (simulated by
+      deleting history but keeping curated): the re-delivery
+      overwrites the SAME run/batch curated directory with identical
+      rows and completes the history write — one copy, where a
+      uuid-per-process token would have appended a second.
+    """
+    import shutil
+
+    src = str(tmp_path / "src")
+    curated = str(tmp_path / "curated")
+    rejected = str(tmp_path / "rejected")
+    history = str(tmp_path / "history")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_docs(src, "b1.json", [_doc(1, GOOD_A), _doc(2, GOOD_B)])
+    q = run_corpus_ingest(_stream(spark, src), curated, rejected, history, ckpt)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(curated).collect()
+    assert {r.doc_id for r in rows} == {1, 2} and len(rows) == 2
+
+    # crash point 1: offsets lost after both writes landed
+    shutil.rmtree(ckpt)
+    q = run_corpus_ingest(_stream(spark, src), curated, rejected, history, ckpt)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(curated).collect()
+    assert {r.doc_id for r in rows} == {1, 2} and len(rows) == 2
+
+    # crash point 2: curated landed, history did not
+    shutil.rmtree(ckpt)
+    shutil.rmtree(history)
+    q = run_corpus_ingest(_stream(spark, src), curated, rejected, history, ckpt)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(curated).collect()
+    assert {r.doc_id for r in rows} == {1, 2} and len(rows) == 2
+    assert spark.read.parquet(history).distinct().count() == 2
