@@ -3846,6 +3846,41 @@ def test_curriculum_schedule_phases_and_fracs(spark):
     assert got["hard"].difficulty == 8.0
 
 
+def test_ngram_pairs_cache_threshold_equivalence(spark):
+    """The `_NGRAM_PAIRS_CACHE` contract: filtering the threshold-0
+    pair table by ``jaccard >= t`` is BIT-IDENTICAL to calling
+    ``ngram_jaccard_pairs(threshold=t)`` directly, because jaccard is
+    6-dp-rounded before any threshold compare.  Pinned on a fixture
+    with pairs straddling the 0.1 cut both ways (including one at
+    exactly the boundary after rounding)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.operators.dedup as D
+
+    # twin pair (J=1), a near pair, and a far pair sharing one shingle
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota omega"
+    far = "alpha beta gamma one two three four five six seven"
+    d = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)],
+        "doc_id long, text string",
+    )
+    for t in (0.05, 0.1, 0.3, 0.9):
+        direct = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in D.ngram_jaccard_pairs(
+                d, n=3, threshold=t, max_df=None
+            ).collect()
+        }
+        from pyspark.sql import functions as F
+
+        filtered = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in D.ngram_jaccard_pairs(d, n=3, threshold=0.0, max_df=None)
+            .where(F.col("jaccard") >= t)
+            .collect()
+        }
+        assert direct == filtered, f"threshold {t}: {direct} != {filtered}"
+
+
 def test_dedup_method_agreement_identical_pair(spark):
     """Two identical docs are flagged by ALL three methods (Jaccard 1,
     hamming 0, exact ngram 1) so every pairwise method-agreement is
