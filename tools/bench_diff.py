@@ -18,12 +18,44 @@ import json
 import sys
 
 
+def _solo_recheck(names: list[str]) -> dict[str, float]:
+    """Re-run the flagged names in ONE fresh `bench.py --only` process
+    and return its per-query map.  An in-sweep spike that reads normal
+    solo is host noise, not a plan regression — this automates the
+    receipt the r7 noise analysis produced by hand."""
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py"), "--only",
+         ",".join(names)],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+    )
+    for line in reversed(r.stdout.strip().splitlines()):
+        if line.startswith('{"metric"'):
+            return json.loads(line)["queries"]
+    raise SystemExit(
+        f"--recheck: bench.py produced no summary line\n{r.stdout[-2000:]}"
+        f"\n{r.stderr[-2000:]}"
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("old")
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=1.5)
     ap.add_argument("--min-sec", type=float, default=0.5)
+    ap.add_argument(
+        "--recheck",
+        action="store_true",
+        help="re-run flagged entries solo (one bench.py --only process); "
+        "a flag is DEMOTED to host noise if its solo time is back under "
+        "the threshold vs old — exit 1 only for flags that reproduce",
+    )
     args = ap.parse_args()
     old = json.load(open(args.old))["queries"]
     new = json.load(open(args.new))["queries"]
@@ -45,6 +77,29 @@ def main() -> int:
         for name, t_old, t_new in sorted(flagged, key=lambda x: -x[2] / x[1]):
             print(f"  {name}: {t_old:.2f}s -> {t_new:.2f}s "
                   f"({t_new / t_old:.1f}x)")
+        if args.recheck:
+            solo = _solo_recheck([n for n, _, _ in flagged])
+            real = []
+            print("\nsolo recheck (fresh bench.py --only process):")
+            for name, t_old, t_new in flagged:
+                t_solo = solo.get(name)
+                if t_solo is None:
+                    print(f"  {name}: no solo reading — keeping the flag")
+                    real.append(name)
+                    continue
+                noise = not (
+                    t_solo > args.min_sec
+                    and t_solo > args.threshold * t_old
+                )
+                verdict = "host noise (demoted)" if noise else "REPRODUCES"
+                print(f"  {name}: solo {t_solo:.2f}s vs old {t_old:.2f}s "
+                      f"— {verdict}")
+                if not noise:
+                    real.append(name)
+            if not real:
+                print("all flags demoted to host noise")
+                return 0
+            print(f"{len(real)} flags reproduce solo: {real}")
         return 1
     print("no regressions flagged")
     return 0
