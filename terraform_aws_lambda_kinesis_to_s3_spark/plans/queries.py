@@ -18622,38 +18622,50 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "aa_cap_eval",
+        "ab_fdr_bh",
+        "ab_sprt_daily",
         "ab_test_welch",
         "array_functions_suite",
         "bigram_cond_prob",
         "bigram_interp_logprob",
         "bitwise_functions_suite",
+        "bloom_fpr_eval",
         "bloom_semi_events",
         "bm25_topk_docs",
         "bootstrap_ci_mean",
         "bpe_encode_tokens",
         "bpe_merge_step",
         "brand_number_extract",
+        "brier_decomposition",
         "cdc_merge_upsert",
+        "chao1_vocab_richness",
         "char_entropy",
         "chunk_dedup",
+        "cluster_best_quality",
         "cms_error_eval",
         "cms_heavy_hitters",
         "column_profile_orders",
         "conditional_functions_suite",
         "conformal_coverage",
         "contamination_check",
+        "context_length_plan",
+        "contribution_cap_eval",
         "corpus_curation",
         "corpus_datacard",
         "corpus_kl_divergence",
         "corpus_psi_drift",
+        "corpus_snapshot_diff",
         "cross_source_prefix_overlap",
+        "cross_split_contamination",
         "cube_status_priority",
+        "curriculum_schedule",
         "customer_quartiles",
         "customer_revenue_gini",
         "customer_rfm_segments",
         "customers_above_nation_avg",
         "customers_with_orders",
         "customers_without_orders",
+        "cv_fold_balance",
         "dataset_split",
         "date_functions_suite",
         "dedup_clusters",
@@ -18661,11 +18673,13 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "dedup_containment",
         "dedup_dup_groups",
         "dedup_exact_log_id",
+        "dedup_method_agreement",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_ngram_jaccard_capped",
         "dedup_simhash",
         "dedup_simhash_hamming",
+        "dedup_source_flow",
         "dedup_span_removal",
         "dedup_survivors",
         "dedup_threshold_sensitivity",
@@ -18676,6 +18690,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "doc_hash_embedding",
         "doc_rarity_score",
         "domain_cap_sample",
+        "doremi_mixture_step",
         "dp_noisy_counts",
         "dsir_importance",
         "dup_ngram_coverage",
@@ -18692,8 +18707,12 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "embedding_power_iteration",
         "embedding_pq_codes",
         "embedding_quantize",
+        "embedding_snapshot_drift",
+        "epoch_repetition_plan",
         "events_anomaly_mad",
         "events_asof_join",
+        "events_asof_tolerance",
+        "events_brownout_windows",
         "events_changepoint_cusum",
         "events_chi2_type_dow",
         "events_cohort_retention",
@@ -18707,6 +18726,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "events_load_heatmap",
         "events_mann_whitney",
         "events_moving_window",
+        "events_ohlc_hourly",
         "events_peak_concurrency",
         "events_permutation_test",
         "events_quantile_sketch",
@@ -18728,6 +18748,8 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "events_zorder_stats",
         "events_zscore_outliers",
         "feature_matrix_at_label",
+        "filter_funnel",
+        "fleiss_kappa_raters",
         "frequent_buyers",
         "fuzzy_block_eval",
         "global_shuffle_shards",
@@ -18742,11 +18764,18 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "group_split_events",
         "grouping_sets_status_priority",
         "hard_negatives",
+        "hash_dim_fidelity_sweep",
+        "hash_embedding_fidelity_eval",
         "heaps_law_fit",
+        "hh_merge_bounds",
         "hll_distinct_users",
+        "hll_error_eval",
+        "hll_merge_eval",
         "incremental_agg_merge",
         "incremental_dedup_check",
+        "isotonic_calibration",
         "ivf_eval_recall",
+        "join_explosion_audit",
         "join_key_skew",
         "join_types_suite",
         "json_extract_props",
@@ -18755,10 +18784,14 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "kmv_distinct_users",
         "knn_confusion_matrix",
         "knn_label_eval",
+        "label_centroid_similarity",
+        "label_noise_estimate",
         "label_source_profile",
         "langid_eval_prf",
         "logreg_auc",
         "logreg_calibration",
+        "logreg_hard_examples",
+        "lsh_band_tuning",
         "lsh_eval_pr",
         "map_functions_suite",
         "market_basket_pairs",
@@ -18773,12 +18806,15 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "multimodal_features",
         "multimodal_image_dims",
         "multimodal_meta_audit",
+        "ndcg_retrieval_eval",
         "ngram_novelty_curve",
+        "oov_vs_vocab_curve",
         "open_lineitem_backlog",
         "order_gap_days",
         "ordered_string_agg",
         "orders_priority_anova",
         "orders_yoy_growth",
+        "outlier_method_agreement",
         "padding_waste_stats",
         "part_fuzzy_name_pairs",
         "parts_abc_classification",
@@ -18793,8 +18829,10 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "pivot_priority_by_status",
         "pmi_collocations",
         "point_in_time_join",
+        "pq_adc_eval",
         "privacy_k_anonymity",
         "privacy_l_diversity",
+        "privacy_t_closeness",
         "q10_returned_items",
         "q11_important_stock",
         "q12_priority_by_linestatus",
@@ -18820,21 +18858,29 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "quality_fasttext_score",
         "quality_length_spearman",
         "quality_logreg_train",
+        "quality_rater_kappa",
+        "quantile_bucket_sweep",
+        "quantile_merge_eval",
         "recursive_hierarchy",
         "regex_functions_suite",
         "reservoir_sample_ares",
+        "revenue_theil_decomposition",
         "rollup_region_nation",
         "rrf_fusion",
         "running_order_total",
         "salted_group_counts",
         "salted_user_join",
+        "salting_effectiveness_eval",
+        "sampled_quantile_error_eval",
         "scd2_user_history",
+        "scrub_eval",
         "semdedup_prune",
         "sequence_packing",
         "set_ops_nations",
         "simhash_bit_balance",
         "sink_compaction_plan",
         "skipgram_negative_pairs",
+        "skyline_quality_length",
         "source_token_simpson",
         "source_vocab_jaccard",
         "span_corruption_stats",
@@ -18844,6 +18890,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "temperature_mixture_weights",
         "text_bpe_tokens",
         "text_edit_distance",
+        "text_encoding_audit",
         "text_fingerprint",
         "text_langid",
         "text_quality",
@@ -18856,9 +18903,11 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "tfidf_top_terms",
         "time_split_events",
         "token_len_histogram",
+        "tokenizer_fertility_by_source",
         "top_brands_by_revenue",
         "top_customers_per_nation",
         "topk_per_type_salted",
+        "topk_shard_merge_eval",
         "type_user_overlap",
         "unigram_logprob_score",
         "unpivot_status_metrics",
@@ -18875,6 +18924,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "winnow_overlap_pairs",
         "word2vec_sampling_table",
         "zipf_rank_slope",
+        "zonemap_pruning_eval",
     }
 )
 
