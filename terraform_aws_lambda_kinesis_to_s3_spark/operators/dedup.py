@@ -466,7 +466,16 @@ def simhash_hamming_pairs(
     The same shape as MinHash-LSH banding: candidate cost scales with
     band-bucket sizes, verify cost with the candidate set.
     """
-    sig = simhash(df, id_col, text_col)
+    return simhash_hamming_pairs_on_sig(simhash(df, id_col, text_col), k, bits)
+
+
+def simhash_hamming_pairs_on_sig(
+    sig: DataFrame, k: int = 2, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """`simhash_hamming_pairs` banding+verify over a PRECOMPUTED
+    ``(doc_id, simhash)`` table — the seam that lets several consumers
+    share one persisted signature stage (the tokenize-and-bit-majority
+    groupBy is the expensive part; banding is O(docs × (k+1)))."""
     nb = k + 1
     widths = [bits // nb + (1 if b < bits % nb else 0) for b in range(nb)]
     starts = [sum(widths[:b]) for b in range(nb)]

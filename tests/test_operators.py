@@ -985,6 +985,7 @@ def _with_docs(spark, Q, rows, fn, *args, **kw):
     from a previous fixture would otherwise leak into this one."""
     Q._TERM_CENSUS_CACHE.clear()
     Q._NGRAM_PAIRS_CACHE.clear()
+    Q._SIMHASH_SIG_CACHE.clear()
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
@@ -996,6 +997,7 @@ def _with_docs(spark, Q, rows, fn, *args, **kw):
         Q._t = orig
         Q._TERM_CENSUS_CACHE.clear()
         Q._NGRAM_PAIRS_CACHE.clear()
+        Q._SIMHASH_SIG_CACHE.clear()
 
 
 def test_top_ngram_frac_semantics(spark):
@@ -3608,12 +3610,14 @@ def _with_tables(tables, fn):
 
     orig = Q._t
     Q._NGRAM_PAIRS_CACHE.clear()  # sf keys repeat across fixtures ("x")
+    Q._SIMHASH_SIG_CACHE.clear()
     try:
         Q._t = lambda spark, sf, name, **k: tables[name]
         return fn(Q)
     finally:
         Q._t = orig
         Q._NGRAM_PAIRS_CACHE.clear()
+        Q._SIMHASH_SIG_CACHE.clear()
 
 
 def test_hll_error_eval_matches_python_reimpl(spark):
@@ -3879,6 +3883,54 @@ def test_ngram_pairs_cache_threshold_equivalence(spark):
             .collect()
         }
         assert direct == filtered, f"threshold {t}: {direct} != {filtered}"
+
+
+def test_simhash_sig_cache_equivalence(spark):
+    """The `_SIMHASH_SIG_CACHE` contract: (a) banding over a
+    precomputed signature table (`simhash_hamming_pairs_on_sig`) is
+    BIT-IDENTICAL to the inline `simhash_hamming_pairs`, (b) the
+    registry queries riding the cache return exactly the fresh
+    operator results, and (c) the second consumer in a session gets
+    the SAME persisted DataFrame object (a cache hit, not a rebuild).
+    Fixture: a twin pair (hamming 0), a near variant, and an
+    unrelated doc."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.operators.dedup as D
+
+    twin = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota omega"
+    other = "one two three four five six seven eight nine ten"
+    d = spark.createDataFrame(
+        [(1, twin), (2, twin), (3, near), (4, other)],
+        "doc_id long, text string",
+    )
+    inline = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_hamming_pairs(d, k=2).collect()
+    }
+    on_sig = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_hamming_pairs_on_sig(D.simhash(d), k=2).collect()
+    }
+    assert inline == on_sig and (1, 2, 0) in inline
+
+    def run(Q):
+        sig_cached = {
+            (r.doc_id, r.simhash)
+            for r in Q.q_simhash(spark, "sig-cache-fx").collect()
+        }
+        sig_fresh = {(r.doc_id, r.simhash) for r in D.simhash(d).collect()}
+        assert sig_cached == sig_fresh
+        # second consumer: same persisted object, not a rebuild
+        first = Q._simhash_signatures(spark, "sig-cache-fx")
+        assert Q._simhash_signatures(spark, "sig-cache-fx") is first
+        pairs_cached = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in Q.q_simhash_hamming(spark, "sig-cache-fx").collect()
+        }
+        assert pairs_cached == inline
+        return True
+
+    assert _with_tables({"documents": d}, run)
 
 
 def test_dedup_method_agreement_identical_pair(spark):

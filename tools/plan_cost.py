@@ -126,32 +126,33 @@ def main() -> None:
 
     rows: dict[str, dict] = {}
     try:
+        shared_caches = (
+            Q._LSH_PAIRS_CACHE,
+            Q._NGRAM_PAIRS_CACHE,
+            Q._SIMHASH_SIG_CACHE,
+        )
         for name in names:
             fn, _ = REGISTRY[name]
-            pre_lsh = dict(Q._LSH_PAIRS_CACHE)
-            pre_ng = dict(Q._NGRAM_PAIRS_CACHE)
+            pre = [dict(c) for c in shared_caches]
             state["par_seen"] = False
             agg = run_once(fn)
             ingest = 0
             if state["par_seen"]:
                 # re-run with the ingest exchange removed; roll the
-                # shared pair caches back so BOTH runs pay the same
-                # shared builds and the delta is the ingest alone
-                post_lsh = dict(Q._LSH_PAIRS_CACHE)
-                post_ng = dict(Q._NGRAM_PAIRS_CACHE)
-                Q._LSH_PAIRS_CACHE.clear()
-                Q._LSH_PAIRS_CACHE.update(pre_lsh)
-                Q._NGRAM_PAIRS_CACHE.clear()
-                Q._NGRAM_PAIRS_CACHE.update(pre_ng)
+                # shared pair/signature caches back so BOTH runs pay
+                # the same shared builds and the delta is the ingest
+                post = [dict(c) for c in shared_caches]
+                for cache, snap in zip(shared_caches, pre):
+                    cache.clear()
+                    cache.update(snap)
                 state["force_off"] = True
                 try:
                     agg_off = run_once(fn)
                 finally:
                     state["force_off"] = False
-                    Q._LSH_PAIRS_CACHE.clear()
-                    Q._LSH_PAIRS_CACHE.update(post_lsh)
-                    Q._NGRAM_PAIRS_CACHE.clear()
-                    Q._NGRAM_PAIRS_CACHE.update(post_ng)
+                    for cache, snap in zip(shared_caches, post):
+                        cache.clear()
+                        cache.update(snap)
                 ingest = max(
                     0, agg["shuffleWriteBytes"] - agg_off["shuffleWriteBytes"]
                 )
