@@ -8083,7 +8083,7 @@ FROM scored GROUP BY 1
 
 def _knn_predictions(spark, sf) -> DataFrame:
     """(query_id, pred_label, true_label) from the leave-one-out 3-NN
-    cosine majority vote over the 20%% probe sample — the SINGLE
+    cosine majority vote over the 20% probe sample — the SINGLE
     definition of the kNN eval pipeline (probe filter, k, struct-max
     tie-break), consumed by knn_label_eval (accuracy grain) and
     knn_confusion_matrix ((true, pred) grain)."""
@@ -15911,7 +15911,7 @@ def q_hash_embedding_fidelity_eval(spark, sf):
     products; one 1-row correlation reduce.  The documents load is
     deliberately NOT parallelize=True: the round-robin ingest
     repartition would ship every text byte BEFORE the semi-join
-    throws 99.6%% of docs away (measured 3.9 s -> 0.3 s for the
+    throws 99.6% of docs away (measured 3.9 s -> 0.3 s for the
     post-cut token stage); filter-then-distribute, never the
     reverse."""
     d = _t(spark, sf, "documents")
@@ -16054,7 +16054,7 @@ def q_hash_dim_fidelity_sweep(spark, sf):
     persisted ``_NGRAM_PAIRS_CACHE`` stage), exact integer dots, one
     O(pairs×4) correlation reduce.  Like the parent eval, the
     documents load is NOT parallelize=True — the ingest repartition
-    would move every text byte ahead of a semi-join that keeps 0.4%%
+    would move every text byte ahead of a semi-join that keeps 0.4%
     of docs; filter-then-distribute."""
     d = _t(spark, sf, "documents")
     pairs = _ngram_pairs_capped(spark, sf).select(
@@ -16374,7 +16374,7 @@ def q_topk_shard_merge_eval(spark, sf):
     count <= t_s, so the merged lower-bound estimate understates the
     true count by at most sum(t_s over shards that dropped it).  The
     row-level readout at sf0.01: the bound HOLDS on all 10 true-top-10
-    terms and is tight (underestimate within ~5%% of the bound) —
+    terms and is tight (underestimate within ~5% of the bound) —
     and on this deliberately flat vocabulary the underestimates are
     large, the honest lesson that per-shard K must scale with how flat
     the tail is, not just with the k you want back.
@@ -18106,7 +18106,7 @@ def q_hh_merge_bounds(spark, sf):
     already have.  The callable REUSES the monitor's actual code
     (streaming/heavyhitters.py hh_partial / hh_merged_topk, the same
     functions foreachBatch runs): events split into 4 shards by
-    event_id %% 4 stand in for 4 micro-batches, each shard keeps its
+    event_id % 4 stand in for 4 micro-batches, each shard keeps its
     top-K'=10 user counts plus the Misra-Gries threshold (count at
     rank K'+1 — the max EXCLUDED count) and its row total, and the
     merge recovers per-key lower/upper bounds and mass fractions from

@@ -245,4 +245,8 @@ def test_restart_same_checkpoint_absorbed(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.read.parquet(curated).collect()
     assert {r.doc_id for r in rows} == {1, 2} and len(rows) == 2
-    assert spark.read.parquet(history).distinct().count() == 2
+    # RAW count, not distinct: history rows are unique fps by
+    # construction, so a uuid-per-process token appending a second
+    # identical copy would keep distinct()==2 and hide the regression;
+    # the raw row count is the discriminating check.
+    assert spark.read.parquet(history).count() == 2

@@ -93,6 +93,36 @@ def test_streaming_replay_is_idempotent(spark, tmp_path):
     assert m2[-1]["n_registers_set"] == m1[-1]["n_registers_set"]
 
 
+def test_restart_same_checkpoint_absorbed(spark, tmp_path):
+    """A driver restart recovering from the SAME checkpoint re-delivers
+    the in-flight batch; the checkpoint-derived run token makes the
+    re-delivery OVERWRITE the same run/batch partial.  Max-merged
+    registers would absorb a duplicate partial anyway (the fresh-
+    checkpoint replay test pins that), so estimate equality alone
+    cannot discriminate — the discriminating check is that the
+    registers directory holds exactly ONE run=<token> subdir and ONE
+    partial copy after the restart (a uuid-per-process token would
+    leave two).  Simulated by wiping the checkpoint (the
+    un-committed-offsets crash point) and restarting at the same
+    location."""
+    import glob
+    import shutil
+
+    src = str(tmp_path / "src")
+    _write_events(src, "b1.json", [_ev(i, i % 80) for i in range(400)])
+    regs = str(tmp_path / "regs")
+    ckpt = str(tmp_path / "ck")
+    m1 = _run(spark, src, regs, ckpt)
+    shutil.rmtree(ckpt)  # crash before the offset commit
+    m2 = _run(spark, src, regs, ckpt)  # restart, SAME location
+    assert m2[-1]["estimate"] == m1[-1]["estimate"]
+    assert m2[-1]["n_registers_set"] == m1[-1]["n_registers_set"]
+    runs = glob.glob(os.path.join(regs, "run=*"))
+    assert len(runs) == 1, f"expected one run subdir, got {runs}"
+    batches = glob.glob(os.path.join(runs[0], "batch=*"))
+    assert len(batches) == 1, f"expected one batch partial, got {batches}"
+
+
 def test_streaming_estimate_grows_with_new_users(spark, tmp_path):
     """New users in a later batch must not decrease the estimate, and
     genuinely new mass must increase it."""
