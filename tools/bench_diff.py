@@ -18,25 +18,88 @@ import json
 import sys
 
 
+_REPO = __import__("os").path.dirname(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+)
+
+#: session-shared persisted stages in plans/queries.py — a flagged
+#: consumer re-run solo WITHOUT its cache's first sweep-order consumer
+#: would pay the whole shared build itself, spuriously reading as
+#: REPRODUCES.  _cache_builders adds those builders to the --only set.
+_CACHE_HELPERS = (
+    "_minhash_verified_pairs",
+    "_ngram_pairs_capped",
+    "_simhash_signatures",
+)
+
+
+def _cache_builders(flagged: list[str]) -> list[str]:
+    """For every shared cache touched by a flagged query, the FIRST
+    consumer in sweep (HEADLINE) order — the query the full sweep
+    charges the shared build to.  Running it ahead of the flagged
+    consumer makes solo-vs-sweep an apples-to-apples cache-warm
+    compare.  (If the flagged query IS the first consumer it pays the
+    build in both runs — consistent, nothing added.)"""
+    import inspect
+
+    sys.path.insert(0, _REPO)
+    from bench import HEADLINE
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import REGISTRY
+
+    touch: dict[str, set[str]] = {}
+    for name in HEADLINE:
+        entry = REGISTRY.get(name)
+        if entry is None:
+            continue
+        try:
+            src = inspect.getsource(entry[0])
+        except (OSError, TypeError):
+            continue
+        hit = {h for h in _CACHE_HELPERS if h in src}
+        if hit:
+            touch[name] = hit
+    builders: list[str] = []
+    for helper in _CACHE_HELPERS:
+        if not any(helper in touch.get(n, ()) for n in flagged):
+            continue
+        order = [n for n in HEADLINE if helper in touch.get(n, ())]
+        if order and order[0] not in flagged and order[0] not in builders:
+            builders.append(order[0])
+    return builders
+
+
 def _solo_recheck(names: list[str]) -> dict[str, float]:
     """Re-run the flagged names in ONE fresh `bench.py --only` process
-    and return its per-query map.  An in-sweep spike that reads normal
-    solo is host noise, not a plan regression — this automates the
-    receipt the r7 noise analysis produced by hand."""
+    and return its COMPLETE per-query map (read from the
+    BENCH_FULL_partial.json sidecar the run writes — the stdout
+    summary line truncates to the top-10 slowest, which would leave
+    some flagged names without a solo reading whenever >10 entries are
+    flagged or --only substring matching pulls in extras).  An
+    in-sweep spike that reads normal solo is host noise, not a plan
+    regression — this automates the receipt the r7 noise analysis
+    produced by hand."""
     import os
     import subprocess
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    builders = _cache_builders(names)
+    if builders:
+        print(f"  (including shared-stage builders in the solo run: "
+              f"{builders})")
     r = subprocess.run(
-        [sys.executable, os.path.join(repo, "bench.py"), "--only",
-         ",".join(names)],
+        [sys.executable, os.path.join(_REPO, "bench.py"), "--only",
+         ",".join(builders + names)],
         capture_output=True,
         text=True,
-        cwd=repo,
+        cwd=_REPO,
     )
     for line in reversed(r.stdout.strip().splitlines()):
         if line.startswith('{"metric"'):
-            return json.loads(line)["queries"]
+            summary = json.loads(line)
+            sidecar = summary.get("full_map")
+            if sidecar:
+                with open(os.path.join(_REPO, sidecar)) as f:
+                    return json.load(f)["queries"]
+            return summary["queries"]
     raise SystemExit(
         f"--recheck: bench.py produced no summary line\n{r.stdout[-2000:]}"
         f"\n{r.stderr[-2000:]}"
