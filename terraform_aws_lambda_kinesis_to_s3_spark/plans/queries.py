@@ -11816,16 +11816,20 @@ def q_graph_adamic_adar(spark, sf):
     broadcast-sized dim join, pair-keyed reduce, left-anti against
     existing edges, TakeOrdered top-15 with deterministic ties.
 
-    ``parallelize=True``: the unsplittable single-row-group test file
-    would otherwise run the distinct-edge pre-shuffle kernel in ONE
-    task (the same single-task-scan finding as ab_fdr_bh; measured
-    3.78 -> 2.80 s solo at sf0.1).  The capped adjacency is persisted
-    and consumed by both wedge sides, so unlike hh_merge_bounds the
-    racing-subtree recompute trap does not apply here."""
-    li = _t(spark, sf, "lineitem", parallelize=True).filter(
-        F.col("l_orderkey") % 4 == 0
-    )
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    The ``edges`` table is PERSISTED: it is consumed twice (the capped
+    adjacency build and the left-anti probe), and without the persist
+    the anti-join side recomputes the whole scan->basket-self-join->
+    distinct subtree.  The r7-deferred ``parallelize=True`` ingest
+    flag was re-measured for this round and REJECTED: fresh-session
+    min-of-3 A/B at sf0.1 reads off 3.32 / on 4.36 / off+persist 2.74
+    / on+persist 3.60 s — the round-robin repartition ships every
+    lineitem byte ahead of a distinct whose first exchange already
+    distributes the work, and it costs that shipping once per edges
+    consumer; persisting edges fixes the actual duplication instead.
+    At scale the persist is O(distinct co-purchase pairs), far below
+    the lineitem input."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
     adj = edges.select(
         F.col("src").alias("z"), F.col("dst").alias("nb")
     ).unionAll(edges.select(F.col("dst").alias("z"), F.col("src").alias("nb")))
