@@ -1486,9 +1486,12 @@ def q_ngram_jaccard_capped(spark, sf):
     max_df): shingles in more than 2 docs are dropped from the shingle
     space before the inverted-index self-join — the scale guard that
     bounds the join's sum(df^2) blowup on boilerplate shingles. The
-    oracle reproduces the identical DF-filtered similarity space."""
-    d = _t(spark, sf, "documents", parallelize=True)
-    return D.ngram_jaccard_pairs(d, n=3, threshold=0.1, max_df=2)
+    oracle reproduces the identical DF-filtered similarity space.
+    Rides the shared persisted ``_NGRAM_PAIRS_CACHE`` threshold-0
+    superset; the post-hoc ``jaccard >= 0.1`` filter is bit-identical
+    to passing ``threshold=0.1`` (6-dp round happens BEFORE any
+    threshold compare — test-pinned equivalence)."""
+    return _ngram_pairs_capped(spark, sf).where(F.col("jaccard") >= 0.1)
 
 
 SQL_NGRAM_JACCARD_CAPPED = f"""
@@ -1571,9 +1574,11 @@ def q_minhash_lsh_pairs(spark, sf):
 #: Threshold-0 is the common superset: jaccard is 6-dp-rounded BEFORE
 #: any threshold filter in operators.dedup.ngram_jaccard_pairs, so a
 #: post-hoc ``jaccard >= t`` filter is bit-identical to passing
-#: ``threshold=t``.  Queries whose driver verification predates this
-#: cache (dedup_ngram_jaccard_capped, dedup_threshold_sensitivity)
-#: keep their original uncached plans.
+#: ``threshold=t``.  As of round 8 ALL six consumers of this pair
+#: shape ride the cache (dedup_ngram_jaccard_capped and
+#: dedup_threshold_sensitivity joined via DRIVER_PRIORITY re-queues;
+#: they had kept uncached plans only because their verification
+#: predated the cache).
 _NGRAM_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -10914,9 +10919,10 @@ def q_dedup_threshold_sensitivity(spark, sf):
     input is engine-parity-pinned (r4 ADVICE item 2): an EMPTY pair
     space still yields the full 9-row grid with n_pairs 0 and NULL
     fraction on BOTH engines (sums coalesced, the 0/0 guarded, the
-    oracle's cross join turned into an ON TRUE left join)."""
-    d = _t(spark, sf, "documents", parallelize=True)
-    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.0, max_df=2)
+    oracle's cross join turned into an ON TRUE left join).  The pair
+    table IS the shared persisted ``_NGRAM_PAIRS_CACHE`` stage
+    (threshold 0, n=3, max_df=2 — the identical similarity space)."""
+    pairs = _ngram_pairs_capped(spark, sf)
     tot = pairs.agg(F.count("*").alias("t"))
     aggs = [
         F.coalesce(
@@ -18718,11 +18724,9 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "dedup_exact_log_id",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
-        "dedup_ngram_jaccard_capped",
         "dedup_source_flow",
         "dedup_span_removal",
         "dedup_survivors",
-        "dedup_threshold_sensitivity",
         "deterministic_sample",
         "distinct_aggs",
         "distinctive_terms_logodds",
@@ -18987,6 +18991,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_hamming",
     "dedup_method_agreement",
     "simhash_bit_balance",
+    # the last two uncached n-gram pair-space consumers, now riding
+    # _NGRAM_PAIRS_CACHE (the threshold post-filter equivalence is
+    # test-pinned; their uncached plans existed only because their
+    # verification predated the cache)
+    "dedup_ngram_jaccard_capped",
+    "dedup_threshold_sensitivity",
 )
 
 
