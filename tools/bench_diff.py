@@ -30,6 +30,8 @@ _CACHE_HELPERS = (
     "_minhash_verified_pairs",
     "_ngram_pairs_capped",
     "_simhash_signatures",
+    "_logreg_feats_and_weights",
+    "_term_census",
 )
 
 
