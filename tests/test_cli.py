@@ -152,6 +152,69 @@ def test_bench_coverage_is_total():
     assert all(bench.EXCLUDED.values()), "every exclusion needs a reason"
 
 
+def test_bench_diff_cache_builders():
+    """The --recheck builder-inclusion contract: for every shared
+    cache a flagged query consumes, the solo set gains that cache's
+    FIRST sweep-order consumer (the query the full sweep charges the
+    build to) — never the flagged query itself, never a non-consumer,
+    and nothing at all when the flagged query is itself the first
+    consumer or consumes no cache."""
+    import importlib.util
+    import inspect
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_diff",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "bench_diff.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import HEADLINE
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import REGISTRY
+
+    def caches_of(name):
+        return {
+            h for h in mod._CACHE_HELPERS
+            if name in REGISTRY
+            and h in inspect.getsource(REGISTRY[name][0])
+        }
+
+    first = {}
+    for n in HEADLINE:
+        for h in caches_of(n):
+            first.setdefault(h, n)
+    # at least the three pair/signature caches must have a benched
+    # first consumer, or the inclusion logic is dead code
+    assert len(first) >= 3, first
+
+    # a non-consumer gets no builders
+    assert mod._cache_builders(["q1_pricing_summary"]) == []
+
+    # a first consumer flagged alone gets no builders for its cache
+    some_first = next(iter(first.values()))
+    for b in mod._cache_builders([some_first]):
+        assert caches_of(b) - caches_of(some_first), (
+            "builder added for a cache whose first consumer IS flagged"
+        )
+
+    # a non-first consumer gets exactly its caches' first consumers
+    non_first = next(
+        (n for n in HEADLINE
+         if caches_of(n) and n not in first.values()), None
+    )
+    assert non_first is not None
+    builders = mod._cache_builders([non_first])
+    assert non_first not in builders
+    assert builders, f"{non_first} consumes {caches_of(non_first)}"
+    for b in builders:
+        assert b in first.values()
+        assert caches_of(b) & caches_of(non_first)
+
+
 def test_prose_counts_match_registry():
     """tools/verify_contract.check_prose_counts: README's stated
     registry size must equal len(REGISTRY) — drift is a failure."""
