@@ -417,6 +417,49 @@ def containment_pairs(
     )
 
 
+def ngram_pair_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """The FULL per-pair statistics table over the (optionally
+    DF-capped) shingle space: (doc_a, doc_b, n_common, n_a, n_b,
+    jaccard) for every shingle-sharing pair — the common superset
+    every set-overlap scorer derives from.  jaccard is 6-dp-rounded
+    exactly as in ngram_jaccard_pairs; containment_a/b are
+    n_common/n_a and n_common/n_b, divisions of the SAME integers
+    containment_pairs computes, so a consumer deriving either metric
+    from this table is bit-identical to calling the dedicated
+    operator (pinned in test_ngram_pair_stats_equivalence).  Exists
+    so a session-shared persisted stage can serve Jaccard,
+    threshold-sweep AND containment consumers from one build."""
+    common, sizes = _shingle_common_counts(df, id_col, text_col, n, max_df)
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """32-bit SimHash per doc from per-token md5 bits.
 

@@ -1491,7 +1491,11 @@ def q_ngram_jaccard_capped(spark, sf):
     superset; the post-hoc ``jaccard >= 0.1`` filter is bit-identical
     to passing ``threshold=0.1`` (6-dp round happens BEFORE any
     threshold compare — test-pinned equivalence)."""
-    return _ngram_pairs_capped(spark, sf).where(F.col("jaccard") >= 0.1)
+    return (
+        _ngram_pairs_capped(spark, sf)
+        .where(F.col("jaccard") >= 0.1)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 SQL_NGRAM_JACCARD_CAPPED = f"""
@@ -1574,11 +1578,16 @@ def q_minhash_lsh_pairs(spark, sf):
 #: Threshold-0 is the common superset: jaccard is 6-dp-rounded BEFORE
 #: any threshold filter in operators.dedup.ngram_jaccard_pairs, so a
 #: post-hoc ``jaccard >= t`` filter is bit-identical to passing
-#: ``threshold=t``.  As of round 8 ALL six consumers of this pair
-#: shape ride the cache (dedup_ngram_jaccard_capped and
-#: dedup_threshold_sensitivity joined via DRIVER_PRIORITY re-queues;
-#: they had kept uncached plans only because their verification
-#: predated the cache).
+#: ``threshold=t``.  As of round 8 ALL SEVEN consumers of this pair
+#: space ride the cache (dedup_ngram_jaccard_capped,
+#: dedup_threshold_sensitivity and dedup_containment joined via
+#: DRIVER_PRIORITY re-queues; they had kept uncached plans only
+#: because their verification predated the cache).  The persisted
+#: stage carries the FULL pair statistics (n_common, n_a, n_b,
+#: jaccard — operators.dedup.ngram_pair_stats), so the containment
+#: scorer derives its unrounded n_common/n_a ratios from the SAME
+#: integers the dedicated operator divides — bit-identical, pinned
+#: in test_ngram_pair_stats_equivalence.
 _NGRAM_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -1588,7 +1597,7 @@ def _ngram_pairs_capped(spark, sf) -> DataFrame:
     if cached is not None:
         return cached
     d = _t(spark, sf, "documents", parallelize=True)
-    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.0, max_df=2).persist()
+    pairs = D.ngram_pair_stats(d, n=3, max_df=2).persist()
     _NGRAM_PAIRS_CACHE[key] = pairs
     return pairs
 
@@ -8227,13 +8236,30 @@ FROM per LEFT JOIN newt ON per.decile = newt.decile
 
 
 def q_containment_pairs(spark, sf):
-    """Asymmetric containment dedup (operators.dedup.containment_pairs):
-    catches short-doc-quoted-in-long-doc pairs that symmetric Jaccard
-    dilutes toward zero. DF-capped (df<=2) inverted-index join, same
-    sub-quadratic candidate shape as the Jaccard/capped entries; the
-    oracle replays the identical DF-filtered shingle space."""
-    d = _t(spark, sf, "documents", parallelize=True)
-    return D.containment_pairs(d, n=3, threshold=0.5, max_df=2)
+    """Asymmetric containment dedup (operators.dedup.containment_pairs
+    semantics): catches short-doc-quoted-in-long-doc pairs that
+    symmetric Jaccard dilutes toward zero. DF-capped (df<=2)
+    inverted-index join, same sub-quadratic candidate shape as the
+    Jaccard/capped entries; the oracle replays the identical
+    DF-filtered shingle space.
+
+    Rides the shared persisted ``_NGRAM_PAIRS_CACHE`` stats stage:
+    containment_a/b derive as n_common/n_a and n_common/n_b — the
+    SAME integer divisions the dedicated operator performs, so the
+    filter-on-unrounded-then-round-for-output contract is bit-exact
+    (pinned in test_ngram_pair_stats_equivalence)."""
+    pairs = _ngram_pairs_capped(spark, sf)
+    ca = F.col("n_common") / F.col("n_a")
+    cb = F.col("n_common") / F.col("n_b")
+    return (
+        pairs.filter(F.greatest(ca, cb) >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+        )
+    )
 
 
 SQL_CONTAINMENT = f"""
@@ -18719,7 +18745,6 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "date_functions_suite",
         "dedup_clusters",
         "dedup_clusters_distributed",
-        "dedup_containment",
         "dedup_dup_groups",
         "dedup_exact_log_id",
         "dedup_minhash_lsh",
@@ -18807,8 +18832,6 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "group_split_events",
         "grouping_sets_status_priority",
         "hard_negatives",
-        "hash_dim_fidelity_sweep",
-        "hash_embedding_fidelity_eval",
         "heaps_law_fit",
         "hh_merge_bounds",
         "hll_distinct_users",
@@ -18834,7 +18857,6 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "logreg_auc",
         "logreg_calibration",
         "logreg_hard_examples",
-        "lsh_band_tuning",
         "lsh_eval_pr",
         "map_functions_suite",
         "market_basket_pairs",
@@ -18991,12 +19013,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_hamming",
     "dedup_method_agreement",
     "simhash_bit_balance",
-    # the last two uncached n-gram pair-space consumers, now riding
-    # _NGRAM_PAIRS_CACHE (the threshold post-filter equivalence is
-    # test-pinned; their uncached plans existed only because their
-    # verification predated the cache)
+    # the last uncached n-gram pair-space consumers, now riding
+    # _NGRAM_PAIRS_CACHE (the threshold post-filter and containment
+    # derivation equivalences are test-pinned; their uncached plans
+    # existed only because their verification predated the cache)
     "dedup_ngram_jaccard_capped",
     "dedup_threshold_sensitivity",
+    "dedup_containment",
+    # r7-verified consumers of the SAME cache: the persisted stage
+    # widened from (doc_a, doc_b, jaccard) to the full stats table
+    # (ngram_pair_stats), which changes their plans' cached relation
+    "lsh_band_tuning",
+    "hash_embedding_fidelity_eval",
+    "hash_dim_fidelity_sweep",
 )
 
 

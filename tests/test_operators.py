@@ -3885,6 +3885,77 @@ def test_ngram_pairs_cache_threshold_equivalence(spark):
         assert direct == filtered, f"threshold {t}: {direct} != {filtered}"
 
 
+def test_ngram_pair_stats_equivalence(spark):
+    """The `_NGRAM_PAIRS_CACHE` stats-table contract
+    (`ngram_pair_stats`): deriving EITHER set-overlap metric from the
+    full per-pair statistics is bit-identical to the dedicated
+    operator — (a) select(jaccard) + threshold filter ==
+    ngram_jaccard_pairs(threshold=t), (b) n_common/n_a containment
+    derivation with filter-on-unrounded-then-round ==
+    containment_pairs(threshold=t).  Fixture straddles both
+    thresholds: a twin pair, an asymmetric short-quoted-in-long pair
+    (high containment, low jaccard), and a far pair."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.operators.dedup as D
+    from pyspark.sql import functions as F
+
+    long_doc = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "one two three four five six seven eight nine ten"
+    )
+    short_doc = "alpha beta gamma delta epsilon zeta"  # contained
+    far = "red orange yellow green blue indigo violet pink brown black"
+    d = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, far), (4, long_doc)],
+        "doc_id long, text string",
+    )
+    stats = D.ngram_pair_stats(d, n=3, max_df=None)
+
+    for t in (0.05, 0.2, 0.9):
+        direct = {
+            tuple(r)
+            for r in D.ngram_jaccard_pairs(d, n=3, threshold=t).collect()
+        }
+        derived = {
+            tuple(r)
+            for r in stats.where(F.col("jaccard") >= t)
+            .select("doc_a", "doc_b", "jaccard")
+            .collect()
+        }
+        assert direct == derived, f"jaccard@{t}"
+
+    ca = F.col("n_common") / F.col("n_a")
+    cb = F.col("n_common") / F.col("n_b")
+    for t in (0.3, 0.5, 1.0):
+        direct = {
+            tuple(r)
+            for r in D.containment_pairs(d, n=3, threshold=t).collect()
+        }
+        derived = {
+            tuple(r)
+            for r in stats.filter(F.greatest(ca, cb) >= t)
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(ca, 6).alias("containment_a"),
+                F.round(cb, 6).alias("containment_b"),
+            )
+            .collect()
+        }
+        assert direct == derived, f"containment@{t}"
+    # the asymmetric pair is actually exercised: short-in-long must
+    # clear containment 1.0 while its jaccard stays low
+    c = {
+        (r.doc_a, r.doc_b): r
+        for r in D.containment_pairs(d, n=3, threshold=1.0).collect()
+    }
+    assert (1, 2) in c and c[(1, 2)].containment_b == 1.0
+    j = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(d, n=3, threshold=0.9).collect()
+    }
+    assert (1, 2) not in j and (1, 4) in j
+
+
 def test_simhash_sig_cache_equivalence(spark):
     """The `_SIMHASH_SIG_CACHE` contract: (a) banding over a
     precomputed signature table (`simhash_hamming_pairs_on_sig`) is
