@@ -363,22 +363,14 @@ def ngram_jaccard_pairs(
     (every doc shares them); their removal bounds the worst case at
     sum(min(df, max_df)^2) while moving near-dup scores only slightly.
     ``max_df=None`` keeps the exact unfiltered semantics.
-    """
-    common, sizes = _shingle_common_counts(df, id_col, text_col, n, max_df)
+
+    Derived from ``ngram_pair_stats`` (the single construction of the
+    sizes-join and 6-dp jaccard) so the scorers cannot drift; the
+    filter/select collapse into the same physical plan (joins,
+    exchanges and aggregates identical — only attribute aliases
+    differ)."""
     return (
-        common.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("n_sh", "n_a")
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"),
-            "doc_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ),
-        )
+        ngram_pair_stats(df, id_col, text_col, n, max_df)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -400,14 +392,18 @@ def containment_pairs(
     candidate plan is shared shape, only the scoring differs — and a
     pair survives when EITHER direction's containment clears the
     threshold. Emits both directions so the caller can tell container
-    from contained."""
-    common, sizes = _shingle_common_counts(df, id_col, text_col, n, max_df)
-    ca = F.col("n_common") / F.col("na.n_sh")
-    cb = F.col("n_common") / F.col("nb.n_sh")
+    from contained.
+
+    Derived from ``ngram_pair_stats`` (the single construction of the
+    pair statistics): the threshold filter runs on the UNROUNDED
+    n_common/n_a and n_common/n_b ratios, rounding only for output —
+    the same contract as the original inline form, over the same
+    integer divisions."""
+    stats = ngram_pair_stats(df, id_col, text_col, n, max_df)
+    ca = F.col("n_common") / F.col("n_a")
+    cb = F.col("n_common") / F.col("n_b")
     return (
-        common.join(sizes.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
-        .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
-        .filter(F.greatest(ca, cb) >= threshold)
+        stats.filter(F.greatest(ca, cb) >= threshold)
         .select(
             "doc_a",
             "doc_b",

@@ -1628,6 +1628,11 @@ def _simhash_signatures(spark, sf) -> DataFrame:
     return sig
 
 
+# (SHARED_STAGE_CACHES — the single tooling-facing inventory of these
+# session-shared stages — is defined after the last cache declaration;
+# search for "SHARED_STAGE_CACHES: dict".)
+
+
 def _minhash_sql() -> str:
     k, bands = D.MINHASH_K, D.MINHASH_BANDS
     rows = k // bands
@@ -7913,6 +7918,27 @@ def _term_census(spark, sf) -> DataFrame:
     sc = tok.groupBy("source", "term").agg(F.count("*").alias("c")).persist()
     _TERM_CENSUS_CACHE[key] = sc
     return sc
+
+
+#: THE inventory of session-shared persisted stages: helper function
+#: name -> its (applicationId, sf) cache dict.  Tooling consumes this
+#: single registry instead of keeping its own copies (which drifted:
+#: plan_cost rolled back 3 of 5 caches, bench_diff listed all 5) —
+#: plan_cost rolls EVERY listed cache back around its ingest-delta
+#: re-runs (a shared build warm in only one of the two runs would
+#: corrupt the delta), and bench_diff uses the helper names to add
+#: each cache's first sweep-order consumer to a --recheck solo set.
+#: Add any new shared stage HERE in the same commit that introduces
+#: it.  (_LOGREG_CACHE holds (feats, weights) tuples rather than one
+#: DataFrame per key — tools only snapshot/restore the dicts, so the
+#: value shape doesn't matter.)
+SHARED_STAGE_CACHES: dict[str, dict] = {
+    "_minhash_verified_pairs": _LSH_PAIRS_CACHE,
+    "_ngram_pairs_capped": _NGRAM_PAIRS_CACHE,
+    "_simhash_signatures": _SIMHASH_SIG_CACHE,
+    "_logreg_feats_and_weights": _LOGREG_CACHE,
+    "_term_census": _TERM_CENSUS_CACHE,
+}
 
 
 def q_corpus_kl_divergence(spark, sf):
@@ -18748,7 +18774,6 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "dedup_dup_groups",
         "dedup_exact_log_id",
         "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
         "dedup_source_flow",
         "dedup_span_removal",
         "dedup_survivors",
@@ -18861,7 +18886,6 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "map_functions_suite",
         "market_basket_pairs",
         "math_functions_suite",
-        "minhash_eval_recall",
         "mixture_sample",
         "mixture_token_budget_alloc",
         "mmr_rerank",
@@ -19003,11 +19027,15 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 #: audio — lead that backlog by construction).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Round 8 re-queues: every query whose PLAN changed after its last
-    # green driver row.  graph_adamic_adar ships the measured
-    # parallelize=True ingest (NOTES_r7 "Deferred"); the four SimHash
-    # consumers now ride the shared persisted _SIMHASH_SIG_CACHE
-    # stage.  rotate_driver_window never marks a listed name verified
-    # from its stale green — clear these once CORRECTNESS_r08 is in.
+    # green driver row.  graph_adamic_adar persists its twice-consumed
+    # edges table (the r7-deferred parallelize ingest was re-measured
+    # and REJECTED — see NOTES_r8); the four SimHash consumers now
+    # ride the shared persisted _SIMHASH_SIG_CACHE stage.
+    # rotate_driver_window never marks a listed name verified from
+    # its stale green — clear these once CORRECTNESS_r08 is in.
+    # NOTE: keep comments in this block free of double-quoted words —
+    # the rotate tool extracts every quoted token in the tuple source
+    # as a name (its parser now also strips comment lines first).
     "graph_adamic_adar",
     "dedup_simhash",
     "dedup_simhash_hamming",
@@ -19026,6 +19054,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "lsh_band_tuning",
     "hash_embedding_fidelity_eval",
     "hash_dim_fidelity_sweep",
+    # operators.dedup.ngram_jaccard_pairs is now derived from
+    # ngram_pair_stats (one construction, zero drift surface); the
+    # executed plan is structurally identical — joins, exchanges and
+    # aggregates unchanged, attribute aliases only — but the
+    # implementation changed, so its two registry callers re-queue
+    "dedup_ngram_jaccard",
+    "minhash_eval_recall",
 )
 
 

@@ -152,6 +152,52 @@ def test_bench_coverage_is_total():
     assert all(bench.EXCLUDED.values()), "every exclusion needs a reason"
 
 
+def test_rotate_priority_names_ignore_comments():
+    """A double-quoted word inside a DRIVER_PRIORITY comment must NOT
+    be parsed as a priority name: if it collided with a real query
+    name, that query's greens would be silently subtracted from
+    DRIVER_VERIFIED forever."""
+    mod = _load_rotate_tool()
+    src = (
+        'DRIVER_PRIORITY: tuple[str, ...] = (\n'
+        '    # cites NOTES_r7 "some_real_query" and "Deferred" here\n'
+        '    "actually_listed",  # trailing "quoted" comment\n'
+        ')\n'
+    )
+    assert mod.priority_names(src) == {"actually_listed"}
+    # and the real file parses to exactly the tuple's entries
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    parsed = mod.priority_names(open(mod.QUERIES_PY).read())
+    assert parsed == set(Q.DRIVER_PRIORITY)
+
+
+def test_shared_stage_cache_registry_is_total():
+    """SHARED_STAGE_CACHES is THE cache inventory: every module-level
+    *_CACHE dict in plans/queries.py must be registered, so plan_cost's
+    rollback and bench_diff's builder inclusion can never silently miss
+    a new shared stage."""
+    import re
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    src = open(Q.__file__).read()
+    declared = set(re.findall(r"^(_[A-Z0-9_]+_CACHE): dict", src, re.M))
+    registered = {
+        name
+        for name, obj in vars(Q).items()
+        if name.endswith("_CACHE") and isinstance(obj, dict)
+        and any(obj is c for c in Q.SHARED_STAGE_CACHES.values())
+    }
+    assert declared == registered, (
+        f"unregistered caches: {declared - registered}; "
+        f"stale registry entries: {registered - declared}"
+    )
+    # and every registry key is a real module-level callable
+    for helper in Q.SHARED_STAGE_CACHES:
+        assert callable(getattr(Q, helper))
+
+
 def test_bench_diff_cache_builders():
     """The --recheck builder-inclusion contract: for every shared
     cache a flagged query consumes, the solo set gains that cache's
@@ -174,13 +220,18 @@ def test_bench_diff_cache_builders():
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from bench import HEADLINE
-    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import REGISTRY
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import (
+        REGISTRY,
+        SHARED_STAGE_CACHES,
+    )
 
     def caches_of(name):
         return {
-            h for h in mod._CACHE_HELPERS
+            h for h in SHARED_STAGE_CACHES
             if name in REGISTRY
-            and h in inspect.getsource(REGISTRY[name][0])
+            and h + "(" in inspect.getsource(REGISTRY[name][0]).replace(
+                h + " (", h + "("
+            )
         }
 
     first = {}

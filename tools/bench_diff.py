@@ -22,32 +22,33 @@ _REPO = __import__("os").path.dirname(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__))
 )
 
-#: session-shared persisted stages in plans/queries.py — a flagged
-#: consumer re-run solo WITHOUT its cache's first sweep-order consumer
-#: would pay the whole shared build itself, spuriously reading as
-#: REPRODUCES.  _cache_builders adds those builders to the --only set.
-_CACHE_HELPERS = (
-    "_minhash_verified_pairs",
-    "_ngram_pairs_capped",
-    "_simhash_signatures",
-    "_logreg_feats_and_weights",
-    "_term_census",
-)
-
-
 def _cache_builders(flagged: list[str]) -> list[str]:
     """For every shared cache touched by a flagged query, the FIRST
     consumer in sweep (HEADLINE) order — the query the full sweep
     charges the shared build to.  Running it ahead of the flagged
     consumer makes solo-vs-sweep an apples-to-apples cache-warm
     compare.  (If the flagged query IS the first consumer it pays the
-    build in both runs — consistent, nothing added.)"""
+    build in both runs — consistent, nothing added.)
+
+    The cache inventory is queries.SHARED_STAGE_CACHES — one registry,
+    no tool-local copy to drift.  Consumption is detected by a
+    ``helper(`` call-pattern scan of each registry callable's source:
+    a docstring MENTION of a helper no longer counts, but a consumer
+    reaching a cache through an intermediate module-level helper is
+    still invisible to the scan (all current consumers call the cache
+    helpers directly; keep it that way or extend the scan)."""
     import inspect
+    import re as _re
 
     sys.path.insert(0, _REPO)
     from bench import HEADLINE
-    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import REGISTRY
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import (
+        REGISTRY,
+        SHARED_STAGE_CACHES,
+    )
 
+    helpers = tuple(SHARED_STAGE_CACHES)
+    pats = {h: _re.compile(_re.escape(h) + r"\s*\(") for h in helpers}
     touch: dict[str, set[str]] = {}
     for name in HEADLINE:
         entry = REGISTRY.get(name)
@@ -57,11 +58,11 @@ def _cache_builders(flagged: list[str]) -> list[str]:
             src = inspect.getsource(entry[0])
         except (OSError, TypeError):
             continue
-        hit = {h for h in _CACHE_HELPERS if h in src}
+        hit = {h for h in helpers if pats[h].search(src)}
         if hit:
             touch[name] = hit
     builders: list[str] = []
-    for helper in _CACHE_HELPERS:
+    for helper in helpers:
         if not any(helper in touch.get(n, ()) for n in flagged):
             continue
         order = [n for n in HEADLINE if helper in touch.get(n, ())]

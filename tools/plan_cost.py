@@ -126,11 +126,10 @@ def main() -> None:
 
     rows: dict[str, dict] = {}
     try:
-        shared_caches = (
-            Q._LSH_PAIRS_CACHE,
-            Q._NGRAM_PAIRS_CACHE,
-            Q._SIMHASH_SIG_CACHE,
-        )
+        # every session-shared stage, from the single inventory the
+        # queries module maintains (a cache listed in only one of the
+        # paired runs would corrupt the ingest delta)
+        shared_caches = tuple(Q.SHARED_STAGE_CACHES.values())
         for name in names:
             fn, _ = REGISTRY[name]
             pre = [dict(c) for c in shared_caches]

@@ -65,13 +65,22 @@ def green_rows(repo: str = REPO) -> set[str]:
 def priority_names(src: str) -> set[str]:
     """Names currently listed in DRIVER_PRIORITY — implementations that
     changed after their last green row, so a stale green must not mark
-    them verified."""
+    them verified.  Comment lines are stripped BEFORE extracting the
+    quoted tokens: a word quoted inside an explanatory comment (e.g. a
+    NOTES citation) must not be swallowed as a priority name — if it
+    ever collided with a real query name, that query's greens would be
+    silently subtracted from DRIVER_VERIFIED forever."""
     m = re.search(
         r"DRIVER_PRIORITY: tuple\[str, \.\.\.\] = \((.*?)\n\)",
         src,
         re.DOTALL,
     )
-    return set(re.findall(r'"([^"]+)"', m.group(1))) if m else set()
+    if not m:
+        return set()
+    code = "\n".join(
+        line.split("#", 1)[0] for line in m.group(1).splitlines()
+    )
+    return set(re.findall(r'"([^"]+)"', code))
 
 
 def main() -> None:
