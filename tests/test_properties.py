@@ -446,6 +446,69 @@ def test_dup_ngram_coverage_invariants_property(spark, data):
     assert got[base + 2].covered == 0  # disjoint-vocab doc
 
 
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_ngram_pair_stats_matches_python_reimpl_property(spark, data):
+    """The shingle-space construction under 7 registry queries
+    (`ngram_pair_stats`: DF-cap -> sizes -> pairwise intersections ->
+    6-dp jaccard), pinned against an INDEPENDENT pure-Python
+    reimplementation on random corpora — n_common, n_a, n_b and
+    jaccard must agree exactly, pair-for-pair, with and without the
+    DF cap.  (The same second-implementation discipline as the HLL
+    python-reimpl test.)"""
+    from collections import Counter
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.operators.dedup as D
+
+    vocab = [f"w{i}" for i in range(5)]
+    word = st.sampled_from(vocab)
+    texts = data.draw(
+        st.lists(
+            st.lists(word, min_size=1, max_size=12).map(" ".join),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    max_df = data.draw(st.sampled_from([None, 2, 3]))
+    n = 3
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    if max_df is not None:
+        df = Counter(s for sh in sets.values() for s in sh)
+        sets = {
+            i: {s for s in sh if df[s] <= max_df} for i, sh in sets.items()
+        }
+    expected = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j and sets[i] & sets[j]:
+                c = len(sets[i] & sets[j])
+                na, nb = len(sets[i]), len(sets[j])
+                expected[(i, j)] = (
+                    c, na, nb, round(c / (na + nb - c), 6)
+                )
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
+        for r in D.ngram_pair_stats(d, n=n, max_df=max_df).collect()
+    }
+    assert got == expected
+
+
 @given(blob=st.binary(min_size=0, max_size=64))
 @settings(max_examples=200, deadline=None)
 def test_image_header_parse_never_crashes(blob):
