@@ -1841,13 +1841,50 @@ SELECT bucket, COUNT(*) AS n_vectors FROM buckets GROUP BY 1
 """
 
 
+#: (applicationId, sf_dir) -> persisted hyperplane-LSH near-dup pair
+#: table at cosine threshold 0.45 — shared by embedding_lsh_near_dup
+#: (the table itself) and lsh_eval_pr (its approximate side).  Same
+#: session-shared-stage pattern as the document pair caches; listed
+#: in SHARED_STAGE_CACHES.
+_EMB_LSH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _emb_lsh_near_dup_pairs(spark, sf) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    cached = _EMB_LSH_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    e = _t(spark, sf, "embeddings")
+    pairs = S.lsh_near_dup_pairs(e, threshold=0.45).persist()
+    _EMB_LSH_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
+#: (applicationId, sf_dir) -> persisted EXACT cosine near-dup pair
+#: table at threshold 0.45 — shared by embedding_near_dup (the
+#: ground-truth table itself) and lsh_eval_pr (its exact side).
+_EMB_EXACT_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _emb_exact_near_dup_pairs(spark, sf) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    cached = _EMB_EXACT_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    e = _t(spark, sf, "embeddings", parallelize=True)
+    pairs = S.cosine_near_dup_pairs(e, threshold=0.45).persist()
+    _EMB_EXACT_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 def q_lsh_near_dup(spark, sf):
     """LSH-candidate + exact-verify near-dup — the sub-quadratic scale
     path. Deterministic md5 hyperplanes make even this *approximate*
     method exactly oracle-checkable: DuckDB reproduces the identical
-    bucket assignment and therefore the identical pair set."""
-    e = _t(spark, sf, "embeddings")
-    return S.lsh_near_dup_pairs(e, threshold=0.45)
+    bucket assignment and therefore the identical pair set.  The
+    result IS the shared persisted ``_EMB_LSH_PAIRS_CACHE`` stage
+    (lsh_eval_pr scores against the same table)."""
+    return _emb_lsh_near_dup_pairs(spark, sf)
 
 
 _LSH_R = S.LSH_ND_PLANES // S.LSH_BANDS
@@ -1891,9 +1928,11 @@ def q_embedding_near_dup(spark, sf):
     this same cosine verify on the (tiny) candidate set. An
     approximate-recall method can't be hash-compared against an exact
     oracle, so the registry checks the exact form.
+
+    The result IS the shared persisted ``_EMB_EXACT_PAIRS_CACHE``
+    stage (lsh_eval_pr's ground-truth side reads the same table).
     """
-    e = _t(spark, sf, "embeddings", parallelize=True)
-    return S.cosine_near_dup_pairs(e, threshold=0.45)
+    return _emb_exact_near_dup_pairs(spark, sf)
 
 
 SQL_EMBEDDING_NEAR_DUP = """
@@ -6711,10 +6750,14 @@ def q_lsh_eval_pr(spark, sf):
     LSH verifies candidates with the same cosine threshold, so its
     pairs are a subset of the exact set (precision 1 by construction
     — asserted by the n_false_pos column); recall is the number the
-    banding parameters trade away."""
-    e = _t(spark, sf, "embeddings")
-    exact = S.cosine_near_dup_pairs(e, threshold=0.45).select("va", "vb")
-    lsh = S.lsh_near_dup_pairs(e, threshold=0.45).select("va", "vb")
+    banding parameters trade away.
+
+    Both sides are the shared persisted stages the production queries
+    already materialize (``_EMB_EXACT_PAIRS_CACHE``,
+    ``_EMB_LSH_PAIRS_CACHE``), so this eval pays only the
+    confusion join."""
+    exact = _emb_exact_near_dup_pairs(spark, sf).select("va", "vb")
+    lsh = _emb_lsh_near_dup_pairs(spark, sf).select("va", "vb")
     # One full-outer join + one aggregation: all four counts come from a
     # single pass over each pair set (the previous shape planned the
     # exact side under two separate aggregates plus 1-row cross joins).
@@ -7936,6 +7979,8 @@ SHARED_STAGE_CACHES: dict[str, dict] = {
     "_minhash_verified_pairs": _LSH_PAIRS_CACHE,
     "_ngram_pairs_capped": _NGRAM_PAIRS_CACHE,
     "_simhash_signatures": _SIMHASH_SIG_CACHE,
+    "_emb_lsh_near_dup_pairs": _EMB_LSH_PAIRS_CACHE,
+    "_emb_exact_near_dup_pairs": _EMB_EXACT_PAIRS_CACHE,
     "_logreg_feats_and_weights": _LOGREG_CACHE,
     "_term_census": _TERM_CENSUS_CACHE,
 }
@@ -18794,8 +18839,6 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "embedding_gram_matrix",
         "embedding_ivf_topk",
         "embedding_lsh_buckets",
-        "embedding_lsh_near_dup",
-        "embedding_near_dup",
         "embedding_norms",
         "embedding_outliers",
         "embedding_power_iteration",
@@ -18882,7 +18925,6 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "logreg_auc",
         "logreg_calibration",
         "logreg_hard_examples",
-        "lsh_eval_pr",
         "map_functions_suite",
         "market_basket_pairs",
         "math_functions_suite",
@@ -19061,6 +19103,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # implementation changed, so its two registry callers re-queue
     "dedup_ngram_jaccard",
     "minhash_eval_recall",
+    # the embedding near-dup pipelines became shared persisted stages
+    # (one LSH build + one exact build per session; lsh_eval_pr pays
+    # only the confusion join)
+    "embedding_near_dup",
+    "embedding_lsh_near_dup",
+    "lsh_eval_pr",
 )
 
 
