@@ -135,6 +135,29 @@ def add_route(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return df.withColumn("route", route).withColumn("ym", ym).withColumn("dd", dd)
 
 
+def route_records_on_envelope(
+    env: DataFrame,
+    cfg: PipelineConfig | None = None,
+    drop_non_json: bool | None = None,
+) -> DataFrame:
+    """A6-A11 on an already-extracted+validated envelope: whitelist,
+    route, partition dates, optional non-JSON drop.
+
+    The parse->validate prefix (``validate(extract_envelope(...))``)
+    depends only on the envelope field names and timestamp flags, NOT
+    on the whitelist or timezone — so callers that route the same
+    payloads under several post-stage configs can share one (possibly
+    persisted) envelope and pay only this narrow projection per config.
+    ``route_records`` delegates here; the split is a pure refactor.
+    """
+    cfg = cfg or PipelineConfig()
+    out = add_route(apply_whitelist(env, cfg), cfg)
+    drop = (not cfg.non_json_to_unknown) if drop_non_json is None else drop_non_json
+    if drop:
+        out = out.filter(F.col("is_json"))
+    return out
+
+
 def route_records(
     df: DataFrame,
     cfg: PipelineConfig | None = None,
@@ -147,13 +170,9 @@ def route_records(
     reference behavior silently skips non-JSON, lambda/main.py:50-52).
     """
     cfg = cfg or PipelineConfig()
-    out = add_route(
-        apply_whitelist(validate(extract_envelope(df, cfg, payload_col), cfg), cfg), cfg
+    return route_records_on_envelope(
+        validate(extract_envelope(df, cfg, payload_col), cfg), cfg, drop_non_json
     )
-    drop = (not cfg.non_json_to_unknown) if drop_non_json is None else drop_non_json
-    if drop:
-        out = out.filter(F.col("is_json"))
-    return out
 
 
 def payload_schema_profile(

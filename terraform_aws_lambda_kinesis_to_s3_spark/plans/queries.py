@@ -39,6 +39,7 @@ from terraform_aws_lambda_kinesis_to_s3_spark.operators import textops as X
 from terraform_aws_lambda_kinesis_to_s3_spark.operators.envelope import (
     extract_envelope,
     route_records,
+    route_records_on_envelope,
     validate,
 )
 from terraform_aws_lambda_kinesis_to_s3_spark.sources.tables import load_table
@@ -90,9 +91,38 @@ def _events_payload(ev: DataFrame, drop_time=None, drop_type=None) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: (applicationId, sf_dir) -> persisted parse->validate envelope over
+#: the standard replayed payloads (no planted failures).  The
+#: expensive half of every Tier-A routing query is the payload
+#: serialize + PERMISSIVE from_json parse + permissive timestamp
+#: chain; that prefix depends only on the envelope field names and
+#: timestamp flags — NOT on the whitelist or timezone, which enter in
+#: operators.envelope.route_records_on_envelope's narrow post-stages.
+#: Three consumers share it (pipeline_route, pipeline_whitelist,
+#: pipeline_tz_partition — their configs differ only post-envelope;
+#: equivalence vs the unshared route_records path is test-pinned in
+#: test_envelope_cache_equivalence).  pipeline_unknown_routing and
+#: pipeline_schema_profile plant per-row failures into the PAYLOAD
+#: itself, so they cannot ride this stage.
+_ENVELOPE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _routed_envelope(spark, sf) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    cached = _ENVELOPE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ev = _t(spark, sf, "events", parallelize=True)
+    cfg = PipelineConfig()
+    env = validate(extract_envelope(_events_payload(ev), cfg), cfg).persist()
+    _ENVELOPE_CACHE[key] = env
+    return env
+
+
 def q_pipeline_route(spark, sf):
-    """A3-A9: parse -> validate -> route -> (log_type, ym, dd) counts."""
-    routed = route_records(_events_payload(_t(spark, sf, "events", parallelize=True)), PipelineConfig())
+    """A3-A9: parse -> validate -> route -> (log_type, ym, dd) counts.
+    Rides the session-shared _ENVELOPE_CACHE parse stage."""
+    routed = route_records_on_envelope(_routed_envelope(spark, sf), PipelineConfig())
     return (
         routed.groupBy(F.col("route").alias("log_type"), "ym", "dd")
         .agg(F.count("*").alias("n_records"))
@@ -127,9 +157,11 @@ FROM events GROUP BY 1
 
 
 def q_pipeline_whitelist(spark, sf):
-    """A6: whitelist semi-filter keeps only listed log types."""
+    """A6: whitelist semi-filter keeps only listed log types.  The
+    whitelist is a post-envelope filter, so this rides the shared
+    _ENVELOPE_CACHE parse stage."""
     cfg = PipelineConfig(log_type_whitelist=("purchase", "click"))
-    routed = route_records(_events_payload(_t(spark, sf, "events", parallelize=True)), cfg)
+    routed = route_records_on_envelope(_routed_envelope(spark, sf), cfg)
     return routed.groupBy("route").agg(F.count("*").alias("n_records"))
 
 
@@ -140,9 +172,11 @@ FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1
 
 
 def q_pipeline_tz(spark, sf):
-    """A7/A9: TZ-shifted partition dates (Asia/Tokyo = UTC+9, no DST)."""
+    """A7/A9: TZ-shifted partition dates (Asia/Tokyo = UTC+9, no DST).
+    The timezone enters only in add_route's partition-date columns, so
+    this rides the shared _ENVELOPE_CACHE parse stage."""
     cfg = PipelineConfig(timezone="Asia/Tokyo")
-    routed = route_records(_events_payload(_t(spark, sf, "events", parallelize=True)), cfg)
+    routed = route_records_on_envelope(_routed_envelope(spark, sf), cfg)
     return routed.groupBy("ym", "dd").agg(F.count("*").alias("n_records"))
 
 
@@ -1733,13 +1767,51 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 # ---------------------------------------------------------------------------
 
 
+#: (applicationId, sf_dir) -> persisted exact brute-force top-5 of the
+#: standard 10-query probe (vec_id < 10) — embedding_cosine_topk IS
+#: this stage; ivf_eval_recall reads it as the ground-truth side of
+#: its recall join instead of re-running the BLAS scan (same pattern
+#: as the embedding near-dup stages).
+_COSINE_TOPK10_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+#: (applicationId, sf_dir) -> persisted IVF-probed (nprobe=3) top-5 of
+#: the same probe set — embedding_ivf_topk IS this stage;
+#: ivf_eval_recall reads it as the approximate side.
+_IVF_TOPK10_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cosine_topk10(spark, sf) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    cached = _COSINE_TOPK10_CACHE.get(key)
+    if cached is not None:
+        return cached
+    e = _t(spark, sf, "embeddings")
+    out = S.cosine_topk_blas(e, e.filter(F.col("vec_id") < 10), k=5).persist()
+    _COSINE_TOPK10_CACHE[key] = out
+    return out
+
+
+def _ivf_topk10(spark, sf) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    cached = _IVF_TOPK10_CACHE.get(key)
+    if cached is not None:
+        return cached
+    e = _t(spark, sf, "embeddings")
+    cents = S.label_centroids(e)
+    out = S.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), cents, k=5, nprobe=3
+    ).persist()
+    _IVF_TOPK10_CACHE[key] = out
+    return out
+
+
 def q_cosine_topk(spark, sf):
     """Exact brute-force top-5 via the BLAS batch scorer (one matmul
     per Arrow batch + per-batch top-k pruning; see cosine_topk_blas).
     The Catalyst-lambda formulation (S.cosine_topk) is kept as the
-    reference implementation and pinned equivalent by unit test."""
-    e = _t(spark, sf, "embeddings")
-    return S.cosine_topk_blas(e, e.filter(F.col("vec_id") < 10), k=5)
+    reference implementation and pinned equivalent by unit test.
+    This query IS the session-shared _COSINE_TOPK10_CACHE stage."""
+    return _cosine_topk10(spark, sf)
 
 
 SQL_COSINE_TOPK = """
@@ -2388,10 +2460,9 @@ def q_ivf_topk(spark, sf):
     fully deterministic given the label-mean centroids, so the oracle
     mirrors the whole pipeline exactly: cell assignment (cosine argmax,
     ties to the smaller label), nprobe=3 probe selection per query, and
-    exact re-scoring inside the probed cells (r5 verdict item 3)."""
-    e = _t(spark, sf, "embeddings")
-    cents = S.label_centroids(e)
-    return S.ivf_topk(e, e.filter(F.col("vec_id") < 10), cents, k=5, nprobe=3)
+    exact re-scoring inside the probed cells (r5 verdict item 3).
+    This query IS the session-shared _IVF_TOPK10_CACHE stage."""
+    return _ivf_topk10(spark, sf)
 
 
 SQL_IVF_TOPK = """
@@ -4705,6 +4776,50 @@ FROM kept JOIN exact USING (event_type)
 """
 
 
+#: (applicationId, sf_dir) -> persisted distinct co-purchase edge
+#: table of the FULL parts graph (operators.graph.cooccurrence_edges
+#: over every lineitem basket).  Three consumers build this identical
+#: relation — graph_triangle_parts, graph_triangle_degree_ordered and
+#: graph_assortativity — and each used to pay the scan -> basket
+#: self-join -> distinct subtree itself; sharing the persisted edge
+#: list means triangle counting and the assortativity correlation pay
+#: only their own joins (same pattern and rationale as
+#: _LSH_PAIRS_CACHE).  The persisted relation is O(distinct
+#: co-purchase pairs), far below the lineitem input.
+_EDGES_FULL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+#: (applicationId, sf_dir) -> the same persisted edge table over the
+#: deterministic quarter of baskets (l_orderkey % 4 = 0) — the
+#: bench-bounded graph the wedge-shaped queries run on.  Three
+#: consumers: graph_triangle_parts_capped, graph_adamic_adar (whose r8
+#: edges persist moves here — it is consumed twice WITHIN that query,
+#: by the capped-adjacency build and the left-anti probe, and now also
+#: ACROSS queries) and aa_cap_eval.
+_EDGES_QUARTER_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _coocc_edges_full(spark, sf) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    cached = _EDGES_FULL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    li = _t(spark, sf, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
+    _EDGES_FULL_CACHE[key] = edges
+    return edges
+
+
+def _coocc_edges_quarter(spark, sf) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    cached = _EDGES_QUARTER_CACHE.get(key)
+    if cached is not None:
+        return cached
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
+    _EDGES_QUARTER_CACHE[key] = edges
+    return edges
+
+
 def q_pagerank_parts(spark, sf):
     """One PageRank power iteration (operators.graph.pagerank_step)
     over the supplier->part supply graph (distinct lineitem edges):
@@ -4741,8 +4856,7 @@ def q_triangle_parts(spark, sf):
     per-basket quadratic cost is bounded by basket size (~7); the
     wedge join is the scale cost-center and is documented with the
     degree-ordering fix in the operator docstring."""
-    li = _t(spark, sf, "lineitem")
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    edges = _coocc_edges_full(spark, sf)
     return G.triangle_count(edges)
 
 
@@ -4768,8 +4882,7 @@ def q_triangle_parts_capped(spark, sf):
     variant is excluded from the headline bench the same way exact
     all-pairs n-gram Jaccard is — the capped run keeps the plan shape
     honest while bounding the wedge join."""
-    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    edges = _coocc_edges_quarter(spark, sf)
     return G.triangle_count(edges)
 
 
@@ -4796,8 +4909,7 @@ def q_triangle_degree_ordered(spark, sf):
     identical, n_wedges is provably <= the id-ordered count — the
     skew-proof formulation for power-law graphs, oracle-checkable
     because the (degree, id) rank is deterministic."""
-    li = _t(spark, sf, "lineitem")
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    edges = _coocc_edges_full(spark, sf)
     return G.triangle_count_degree_ordered(edges)
 
 
@@ -7387,12 +7499,12 @@ def q_ivf_eval_recall(spark, sf):
     because recall<1 by design; THIS query pins exactly how much
     recall nprobe=3 buys, as a hard oracle-checked number). Both
     sides share deterministic tie-breaks (cos desc, id asc), so the
-    hit counts are engine-exact."""
-    e = _t(spark, sf, "embeddings")
-    q = e.filter(F.col("vec_id") < 10)
-    cents = S.label_centroids(e)
-    exact = S.cosine_topk_blas(e, q, k=5).select("query_id", "nn_id")
-    ivf = S.ivf_topk(e, q, cents, k=5, nprobe=3).select("query_id", "nn_id")
+    hit counts are engine-exact.  Both sides are the session-shared
+    persisted stages (_COSINE_TOPK10_CACHE / _IVF_TOPK10_CACHE — the
+    embedding_cosine_topk and embedding_ivf_topk results themselves),
+    so this eval pays only for its recall join."""
+    exact = _cosine_topk10(spark, sf).select("query_id", "nn_id")
+    ivf = _ivf_topk10(spark, sf).select("query_id", "nn_id")
     # One full-outer join + one aggregation scores all three counts in a
     # single pass over each side — no persisted subtree evaluated twice,
     # no 1-row cross joins.
@@ -7983,6 +8095,11 @@ SHARED_STAGE_CACHES: dict[str, dict] = {
     "_emb_exact_near_dup_pairs": _EMB_EXACT_PAIRS_CACHE,
     "_logreg_feats_and_weights": _LOGREG_CACHE,
     "_term_census": _TERM_CENSUS_CACHE,
+    "_coocc_edges_full": _EDGES_FULL_CACHE,
+    "_coocc_edges_quarter": _EDGES_QUARTER_CACHE,
+    "_cosine_topk10": _COSINE_TOPK10_CACHE,
+    "_ivf_topk10": _IVF_TOPK10_CACHE,
+    "_routed_envelope": _ENVELOPE_CACHE,
 }
 
 
@@ -11919,20 +12036,21 @@ def q_graph_adamic_adar(spark, sf):
     broadcast-sized dim join, pair-keyed reduce, left-anti against
     existing edges, TakeOrdered top-15 with deterministic ties.
 
-    The ``edges`` table is PERSISTED: it is consumed twice (the capped
-    adjacency build and the left-anti probe), and without the persist
-    the anti-join side recomputes the whole scan->basket-self-join->
-    distinct subtree.  The r7-deferred ``parallelize=True`` ingest
-    flag was re-measured for this round and REJECTED: fresh-session
-    min-of-3 A/B at sf0.1 reads off 3.32 / on 4.36 / off+persist 2.74
-    / on+persist 3.60 s — the round-robin repartition ships every
-    lineitem byte ahead of a distinct whose first exchange already
-    distributes the work, and it costs that shipping once per edges
-    consumer; persisting edges fixes the actual duplication instead.
-    At scale the persist is O(distinct co-purchase pairs), far below
-    the lineitem input."""
-    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
+    The ``edges`` table is PERSISTED (the session-shared
+    _EDGES_QUARTER_CACHE stage): it is consumed twice WITHIN this
+    query (the capped adjacency build and the left-anti probe — without
+    the persist the anti-join side recomputes the whole scan->basket-
+    self-join->distinct subtree) and by two sibling queries
+    (graph_triangle_parts_capped, aa_cap_eval).  The r7-deferred
+    ``parallelize=True`` ingest flag was re-measured for round 8 and
+    REJECTED: fresh-session min-of-3 A/B at sf0.1 reads off 3.32 /
+    on 4.36 / off+persist 2.74 / on+persist 3.60 s — the round-robin
+    repartition ships every lineitem byte ahead of a distinct whose
+    first exchange already distributes the work, and it costs that
+    shipping once per edges consumer; persisting edges fixes the
+    actual duplication instead.  At scale the persist is O(distinct
+    co-purchase pairs), far below the lineitem input."""
+    edges = _coocc_edges_quarter(spark, sf)
     adj = edges.select(
         F.col("src").alias("z"), F.col("dst").alias("nb")
     ).unionAll(edges.select(F.col("dst").alias("z"), F.col("src").alias("nb")))
@@ -12012,8 +12130,7 @@ def q_aa_cap_eval(spark, sf):
     it arithmetically).  Every dropped wedge's weight is bounded by
     1/ln(AA_DEG_CAP); mass_kept_frac pins how much of the scoring
     mass the cap actually costs at this sf."""
-    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    edges = _coocc_edges_quarter(spark, sf)
     adj = edges.select(
         F.col("src").alias("z"), F.col("dst").alias("nb")
     ).unionAll(edges.select(F.col("dst").alias("z"), F.col("src").alias("nb")))
@@ -12075,9 +12192,9 @@ def q_graph_assortativity(spark, sf):
     Scale shape: degree table from one adjacency reduce, two
     degree-dim equi-joins back onto edges (dims are node-sized —
     AQE picks broadcast when small), one closed-form corr aggregate.
-    No wedges, no sorts — O(edges) end to end."""
-    li = _t(spark, sf, "lineitem")
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    No wedges, no sorts — O(edges) end to end, on the session-shared
+    persisted _EDGES_FULL_CACHE stage."""
+    edges = _coocc_edges_full(spark, sf)
     adj = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -18767,7 +18884,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 #: from the new CORRECTNESS_r{N}.json.
 DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
-        "aa_cap_eval",
         "ab_fdr_bh",
         "ab_sprt_daily",
         "ab_test_welch",
@@ -18834,10 +18950,8 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "dsir_importance",
         "dup_ngram_coverage",
         "embedding_centroid_assign",
-        "embedding_cosine_topk",
         "embedding_dim_stats",
         "embedding_gram_matrix",
-        "embedding_ivf_topk",
         "embedding_lsh_buckets",
         "embedding_norms",
         "embedding_outliers",
@@ -18892,11 +19006,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "global_shuffle_shards",
         "gopher_quality_flags",
         "gram_frequency_spectrum",
-        "graph_assortativity",
         "graph_pagerank_parts",
-        "graph_triangle_degree_ordered",
-        "graph_triangle_parts",
-        "graph_triangle_parts_capped",
         "group_split_events",
         "grouping_sets_status_priority",
         "hard_negatives",
@@ -18908,7 +19018,6 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "incremental_agg_merge",
         "incremental_dedup_check",
         "isotonic_calibration",
-        "ivf_eval_recall",
         "join_explosion_audit",
         "join_key_skew",
         "join_types_suite",
@@ -18952,11 +19061,8 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "percentiles_by_priority",
         "perplexity_bucket_sample",
         "pipeline_error_taxonomy",
-        "pipeline_route",
         "pipeline_schema_profile",
-        "pipeline_tz_partition",
         "pipeline_unknown_routing",
-        "pipeline_whitelist",
         "pivot_priority_by_status",
         "pmi_collocations",
         "point_in_time_join",
@@ -19109,6 +19215,28 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_near_dup",
     "embedding_lsh_near_dup",
     "lsh_eval_pr",
+    # the co-purchase edge builds became shared persisted stages
+    # (_EDGES_FULL_CACHE / _EDGES_QUARTER_CACHE): each graph consumer
+    # now reads one persisted edge list instead of rebuilding the
+    # scan -> basket self-join -> distinct subtree itself
+    "graph_triangle_parts",
+    "graph_triangle_parts_capped",
+    "graph_triangle_degree_ordered",
+    "graph_assortativity",
+    "aa_cap_eval",
+    # the probe-set top-k pipelines became shared persisted stages
+    # (_COSINE_TOPK10_CACHE / _IVF_TOPK10_CACHE); ivf_eval_recall
+    # reads both results instead of re-running the BLAS scan and the
+    # IVF probe pipeline
+    "embedding_cosine_topk",
+    "embedding_ivf_topk",
+    "ivf_eval_recall",
+    # the Tier-A parse->validate envelope became a shared persisted
+    # stage (_ENVELOPE_CACHE); whitelist and timezone are post-stages
+    # via route_records_on_envelope (equivalence test-pinned)
+    "pipeline_route",
+    "pipeline_whitelist",
+    "pipeline_tz_partition",
 )
 
 

@@ -3609,15 +3609,19 @@ def _with_tables(tables, fn):
     import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
 
     orig = Q._t
-    Q._NGRAM_PAIRS_CACHE.clear()  # sf keys repeat across fixtures ("x")
-    Q._SIMHASH_SIG_CACHE.clear()
+    # sf keys repeat across fixtures ("x"): every session-shared stage
+    # cache must be cleared around a mocked-table run, and the single
+    # inventory (SHARED_STAGE_CACHES) is what makes that total — a
+    # hand-maintained list here silently missed new caches before.
+    for c in Q.SHARED_STAGE_CACHES.values():
+        c.clear()
     try:
         Q._t = lambda spark, sf, name, **k: tables[name]
         return fn(Q)
     finally:
         Q._t = orig
-        Q._NGRAM_PAIRS_CACHE.clear()
-        Q._SIMHASH_SIG_CACHE.clear()
+        for c in Q.SHARED_STAGE_CACHES.values():
+            c.clear()
 
 
 def test_hll_error_eval_matches_python_reimpl(spark):
@@ -4002,6 +4006,91 @@ def test_simhash_sig_cache_equivalence(spark):
         return True
 
     assert _with_tables({"documents": d}, run)
+
+
+def test_envelope_cache_equivalence(spark):
+    """The `_ENVELOPE_CACHE` contract: (a) routing over the shared
+    parse->validate envelope (`route_records_on_envelope`) is
+    row-identical to the unshared `route_records` path for every
+    config the three riding queries ship (default, whitelist,
+    Asia/Tokyo) — the envelope prefix must not depend on whitelist or
+    timezone; (b) the registry queries riding the cache return exactly
+    the unshared-path results; (c) the second consumer in a session
+    gets the SAME persisted DataFrame object.  Fixture includes a
+    record whose UTC date differs from its Tokyo date (23:30 UTC) so
+    the timezone post-stage is actually exercised."""
+    import datetime as dt
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.config import PipelineConfig
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.envelope import (
+        extract_envelope,
+        route_records,
+        route_records_on_envelope,
+        validate,
+    )
+
+    rows = [
+        (1, "purchase", dt.datetime(2024, 6, 1, 10, 0, 0), 11, 1.5),
+        (2, "click", dt.datetime(2024, 6, 1, 23, 30, 0), 12, 2.5),
+        (3, "view", dt.datetime(2024, 6, 2, 0, 15, 0), 13, 3.5),
+        (4, "purchase", dt.datetime(2024, 6, 30, 23, 45, 0), 14, 4.5),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, event_type string, ts timestamp, user_id long, "
+        "value double",
+    )
+    cfgs = {
+        "default": PipelineConfig(),
+        "whitelist": PipelineConfig(log_type_whitelist=("purchase", "click")),
+        "tokyo": PipelineConfig(timezone="Asia/Tokyo"),
+    }
+
+    def run(Q):
+        payloads = Q._events_payload(e)
+        base = PipelineConfig()
+        env = validate(extract_envelope(payloads, base), base)
+        keyf = lambda r: (r.route, r.ym, r.dd, r.log_id)
+        unshared = {}
+        for name, cfg in cfgs.items():
+            a = sorted(map(keyf, route_records(payloads, cfg).collect()))
+            b = sorted(
+                map(keyf, route_records_on_envelope(env, cfg).collect())
+            )
+            assert a == b, name
+            unshared[name] = a
+        # the Tokyo post-stage must actually shift the 23:30 UTC record
+        assert ("click", "2024-06", "02") in {
+            (r[0], r[1], r[2]) for r in unshared["tokyo"]
+        }
+        # registry queries riding the cache == unshared-path aggregates
+        routed = {
+            (r.log_type, r.ym, r.dd): r.n_records
+            for r in Q.q_pipeline_route(spark, "env-cache-fx").collect()
+        }
+        from collections import Counter
+
+        want = Counter((r[0], r[1], r[2]) for r in unshared["default"])
+        assert routed == dict(want)
+        wl = {
+            r.route: r.n_records
+            for r in Q.q_pipeline_whitelist(spark, "env-cache-fx").collect()
+        }
+        assert wl == {"purchase": 2, "click": 1}
+        tz = {
+            (r.ym, r.dd): r.n_records
+            for r in Q.q_pipeline_tz(spark, "env-cache-fx").collect()
+        }
+        want_tz = Counter((r[1], r[2]) for r in unshared["tokyo"])
+        assert tz == dict(want_tz)
+        # 2024-07-01 in Tokyo exists only via the TZ shift of row 4
+        assert tz.get(("2024-07", "01")) == 1
+        # second consumer: same persisted object, not a rebuild
+        first = Q._routed_envelope(spark, "env-cache-fx")
+        assert Q._routed_envelope(spark, "env-cache-fx") is first
+        return True
+
+    assert _with_tables({"events": e}, run)
 
 
 def test_dedup_method_agreement_identical_pair(spark):
