@@ -1099,29 +1099,39 @@ def q21_waiting_supplier(spark, sf):
     )
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_9")
-    # The EXISTS / NOT EXISTS pair folds into one per-order aggregate
-    # (distinct suppliers, distinct open suppliers): given my line is
-    # open, "another supplier exists" == n_supp >= 2 and "no other
-    # supplier is open" == n_open_supp == 1. One fact shuffle on
-    # l_orderkey + a co-partitioned join, instead of three fact scans
-    # feeding a semi and an anti join (the literal translation).
-    stats = lines.groupBy(F.col("l_orderkey").alias("k_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_linestatus") == "O", F.col("l_suppkey"))
-        ).alias("n_open_supp"),
+    # The EXISTS / NOT EXISTS pair folds into one per-order aggregate:
+    # given my line is open, "another supplier exists" == n_supp >= 2
+    # and "no other supplier is open" == n_open_supp == 1.  ONE fact
+    # pass: reduce to (order, supplier) grain (has_open flag +
+    # open-line count — numwait counts LINES, so multiplicity rides
+    # along as an integer), then derive the per-order stats as WINDOW
+    # aggregates over that already-small table — a single consumption
+    # of the reduced relation, hash-partitioned by order (never
+    # global).  vs the r1 plan this removes the second lineitem scan,
+    # the countDistinct Expand (which doubled the fact shuffle), and
+    # the stats self-join.
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_linestatus") == "O").cast("int")).alias("has_open"),
+        F.sum((F.col("l_linestatus") == "O").cast("long")).alias(
+            "n_open_lines"
+        ),
     )
-    l1 = lines.filter(F.col("l_linestatus") == "O").join(
-        fo, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    wo = Window.partitionBy("l_orderkey")
+    sole_open = (
+        per_supp.withColumn("n_supp", F.count("*").over(wo))
+        .withColumn("n_open_supp", F.sum("has_open").over(wo))
+        .filter(
+            (F.col("has_open") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_open_supp") == 1)
+        )
+        .join(fo, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
     )
-    sole_open = l1.join(
-        stats, F.col("l_orderkey") == F.col("k_orderkey")
-    ).filter((F.col("n_supp") >= 2) & (F.col("n_open_supp") == 1))
     return (
         sole_open.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey, "left_semi")
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_open_lines").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
@@ -19082,7 +19092,6 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q19_discounted_revenue",
         "q1_pricing_summary",
         "q20_potential_promotion",
-        "q21_waiting_supplier",
         "q22_sales_opportunity",
         "q2_min_cost_supplier",
         "q3_shipping_priority",
@@ -19237,6 +19246,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_route",
     "pipeline_whitelist",
     "pipeline_tz_partition",
+    # q21 re-planned: one fact pass at (order, supplier) grain instead
+    # of two lineitem scans + a countDistinct Expand
+    "q21_waiting_supplier",
 )
 
 
