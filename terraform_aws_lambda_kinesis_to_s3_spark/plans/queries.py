@@ -4786,50 +4786,6 @@ FROM kept JOIN exact USING (event_type)
 """
 
 
-#: (applicationId, sf_dir) -> persisted distinct co-purchase edge
-#: table of the FULL parts graph (operators.graph.cooccurrence_edges
-#: over every lineitem basket).  Three consumers build this identical
-#: relation — graph_triangle_parts, graph_triangle_degree_ordered and
-#: graph_assortativity — and each used to pay the scan -> basket
-#: self-join -> distinct subtree itself; sharing the persisted edge
-#: list means triangle counting and the assortativity correlation pay
-#: only their own joins (same pattern and rationale as
-#: _LSH_PAIRS_CACHE).  The persisted relation is O(distinct
-#: co-purchase pairs), far below the lineitem input.
-_EDGES_FULL_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-#: (applicationId, sf_dir) -> the same persisted edge table over the
-#: deterministic quarter of baskets (l_orderkey % 4 = 0) — the
-#: bench-bounded graph the wedge-shaped queries run on.  Three
-#: consumers: graph_triangle_parts_capped, graph_adamic_adar (whose r8
-#: edges persist moves here — it is consumed twice WITHIN that query,
-#: by the capped-adjacency build and the left-anti probe, and now also
-#: ACROSS queries) and aa_cap_eval.
-_EDGES_QUARTER_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
-def _coocc_edges_full(spark, sf) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf)
-    cached = _EDGES_FULL_CACHE.get(key)
-    if cached is not None:
-        return cached
-    li = _t(spark, sf, "lineitem")
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
-    _EDGES_FULL_CACHE[key] = edges
-    return edges
-
-
-def _coocc_edges_quarter(spark, sf) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf)
-    cached = _EDGES_QUARTER_CACHE.get(key)
-    if cached is not None:
-        return cached
-    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
-    _EDGES_QUARTER_CACHE[key] = edges
-    return edges
-
-
 def q_pagerank_parts(spark, sf):
     """One PageRank power iteration (operators.graph.pagerank_step)
     over the supplier->part supply graph (distinct lineitem edges):
@@ -4866,7 +4822,8 @@ def q_triangle_parts(spark, sf):
     per-basket quadratic cost is bounded by basket size (~7); the
     wedge join is the scale cost-center and is documented with the
     degree-ordering fix in the operator docstring."""
-    edges = _coocc_edges_full(spark, sf)
+    li = _t(spark, sf, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return G.triangle_count(edges)
 
 
@@ -4892,7 +4849,8 @@ def q_triangle_parts_capped(spark, sf):
     variant is excluded from the headline bench the same way exact
     all-pairs n-gram Jaccard is — the capped run keeps the plan shape
     honest while bounding the wedge join."""
-    edges = _coocc_edges_quarter(spark, sf)
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return G.triangle_count(edges)
 
 
@@ -4919,7 +4877,8 @@ def q_triangle_degree_ordered(spark, sf):
     identical, n_wedges is provably <= the id-ordered count — the
     skew-proof formulation for power-law graphs, oracle-checkable
     because the (degree, id) rank is deterministic."""
-    edges = _coocc_edges_full(spark, sf)
+    li = _t(spark, sf, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return G.triangle_count_degree_ordered(edges)
 
 
@@ -8105,8 +8064,6 @@ SHARED_STAGE_CACHES: dict[str, dict] = {
     "_emb_exact_near_dup_pairs": _EMB_EXACT_PAIRS_CACHE,
     "_logreg_feats_and_weights": _LOGREG_CACHE,
     "_term_census": _TERM_CENSUS_CACHE,
-    "_coocc_edges_full": _EDGES_FULL_CACHE,
-    "_coocc_edges_quarter": _EDGES_QUARTER_CACHE,
     "_cosine_topk10": _COSINE_TOPK10_CACHE,
     "_ivf_topk10": _IVF_TOPK10_CACHE,
     "_routed_envelope": _ENVELOPE_CACHE,
@@ -12046,21 +12003,25 @@ def q_graph_adamic_adar(spark, sf):
     broadcast-sized dim join, pair-keyed reduce, left-anti against
     existing edges, TakeOrdered top-15 with deterministic ties.
 
-    The ``edges`` table is PERSISTED (the session-shared
-    _EDGES_QUARTER_CACHE stage): it is consumed twice WITHIN this
-    query (the capped adjacency build and the left-anti probe — without
-    the persist the anti-join side recomputes the whole scan->basket-
-    self-join->distinct subtree) and by two sibling queries
-    (graph_triangle_parts_capped, aa_cap_eval).  The r7-deferred
-    ``parallelize=True`` ingest flag was re-measured for round 8 and
-    REJECTED: fresh-session min-of-3 A/B at sf0.1 reads off 3.32 /
-    on 4.36 / off+persist 2.74 / on+persist 3.60 s — the round-robin
-    repartition ships every lineitem byte ahead of a distinct whose
-    first exchange already distributes the work, and it costs that
-    shipping once per edges consumer; persisting edges fixes the
-    actual duplication instead.  At scale the persist is O(distinct
-    co-purchase pairs), far below the lineitem input."""
-    edges = _coocc_edges_quarter(spark, sf)
+    The ``edges`` table is PERSISTED: it is consumed twice (the capped
+    adjacency build and the left-anti probe), and without the persist
+    the anti-join side recomputes the whole scan->basket-self-join->
+    distinct subtree.  The r7-deferred ``parallelize=True`` ingest
+    flag was re-measured for this round and REJECTED: fresh-session
+    min-of-3 A/B at sf0.1 reads off 3.32 / on 4.36 / off+persist 2.74
+    / on+persist 3.60 s — the round-robin repartition ships every
+    lineitem byte ahead of a distinct whose first exchange already
+    distributes the work, and it costs that shipping once per edges
+    consumer; persisting edges fixes the actual duplication instead.
+    At scale the persist is O(distinct co-purchase pairs), far below
+    the lineitem input.  (Sharing this persist ACROSS the sibling
+    graph queries as a session cache was also measured and REVERTED:
+    consumers reading the InMemoryRelation lost parquet-stats exchange
+    reuse — plan_cost read degree_ordered 428->611 MB / 154->1059
+    tasks and assortativity 43.6->70 MB; the persist pays for itself
+    only within this query, where the subtree is consumed twice.)"""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
     adj = edges.select(
         F.col("src").alias("z"), F.col("dst").alias("nb")
     ).unionAll(edges.select(F.col("dst").alias("z"), F.col("src").alias("nb")))
@@ -12140,7 +12101,8 @@ def q_aa_cap_eval(spark, sf):
     it arithmetically).  Every dropped wedge's weight is bounded by
     1/ln(AA_DEG_CAP); mass_kept_frac pins how much of the scoring
     mass the cap actually costs at this sf."""
-    edges = _coocc_edges_quarter(spark, sf)
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
     adj = edges.select(
         F.col("src").alias("z"), F.col("dst").alias("nb")
     ).unionAll(edges.select(F.col("dst").alias("z"), F.col("src").alias("nb")))
@@ -12202,9 +12164,9 @@ def q_graph_assortativity(spark, sf):
     Scale shape: degree table from one adjacency reduce, two
     degree-dim equi-joins back onto edges (dims are node-sized —
     AQE picks broadcast when small), one closed-form corr aggregate.
-    No wedges, no sorts — O(edges) end to end, on the session-shared
-    persisted _EDGES_FULL_CACHE stage."""
-    edges = _coocc_edges_full(spark, sf)
+    No wedges, no sorts — O(edges) end to end."""
+    li = _t(spark, sf, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
     adj = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -18894,6 +18856,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 #: from the new CORRECTNESS_r{N}.json.
 DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
+        "aa_cap_eval",
         "ab_fdr_bh",
         "ab_sprt_daily",
         "ab_test_welch",
@@ -19016,7 +18979,11 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "global_shuffle_shards",
         "gopher_quality_flags",
         "gram_frequency_spectrum",
+        "graph_assortativity",
         "graph_pagerank_parts",
+        "graph_triangle_degree_ordered",
+        "graph_triangle_parts",
+        "graph_triangle_parts_capped",
         "group_split_events",
         "grouping_sets_status_priority",
         "hard_negatives",
@@ -19224,15 +19191,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_near_dup",
     "embedding_lsh_near_dup",
     "lsh_eval_pr",
-    # the co-purchase edge builds became shared persisted stages
-    # (_EDGES_FULL_CACHE / _EDGES_QUARTER_CACHE): each graph consumer
-    # now reads one persisted edge list instead of rebuilding the
-    # scan -> basket self-join -> distinct subtree itself
-    "graph_triangle_parts",
-    "graph_triangle_parts_capped",
-    "graph_triangle_degree_ordered",
-    "graph_assortativity",
-    "aa_cap_eval",
     # the probe-set top-k pipelines became shared persisted stages
     # (_COSINE_TOPK10_CACHE / _IVF_TOPK10_CACHE); ivf_eval_recall
     # reads both results instead of re-running the BLAS scan and the
