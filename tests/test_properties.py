@@ -74,6 +74,44 @@ def test_route_totality(spark, batch):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(batch=payloads)
+def test_route_on_envelope_equals_route_records_property(spark, batch):
+    """The _ENVELOPE_CACHE seam's contract over ARBITRARY payloads
+    (non-JSON garbage, missing/mistyped envelope keys — everything the
+    generator produces): for every post-stage config the riding
+    queries ship (default, whitelist, TZ-shifted), routing over a
+    once-extracted envelope is row-multiset-identical to the monolithic
+    route_records path.  The fixture-based pin
+    (test_envelope_cache_equivalence) checks the three shipped
+    queries; this one pins the seam itself under fuzz."""
+    from collections import Counter
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.envelope import (
+        extract_envelope,
+        route_records_on_envelope,
+        validate,
+    )
+
+    df = spark.createDataFrame([(p,) for p in batch], "payload string")
+    env = validate(extract_envelope(df, CFG), CFG)
+    for cfg in (
+        CFG,
+        PipelineConfig(
+            unknown_date="2024-06-01", log_type_whitelist=("a", "b")
+        ),
+        PipelineConfig(unknown_date="2024-06-01", timezone="Asia/Tokyo"),
+    ):
+        key = lambda r: (r.route, r.ym, r.dd, r.log_id, r.payload)
+        a = Counter(map(key, route_records(df, cfg).collect()))
+        b = Counter(map(key, route_records_on_envelope(env, cfg).collect()))
+        assert a == b
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=payloads)
 def test_dedup_idempotent(spark, batch):
     from terraform_aws_lambda_kinesis_to_s3_spark.operators.dedup import exact_dedup
 
