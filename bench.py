@@ -468,6 +468,25 @@ def main() -> None:
     REGISTRY["pipeline_route"][0](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # The warmup intentionally exercises the full route pipeline, but it
+    # must NOT leave the session-shared stage caches warm: a build
+    # materialized here would be charged to no timed entry AT ALL — not
+    # even cold_first_run (the min-of-REPEATS warm numbers already
+    # exclude shared builds by design; cold_first_run is the receipt
+    # that records them).  Unpersist + clear so every shared build
+    # lands in its first timed consumer's cold run.
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import (
+        SHARED_STAGE_CACHES,
+    )
+
+    for _cache in SHARED_STAGE_CACHES.values():
+        for _v in _cache.values():
+            for _df in (_v if isinstance(_v, tuple) else (_v,)):
+                try:
+                    _df.unpersist()
+                except Exception:
+                    pass
+        _cache.clear()
 
     # Fixed per-entry scheduling overhead (noop plan through the same
     # write path): median of 5 so one scheduler hiccup can't inflate

@@ -3609,19 +3609,31 @@ def _with_tables(tables, fn):
     import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
 
     orig = Q._t
+
     # sf keys repeat across fixtures ("x"): every session-shared stage
     # cache must be cleared around a mocked-table run, and the single
     # inventory (SHARED_STAGE_CACHES) is what makes that total — a
     # hand-maintained list here silently missed new caches before.
-    for c in Q.SHARED_STAGE_CACHES.values():
-        c.clear()
+    # Unpersist the cached DataFrames too: clear() alone would orphan
+    # their InMemoryRelations in the suite's shared session, slowly
+    # eating executor storage memory across 1200+ tests.
+    def _drop_caches():
+        for c in Q.SHARED_STAGE_CACHES.values():
+            for v in c.values():
+                for df in (v if isinstance(v, tuple) else (v,)):
+                    try:
+                        df.unpersist()
+                    except Exception:
+                        pass
+            c.clear()
+
+    _drop_caches()
     try:
         Q._t = lambda spark, sf, name, **k: tables[name]
         return fn(Q)
     finally:
         Q._t = orig
-        for c in Q.SHARED_STAGE_CACHES.values():
-            c.clear()
+        _drop_caches()
 
 
 def test_hll_error_eval_matches_python_reimpl(spark):

@@ -47,8 +47,16 @@ def main() -> None:
     if summary is None:
         sys.stderr.write(r.stdout[-2000:] + "\n" + r.stderr[-2000:] + "\n")
         raise SystemExit("no summary line from the sf1 bench run")
-    sf1_map = json.load(
-        open(summary["full_map"]))["queries"]
+    # the sidecar path is null when bench.py could not write it (e.g.
+    # read-only checkout); fall back to the (top-10-truncated) stdout
+    # map rather than crashing after the sf1 run already paid its time
+    if summary.get("full_map"):
+        sf1_map = json.load(open(summary["full_map"]))["queries"]
+    else:
+        sys.stderr.write("warning: no sidecar map — falling back to the "
+                         "truncated stdout map; some entries may be "
+                         "missing\n")
+        sf1_map = summary.get("queries", {})
 
     queries = {}
     for q in names:
@@ -75,6 +83,10 @@ def main() -> None:
         "overhead_components": summary.get("overhead_components"),
         "queries": queries,
     }
+    if not queries:
+        raise SystemExit(
+            "no requested query produced an sf1 timing — refusing to "
+            "write an empty BENCH_SF1.json")
     path = os.path.join(_REPO, "BENCH_SF1.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
