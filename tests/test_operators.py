@@ -4020,6 +4020,65 @@ def test_simhash_sig_cache_equivalence(spark):
     assert _with_tables({"documents": d}, run)
 
 
+def test_topk_stage_caches_hit_and_feed_eval(spark):
+    """The `_COSINE_TOPK10_CACHE` / `_IVF_TOPK10_CACHE` contract:
+    the registry queries ARE the stages (their collected results equal
+    fresh operator runs), the second consumer in a session gets the
+    SAME persisted object, and ivf_eval_recall's counts derive from
+    exactly those two persisted tables (n_exact == exact rows,
+    n_ivf == ivf rows, hits == the id-pair intersection)."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.operators.similarity as S
+
+    import numpy as np
+
+    rows = []
+    for i in range(24):
+        vec = [float((i * 7 + j * 3) % 11) / 11.0 for j in range(64)]
+        rows.append((i, i % 3, vec))
+    e = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+
+    def run(Q):
+        exact_fresh = {
+            (r.query_id, r.nn_id, r.rank)
+            for r in S.cosine_topk_blas(
+                e, e.filter(e.vec_id < 10), k=5
+            ).collect()
+        }
+        exact_cached = {
+            (r.query_id, r.nn_id, r.rank)
+            for r in Q.q_cosine_topk(spark, "topk-cache-fx").collect()
+        }
+        assert exact_cached == exact_fresh and len(exact_fresh) == 50
+        cents = S.label_centroids(e)
+        ivf_fresh = {
+            (r.query_id, r.nn_id, r.rank)
+            for r in S.ivf_topk(
+                e, e.filter(e.vec_id < 10), cents, k=5, nprobe=3
+            ).collect()
+        }
+        ivf_cached = {
+            (r.query_id, r.nn_id, r.rank)
+            for r in Q.q_ivf_topk(spark, "topk-cache-fx").collect()
+        }
+        assert ivf_cached == ivf_fresh
+        # cache-hit identity: second consumer gets the same object
+        assert Q._cosine_topk10(spark, "topk-cache-fx") is Q._cosine_topk10(
+            spark, "topk-cache-fx"
+        )
+        assert Q._ivf_topk10(spark, "topk-cache-fx") is Q._ivf_topk10(
+            spark, "topk-cache-fx"
+        )
+        got = Q.q_ivf_eval_recall(spark, "topk-cache-fx").collect()[0]
+        ep = {(q, n) for q, n, _ in exact_fresh}
+        ip = {(q, n) for q, n, _ in ivf_fresh}
+        assert got.n_exact == len(ep) and got.n_ivf == len(ip)
+        assert got.n_true_pos == len(ep & ip)
+        assert got.recall == round(len(ep & ip) / len(ep), 4)
+        return True
+
+    assert _with_tables({"embeddings": e}, run)
+
+
 def test_envelope_cache_equivalence(spark):
     """The `_ENVELOPE_CACHE` contract: (a) routing over the shared
     parse->validate envelope (`route_records_on_envelope`) is
