@@ -331,6 +331,9 @@ HEADLINE = [
     "pipeline_schema_profile",
     "text_scrub",
     "multimodal_audio_pcm_stats",
+    # round-8 video container family (REAL ISO-BMFF box walk; map-only)
+    "video_meta_probe",
+    "video_frame_sample_plan",
     # round-5 pipeline-assembly batch
     "filter_funnel",
     "scrub_eval",

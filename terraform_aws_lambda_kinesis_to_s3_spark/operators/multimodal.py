@@ -629,3 +629,278 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", n_frames: int = 4) -> D
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(batches, FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: ISO-BMFF (MP4) container metadata — REAL byte-level box walk
+# ---------------------------------------------------------------------------
+
+
+def synth_mp4(
+    width: int,
+    height: int,
+    timescale: int,
+    n_frames: int,
+    frame_delta: int,
+    n_filler: int = 0,
+) -> bytes:
+    """Minimal spec-valid ISO-BMFF (ISO/IEC 14496-12) MP4: ftyp +
+    moov(mvhd + trak(tkhd + mdia(mdhd + hdlr + minf(stbl(stts))))) +
+    mdat filler.  Movie duration is exactly ``n_frames * frame_delta``
+    in ``timescale`` units and the single stts entry carries
+    (n_frames, frame_delta), so every metadata field an oracle needs is
+    closed-form from the arguments.  Deterministic, for tests/oracles."""
+    import struct
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    duration = n_frames * frame_delta
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isommp41")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)  # volume 1.0
+        + bytes(10)  # reserved
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + bytes(24)  # pre_defined
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)  # track_ID
+        + bytes(4)  # reserved
+        + struct.pack(">I", duration)
+        + bytes(8)  # reserved
+        + struct.pack(">hhh", 0, 0, 0)  # layer, group, volume
+        + bytes(2)  # reserved
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    mdhd = box(
+        b"mdhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und', pre_defined
+    )
+    hdlr = box(
+        b"hdlr", struct.pack(">B3x", 0) + bytes(4) + b"vide" + bytes(12) + b"\x00"
+    )
+    stts = box(
+        b"stts",
+        struct.pack(">B3x", 0)
+        + struct.pack(">I", 1)  # entry_count
+        + struct.pack(">II", n_frames, frame_delta),
+    )
+    stbl = box(b"stbl", stts)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    mdat = box(b"mdat", bytes(n_filler))
+    return ftyp + moov + mdat
+
+
+#: containers whose payload is itself a box sequence
+_MP4_CONTAINERS = frozenset(
+    {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta"}
+)
+
+
+def parse_mp4_header(
+    blob: bytes,
+) -> tuple[str, int, int, int, int, int] | None:
+    """Walk the ISO-BMFF box tree (size u32be + fourcc, size==1 →
+    u64 largesize, size==0 → to EOF) and return (major_brand,
+    timescale, duration, width, height, n_frames), or None when the
+    blob is not a parseable MP4 (no ftyp, truncated box, no moov/mvhd).
+
+    Reads mvhd (movie timescale + duration, version 0 or 1), the first
+    video tkhd's 16.16-fixed width/height, and the stts sample-count
+    total — the fields a frame-sampling planner needs — without any
+    codec library.  Same classify-don't-crash contract as the image
+    and WAV parsers."""
+    import struct
+
+    def walk(buf: bytes, found: dict) -> None:
+        pos = 0
+        while pos + 8 <= len(buf):
+            size = struct.unpack_from(">I", buf, pos)[0]
+            typ = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > len(buf):
+                    return
+                size = struct.unpack_from(">Q", buf, pos + 8)[0]
+                hdr = 16
+            elif size == 0:
+                size = len(buf) - pos
+            if size < hdr or pos + size > len(buf):
+                found["truncated"] = True
+                return
+            payload = buf[pos + hdr : pos + size]
+            if typ in _MP4_CONTAINERS:
+                walk(payload, found)
+            elif typ == b"mvhd" and len(payload) >= 20 and "timescale" not in found:
+                ver = payload[0]
+                if ver == 1 and len(payload) >= 28:
+                    found["timescale"] = struct.unpack_from(">I", payload, 20)[0]
+                    found["duration"] = struct.unpack_from(">Q", payload, 24)[0]
+                elif ver == 0:
+                    found["timescale"] = struct.unpack_from(">I", payload, 12)[0]
+                    found["duration"] = struct.unpack_from(">I", payload, 16)[0]
+            elif typ == b"tkhd" and "width" not in found:
+                ver = payload[0] if payload else 0
+                # v0 layout: width/height are the LAST 8 payload bytes
+                if len(payload) >= (92 if ver == 1 else 84):
+                    w, h = struct.unpack_from(">II", payload, len(payload) - 8)
+                    if w and h:
+                        found["width"] = w >> 16
+                        found["height"] = h >> 16
+            elif typ == b"stts" and len(payload) >= 8:
+                n_entries = struct.unpack_from(">I", payload, 4)[0]
+                total = 0
+                for i in range(n_entries):
+                    off = 8 + i * 8
+                    if off + 8 > len(payload):
+                        break
+                    total += struct.unpack_from(">I", payload, off)[0]
+                found["n_frames"] = found.get("n_frames", 0) + total
+            pos += size
+
+    if len(blob) < 12 or blob[4:8] != b"ftyp":
+        return None
+    brand = blob[8:12].decode("ascii", errors="replace")
+    found: dict = {}
+    walk(blob, found)
+    if found.get("truncated") or "timescale" not in found:
+        return None
+    return (
+        brand,
+        found["timescale"],
+        found.get("duration", 0),
+        found.get("width", 0),
+        found.get("height", 0),
+        found.get("n_frames", 0),
+    )
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("timescale", T.IntegerType()),
+        T.StructField("duration", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def decode_video_meta(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """mapInPandas video-container audit using the REAL ISO-BMFF box
+    walk: binary blobs in, (mime, brand, width, height, timescale,
+    n_frames, duration_ms, n_bytes) out.  Non-MP4 blobs classify as
+    mime='unknown' with NULL fields — the same classify-don't-crash
+    contract as the image/WAV parsers.  Pixel/frame decode stays
+    behind ``decode_stub``; this surfaces exactly the metadata a
+    frame-sampling planner needs, Arrow-batched and map-only."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id mime brand width height timescale duration "
+                    "n_frames duration_ms n_bytes"
+                ).split()
+            }
+            for did, b in zip(pdf[id_col], pdf[blob_col]):
+                blob = b"" if b is None else bytes(b)
+                parsed = parse_mp4_header(blob)
+                cols["doc_id"].append(did)
+                cols["n_bytes"].append(len(blob))
+                if parsed is None:
+                    cols["mime"].append("unknown")
+                    for k in (
+                        "brand width height timescale duration "
+                        "n_frames duration_ms"
+                    ).split():
+                        cols[k].append(None)
+                else:
+                    brand, ts, dur, w, h, nf = parsed
+                    cols["mime"].append("video/mp4")
+                    cols["brand"].append(brand)
+                    cols["width"].append(w)
+                    cols["height"].append(h)
+                    cols["timescale"].append(ts)
+                    cols["duration"].append(dur)
+                    cols["n_frames"].append(nf)
+                    cols["duration_ms"].append(
+                        round(dur * 1000.0 / ts, 6) if ts else None
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": cols["doc_id"],
+                    "mime": cols["mime"],
+                    "brand": cols["brand"],
+                    "width": pd.array(cols["width"], dtype="Int32"),
+                    "height": pd.array(cols["height"], dtype="Int32"),
+                    "timescale": pd.array(cols["timescale"], dtype="Int32"),
+                    "duration": pd.array(cols["duration"], dtype="Int64"),
+                    "n_frames": pd.array(cols["n_frames"], dtype="Int64"),
+                    "duration_ms": cols["duration_ms"],
+                    "n_bytes": cols["n_bytes"],
+                }
+            )
+
+    return df.mapInPandas(batches, VIDEO_META_SCHEMA)
+
+
+def plan_frame_samples(meta: DataFrame, k: int = 4) -> DataFrame:
+    """Uniform frame-sample PLAN over parsed video metadata: for every
+    decodable video, ``k`` sample slots j = 0..k-1 map to frame index
+    floor(j * n_frames / k) with its presentation tick — the
+    deterministic (doc, frame_idx, pts_units, timescale) worklist a
+    downstream frame decoder consumes.  Timestamps stay in EXACT
+    integer timescale units (pts_units = frame_idx * duration //
+    n_frames — a float ms column here would be a cross-engine rounding
+    hazard AND a lossy handoff; decoders seek by ticks).  Pure Catalyst
+    (sequence + one posexplode + integer `div`), map-only,
+    whole-stage-codegen — the EXPENSIVE part (pixel decode) is exactly
+    what this plans and defers."""
+    valid = meta.filter(
+        (F.col("mime") == "video/mp4") & (F.col("n_frames") > 0)
+    )
+    slots = F.sequence(F.lit(0), F.lit(k - 1))
+    exploded = valid.select(
+        "doc_id",
+        "n_frames",
+        "duration",
+        "timescale",
+        F.posexplode(slots).alias("sample_rank", "j"),
+    ).withColumn(
+        "frame_idx",
+        F.expr("(j * n_frames) div " + str(int(k))).cast("long"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("sample_rank").cast("int").alias("sample_rank"),
+        "frame_idx",
+        F.expr("(frame_idx * duration) div n_frames")
+        .cast("long")
+        .alias("pts_units"),
+        "timescale",
+    )

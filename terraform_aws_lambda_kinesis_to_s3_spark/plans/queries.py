@@ -2367,6 +2367,141 @@ FROM p
 """
 
 
+def _synth_video_blobs(spark, sf):
+    """Shared synthesis for the two video queries: a spec-valid
+    ISO-BMFF MP4 per document with doc_id-derived dimensions,
+    timescale/frame-delta pair (PAL-ish 600/25, round 1000/40, NTSC
+    30000/1001), frame count and mdat filler; every 7th doc is a
+    corrupt non-MP4 blob that must classify, not crash.  Every field
+    the parsers emit is closed-form from the doc_id arithmetic, so the
+    oracles predict the round-trip independently."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
+        multimodal as MM,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def synth(it):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 7 == 0:
+                    blobs.append(b"\x00corrupt" + bytes(did % 5))
+                    continue
+                ts, delta = ((600, 25), (1000, 40), (30000, 1001))[did % 3]
+                blobs.append(
+                    MM.synth_mp4(
+                        16 + did % 300,
+                        16 + did % 200,
+                        ts,
+                        12 + did % 48,
+                        delta,
+                        n_filler=did % 17,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return d.mapInPandas(synth, "doc_id long, blob binary")
+
+
+def q_video_meta_probe(spark, sf):
+    """REAL video-container decode through the multimodal seam: walk
+    the ISO-BMFF box tree (operators.multimodal.parse_mp4_header —
+    actual byte-level ftyp/moov/mvhd/tkhd/stts parsing, no codec
+    library) over Arrow-batched mapInPandas and surface the metadata a
+    frame-sampling planner needs (brand, dimensions, timescale, frame
+    count, duration).  The oracle predicts the round-trip from the
+    same doc_id arithmetic, including the classified-not-crashed
+    corrupt rows and the exact container byte count (361 + filler,
+    pinned against the synthesizer in unit tests).  Scale shape:
+    map-only Arrow batches end to end — the 100 TB form of \"audit a
+    petabyte of video WITHOUT decoding a single frame\"."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
+        multimodal as MM,
+    )
+
+    return MM.decode_video_meta(_synth_video_blobs(spark, sf))
+
+
+SQL_VIDEO_META_PROBE = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 7 = 0 AS corrupt,
+         CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+              ELSE 30000 END AS ts,
+         CASE doc_id % 3 WHEN 0 THEN 25 WHEN 1 THEN 40
+              ELSE 1001 END AS delta,
+         12 + doc_id % 48 AS nf
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN corrupt THEN 'unknown' ELSE 'video/mp4' END AS mime,
+       CASE WHEN corrupt THEN NULL ELSE 'isom' END AS brand,
+       CASE WHEN corrupt THEN NULL
+            ELSE CAST(16 + doc_id % 300 AS INTEGER) END AS width,
+       CASE WHEN corrupt THEN NULL
+            ELSE CAST(16 + doc_id % 200 AS INTEGER) END AS height,
+       CASE WHEN corrupt THEN NULL ELSE CAST(ts AS INTEGER) END AS timescale,
+       CASE WHEN corrupt THEN NULL
+            ELSE CAST(nf * delta AS BIGINT) END AS duration,
+       CASE WHEN corrupt THEN NULL ELSE CAST(nf AS BIGINT) END AS n_frames,
+       CASE WHEN corrupt THEN NULL
+            ELSE ROUND(nf * delta * 1000.0 / ts, 6) END AS duration_ms,
+       CAST(CASE WHEN corrupt THEN 8 + doc_id % 5
+                 ELSE 361 + doc_id % 17 END AS BIGINT) AS n_bytes
+FROM p
+"""
+
+
+#: uniform frame-sample budget per video (the plan grain a downstream
+#: GPU decoder consumes)
+FRAME_SAMPLE_K = 4
+
+
+def q_video_frame_sample_plan(spark, sf):
+    """Uniform frame-sample PLAN over the parsed video corpus
+    (operators.multimodal.plan_frame_samples): k=4 sample slots per
+    decodable video map to frame floor(j*n_frames/k) with its
+    presentation tick in EXACT integer timescale units — the
+    deterministic (doc, frame, pts) worklist the \"frame-sample\" step
+    hands a pixel decoder (which stays behind decode_stub in this
+    container; real decoders seek by ticks, and a float-ms column here
+    was measured to be a genuine cross-engine rounding hazard).
+    Corrupt blobs are excluded by the parser's mime classification,
+    not by doc_id arithmetic, so the oracle cross-checks the classify
+    path too.  Scale shape: the metadata probe is map-only; the plan
+    adds one in-row sequence explode (k rows per video, no shuffle,
+    no UDF) — Catalyst end to end."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
+        multimodal as MM,
+    )
+
+    meta = MM.decode_video_meta(_synth_video_blobs(spark, sf))
+    return MM.plan_frame_samples(meta, k=FRAME_SAMPLE_K)
+
+
+SQL_VIDEO_FRAME_SAMPLE_PLAN = f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+              ELSE 30000 END AS ts,
+         CASE doc_id % 3 WHEN 0 THEN 25 WHEN 1 THEN 40
+              ELSE 1001 END AS delta,
+         12 + doc_id % 48 AS nf
+  FROM documents WHERE doc_id % 7 <> 0),
+m AS (SELECT doc_id, nf, ts, nf * delta AS dur FROM p),
+s AS (SELECT m.*, j FROM m, generate_series(0, {FRAME_SAMPLE_K - 1}) t(j))
+SELECT doc_id,
+       CAST(j AS INTEGER) AS sample_rank,
+       CAST(j * nf // {FRAME_SAMPLE_K} AS BIGINT) AS frame_idx,
+       CAST((j * nf // {FRAME_SAMPLE_K}) * dur // nf AS BIGINT) AS pts_units,
+       CAST(ts AS INTEGER) AS timescale
+FROM s
+"""
+
+
 def q_percentiles(spark, sf):
     """Interpolated percentiles of order value per priority."""
     o = _t(spark, sf, "orders")
@@ -18468,6 +18603,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_audio_pcm_stats": (
         q_multimodal_audio_pcm_stats,
         SQL_MULTIMODAL_AUDIO_PCM_STATS,
+    ),
+    "video_meta_probe": (q_video_meta_probe, SQL_VIDEO_META_PROBE),
+    "video_frame_sample_plan": (
+        q_video_frame_sample_plan,
+        SQL_VIDEO_FRAME_SAMPLE_PLAN,
     ),
     "zipf_rank_slope": (q_zipf_rank_slope, SQL_ZIPF),
     "doc_hash_embedding": (q_doc_hash_embedding, SQL_DOC_HASH_EMBED),

@@ -4950,3 +4950,133 @@ def test_hh_merge_bounds_covers_dropped_key(spark):
             2,
             0,
         )
+
+
+def test_mp4_header_parse_known_fixture_and_corrupt():
+    """The ISO-BMFF parser must read a hand-laid-out minimal box tree
+    (built with struct here, independent of synth_mp4), handle v1
+    mvhd and 64-bit largesize boxes, and reject malformed bytes:
+    missing ftyp, truncated boxes, absent moov/mvhd."""
+    import struct
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        parse_mp4_header,
+        synth_mp4,
+    )
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    mvhd = box(
+        b"mvhd",
+        bytes(4) + bytes(8) + struct.pack(">II", 90000, 450000)
+        + bytes(80),
+    )
+    tkhd = box(
+        b"tkhd",
+        bytes(4) + bytes(80) + struct.pack(">II", 1280 << 16, 720 << 16),
+    )
+    stts = box(b"stts", bytes(4) + struct.pack(">I", 2)
+               + struct.pack(">IIII", 100, 3000, 50, 3000))
+    trak = box(b"trak", tkhd + box(b"mdia", box(b"minf", box(b"stbl", stts))))
+    ftyp = box(b"ftyp", b"mp42" + bytes(4) + b"isom")
+    blob = ftyp + box(b"moov", mvhd + trak)
+    # brand, timescale, duration, width, height, n_frames (stts sums)
+    assert parse_mp4_header(blob) == ("mp42", 90000, 450000, 1280, 720, 150)
+
+    # synth round-trips through the parser (duration = n_frames * delta)
+    assert parse_mp4_header(synth_mp4(320, 240, 600, 48, 25, 7)) == (
+        "isom", 600, 48 * 25, 320, 240, 48,
+    )
+    # v1 mvhd (64-bit times) parses
+    mvhd1 = box(
+        b"mvhd",
+        b"\x01" + bytes(3) + bytes(16) + struct.pack(">I", 1000)
+        + struct.pack(">Q", 123456) + bytes(80),
+    )
+    assert parse_mp4_header(ftyp + box(b"moov", mvhd1)) == (
+        "mp42", 1000, 123456, 0, 0, 0,
+    )
+    # largesize (size==1 -> u64) container parses
+    big_moov = (
+        struct.pack(">I", 1) + b"moov"
+        + struct.pack(">Q", 16 + len(mvhd)) + mvhd
+    )
+    assert parse_mp4_header(ftyp + big_moov) == (
+        "mp42", 90000, 450000, 0, 0, 0,
+    )
+    assert parse_mp4_header(b"") is None
+    assert parse_mp4_header(b"\x00corrupt") is None
+    assert parse_mp4_header(blob[:20]) is None  # truncated moov
+    assert parse_mp4_header(ftyp) is None  # no moov/mvhd
+    # declared box size overrunning the blob classifies as corrupt
+    overrun = ftyp + struct.pack(">I", 4096) + b"moov" + bytes(16)
+    assert parse_mp4_header(overrun) is None
+
+
+def test_mp4_parser_fuzz_never_raises():
+    """Arbitrary bytes (including ftyp-prefixed garbage and valid
+    prefixes of a real blob) must parse to a tuple or None — never
+    raise (the audit classifies, not crashes)."""
+    import random
+    import struct
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        parse_mp4_header,
+        synth_mp4,
+    )
+
+    rng = random.Random(11)
+    real = synth_mp4(64, 48, 1000, 30, 40, 9)
+    for trial in range(300):
+        n = rng.randrange(0, 160)
+        blob = bytes(rng.randrange(256) for _ in range(n))
+        if trial % 3 == 0:
+            blob = struct.pack(">I", 24) + b"ftyp" + blob
+        if trial % 5 == 0:
+            blob = real[: rng.randrange(len(real) + 1)]
+        out = parse_mp4_header(blob)
+        assert out is None or (len(out) == 6 and isinstance(out[0], str))
+
+
+def test_video_meta_and_frame_plan_invariants(spark):
+    """decode_video_meta round-trips synth blobs (corrupt classifies);
+    plan_frame_samples emits exactly k rows per decodable video with
+    monotone in-range frame indices and presentation ticks derived by
+    EXACT integer arithmetic (pts = frame_idx * duration // n_frames) —
+    cross-checked against a pure-Python reimplementation."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
+        multimodal as MM,
+    )
+
+    rows = [
+        (1, MM.synth_mp4(320, 240, 600, 48, 25, 3)),
+        (2, MM.synth_mp4(64, 48, 30000, 13, 1001, 0)),
+        (3, b"\x00corrupt"),
+        (4, MM.synth_mp4(16, 16, 1000, 1, 40, 16)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    meta = MM.decode_video_meta(df)
+    got = {r.doc_id: r for r in meta.collect()}
+    assert got[3].mime == "unknown" and got[3].n_frames is None
+    assert (got[1].width, got[1].height) == (320, 240)
+    assert got[2].timescale == 30000 and got[2].duration == 13 * 1001
+    assert got[4].n_frames == 1
+
+    k = 4
+    plan = {
+        (r.doc_id, r.sample_rank): r
+        for r in MM.plan_frame_samples(meta, k=k).collect()
+    }
+    expect = {1: (48, 48 * 25, 600), 2: (13, 13 * 1001, 30000), 4: (1, 40, 1000)}
+    assert {d for d, _ in plan} == set(expect)
+    for did, (nf, dur, ts) in expect.items():
+        idxs = []
+        for j in range(k):
+            r = plan[(did, j)]
+            fi = (j * nf) // k
+            assert r.frame_idx == fi and 0 <= fi < nf
+            assert r.pts_units == (fi * dur) // nf <= dur
+            assert r.timescale == ts
+            idxs.append(fi)
+        assert idxs == sorted(idxs)
