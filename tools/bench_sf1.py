@@ -91,12 +91,19 @@ def main() -> None:
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
-    ratios = sorted(v["ratio"] for v in queries.values())
-    print(f"wrote {path}: subset {out['total_sf0_1_sec']} s at sf0.1 -> "
+    # a 0.0 sf0.1 baseline yields ratio None — drop those from the
+    # ratio stats (and guard the total division) instead of raising
+    # TypeError after the expensive sf1 run already completed
+    ratios = sorted(
+        v["ratio"] for v in queries.values() if v["ratio"] is not None
+    )
+    t0 = out["total_sf0_1_sec"]
+    wall = f"{out['total_sf1_sec'] / t0:.1f}x" if t0 else "n/a (0s baseline)"
+    rat = (f"median ratio {ratios[len(ratios) // 2]:.2f}x, "
+           f"max {ratios[-1]:.2f}x" if ratios else "no finite ratios")
+    print(f"wrote {path}: subset {t0} s at sf0.1 -> "
           f"{out['total_sf1_sec']} s at sf1 "
-          f"({out['total_sf1_sec']/out['total_sf0_1_sec']:.1f}x wall for "
-          f"10x data); median ratio {ratios[len(ratios)//2]:.2f}x, "
-          f"max {ratios[-1]:.2f}x")
+          f"({wall} wall for 10x data); {rat}")
 
 
 if __name__ == "__main__":
