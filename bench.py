@@ -331,9 +331,11 @@ HEADLINE = [
     "pipeline_schema_profile",
     "text_scrub",
     "multimodal_audio_pcm_stats",
-    # round-8 video container family (REAL ISO-BMFF box walk; map-only)
+    # round-8/9 video container family (REAL ISO-BMFF box walk,
+    # progressive + fragmented; map-only, plus the byte-plan audit join)
     "video_meta_probe",
     "video_frame_sample_plan",
+    "video_byte_plan_audit",
     # round-5 pipeline-assembly batch
     "filter_funnel",
     "scrub_eval",

@@ -636,28 +636,16 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", n_frames: int = 4) -> D
 # ---------------------------------------------------------------------------
 
 
-def synth_mp4(
-    width: int,
-    height: int,
-    timescale: int,
-    n_frames: int,
-    frame_delta: int,
-    n_filler: int = 0,
-) -> bytes:
-    """Minimal spec-valid ISO-BMFF (ISO/IEC 14496-12) MP4: ftyp +
-    moov(mvhd + trak(tkhd + mdia(mdhd + hdlr + minf(stbl(stts))))) +
-    mdat filler.  Movie duration is exactly ``n_frames * frame_delta``
-    in ``timescale`` units and the single stts entry carries
-    (n_frames, frame_delta), so every metadata field an oracle needs is
-    closed-form from the arguments.  Deterministic, for tests/oracles."""
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
     import struct
 
-    def box(typ: bytes, payload: bytes) -> bytes:
-        return struct.pack(">I", 8 + len(payload)) + typ + payload
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
 
-    duration = n_frames * frame_delta
-    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isommp41")
-    mvhd = box(
+
+def _mp4_mvhd(timescale: int, duration: int) -> bytes:
+    import struct
+
+    return _mp4_box(
         b"mvhd",
         struct.pack(">B3x", 0)  # version 0 + flags
         + struct.pack(">II", 0, 0)  # creation/modification
@@ -669,7 +657,16 @@ def synth_mp4(
         + bytes(24)  # pre_defined
         + struct.pack(">I", 2),  # next_track_ID
     )
-    tkhd = box(
+
+
+def _mp4_track_header(
+    width: int, height: int, timescale: int, duration: int
+) -> tuple[bytes, bytes, bytes]:
+    """(tkhd, mdhd, hdlr-vide) shared by the progressive and
+    fragmented synthesizers."""
+    import struct
+
+    tkhd = _mp4_box(
         b"tkhd",
         struct.pack(">B3x", 0)
         + struct.pack(">II", 0, 0)
@@ -682,125 +679,385 @@ def synth_mp4(
         + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
         + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
     )
-    mdhd = box(
+    mdhd = _mp4_box(
         b"mdhd",
         struct.pack(">B3x", 0)
         + struct.pack(">II", 0, 0)
         + struct.pack(">II", timescale, duration)
         + struct.pack(">HH", 0x55C4, 0),  # language 'und', pre_defined
     )
-    hdlr = box(
+    hdlr = _mp4_box(
         b"hdlr", struct.pack(">B3x", 0) + bytes(4) + b"vide" + bytes(12) + b"\x00"
     )
+    return tkhd, mdhd, hdlr
+
+
+def synth_mp4(
+    width: int,
+    height: int,
+    timescale: int,
+    n_frames: int,
+    frame_delta: int,
+    n_filler: int = 0,
+    sample_size: int = 0,
+    sample_sizes: "list[int] | None" = None,
+) -> bytes:
+    """Minimal spec-valid ISO-BMFF (ISO/IEC 14496-12) MP4: ftyp +
+    moov(mvhd + trak(tkhd + mdia(mdhd + hdlr + minf(stbl(...))))) +
+    mdat.  Movie duration is exactly ``n_frames * frame_delta``
+    in ``timescale`` units and the single stts entry carries
+    (n_frames, frame_delta), so every metadata field an oracle needs is
+    closed-form from the arguments.  Deterministic, for tests/oracles.
+
+    ``sample_size > 0`` additionally writes the sample tables a
+    byte-range planner needs — stsz (uniform size, n_frames samples) +
+    stsc (one run: every sample in chunk 1) + stco (one chunk whose
+    offset is the REAL mdat payload position) — and sizes the mdat
+    payload as ``n_frames * sample_size + n_filler``, so every planned
+    (byte_offset, byte_len) range lands inside the container.
+    ``sample_sizes`` (mutually exclusive) writes the variable-size
+    stsz table path instead, with a matching mdat payload."""
+    import struct
+
+    box = _mp4_box
+    duration = n_frames * frame_delta
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isommp41")
+    mvhd = _mp4_mvhd(timescale, duration)
+    tkhd, mdhd, hdlr = _mp4_track_header(width, height, timescale, duration)
     stts = box(
         b"stts",
         struct.pack(">B3x", 0)
         + struct.pack(">I", 1)  # entry_count
         + struct.pack(">II", n_frames, frame_delta),
     )
+
+    media = 0
+    stsz = stsc = b""
+    if sample_sizes is not None:
+        stsz = box(
+            b"stsz",
+            struct.pack(">B3x", 0)
+            + struct.pack(">II", 0, len(sample_sizes))
+            + b"".join(struct.pack(">I", s) for s in sample_sizes),
+        )
+        media = sum(sample_sizes)
+    elif sample_size > 0:
+        stsz = box(
+            b"stsz",
+            struct.pack(">B3x", 0) + struct.pack(">II", sample_size, n_frames),
+        )
+        media = n_frames * sample_size
+    if stsz:
+        n_samples = len(sample_sizes) if sample_sizes is not None else n_frames
+        stsc = box(
+            b"stsc",
+            struct.pack(">B3x", 0)
+            + struct.pack(">I", 1)  # entry_count
+            + struct.pack(">III", 1, n_samples, 1),  # all samples, chunk 1
+        )
+
+    def assemble(chunk_offset: int) -> bytes:
+        stco = (
+            box(
+                b"stco",
+                struct.pack(">B3x", 0)
+                + struct.pack(">I", 1)
+                + struct.pack(">I", chunk_offset),
+            )
+            if stsz
+            else b""
+        )
+        stbl = box(b"stbl", stts + stsz + stsc + stco)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", tkhd + mdia)
+        moov = box(b"moov", mvhd + trak)
+        return ftyp + moov
+
+    # two-pass: box sizes don't depend on the offset VALUE, so the
+    # second assembly (with the real mdat payload position) is
+    # byte-length-identical to the first
+    header = assemble(0)
+    header = assemble(len(header) + 8)
+    mdat = box(b"mdat", bytes(media + n_filler))
+    return header + mdat
+
+
+def synth_fmp4(
+    width: int,
+    height: int,
+    timescale: int,
+    frag_sample_counts: "list[int]",
+    frame_delta: int,
+    n_filler: int = 0,
+) -> bytes:
+    """Minimal fragmented ISO-BMFF (CMAF/DASH-style fMP4): ftyp(iso5)
+    + moov(mvhd(duration 0, as encoders author it) + mvex(mehd with
+    the REAL fragment_duration + trex) + trak(empty stbl)) then one
+    moof(mfhd + traf(tfhd + trun(sample_count))) + mdat pair per
+    fragment.  Total frames = sum(frag_sample_counts); movie duration
+    lives ONLY in mehd — the parser must use the mehd fallback.
+    Deterministic, for tests/oracles."""
+    import struct
+
+    box = _mp4_box
+    total = sum(frag_sample_counts)
+    duration = total * frame_delta
+    ftyp = box(b"ftyp", b"iso5" + struct.pack(">I", 0) + b"iso5dash")
+    mvhd = _mp4_mvhd(timescale, 0)
+    tkhd, mdhd, hdlr = _mp4_track_header(width, height, timescale, 0)
+    stts = box(b"stts", struct.pack(">B3x", 0) + struct.pack(">I", 0))
     stbl = box(b"stbl", stts)
     minf = box(b"minf", stbl)
     mdia = box(b"mdia", mdhd + hdlr + minf)
     trak = box(b"trak", tkhd + mdia)
-    moov = box(b"moov", mvhd + trak)
-    mdat = box(b"mdat", bytes(n_filler))
-    return ftyp + moov + mdat
+    mehd = box(b"mehd", struct.pack(">B3x", 0) + struct.pack(">I", duration))
+    trex = box(
+        b"trex",
+        struct.pack(">B3x", 0) + struct.pack(">5I", 1, 1, frame_delta, 0, 0),
+    )
+    mvex = box(b"mvex", mehd + trex)
+    moov = box(b"moov", mvhd + mvex + trak)
+    out = [ftyp, moov]
+    for seq, count in enumerate(frag_sample_counts, start=1):
+        mfhd = box(b"mfhd", struct.pack(">B3x", 0) + struct.pack(">I", seq))
+        tfhd = box(b"tfhd", struct.pack(">B3x", 0) + struct.pack(">I", 1))
+        trun = box(b"trun", struct.pack(">B3x", 0) + struct.pack(">I", count))
+        traf = box(b"traf", tfhd + trun)
+        out.append(box(b"moof", mfhd + traf))
+        filler = n_filler if seq == len(frag_sample_counts) else 0
+        out.append(box(b"mdat", bytes(filler)))
+    return b"".join(out)
 
 
 #: containers whose payload is itself a box sequence
 _MP4_CONTAINERS = frozenset(
-    {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta"}
+    {
+        b"moov",
+        b"trak",
+        b"mdia",
+        b"minf",
+        b"stbl",
+        b"edts",
+        b"udta",
+        b"mvex",
+        b"moof",
+        b"traf",
+    }
 )
 
+#: deepest container nesting the walk descends into; deeper subtrees
+#: are SKIPPED (classify-don't-crash: an adversarial blob of nested
+#: container headers must not exhaust the interpreter stack inside a
+#: Spark task — the walk is an explicit stack, but the cap also bounds
+#: pathological frame counts)
+_MP4_MAX_DEPTH = 32
 
-def parse_mp4_header(
-    blob: bytes,
-) -> tuple[str, int, int, int, int, int] | None:
+#: largest value representable in the output schema's signed-64 columns;
+#: u64 fields (v1 duration, co64 offsets) at or beyond this classify as
+#: None rather than crash the Arrow column build
+_I64_MAX = 1 << 63
+
+
+def parse_mp4_header(blob: bytes) -> dict | None:
     """Walk the ISO-BMFF box tree (size u32be + fourcc, size==1 →
-    u64 largesize, size==0 → to EOF) and return (major_brand,
-    timescale, duration, width, height, n_frames), or None when the
-    blob is not a parseable MP4 (no ftyp, truncated box, no moov/mvhd).
+    u64 largesize, size==0 → to EOF) and return a metadata dict, or
+    None when the blob is not a parseable MP4 (no ftyp, truncated box,
+    no moov/mvhd).
 
-    Reads mvhd (movie timescale + duration, version 0 or 1), the first
-    video tkhd's 16.16-fixed width/height, and the stts sample-count
-    total — the fields a frame-sampling planner needs — without any
-    codec library.  Same classify-don't-crash contract as the image
-    and WAV parsers."""
+    Keys: ``brand`` (ftyp major brand), ``container`` ('progressive'
+    or 'fragmented' — moof/mvex present), ``timescale``/``duration``
+    (mvhd v0/v1; a zero mvhd duration falls back to mvex/mehd
+    fragment_duration, the layout CMAF/DASH encoders author),
+    ``width``/``height`` (the VIDEO track's 16.16-fixed tkhd dims),
+    ``n_frames`` (the video track's stts total, or its trun totals
+    for fMP4), ``n_fragments`` (moof count), ``sample_size`` (uniform
+    stsz size, None when variable/absent), ``sample_count`` (stsz),
+    ``chunk_offset`` (first stco/co64 entry), ``n_chunks``.
+
+    Track attribution is real: each trak subtree collects its own
+    tkhd/hdlr/stbl fields and the VIDEO track — first trak whose hdlr
+    handler_type is 'vide', else first trak with nonzero tkhd dims,
+    else the first trak — supplies the per-track outputs, so a
+    video+audio file no longer inflates n_frames with audio sample
+    counts.  fMP4 trun totals attribute per tfhd track_ID the same
+    way.  The walk is an EXPLICIT stack over (start, end) ranges (no
+    recursion to exhaust, no payload copies for containers) with a
+    depth cap, and u64 fields that exceed the signed-64 output schema
+    classify as None — classify-don't-crash for untrusted blobs, the
+    same contract as the image and WAV parsers."""
     import struct
 
-    def walk(buf: bytes, found: dict) -> None:
-        pos = 0
-        while pos + 8 <= len(buf):
-            size = struct.unpack_from(">I", buf, pos)[0]
-            typ = buf[pos + 4 : pos + 8]
-            hdr = 8
-            if size == 1:
-                if pos + 16 > len(buf):
-                    return
-                size = struct.unpack_from(">Q", buf, pos + 8)[0]
-                hdr = 16
-            elif size == 0:
-                size = len(buf) - pos
-            if size < hdr or pos + size > len(buf):
-                found["truncated"] = True
-                return
-            payload = buf[pos + hdr : pos + size]
-            if typ in _MP4_CONTAINERS:
-                walk(payload, found)
-            elif typ == b"mvhd" and len(payload) >= 20 and "timescale" not in found:
-                ver = payload[0]
-                if ver == 1 and len(payload) >= 28:
-                    found["timescale"] = struct.unpack_from(">I", payload, 20)[0]
-                    found["duration"] = struct.unpack_from(">Q", payload, 24)[0]
-                elif ver == 0:
-                    found["timescale"] = struct.unpack_from(">I", payload, 12)[0]
-                    found["duration"] = struct.unpack_from(">I", payload, 16)[0]
-            elif typ == b"tkhd" and "width" not in found:
-                ver = payload[0] if payload else 0
-                # v0 layout: width/height are the LAST 8 payload bytes
-                if len(payload) >= (92 if ver == 1 else 84):
-                    w, h = struct.unpack_from(">II", payload, len(payload) - 8)
-                    if w and h:
-                        found["width"] = w >> 16
-                        found["height"] = h >> 16
-            elif typ == b"stts" and len(payload) >= 8:
-                n_entries = struct.unpack_from(">I", payload, 4)[0]
-                total = 0
-                for i in range(n_entries):
-                    off = 8 + i * 8
-                    if off + 8 > len(payload):
-                        break
-                    total += struct.unpack_from(">I", payload, off)[0]
-                found["n_frames"] = found.get("n_frames", 0) + total
-            pos += size
-
-    if len(blob) < 12 or blob[4:8] != b"ftyp":
+    n = len(blob)
+    if n < 12 or blob[4:8] != b"ftyp":
         return None
     brand = blob[8:12].decode("ascii", errors="replace")
-    found: dict = {}
-    walk(blob, found)
-    if found.get("truncated") or "timescale" not in found:
+
+    movie: dict = {}
+    tracks: list[dict] = []
+    frag_samples: dict = {}  # tfhd track_ID -> total trun samples
+    n_moof = 0
+    has_mvex = False
+    truncated = False
+
+    # each frame is a box-sequence cursor: (pos, end, depth, trak ctx,
+    # traf ctx); one box is consumed per iteration, with the sibling
+    # remainder and (for containers) the child range pushed back
+    stack: list[tuple] = [(0, n, 0, None, None)]
+    while stack:
+        pos, end, depth, trak, traf = stack.pop()
+        if pos + 8 > end:
+            continue
+        size = struct.unpack_from(">I", blob, pos)[0]
+        typ = blob[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                truncated = True
+                continue
+            size = struct.unpack_from(">Q", blob, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            truncated = True
+            continue
+        p0, p1 = pos + hdr, pos + size
+        stack.append((p1, end, depth, trak, traf))  # siblings
+        if typ in _MP4_CONTAINERS:
+            if depth < _MP4_MAX_DEPTH:
+                ctrak, ctraf = trak, traf
+                if typ == b"trak":
+                    ctrak = {}
+                    tracks.append(ctrak)
+                elif typ == b"traf":
+                    ctraf = {}
+                elif typ == b"moof":
+                    n_moof += 1
+                elif typ == b"mvex":
+                    has_mvex = True
+                stack.append((p0, p1, depth + 1, ctrak, ctraf))
+            # deeper: skip the subtree, keep classifying siblings
+            continue
+        payload = blob[p0:p1]
+        plen = p1 - p0
+        if typ == b"mvhd" and plen >= 20 and "timescale" not in movie:
+            ver = payload[0]
+            if ver == 1 and plen >= 28:
+                movie["timescale"] = struct.unpack_from(">I", payload, 20)[0]
+                dur = struct.unpack_from(">Q", payload, 24)[0]
+                movie["duration"] = dur if dur < _I64_MAX else None
+            elif ver == 0:
+                movie["timescale"] = struct.unpack_from(">I", payload, 12)[0]
+                movie["duration"] = struct.unpack_from(">I", payload, 16)[0]
+        elif typ == b"mehd" and plen >= 8 and "frag_duration" not in movie:
+            ver = payload[0]
+            if ver == 1 and plen >= 12:
+                dur = struct.unpack_from(">Q", payload, 4)[0]
+                movie["frag_duration"] = dur if dur < _I64_MAX else None
+            elif ver == 0:
+                movie["frag_duration"] = struct.unpack_from(">I", payload, 4)[0]
+        elif typ == b"tkhd" and trak is not None and "width" not in trak:
+            ver = payload[0] if plen else 0
+            # v0 layout: width/height are the LAST 8 payload bytes
+            if plen >= (92 if ver == 1 else 84):
+                trak["track_id"] = struct.unpack_from(
+                    ">I", payload, 20 if ver == 1 else 12
+                )[0]
+                w, h = struct.unpack_from(">II", payload, plen - 8)
+                trak["width"] = w >> 16
+                trak["height"] = h >> 16
+        elif typ == b"hdlr" and trak is not None and plen >= 12:
+            trak.setdefault("handler", payload[8:12])
+        elif typ == b"stts" and trak is not None and plen >= 8:
+            n_entries = struct.unpack_from(">I", payload, 4)[0]
+            total = 0
+            for i in range(n_entries):
+                off = 8 + i * 8
+                if off + 8 > plen:
+                    break
+                total += struct.unpack_from(">I", payload, off)[0]
+            trak["n_frames"] = trak.get("n_frames", 0) + total
+        elif typ == b"stsz" and trak is not None and plen >= 12:
+            ssz = struct.unpack_from(">I", payload, 4)[0]
+            trak["sample_size"] = ssz if ssz > 0 else None
+            trak["sample_count"] = struct.unpack_from(">I", payload, 8)[0]
+        elif typ == b"stco" and trak is not None and plen >= 8:
+            trak["n_chunks"] = struct.unpack_from(">I", payload, 4)[0]
+            if trak["n_chunks"] >= 1 and plen >= 12:
+                trak["chunk_offset"] = struct.unpack_from(">I", payload, 8)[0]
+        elif typ == b"co64" and trak is not None and plen >= 8:
+            trak["n_chunks"] = struct.unpack_from(">I", payload, 4)[0]
+            if trak["n_chunks"] >= 1 and plen >= 16:
+                off64 = struct.unpack_from(">Q", payload, 8)[0]
+                trak["chunk_offset"] = off64 if off64 < _I64_MAX else None
+        elif typ == b"tfhd" and traf is not None and plen >= 8:
+            traf["track_id"] = struct.unpack_from(">I", payload, 4)[0]
+        elif typ == b"trun" and traf is not None and plen >= 8:
+            count = struct.unpack_from(">I", payload, 4)[0]
+            tid = traf.get("track_id")
+            frag_samples[tid] = frag_samples.get(tid, 0) + count
+
+    if truncated or "timescale" not in movie:
         return None
-    return (
-        brand,
-        found["timescale"],
-        found.get("duration", 0),
-        found.get("width", 0),
-        found.get("height", 0),
-        found.get("n_frames", 0),
-    )
+
+    vid: dict | None = None
+    for t in tracks:
+        if t.get("handler") == b"vide":
+            vid = t
+            break
+    if vid is None:
+        for t in tracks:
+            if t.get("width"):
+                vid = t
+                break
+    if vid is None and tracks:
+        vid = tracks[0]
+    vid = vid or {}
+
+    duration = movie.get("duration")
+    if duration == 0 and movie.get("frag_duration") is not None:
+        duration = movie["frag_duration"]
+
+    n_frames = vid.get("n_frames", 0)
+    if not n_frames and frag_samples:
+        n_frames = frag_samples.get(
+            vid.get("track_id"), sum(frag_samples.values())
+        )
+
+    return {
+        "brand": brand,
+        "container": "fragmented" if (n_moof or has_mvex) else "progressive",
+        "timescale": movie["timescale"],
+        "duration": duration,
+        "width": vid.get("width", 0),
+        "height": vid.get("height", 0),
+        "n_frames": n_frames,
+        "n_fragments": n_moof,
+        "sample_size": vid.get("sample_size"),
+        "sample_count": vid.get("sample_count"),
+        "chunk_offset": vid.get("chunk_offset"),
+        "n_chunks": vid.get("n_chunks", 0),
+    }
 
 
 VIDEO_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("mime", T.StringType()),
+        T.StructField("container", T.StringType()),
         T.StructField("brand", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
-        T.StructField("timescale", T.IntegerType()),
+        # LongType: mvhd timescale is UNSIGNED u32 — values >= 2^31
+        # are spec-legal and overflowed an Int32 column (ADVICE r8)
+        T.StructField("timescale", T.LongType()),
         T.StructField("duration", T.LongType()),
         T.StructField("n_frames", T.LongType()),
+        T.StructField("n_fragments", T.IntegerType()),
+        T.StructField("sample_size", T.LongType()),
+        T.StructField("chunk_offset", T.LongType()),
+        T.StructField("n_chunks", T.IntegerType()),
         T.StructField("duration_ms", T.DoubleType()),
         T.StructField("n_bytes", T.LongType()),
     ]
@@ -811,21 +1068,27 @@ def decode_video_meta(
     df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
 ) -> DataFrame:
     """mapInPandas video-container audit using the REAL ISO-BMFF box
-    walk: binary blobs in, (mime, brand, width, height, timescale,
-    n_frames, duration_ms, n_bytes) out.  Non-MP4 blobs classify as
-    mime='unknown' with NULL fields — the same classify-don't-crash
-    contract as the image/WAV parsers.  Pixel/frame decode stays
-    behind ``decode_stub``; this surfaces exactly the metadata a
-    frame-sampling planner needs, Arrow-batched and map-only."""
+    walk: binary blobs in, (mime, container, brand, width, height,
+    timescale, duration, n_frames, n_fragments, sample_size,
+    chunk_offset, n_chunks, duration_ms, n_bytes) out.  Progressive
+    AND fragmented (CMAF/DASH moof) layouts classify; non-MP4 blobs
+    classify as mime='unknown' with NULL fields — the same
+    classify-don't-crash contract as the image/WAV parsers.
+    Pixel/frame decode stays behind ``decode_stub``; this surfaces
+    exactly the metadata a frame-sampling planner needs — including
+    the stsz/stco fields that locate each sample's bytes —
+    Arrow-batched and map-only."""
+
+    fields = (
+        "mime container brand width height timescale duration "
+        "n_frames n_fragments sample_size chunk_offset n_chunks "
+        "duration_ms"
+    ).split()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             cols: dict[str, list] = {
-                k: []
-                for k in (
-                    "doc_id mime brand width height timescale duration "
-                    "n_frames duration_ms n_bytes"
-                ).split()
+                k: [] for k in ["doc_id", *fields, "n_bytes"]
             }
             for did, b in zip(pdf[id_col], pdf[blob_col]):
                 blob = b"" if b is None else bytes(b)
@@ -834,33 +1097,48 @@ def decode_video_meta(
                 cols["n_bytes"].append(len(blob))
                 if parsed is None:
                     cols["mime"].append("unknown")
-                    for k in (
-                        "brand width height timescale duration "
-                        "n_frames duration_ms"
-                    ).split():
+                    for k in fields[1:]:
                         cols[k].append(None)
-                else:
-                    brand, ts, dur, w, h, nf = parsed
-                    cols["mime"].append("video/mp4")
-                    cols["brand"].append(brand)
-                    cols["width"].append(w)
-                    cols["height"].append(h)
-                    cols["timescale"].append(ts)
-                    cols["duration"].append(dur)
-                    cols["n_frames"].append(nf)
-                    cols["duration_ms"].append(
-                        round(dur * 1000.0 / ts, 6) if ts else None
-                    )
+                    continue
+                ts, dur = parsed["timescale"], parsed["duration"]
+                cols["mime"].append("video/mp4")
+                cols["container"].append(parsed["container"])
+                cols["brand"].append(parsed["brand"])
+                cols["width"].append(parsed["width"])
+                cols["height"].append(parsed["height"])
+                cols["timescale"].append(ts)
+                cols["duration"].append(dur)
+                cols["n_frames"].append(parsed["n_frames"])
+                cols["n_fragments"].append(parsed["n_fragments"])
+                cols["sample_size"].append(parsed["sample_size"])
+                cols["chunk_offset"].append(parsed["chunk_offset"])
+                cols["n_chunks"].append(parsed["n_chunks"])
+                cols["duration_ms"].append(
+                    round(dur * 1000.0 / ts, 6)
+                    if ts and dur is not None
+                    else None
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": cols["doc_id"],
                     "mime": cols["mime"],
+                    "container": cols["container"],
                     "brand": cols["brand"],
                     "width": pd.array(cols["width"], dtype="Int32"),
                     "height": pd.array(cols["height"], dtype="Int32"),
-                    "timescale": pd.array(cols["timescale"], dtype="Int32"),
+                    "timescale": pd.array(cols["timescale"], dtype="Int64"),
                     "duration": pd.array(cols["duration"], dtype="Int64"),
                     "n_frames": pd.array(cols["n_frames"], dtype="Int64"),
+                    "n_fragments": pd.array(
+                        cols["n_fragments"], dtype="Int32"
+                    ),
+                    "sample_size": pd.array(
+                        cols["sample_size"], dtype="Int64"
+                    ),
+                    "chunk_offset": pd.array(
+                        cols["chunk_offset"], dtype="Int64"
+                    ),
+                    "n_chunks": pd.array(cols["n_chunks"], dtype="Int32"),
                     "duration_ms": cols["duration_ms"],
                     "n_bytes": cols["n_bytes"],
                 }
@@ -877,10 +1155,20 @@ def plan_frame_samples(meta: DataFrame, k: int = 4) -> DataFrame:
     downstream frame decoder consumes.  Timestamps stay in EXACT
     integer timescale units (pts_units = frame_idx * duration //
     n_frames — a float ms column here would be a cross-engine rounding
-    hazard AND a lossy handoff; decoders seek by ticks).  Pure Catalyst
-    (sequence + one posexplode + integer `div`), map-only,
-    whole-stage-codegen — the EXPENSIVE part (pixel decode) is exactly
-    what this plans and defers."""
+    hazard AND a lossy handoff; decoders seek by ticks).
+
+    When the container's sample tables locate the frame bytes — a
+    single-chunk stco with a uniform stsz size, the layout flat MP4
+    writers produce — the plan also emits (byte_offset, byte_len):
+    chunk_offset + frame_idx * sample_size, the EXACT byte range a
+    100 TB executor fetches per sampled frame (S3 ranged GET grain) —
+    no full-file read, no decode.  Variable-size or multi-chunk
+    layouts (and fMP4, whose samples live in per-fragment mdats) get
+    NULL byte columns: placing those needs the full stsc/stsz table
+    walk, which belongs in the Arrow kernel, not a per-row metadata
+    column.  Pure Catalyst (sequence + one posexplode + integer
+    `div`), map-only, whole-stage-codegen — the EXPENSIVE part (pixel
+    decode) is exactly what this plans and defers."""
     valid = meta.filter(
         (F.col("mime") == "video/mp4") & (F.col("n_frames") > 0)
     )
@@ -890,10 +1178,18 @@ def plan_frame_samples(meta: DataFrame, k: int = 4) -> DataFrame:
         "n_frames",
         "duration",
         "timescale",
+        "sample_size",
+        "chunk_offset",
+        "n_chunks",
         F.posexplode(slots).alias("sample_rank", "j"),
     ).withColumn(
         "frame_idx",
         F.expr("(j * n_frames) div " + str(int(k))).cast("long"),
+    )
+    byte_addressable = (
+        F.col("sample_size").isNotNull()
+        & F.col("chunk_offset").isNotNull()
+        & (F.col("n_chunks") == 1)
     )
     return exploded.select(
         "doc_id",
@@ -903,4 +1199,13 @@ def plan_frame_samples(meta: DataFrame, k: int = 4) -> DataFrame:
         .cast("long")
         .alias("pts_units"),
         "timescale",
+        F.when(
+            byte_addressable,
+            F.col("chunk_offset") + F.col("frame_idx") * F.col("sample_size"),
+        )
+        .cast("long")
+        .alias("byte_offset"),
+        F.when(byte_addressable, F.col("sample_size"))
+        .cast("long")
+        .alias("byte_len"),
     )

@@ -2367,14 +2367,30 @@ FROM p
 """
 
 
+#: progressive container header size with uniform sample tables =
+#: ftyp + moov(… stbl(stts+stsz+stsc+stco)) + mdat header; ALSO the
+#: single chunk's offset (mdat payload start).  Pinned against
+#: synth_mp4 in test_video_synth_constants.
+VIDEO_PROG_HEADER = 429
+#: fragmented container size minus the final mdat filler (2 moof/mdat
+#: pairs); pinned against synth_fmp4 in the same test
+VIDEO_FRAG_CONST = 545
+
+
 def _synth_video_blobs(spark, sf):
-    """Shared synthesis for the two video queries: a spec-valid
-    ISO-BMFF MP4 per document with doc_id-derived dimensions,
+    """Shared synthesis for the video queries: a spec-valid ISO-BMFF
+    container per document with doc_id-derived dimensions,
     timescale/frame-delta pair (PAL-ish 600/25, round 1000/40, NTSC
-    30000/1001), frame count and mdat filler; every 7th doc is a
-    corrupt non-MP4 blob that must classify, not crash.  Every field
-    the parsers emit is closed-form from the doc_id arithmetic, so the
-    oracles predict the round-trip independently."""
+    30000/1001), frame count, uniform sample size and mdat filler.
+    Every 7th doc is a corrupt non-MP4 blob that must classify, not
+    crash; every remaining 5th doc is a FRAGMENTED (CMAF/DASH-style
+    moof) container whose duration lives only in mvex/mehd and whose
+    frames are split across two moof/trun fragments — the streaming
+    layout a real video corpus is full of.  The rest are progressive
+    with full stsz/stsc/stco sample tables, so the frame plan can emit
+    exact byte ranges.  Every field the parsers emit is closed-form
+    from the doc_id arithmetic, so the oracles predict the round-trip
+    independently."""
     from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
         multimodal as MM,
     )
@@ -2392,16 +2408,31 @@ def _synth_video_blobs(spark, sf):
                     blobs.append(b"\x00corrupt" + bytes(did % 5))
                     continue
                 ts, delta = ((600, 25), (1000, 40), (30000, 1001))[did % 3]
-                blobs.append(
-                    MM.synth_mp4(
-                        16 + did % 300,
-                        16 + did % 200,
-                        ts,
-                        12 + did % 48,
-                        delta,
-                        n_filler=did % 17,
+                nf = 12 + did % 48
+                w, h = 16 + did % 300, 16 + did % 200
+                if did % 5 == 0:
+                    blobs.append(
+                        MM.synth_fmp4(
+                            w,
+                            h,
+                            ts,
+                            [nf // 2, nf - nf // 2],
+                            delta,
+                            n_filler=did % 17,
+                        )
                     )
-                )
+                else:
+                    blobs.append(
+                        MM.synth_mp4(
+                            w,
+                            h,
+                            ts,
+                            nf,
+                            delta,
+                            n_filler=did % 17,
+                            sample_size=2 + did % 6,
+                        )
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     return d.mapInPandas(synth, "doc_id long, blob binary")
@@ -2410,15 +2441,18 @@ def _synth_video_blobs(spark, sf):
 def q_video_meta_probe(spark, sf):
     """REAL video-container decode through the multimodal seam: walk
     the ISO-BMFF box tree (operators.multimodal.parse_mp4_header —
-    actual byte-level ftyp/moov/mvhd/tkhd/stts parsing, no codec
+    actual byte-level ftyp/moov/mvhd/tkhd/stts/stsz/stco parsing plus
+    the fragmented moof/traf/trun and mvex/mehd path, no codec
     library) over Arrow-batched mapInPandas and surface the metadata a
-    frame-sampling planner needs (brand, dimensions, timescale, frame
-    count, duration).  The oracle predicts the round-trip from the
+    frame-sampling planner needs (container kind, brand, dimensions,
+    timescale, frame count, duration, and the sample-table fields that
+    locate frame bytes).  The oracle predicts the round-trip from the
     same doc_id arithmetic, including the classified-not-crashed
-    corrupt rows and the exact container byte count (361 + filler,
-    pinned against the synthesizer in unit tests).  Scale shape:
-    map-only Arrow batches end to end — the 100 TB form of \"audit a
-    petabyte of video WITHOUT decoding a single frame\"."""
+    corrupt rows, the mehd duration fallback on fragmented docs, and
+    the exact container byte counts (VIDEO_PROG_HEADER /
+    VIDEO_FRAG_CONST, pinned against the synthesizers in unit tests).
+    Scale shape: map-only Arrow batches end to end — the 100 TB form
+    of \"audit a petabyte of video WITHOUT decoding a single frame\"."""
     from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
         multimodal as MM,
     )
@@ -2426,31 +2460,46 @@ def q_video_meta_probe(spark, sf):
     return MM.decode_video_meta(_synth_video_blobs(spark, sf))
 
 
-SQL_VIDEO_META_PROBE = """
+SQL_VIDEO_META_PROBE = f"""
 WITH p AS (
   SELECT doc_id,
          doc_id % 7 = 0 AS corrupt,
+         doc_id % 7 <> 0 AND doc_id % 5 = 0 AS frag,
          CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
               ELSE 30000 END AS ts,
          CASE doc_id % 3 WHEN 0 THEN 25 WHEN 1 THEN 40
               ELSE 1001 END AS delta,
-         12 + doc_id % 48 AS nf
+         12 + doc_id % 48 AS nf,
+         2 + doc_id % 6 AS ssz
   FROM documents)
 SELECT doc_id,
        CASE WHEN corrupt THEN 'unknown' ELSE 'video/mp4' END AS mime,
-       CASE WHEN corrupt THEN NULL ELSE 'isom' END AS brand,
+       CASE WHEN corrupt THEN NULL WHEN frag THEN 'fragmented'
+            ELSE 'progressive' END AS container,
+       CASE WHEN corrupt THEN NULL WHEN frag THEN 'iso5'
+            ELSE 'isom' END AS brand,
        CASE WHEN corrupt THEN NULL
             ELSE CAST(16 + doc_id % 300 AS INTEGER) END AS width,
        CASE WHEN corrupt THEN NULL
             ELSE CAST(16 + doc_id % 200 AS INTEGER) END AS height,
-       CASE WHEN corrupt THEN NULL ELSE CAST(ts AS INTEGER) END AS timescale,
+       CASE WHEN corrupt THEN NULL ELSE CAST(ts AS BIGINT) END AS timescale,
        CASE WHEN corrupt THEN NULL
             ELSE CAST(nf * delta AS BIGINT) END AS duration,
        CASE WHEN corrupt THEN NULL ELSE CAST(nf AS BIGINT) END AS n_frames,
+       CAST(CASE WHEN corrupt THEN NULL WHEN frag THEN 2
+            ELSE 0 END AS INTEGER) AS n_fragments,
+       CASE WHEN corrupt OR frag THEN NULL
+            ELSE CAST(ssz AS BIGINT) END AS sample_size,
+       CASE WHEN corrupt OR frag THEN NULL
+            ELSE CAST({VIDEO_PROG_HEADER} AS BIGINT) END AS chunk_offset,
+       CAST(CASE WHEN corrupt THEN NULL WHEN frag THEN 0
+            ELSE 1 END AS INTEGER) AS n_chunks,
        CASE WHEN corrupt THEN NULL
             ELSE ROUND(nf * delta * 1000.0 / ts, 6) END AS duration_ms,
        CAST(CASE WHEN corrupt THEN 8 + doc_id % 5
-                 ELSE 361 + doc_id % 17 END AS BIGINT) AS n_bytes
+                 WHEN frag THEN {VIDEO_FRAG_CONST} + doc_id % 17
+                 ELSE {VIDEO_PROG_HEADER} + nf * ssz + doc_id % 17
+            END AS BIGINT) AS n_bytes
 FROM p
 """
 
@@ -2468,12 +2517,18 @@ def q_video_frame_sample_plan(spark, sf):
     deterministic (doc, frame, pts) worklist the \"frame-sample\" step
     hands a pixel decoder (which stays behind decode_stub in this
     container; real decoders seek by ticks, and a float-ms column here
-    was measured to be a genuine cross-engine rounding hazard).
-    Corrupt blobs are excluded by the parser's mime classification,
-    not by doc_id arithmetic, so the oracle cross-checks the classify
-    path too.  Scale shape: the metadata probe is map-only; the plan
-    adds one in-row sequence explode (k rows per video, no shuffle,
-    no UDF) — Catalyst end to end."""
+    was measured to be a genuine cross-engine rounding hazard).  For
+    progressive docs the plan now also emits the EXACT
+    (byte_offset, byte_len) range each sampled frame occupies —
+    chunk_offset + frame_idx * sample_size from the container's own
+    stsz/stco tables, the S3 ranged-GET grain a 100 TB frame-fetch
+    executor needs — while fragmented docs (whose samples live in
+    per-fragment mdats) correctly plan NULL byte columns.  Corrupt
+    blobs are excluded by the parser's mime classification, not by
+    doc_id arithmetic, so the oracle cross-checks the classify path
+    too.  Scale shape: the metadata probe is map-only; the plan adds
+    one in-row sequence explode (k rows per video, no shuffle, no
+    UDF) — Catalyst end to end."""
     from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
         multimodal as MM,
     )
@@ -2491,14 +2546,79 @@ WITH p AS (
               ELSE 1001 END AS delta,
          12 + doc_id % 48 AS nf
   FROM documents WHERE doc_id % 7 <> 0),
-m AS (SELECT doc_id, nf, ts, nf * delta AS dur FROM p),
+m AS (SELECT doc_id, nf, ts, nf * delta AS dur,
+             doc_id % 5 = 0 AS frag, 2 + doc_id % 6 AS ssz FROM p),
 s AS (SELECT m.*, j FROM m, generate_series(0, {FRAME_SAMPLE_K - 1}) t(j))
 SELECT doc_id,
        CAST(j AS INTEGER) AS sample_rank,
        CAST(j * nf // {FRAME_SAMPLE_K} AS BIGINT) AS frame_idx,
        CAST((j * nf // {FRAME_SAMPLE_K}) * dur // nf AS BIGINT) AS pts_units,
-       CAST(ts AS INTEGER) AS timescale
+       CAST(ts AS BIGINT) AS timescale,
+       CAST(CASE WHEN frag THEN NULL
+                 ELSE {VIDEO_PROG_HEADER}
+                      + (j * nf // {FRAME_SAMPLE_K}) * ssz
+            END AS BIGINT) AS byte_offset,
+       CAST(CASE WHEN frag THEN NULL ELSE ssz END AS BIGINT) AS byte_len
 FROM s
+"""
+
+
+def q_video_byte_plan_audit(spark, sf):
+    """Corpus-level audit that the frame-sample byte plan is SAFE to
+    hand a ranged-GET executor: join the plan back to the parsed
+    metadata and aggregate per container kind — slot counts, how many
+    slots carry a byte range, total planned fetch bytes, and (the
+    invariant that matters) how many planned ranges end INSIDE their
+    container (byte_offset + byte_len <= n_bytes).  On this corpus
+    every progressive range must be in-bounds (in_bounds ==
+    n_byte_ranges) and fragmented slots must plan zero ranges — the
+    oracle proves both from the synthesis arithmetic alone.  Scale
+    shape: two map-only Arrow passes + one doc-grain equi-join + a
+    2-group aggregate; planned_bytes is exactly the I/O a 100 TB
+    frame fetch would issue, so this query IS the cost estimate."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
+        multimodal as MM,
+    )
+
+    meta = MM.decode_video_meta(_synth_video_blobs(spark, sf))
+    plan = MM.plan_frame_samples(meta, k=FRAME_SAMPLE_K)
+    joined = plan.join(meta.select("doc_id", "container", "n_bytes"), "doc_id")
+    return joined.groupBy("container").agg(
+        F.count("*").alias("n_slots"),
+        F.count("byte_offset").alias("n_byte_ranges"),
+        F.sum("byte_len").cast("long").alias("planned_bytes"),
+        F.sum(
+            F.when(
+                F.col("byte_offset") + F.col("byte_len") <= F.col("n_bytes"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("in_bounds"),
+        F.max("frame_idx").alias("max_frame_idx"),
+    )
+
+
+SQL_VIDEO_BYTE_PLAN_AUDIT = f"""
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 5 = 0 AS frag,
+         12 + doc_id % 48 AS nf,
+         2 + doc_id % 6 AS ssz
+  FROM documents WHERE doc_id % 7 <> 0),
+s AS (SELECT p.*, j * nf // {FRAME_SAMPLE_K} AS fi
+      FROM p, generate_series(0, {FRAME_SAMPLE_K - 1}) t(j))
+SELECT CASE WHEN frag THEN 'fragmented' ELSE 'progressive' END AS container,
+       COUNT(*) AS n_slots,
+       COUNT(CASE WHEN NOT frag THEN 1 END) AS n_byte_ranges,
+       CAST(SUM(CASE WHEN frag THEN NULL ELSE ssz END) AS BIGINT)
+         AS planned_bytes,
+       CAST(SUM(CASE WHEN NOT frag
+                      AND {VIDEO_PROG_HEADER} + fi * ssz + ssz
+                          <= {VIDEO_PROG_HEADER} + nf * ssz + doc_id % 17
+                     THEN 1 ELSE 0 END) AS BIGINT) AS in_bounds,
+       CAST(MAX(fi) AS BIGINT) AS max_frame_idx
+FROM s GROUP BY 1
 """
 
 
@@ -18609,6 +18729,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_video_frame_sample_plan,
         SQL_VIDEO_FRAME_SAMPLE_PLAN,
     ),
+    "video_byte_plan_audit": (
+        q_video_byte_plan_audit,
+        SQL_VIDEO_BYTE_PLAN_AUDIT,
+    ),
     "zipf_rank_slope": (q_zipf_rank_slope, SQL_ZIPF),
     "doc_hash_embedding": (q_doc_hash_embedding, SQL_DOC_HASH_EMBED),
     "dedup_containment": (q_containment_pairs, SQL_CONTAINMENT),
@@ -19045,12 +19169,19 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "date_functions_suite",
         "dedup_clusters",
         "dedup_clusters_distributed",
+        "dedup_containment",
         "dedup_dup_groups",
         "dedup_exact_log_id",
+        "dedup_method_agreement",
         "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard_capped",
+        "dedup_simhash",
+        "dedup_simhash_hamming",
         "dedup_source_flow",
         "dedup_span_removal",
         "dedup_survivors",
+        "dedup_threshold_sensitivity",
         "deterministic_sample",
         "distinct_aggs",
         "distinctive_terms_logodds",
@@ -19063,9 +19194,13 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "dsir_importance",
         "dup_ngram_coverage",
         "embedding_centroid_assign",
+        "embedding_cosine_topk",
         "embedding_dim_stats",
         "embedding_gram_matrix",
+        "embedding_ivf_topk",
         "embedding_lsh_buckets",
+        "embedding_lsh_near_dup",
+        "embedding_near_dup",
         "embedding_norms",
         "embedding_outliers",
         "embedding_power_iteration",
@@ -19119,6 +19254,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "global_shuffle_shards",
         "gopher_quality_flags",
         "gram_frequency_spectrum",
+        "graph_adamic_adar",
         "graph_assortativity",
         "graph_pagerank_parts",
         "graph_triangle_degree_ordered",
@@ -19127,6 +19263,8 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "group_split_events",
         "grouping_sets_status_priority",
         "hard_negatives",
+        "hash_dim_fidelity_sweep",
+        "hash_embedding_fidelity_eval",
         "heaps_law_fit",
         "hh_merge_bounds",
         "hll_distinct_users",
@@ -19135,6 +19273,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "incremental_agg_merge",
         "incremental_dedup_check",
         "isotonic_calibration",
+        "ivf_eval_recall",
         "join_explosion_audit",
         "join_key_skew",
         "join_types_suite",
@@ -19151,9 +19290,12 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "logreg_auc",
         "logreg_calibration",
         "logreg_hard_examples",
+        "lsh_band_tuning",
+        "lsh_eval_pr",
         "map_functions_suite",
         "market_basket_pairs",
         "math_functions_suite",
+        "minhash_eval_recall",
         "mixture_sample",
         "mixture_token_budget_alloc",
         "mmr_rerank",
@@ -19178,8 +19320,11 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "percentiles_by_priority",
         "perplexity_bucket_sample",
         "pipeline_error_taxonomy",
+        "pipeline_route",
         "pipeline_schema_profile",
+        "pipeline_tz_partition",
         "pipeline_unknown_routing",
+        "pipeline_whitelist",
         "pivot_priority_by_status",
         "pmi_collocations",
         "point_in_time_join",
@@ -19199,6 +19344,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q19_discounted_revenue",
         "q1_pricing_summary",
         "q20_potential_promotion",
+        "q21_waiting_supplier",
         "q22_sales_opportunity",
         "q2_min_cost_supplier",
         "q3_shipping_priority",
@@ -19230,6 +19376,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "semdedup_prune",
         "sequence_packing",
         "set_ops_nations",
+        "simhash_bit_balance",
         "sink_compaction_plan",
         "skipgram_negative_pairs",
         "skyline_quality_length",
@@ -19290,63 +19437,20 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 #: batches — diagnostics, corpus statistics, splits, fuzzy join, WAV
 #: audio — lead that backlog by construction).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round 8 re-queues: every query whose PLAN changed after its last
-    # green driver row.  graph_adamic_adar persists its twice-consumed
-    # edges table (the r7-deferred parallelize ingest was re-measured
-    # and REJECTED — see NOTES_r8); the four SimHash consumers now
-    # ride the shared persisted _SIMHASH_SIG_CACHE stage.
-    # rotate_driver_window never marks a listed name verified from
-    # its stale green — clear these once CORRECTNESS_r08 is in.
+    # Round 9 re-queues: the two video queries changed implementation
+    # (parse_mp4_header rewrote to an explicit-stack walk with
+    # per-track hdlr attribution, stsz/stco/co64 + fragmented
+    # moof/mehd parsing; the shared synthesis now mixes fragmented
+    # docs in and the schemas gained container/sample-table/byte-range
+    # columns).  The r8 re-queues all re-greened in CORRECTNESS_r08
+    # and were cleared.  rotate_driver_window never marks a listed
+    # name verified from its stale green — clear these once
+    # CORRECTNESS_r09 is in.
     # NOTE: keep comments in this block free of double-quoted words —
     # the rotate tool extracts every quoted token in the tuple source
-    # as a name (its parser now also strips comment lines first).
-    "graph_adamic_adar",
-    "dedup_simhash",
-    "dedup_simhash_hamming",
-    "dedup_method_agreement",
-    "simhash_bit_balance",
-    # the last uncached n-gram pair-space consumers, now riding
-    # _NGRAM_PAIRS_CACHE (the threshold post-filter and containment
-    # derivation equivalences are test-pinned; their uncached plans
-    # existed only because their verification predated the cache)
-    "dedup_ngram_jaccard_capped",
-    "dedup_threshold_sensitivity",
-    "dedup_containment",
-    # r7-verified consumers of the SAME cache: the persisted stage
-    # widened from (doc_a, doc_b, jaccard) to the full stats table
-    # (ngram_pair_stats), which changes their plans' cached relation
-    "lsh_band_tuning",
-    "hash_embedding_fidelity_eval",
-    "hash_dim_fidelity_sweep",
-    # operators.dedup.ngram_jaccard_pairs is now derived from
-    # ngram_pair_stats (one construction, zero drift surface); the
-    # executed plan is structurally identical — joins, exchanges and
-    # aggregates unchanged, attribute aliases only — but the
-    # implementation changed, so its two registry callers re-queue
-    "dedup_ngram_jaccard",
-    "minhash_eval_recall",
-    # the embedding near-dup pipelines became shared persisted stages
-    # (one LSH build + one exact build per session; lsh_eval_pr pays
-    # only the confusion join)
-    "embedding_near_dup",
-    "embedding_lsh_near_dup",
-    "lsh_eval_pr",
-    # the probe-set top-k pipelines became shared persisted stages
-    # (_COSINE_TOPK10_CACHE / _IVF_TOPK10_CACHE); ivf_eval_recall
-    # reads both results instead of re-running the BLAS scan and the
-    # IVF probe pipeline
-    "embedding_cosine_topk",
-    "embedding_ivf_topk",
-    "ivf_eval_recall",
-    # the Tier-A parse->validate envelope became a shared persisted
-    # stage (_ENVELOPE_CACHE); whitelist and timezone are post-stages
-    # via route_records_on_envelope (equivalence test-pinned)
-    "pipeline_route",
-    "pipeline_whitelist",
-    "pipeline_tz_partition",
-    # q21 re-planned: one fact pass at (order, supplier) grain instead
-    # of two lineitem scans + a countDistinct Expand
-    "q21_waiting_supplier",
+    # as a name (its parser strips comment lines first).
+    "video_meta_probe",
+    "video_frame_sample_plan",
 )
 
 

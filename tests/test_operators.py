@@ -4981,11 +4981,19 @@ def test_mp4_header_parse_known_fixture_and_corrupt():
     trak = box(b"trak", tkhd + box(b"mdia", box(b"minf", box(b"stbl", stts))))
     ftyp = box(b"ftyp", b"mp42" + bytes(4) + b"isom")
     blob = ftyp + box(b"moov", mvhd + trak)
+
+    def core(d):
+        return (d["brand"], d["timescale"], d["duration"], d["width"],
+                d["height"], d["n_frames"])
+
     # brand, timescale, duration, width, height, n_frames (stts sums)
-    assert parse_mp4_header(blob) == ("mp42", 90000, 450000, 1280, 720, 150)
+    # (this trak has no hdlr — the nonzero-dims fallback selects it)
+    got = parse_mp4_header(blob)
+    assert core(got) == ("mp42", 90000, 450000, 1280, 720, 150)
+    assert got["container"] == "progressive" and got["n_fragments"] == 0
 
     # synth round-trips through the parser (duration = n_frames * delta)
-    assert parse_mp4_header(synth_mp4(320, 240, 600, 48, 25, 7)) == (
+    assert core(parse_mp4_header(synth_mp4(320, 240, 600, 48, 25, 7))) == (
         "isom", 600, 48 * 25, 320, 240, 48,
     )
     # v1 mvhd (64-bit times) parses
@@ -4994,7 +5002,7 @@ def test_mp4_header_parse_known_fixture_and_corrupt():
         b"\x01" + bytes(3) + bytes(16) + struct.pack(">I", 1000)
         + struct.pack(">Q", 123456) + bytes(80),
     )
-    assert parse_mp4_header(ftyp + box(b"moov", mvhd1)) == (
+    assert core(parse_mp4_header(ftyp + box(b"moov", mvhd1))) == (
         "mp42", 1000, 123456, 0, 0, 0,
     )
     # largesize (size==1 -> u64) container parses
@@ -5002,7 +5010,7 @@ def test_mp4_header_parse_known_fixture_and_corrupt():
         struct.pack(">I", 1) + b"moov"
         + struct.pack(">Q", 16 + len(mvhd)) + mvhd
     )
-    assert parse_mp4_header(ftyp + big_moov) == (
+    assert core(parse_mp4_header(ftyp + big_moov)) == (
         "mp42", 90000, 450000, 0, 0, 0,
     )
     assert parse_mp4_header(b"") is None
@@ -5036,7 +5044,25 @@ def test_mp4_parser_fuzz_never_raises():
         if trial % 5 == 0:
             blob = real[: rng.randrange(len(real) + 1)]
         out = parse_mp4_header(blob)
-        assert out is None or (len(out) == 6 and isinstance(out[0], str))
+        assert out is None or (
+            isinstance(out, dict) and isinstance(out["brand"], str)
+        )
+    # adversarial DEEP NESTING (ADVICE r8): thousands of nested
+    # container headers must neither recurse to death nor hang — the
+    # walk is an explicit stack with a depth cap
+    deep = b""
+    for _ in range(5000):
+        deep = struct.pack(">I", 8 + len(deep)) + b"moov" + deep
+    ftyp = struct.pack(">I", 24) + b"ftyp" + b"isom" + bytes(4) + b"isomiso2"
+    assert parse_mp4_header(ftyp + deep) is None  # no mvhd reachable
+    # same, with a valid mvhd INSIDE the cap: still parses
+    mvhd = (struct.pack(">I", 8 + 100) + b"mvhd" + bytes(12)
+            + struct.pack(">II", 90000, 180000) + bytes(80))
+    nested = mvhd
+    for _ in range(10):
+        nested = struct.pack(">I", 8 + len(nested)) + b"moov" + nested
+    got = parse_mp4_header(ftyp + nested)
+    assert got is not None and got["timescale"] == 90000
 
 
 def test_video_meta_and_frame_plan_invariants(spark):
@@ -5054,21 +5080,36 @@ def test_video_meta_and_frame_plan_invariants(spark):
         (2, MM.synth_mp4(64, 48, 30000, 13, 1001, 0)),
         (3, b"\x00corrupt"),
         (4, MM.synth_mp4(16, 16, 1000, 1, 40, 16)),
+        # uniform sample tables -> byte-addressable plan rows
+        (5, MM.synth_mp4(32, 32, 600, 10, 25, 2, sample_size=7)),
+        # fragmented -> frames/duration via trun+mehd, NULL byte plan
+        (6, MM.synth_fmp4(80, 60, 1000, [6, 6], 40, n_filler=4)),
     ]
     df = spark.createDataFrame(rows, "doc_id long, blob binary")
     meta = MM.decode_video_meta(df)
     got = {r.doc_id: r for r in meta.collect()}
     assert got[3].mime == "unknown" and got[3].n_frames is None
     assert (got[1].width, got[1].height) == (320, 240)
+    assert got[1].container == "progressive" and got[1].sample_size is None
     assert got[2].timescale == 30000 and got[2].duration == 13 * 1001
     assert got[4].n_frames == 1
+    assert got[5].sample_size == 7 and got[5].n_chunks == 1
+    assert got[5].chunk_offset is not None
+    assert got[6].container == "fragmented" and got[6].n_fragments == 2
+    assert got[6].n_frames == 12 and got[6].duration == 12 * 40
 
     k = 4
     plan = {
         (r.doc_id, r.sample_rank): r
         for r in MM.plan_frame_samples(meta, k=k).collect()
     }
-    expect = {1: (48, 48 * 25, 600), 2: (13, 13 * 1001, 30000), 4: (1, 40, 1000)}
+    expect = {
+        1: (48, 48 * 25, 600),
+        2: (13, 13 * 1001, 30000),
+        4: (1, 40, 1000),
+        5: (10, 10 * 25, 600),
+        6: (12, 12 * 40, 1000),
+    }
     assert {d for d, _ in plan} == set(expect)
     for did, (nf, dur, ts) in expect.items():
         idxs = []
@@ -5080,3 +5121,143 @@ def test_video_meta_and_frame_plan_invariants(spark):
             assert r.timescale == ts
             idxs.append(fi)
         assert idxs == sorted(idxs)
+    # byte ranges: only the doc with sample tables plans them, every
+    # range lands inside its container, and the fragmented doc plans
+    # NULL byte columns
+    off5 = got[5].chunk_offset
+    for j in range(k):
+        r = plan[(5, j)]
+        assert r.byte_offset == off5 + r.frame_idx * 7 and r.byte_len == 7
+        assert r.byte_offset + r.byte_len <= got[5].n_bytes
+    for did in (1, 2, 4, 6):
+        assert plan[(did, 0)].byte_offset is None
+        assert plan[(did, 0)].byte_len is None
+
+
+def test_mp4_multitrack_video_audio_attribution():
+    """A video+audio file must report the VIDEO track's frame count
+    and dimensions — r8's parser summed stts totals across ALL tracks
+    (audio sample counts inflated n_frames, so frame plans emitted
+    out-of-range indices).  Track selection follows the hdlr
+    handler_type ('vide'), matching the tkhd dimension pick."""
+    import struct
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        parse_mp4_header,
+    )
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def track(handler, w, h, track_id, n_samples, delta):
+        tkhd = box(
+            b"tkhd",
+            bytes(4) + bytes(8) + struct.pack(">I", track_id) + bytes(64)
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        hdlr = box(b"hdlr", bytes(8) + handler + bytes(13))
+        stts = box(b"stts", bytes(4) + struct.pack(">I", 1)
+                   + struct.pack(">II", n_samples, delta))
+        return box(
+            b"trak",
+            tkhd + box(b"mdia", hdlr + box(b"minf", box(b"stbl", stts))),
+        )
+
+    ftyp = box(b"ftyp", b"isom" + bytes(4) + b"isom")
+    mvhd = box(b"mvhd", bytes(12) + struct.pack(">II", 600, 1200) + bytes(80))
+    # audio trak FIRST in file order: selection must still pick video
+    moov = box(
+        b"moov",
+        mvhd
+        + track(b"soun", 0, 0, 2, 48000, 1)
+        + track(b"vide", 640, 360, 1, 48, 25),
+    )
+    got = parse_mp4_header(ftyp + moov)
+    assert got is not None
+    assert got["n_frames"] == 48  # NOT 48048
+    assert (got["width"], got["height"]) == (640, 360)
+
+
+def test_mp4_unsigned_range_classification():
+    """u32/u64 fields beyond the signed output columns classify
+    instead of crashing the Arrow column build (ADVICE r8): timescale
+    uses the full u32 range (now a Long column), v1 durations >= 2^63
+    and co64 offsets >= 2^63 become None."""
+    import struct
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        parse_mp4_header,
+        synth_mp4,
+    )
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + bytes(4) + b"isom")
+    # timescale 2^32-1 (was an Int32 overflow crash in the kernel)
+    got = parse_mp4_header(synth_mp4(8, 8, (1 << 32) - 1, 2, 3))
+    assert got["timescale"] == (1 << 32) - 1
+    # v1 mvhd duration of u64-max classifies as None, timescale kept
+    mvhd1 = box(
+        b"mvhd",
+        b"\x01" + bytes(3) + bytes(16) + struct.pack(">I", 1000)
+        + struct.pack(">Q", (1 << 64) - 1) + bytes(80),
+    )
+    got = parse_mp4_header(ftyp + box(b"moov", mvhd1))
+    assert got is not None
+    assert got["timescale"] == 1000 and got["duration"] is None
+    # co64 offset >= 2^63 classifies as None; chunk count survives
+    mvhd0 = box(b"mvhd", bytes(12) + struct.pack(">II", 600, 600) + bytes(80))
+    co64 = box(
+        b"co64",
+        bytes(4) + struct.pack(">I", 1) + struct.pack(">Q", 1 << 63),
+    )
+    trak = box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", co64))))
+    got = parse_mp4_header(ftyp + box(b"moov", mvhd0 + trak))
+    assert got["chunk_offset"] is None and got["n_chunks"] == 1
+
+
+def test_video_synth_constants():
+    """Pin the closed-form byte constants the registry oracles use:
+    VIDEO_PROG_HEADER is both the header length AND the stco chunk
+    offset of a uniform-sample synth_mp4; VIDEO_FRAG_CONST is the
+    fragmented container's size minus its final mdat filler.  Also
+    pin the legacy (table-less) 361-byte header the r8 oracle used."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        parse_mp4_header,
+        synth_mp4,
+        synth_fmp4,
+    )
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import (
+        VIDEO_FRAG_CONST,
+        VIDEO_PROG_HEADER,
+    )
+
+    for nf, ssz, filler in [(12, 2, 0), (48, 7, 16), (1, 3, 5)]:
+        b = synth_mp4(100, 80, 600, nf, 25, n_filler=filler, sample_size=ssz)
+        assert len(b) == VIDEO_PROG_HEADER + nf * ssz + filler
+        assert parse_mp4_header(b)["chunk_offset"] == VIDEO_PROG_HEADER
+    for counts, filler in [([6, 6], 0), ([10, 20], 16)]:
+        f = synth_fmp4(100, 80, 600, counts, 25, n_filler=filler)
+        assert len(f) == VIDEO_FRAG_CONST + filler
+    assert len(synth_mp4(100, 80, 600, 48, 25, n_filler=7)) == 361 + 7
+
+
+def test_mp4_variable_size_stsz_table():
+    """The variable-size stsz path (sample_size == 0 + per-sample
+    table) parses: sample_size reports None (a byte plan can't use a
+    uniform stride), sample_count carries the table length, and the
+    mdat payload matches the table total."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        parse_mp4_header,
+        synth_mp4,
+    )
+
+    sizes = [3, 1, 4, 1, 5, 9, 2, 6]
+    b = synth_mp4(64, 48, 1000, len(sizes), 40, n_filler=2,
+                  sample_sizes=sizes)
+    got = parse_mp4_header(b)
+    assert got["sample_size"] is None
+    assert got["sample_count"] == len(sizes)
+    assert got["n_chunks"] == 1
+    assert got["chunk_offset"] + sum(sizes) + 2 == len(b)

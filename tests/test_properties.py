@@ -953,24 +953,77 @@ def test_blocked_cumsum_multi_equals_per_weight_naive_property(spark, triples):
 @given(
     w=st.integers(1, 4095),
     h=st.integers(1, 4095),
-    ts=st.integers(1, 120000),
+    # full UNSIGNED u32 range: timescale >= 2^31 must survive (it
+    # overflowed the old Int32 output column — ADVICE r8)
+    ts=st.integers(1, (1 << 32) - 1),
     nf=st.integers(1, 10000),
     delta=st.integers(1, 90000),
     filler=st.integers(0, 64),
+    ssz=st.integers(0, 32),
 )
-def test_mp4_synth_parse_roundtrip_property(w, h, ts, nf, delta, filler):
+def test_mp4_synth_parse_roundtrip_property(w, h, ts, nf, delta, filler, ssz):
     """synth_mp4 -> parse_mp4_header round-trips over the whole
-    parameter space (not just the three registry fixture shapes):
-    brand, timescale, duration = nf * delta, dimensions and frame
-    count all survive, and every strict PREFIX of the container
-    classifies as corrupt or parses without raising."""
+    parameter space (not just the registry fixture shapes): brand,
+    timescale (full u32), duration = nf * delta, dimensions, frame
+    count and — when sample tables are written — the uniform sample
+    size, single-chunk count and REAL mdat payload offset all
+    survive; every strict PREFIX of the container classifies as
+    corrupt or parses without raising."""
     from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
         parse_mp4_header,
         synth_mp4,
     )
 
-    blob = synth_mp4(w, h, ts, nf, delta, n_filler=filler)
-    assert parse_mp4_header(blob) == ("isom", ts, nf * delta, w, h, nf)
+    blob = synth_mp4(w, h, ts, nf, delta, n_filler=filler, sample_size=ssz)
+    got = parse_mp4_header(blob)
+    assert got is not None and got["container"] == "progressive"
+    assert (got["brand"], got["timescale"], got["duration"]) == (
+        "isom", ts, nf * delta,
+    )
+    assert (got["width"], got["height"], got["n_frames"]) == (w, h, nf)
+    if ssz > 0:
+        assert got["sample_size"] == ssz and got["n_chunks"] == 1
+        # the chunk offset is the real mdat payload position (the 4
+        # bytes before it are the mdat fourcc) and the declared media
+        # bytes end inside the container
+        assert blob[got["chunk_offset"] - 4 : got["chunk_offset"]] == b"mdat"
+        assert got["chunk_offset"] + nf * ssz <= len(blob)
+    else:
+        assert got["sample_size"] is None and got["n_chunks"] == 0
     cut = blob[: len(blob) // 2]
     out = parse_mp4_header(cut)
-    assert out is None or len(out) == 6
+    assert out is None or isinstance(out, dict)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 4095),
+    h=st.integers(1, 4095),
+    ts=st.integers(1, (1 << 32) - 1),
+    counts=st.lists(st.integers(1, 5000), min_size=1, max_size=6),
+    delta=st.integers(1, 90000),
+    filler=st.integers(0, 64),
+)
+def test_fmp4_synth_parse_roundtrip_property(w, h, ts, counts, delta, filler):
+    """synth_fmp4 -> parse_mp4_header: fragmented containers classify
+    as fragmented with n_fragments == len(counts), total frames from
+    the trun sample counts, and duration recovered via the mvex/mehd
+    fallback (the mvhd duration is authored 0, as encoders do).
+    Prefixes classify-don't-crash."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        parse_mp4_header,
+        synth_fmp4,
+    )
+
+    blob = synth_fmp4(w, h, ts, counts, delta, n_filler=filler)
+    got = parse_mp4_header(blob)
+    assert got is not None and got["container"] == "fragmented"
+    assert got["brand"] == "iso5"
+    assert got["n_fragments"] == len(counts)
+    assert got["n_frames"] == sum(counts)
+    assert got["duration"] == sum(counts) * delta
+    assert got["timescale"] == ts
+    assert (got["width"], got["height"]) == (w, h)
+    assert got["sample_size"] is None and got["chunk_offset"] is None
+    out = parse_mp4_header(blob[: len(blob) // 2])
+    assert out is None or isinstance(out, dict)
