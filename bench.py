@@ -336,6 +336,7 @@ HEADLINE = [
     "video_meta_probe",
     "video_frame_sample_plan",
     "video_byte_plan_audit",
+    "video_frame_byte_index",
     # round-5 pipeline-assembly batch
     "filter_funnel",
     "scrub_eval",

@@ -701,6 +701,7 @@ def synth_mp4(
     n_filler: int = 0,
     sample_size: int = 0,
     sample_sizes: "list[int] | None" = None,
+    chunks_of: int = 0,
 ) -> bytes:
     """Minimal spec-valid ISO-BMFF (ISO/IEC 14496-12) MP4: ftyp +
     moov(mvhd + trak(tkhd + mdia(mdhd + hdlr + minf(stbl(...))))) +
@@ -716,7 +717,11 @@ def synth_mp4(
     payload as ``n_frames * sample_size + n_filler``, so every planned
     (byte_offset, byte_len) range lands inside the container.
     ``sample_sizes`` (mutually exclusive) writes the variable-size
-    stsz table path instead, with a matching mdat payload."""
+    stsz table path instead, with a matching mdat payload.
+    ``chunks_of > 0`` splits the samples into chunks of that many
+    samples (last chunk smaller when it does not divide): the stsc
+    carries the real run table and the stco one REAL offset per
+    chunk — the general layout the byte indexer must walk."""
     import struct
 
     box = _mp4_box
@@ -733,40 +738,59 @@ def synth_mp4(
 
     media = 0
     stsz = stsc = b""
+    sizes: "list[int] | None" = None
     if sample_sizes is not None:
+        sizes = list(sample_sizes)
         stsz = box(
             b"stsz",
             struct.pack(">B3x", 0)
-            + struct.pack(">II", 0, len(sample_sizes))
-            + b"".join(struct.pack(">I", s) for s in sample_sizes),
+            + struct.pack(">II", 0, len(sizes))
+            + b"".join(struct.pack(">I", s) for s in sizes),
         )
-        media = sum(sample_sizes)
+        media = sum(sizes)
     elif sample_size > 0:
+        sizes = [sample_size] * n_frames
         stsz = box(
             b"stsz",
             struct.pack(">B3x", 0) + struct.pack(">II", sample_size, n_frames),
         )
         media = n_frames * sample_size
+    chunk_sizes: list[int] = []  # samples per chunk
     if stsz:
-        n_samples = len(sample_sizes) if sample_sizes is not None else n_frames
+        n_samples = len(sizes)
+        per = chunks_of if chunks_of > 0 else n_samples
+        chunk_sizes = [
+            min(per, n_samples - c * per)
+            for c in range((n_samples + per - 1) // per)
+        ] or [0]
+        # stsc runs: (first_chunk, samples_per_chunk, desc_idx); the
+        # last chunk gets its own run only when it is short
+        runs = [(1, per, 1)]
+        if len(chunk_sizes) > 1 and chunk_sizes[-1] != per:
+            runs.append((len(chunk_sizes), chunk_sizes[-1], 1))
+        if len(chunk_sizes) == 1:
+            runs = [(1, chunk_sizes[0], 1)]
         stsc = box(
             b"stsc",
             struct.pack(">B3x", 0)
-            + struct.pack(">I", 1)  # entry_count
-            + struct.pack(">III", 1, n_samples, 1),  # all samples, chunk 1
+            + struct.pack(">I", len(runs))
+            + b"".join(struct.pack(">III", *r) for r in runs),
         )
 
-    def assemble(chunk_offset: int) -> bytes:
-        stco = (
-            box(
+    def assemble(first_offset: int) -> bytes:
+        stco = b""
+        if stsz:
+            offsets, acc, s0 = [], first_offset, 0
+            for csz in chunk_sizes:
+                offsets.append(acc)
+                acc += sum(sizes[s0 : s0 + csz])
+                s0 += csz
+            stco = box(
                 b"stco",
                 struct.pack(">B3x", 0)
-                + struct.pack(">I", 1)
-                + struct.pack(">I", chunk_offset),
+                + struct.pack(">I", len(offsets))
+                + b"".join(struct.pack(">I", o) for o in offsets),
             )
-            if stsz
-            else b""
-        )
         stbl = box(b"stbl", stts + stsz + stsc + stco)
         minf = box(b"minf", stbl)
         mdia = box(b"mdia", mdhd + hdlr + minf)
@@ -774,7 +798,7 @@ def synth_mp4(
         moov = box(b"moov", mvhd + trak)
         return ftyp + moov
 
-    # two-pass: box sizes don't depend on the offset VALUE, so the
+    # two-pass: box sizes don't depend on the offset VALUES, so the
     # second assembly (with the real mdat payload position) is
     # byte-length-identical to the first
     header = assemble(0)
@@ -886,6 +910,60 @@ def parse_mp4_header(blob: bytes) -> dict | None:
     depth cap, and u64 fields that exceed the signed-64 output schema
     classify as None — classify-don't-crash for untrusted blobs, the
     same contract as the image and WAV parsers."""
+    walked = _walk_mp4(blob)
+    if walked is None:
+        return None
+    brand, movie, tracks, frag_samples, n_moof, has_mvex, truncated = walked
+    if truncated or "timescale" not in movie:
+        return None
+
+    vid = _select_video_track(tracks)
+
+    duration = movie.get("duration")
+    if duration == 0 and movie.get("frag_duration") is not None:
+        duration = movie["frag_duration"]
+
+    n_frames = vid.get("n_frames", 0)
+    if not n_frames and frag_samples:
+        n_frames = frag_samples.get(
+            vid.get("track_id"), sum(frag_samples.values())
+        )
+
+    return {
+        "brand": brand,
+        "container": "fragmented" if (n_moof or has_mvex) else "progressive",
+        "timescale": movie["timescale"],
+        "duration": duration,
+        "width": vid.get("width", 0),
+        "height": vid.get("height", 0),
+        "n_frames": n_frames,
+        "n_fragments": n_moof,
+        "sample_size": vid.get("sample_size"),
+        "sample_count": vid.get("sample_count"),
+        "chunk_offset": vid.get("chunk_offset"),
+        "n_chunks": vid.get("n_chunks", 0),
+    }
+
+
+def _select_video_track(tracks: "list[dict]") -> dict:
+    """First trak whose hdlr says 'vide', else first trak with nonzero
+    tkhd dims, else the first trak (else empty)."""
+    for t in tracks:
+        if t.get("handler") == b"vide":
+            return t
+    for t in tracks:
+        if t.get("width"):
+            return t
+    return tracks[0] if tracks else {}
+
+
+def _walk_mp4(blob: bytes, want_tables: bool = False):
+    """Shared explicit-stack ISO-BMFF walk.  Returns (brand, movie,
+    tracks, frag_samples, n_moof, has_mvex, truncated) or None when
+    the blob has no leading ftyp.  With ``want_tables`` each trak also
+    collects its FULL sample tables — stsz size list, stsc
+    (first_chunk, samples_per_chunk) runs, all stco/co64 chunk
+    offsets — for the byte indexer."""
     import struct
 
     n = len(blob)
@@ -982,15 +1060,39 @@ def parse_mp4_header(blob: bytes) -> dict | None:
             ssz = struct.unpack_from(">I", payload, 4)[0]
             trak["sample_size"] = ssz if ssz > 0 else None
             trak["sample_count"] = struct.unpack_from(">I", payload, 8)[0]
+            if want_tables and ssz == 0:
+                count = min(trak["sample_count"], (plen - 12) // 4)
+                trak["sizes"] = list(
+                    struct.unpack_from(f">{count}I", payload, 12)
+                )
+        elif typ == b"stsc" and trak is not None and plen >= 8 and want_tables:
+            n_entries = min(
+                struct.unpack_from(">I", payload, 4)[0], (plen - 8) // 12
+            )
+            trak["stsc_runs"] = [
+                struct.unpack_from(">II", payload, 8 + i * 12)
+                for i in range(n_entries)
+            ]  # (first_chunk 1-based, samples_per_chunk)
         elif typ == b"stco" and trak is not None and plen >= 8:
             trak["n_chunks"] = struct.unpack_from(">I", payload, 4)[0]
             if trak["n_chunks"] >= 1 and plen >= 12:
                 trak["chunk_offset"] = struct.unpack_from(">I", payload, 8)[0]
+            if want_tables:
+                count = min(trak["n_chunks"], (plen - 8) // 4)
+                trak["chunk_offsets"] = list(
+                    struct.unpack_from(f">{count}I", payload, 8)
+                )
         elif typ == b"co64" and trak is not None and plen >= 8:
             trak["n_chunks"] = struct.unpack_from(">I", payload, 4)[0]
             if trak["n_chunks"] >= 1 and plen >= 16:
                 off64 = struct.unpack_from(">Q", payload, 8)[0]
                 trak["chunk_offset"] = off64 if off64 < _I64_MAX else None
+            if want_tables:
+                count = min(trak["n_chunks"], (plen - 8) // 8)
+                trak["chunk_offsets"] = [
+                    o if o < _I64_MAX else None
+                    for o in struct.unpack_from(f">{count}Q", payload, 8)
+                ]
         elif typ == b"tfhd" and traf is not None and plen >= 8:
             traf["track_id"] = struct.unpack_from(">I", payload, 4)[0]
         elif typ == b"trun" and traf is not None and plen >= 8:
@@ -998,47 +1100,7 @@ def parse_mp4_header(blob: bytes) -> dict | None:
             tid = traf.get("track_id")
             frag_samples[tid] = frag_samples.get(tid, 0) + count
 
-    if truncated or "timescale" not in movie:
-        return None
-
-    vid: dict | None = None
-    for t in tracks:
-        if t.get("handler") == b"vide":
-            vid = t
-            break
-    if vid is None:
-        for t in tracks:
-            if t.get("width"):
-                vid = t
-                break
-    if vid is None and tracks:
-        vid = tracks[0]
-    vid = vid or {}
-
-    duration = movie.get("duration")
-    if duration == 0 and movie.get("frag_duration") is not None:
-        duration = movie["frag_duration"]
-
-    n_frames = vid.get("n_frames", 0)
-    if not n_frames and frag_samples:
-        n_frames = frag_samples.get(
-            vid.get("track_id"), sum(frag_samples.values())
-        )
-
-    return {
-        "brand": brand,
-        "container": "fragmented" if (n_moof or has_mvex) else "progressive",
-        "timescale": movie["timescale"],
-        "duration": duration,
-        "width": vid.get("width", 0),
-        "height": vid.get("height", 0),
-        "n_frames": n_frames,
-        "n_fragments": n_moof,
-        "sample_size": vid.get("sample_size"),
-        "sample_count": vid.get("sample_count"),
-        "chunk_offset": vid.get("chunk_offset"),
-        "n_chunks": vid.get("n_chunks", 0),
-    }
+    return brand, movie, tracks, frag_samples, n_moof, has_mvex, truncated
 
 
 VIDEO_META_SCHEMA = T.StructType(
@@ -1209,3 +1271,145 @@ def plan_frame_samples(meta: DataFrame, k: int = 4) -> DataFrame:
         .cast("long")
         .alias("byte_len"),
     )
+
+
+def parse_mp4_sample_tables(blob: bytes) -> dict | None:
+    """Full sample-table extraction for a PROGRESSIVE MP4's video
+    track: the stsz sizes (uniform or per-sample table), the stsc
+    (first_chunk, samples_per_chunk) runs and every stco/co64 chunk
+    offset — everything needed to place ANY sample's bytes, including
+    the variable-size multi-chunk layouts ``plan_frame_samples``
+    correctly declines.  Returns None when the blob is not a
+    parseable progressive MP4 with complete tables (fragmented files
+    keep their samples in per-fragment mdats; corrupt blobs
+    classify).  Same walk, same classify-don't-crash contract as
+    ``parse_mp4_header``."""
+    walked = _walk_mp4(blob, want_tables=True)
+    if walked is None:
+        return None
+    _, movie, tracks, _, n_moof, has_mvex, truncated = walked
+    if truncated or "timescale" not in movie or n_moof or has_mvex:
+        return None
+    vid = _select_video_track(tracks)
+    count = vid.get("sample_count")
+    offsets = vid.get("chunk_offsets")
+    if not count or not offsets:
+        return None
+    uniform = vid.get("sample_size")
+    sizes = vid.get("sizes")
+    if uniform is None and (sizes is None or len(sizes) < count):
+        return None
+    return {
+        "n_frames": count,
+        "sample_size": uniform,
+        "sizes": None if uniform is not None else sizes,
+        "stsc_runs": vid.get("stsc_runs") or [(1, count)],
+        "chunk_offsets": offsets,
+    }
+
+
+def _sample_locations(tables: dict, frame_idxs: "list[int]"):
+    """Resolve each frame index to (byte_offset, byte_len) through the
+    REAL chunk structure: expand the stsc runs over the stco chunk
+    list to find the frame's chunk, then add the sizes of the earlier
+    samples in that chunk to the chunk's offset.  Unresolvable frames
+    (index beyond the declared samples, chunk capacity short, co64
+    offset out of signed range) yield (None, None) — malformed tables
+    classify, never raise."""
+    import bisect
+
+    offsets = tables["chunk_offsets"]
+    runs = sorted(tables["stsc_runs"])
+    count = tables["n_frames"]
+    uniform = tables["sample_size"]
+    sizes = tables["sizes"]
+
+    # first-sample index and samples-per-chunk for every chunk
+    starts: list[int] = []
+    spc: list[int] = []
+    ri, cur = 0, 0
+    for c in range(len(offsets)):
+        while ri + 1 < len(runs) and runs[ri + 1][0] <= c + 1:
+            ri += 1
+        per = runs[ri][1] if runs else 0
+        starts.append(cur)
+        spc.append(per)
+        cur += per
+
+    if uniform is None:
+        pre = [0]
+        for s in sizes:
+            pre.append(pre[-1] + s)
+
+    out = []
+    for fi in frame_idxs:
+        if fi >= min(count, cur) or (uniform is None and fi >= len(sizes)):
+            out.append((None, None))
+            continue
+        c = bisect.bisect_right(starts, fi) - 1
+        if c < 0 or fi >= starts[c] + spc[c] or offsets[c] is None:
+            out.append((None, None))
+            continue
+        if uniform is not None:
+            out.append((offsets[c] + (fi - starts[c]) * uniform, uniform))
+        else:
+            out.append((offsets[c] + pre[fi] - pre[starts[c]], sizes[fi]))
+    return out
+
+
+FRAME_BYTES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rank", T.IntegerType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("byte_offset", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+    ]
+)
+
+
+def index_frame_bytes(
+    df: DataFrame, k: int = 4, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """GENERAL frame-byte indexer: the Arrow kernel that places k
+    uniform sample slots per video through the container's FULL
+    stsz/stsc/stco tables — variable sample sizes and multi-chunk
+    layouts included, exactly the cases where ``plan_frame_samples``'s
+    Catalyst arithmetic correctly emits NULL.  One row per resolvable
+    video per slot: (doc_id, sample_rank, frame_idx, byte_offset,
+    byte_len), the ranged-GET worklist.  Blobs that are not
+    progressive MP4s with complete tables emit no rows; frames the
+    tables cannot place get NULL byte columns.  Scale shape: map-only
+    Arrow batches, the per-blob table walk is O(tables + k log
+    chunks) — the explode happens INSIDE the kernel, so no metadata
+    row ever carries a per-sample array through a shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ranks, fidx, offs, lens = [], [], [], [], []
+            for did, b in zip(pdf[id_col], pdf[blob_col]):
+                blob = b"" if b is None else bytes(b)
+                tables = parse_mp4_sample_tables(blob)
+                if tables is None:
+                    continue
+                nf = tables["n_frames"]
+                frames = [(j * nf) // k for j in range(k)]
+                for j, (fi, (off, ln)) in enumerate(
+                    zip(frames, _sample_locations(tables, frames))
+                ):
+                    ids.append(did)
+                    ranks.append(j)
+                    fidx.append(fi)
+                    offs.append(off)
+                    lens.append(ln)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rank": pd.array(ranks, dtype="Int32"),
+                    "frame_idx": pd.array(fidx, dtype="Int64"),
+                    "byte_offset": pd.array(offs, dtype="Int64"),
+                    "byte_len": pd.array(lens, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, FRAME_BYTES_SCHEMA)

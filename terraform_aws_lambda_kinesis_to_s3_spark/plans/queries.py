@@ -2622,6 +2622,90 @@ FROM s GROUP BY 1
 """
 
 
+#: chunked-layout header base: ftyp + moov boxes minus the
+#: nf-dependent table bytes (stsz 4/sample, stco 4/chunk, stsc
+#: 12/run).  Pinned against synth_mp4 in test_video_synth_constants.
+VIDEO_CHUNKED_BASE = 413
+
+
+def q_video_frame_byte_index(spark, sf):
+    """GENERAL-layout frame-byte indexing through the REAL sample
+    tables (operators.multimodal.index_frame_bytes): a corpus of
+    VARIABLE-size (stsz table), MULTI-chunk (stsc runs + one stco
+    offset per chunk) containers — exactly the layouts whose byte
+    placement plan_frame_samples correctly declines — resolved to
+    (doc_id, sample_rank, frame_idx, byte_offset, byte_len) inside
+    the Arrow kernel: find the frame's chunk through the stsc run
+    expansion, then add the prior in-chunk sample sizes to that
+    chunk's stco offset.  The oracle recomputes every offset from the
+    synthesis arithmetic via the CONTIGUITY invariant (chunk offsets
+    are cumulative size prefixes), so a hash match proves the
+    chunk-walk arithmetic — two different computations, same bytes.
+    Corrupt docs (every 7th) classify to zero rows.  Scale shape:
+    map-only Arrow batches; the per-sample explode happens INSIDE the
+    kernel so no per-sample array ever rides a shuffle."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
+        multimodal as MM,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def synth(it):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 7 == 0:
+                    blobs.append(b"\x00corrupt" + bytes(did % 5))
+                    continue
+                nf = 12 + did % 48
+                sizes = [2 + ((did + s) % 5) for s in range(nf)]
+                blobs.append(
+                    MM.synth_mp4(
+                        16 + did % 300,
+                        16 + did % 200,
+                        1000,
+                        nf,
+                        40,
+                        n_filler=did % 17,
+                        sample_sizes=sizes,
+                        chunks_of=4,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = d.mapInPandas(synth, "doc_id long, blob binary")
+    return MM.index_frame_bytes(blobs, k=FRAME_SAMPLE_K)
+
+
+SQL_VIDEO_FRAME_BYTE_INDEX = f"""
+WITH p AS (
+  SELECT doc_id, 12 + doc_id % 48 AS nf
+  FROM documents WHERE doc_id % 7 <> 0),
+sz AS (SELECT doc_id, nf, i, 2 + (doc_id + i) % 5 AS s
+       FROM p, generate_series(0, 58) t(i) WHERE i < nf),
+pre AS (SELECT doc_id, i, s,
+        COALESCE(SUM(s) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS pfx
+        FROM sz),
+hdr AS (SELECT doc_id, nf,
+        {VIDEO_CHUNKED_BASE} + 4 * nf + 4 * ((nf + 3) // 4)
+          + CASE WHEN nf % 4 = 0 THEN 12 ELSE 24 END AS h
+        FROM p),
+slots AS (SELECT hdr.doc_id, hdr.h, j, j * hdr.nf // {FRAME_SAMPLE_K} AS fi
+          FROM hdr, generate_series(0, {FRAME_SAMPLE_K - 1}) t(j))
+SELECT slots.doc_id,
+       CAST(j AS INTEGER) AS sample_rank,
+       CAST(fi AS BIGINT) AS frame_idx,
+       CAST(h + pre.pfx AS BIGINT) AS byte_offset,
+       CAST(pre.s AS BIGINT) AS byte_len
+FROM slots JOIN pre ON pre.doc_id = slots.doc_id AND pre.i = slots.fi
+"""
+
+
 def q_percentiles(spark, sf):
     """Interpolated percentiles of order value per priority."""
     o = _t(spark, sf, "orders")
@@ -18732,6 +18816,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "video_byte_plan_audit": (
         q_video_byte_plan_audit,
         SQL_VIDEO_BYTE_PLAN_AUDIT,
+    ),
+    "video_frame_byte_index": (
+        q_video_frame_byte_index,
+        SQL_VIDEO_FRAME_BYTE_INDEX,
     ),
     "zipf_rank_slope": (q_zipf_rank_slope, SQL_ZIPF),
     "doc_hash_embedding": (q_doc_hash_embedding, SQL_DOC_HASH_EMBED),

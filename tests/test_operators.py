@@ -5241,6 +5241,110 @@ def test_video_synth_constants():
         f = synth_fmp4(100, 80, 600, counts, 25, n_filler=filler)
         assert len(f) == VIDEO_FRAG_CONST + filler
     assert len(synth_mp4(100, 80, 600, 48, 25, n_filler=7)) == 361 + 7
+    # chunked-layout base: header = BASE + 4/sample (stsz table)
+    # + 4/chunk (stco) + 12/stsc-run, chunks of 4
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        parse_mp4_sample_tables,
+    )
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import (
+        VIDEO_CHUNKED_BASE,
+    )
+
+    for nf in (12, 13, 16, 59):
+        sizes = [2 + ((7 + s) % 5) for s in range(nf)]
+        b = synth_mp4(100, 80, 1000, nf, 40, sample_sizes=sizes, chunks_of=4)
+        h = (VIDEO_CHUNKED_BASE + 4 * nf + 4 * ((nf + 3) // 4)
+             + (12 if nf % 4 == 0 else 24))
+        assert parse_mp4_sample_tables(b)["chunk_offsets"][0] == h
+
+
+def test_mp4_sample_tables_and_byte_index_chunk_walk():
+    """parse_mp4_sample_tables + _sample_locations place every sample
+    through the REAL stsc/stco chunk walk.  Pinned two ways: (a) on a
+    synth container the walk must equal the contiguity ground truth
+    (chunk offsets are cumulative prefixes); (b) on a PATCHED stco
+    with inter-chunk GAPS — the layout an interleaved second track
+    produces — the walk must follow the table, where global prefix
+    arithmetic would be wrong."""
+    import struct
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        _sample_locations,
+        parse_mp4_sample_tables,
+        synth_mp4,
+    )
+
+    sizes = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+    b = synth_mp4(64, 48, 1000, len(sizes), 40, sample_sizes=sizes,
+                  chunks_of=4)
+    t = parse_mp4_sample_tables(b)
+    assert t["stsc_runs"] == [(1, 4), (3, 3)]
+    assert len(t["chunk_offsets"]) == 3
+    pre = [0]
+    for s in sizes:
+        pre.append(pre[-1] + s)
+    h = t["chunk_offsets"][0]
+    locs = _sample_locations(t, list(range(len(sizes))))
+    assert locs == [(h + pre[i], sizes[i]) for i in range(len(sizes))]
+    # out-of-range frame classifies
+    assert _sample_locations(t, [len(sizes)]) == [(None, None)]
+
+    # patch the stco entries to add per-chunk gaps (10*chunk bytes):
+    # chunk-2 and chunk-3 samples shift, chunk-1 samples do not
+    old = b"".join(struct.pack(">I", o) for o in t["chunk_offsets"])
+    new = b"".join(
+        struct.pack(">I", o + 10 * c)
+        for c, o in enumerate(t["chunk_offsets"])
+    )
+    assert b.count(old) == 1
+    gapped = parse_mp4_sample_tables(b.replace(old, new))
+    glocs = _sample_locations(gapped, list(range(len(sizes))))
+    for i in range(len(sizes)):
+        c = min(i // 4, 2)
+        assert glocs[i] == (h + pre[i] + 10 * c, sizes[i])
+
+
+def test_index_frame_bytes_kernel(spark):
+    """index_frame_bytes end to end: variable multi-chunk and uniform
+    single-chunk docs resolve k in-container byte ranges each;
+    fragmented and corrupt blobs emit no rows."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
+        multimodal as MM,
+    )
+
+    sizes = [4, 2, 7, 1, 3, 5, 6, 2, 8, 1, 2, 9, 3]
+    rows = [
+        (1, MM.synth_mp4(64, 48, 1000, len(sizes), 40, n_filler=3,
+                         sample_sizes=sizes, chunks_of=5)),
+        (2, MM.synth_mp4(32, 32, 600, 10, 25, sample_size=7)),
+        (3, b"\x00corrupt"),
+        (4, MM.synth_fmp4(80, 60, 1000, [6, 6], 40)),
+        (5, MM.synth_mp4(32, 32, 600, 10, 25)),  # no tables
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {
+        (r.doc_id, r.sample_rank): r
+        for r in MM.index_frame_bytes(df, k=4).collect()
+    }
+    assert {d for d, _ in got} == {1, 2}
+    blobs = dict(rows)
+    pre = [0]
+    for s in sizes:
+        pre.append(pre[-1] + s)
+    t1 = MM.parse_mp4_sample_tables(bytes(blobs[1]))
+    h1 = t1["chunk_offsets"][0]
+    for j in range(4):
+        fi = (j * len(sizes)) // 4
+        r = got[(1, j)]
+        assert r.frame_idx == fi
+        assert r.byte_offset == h1 + pre[fi] and r.byte_len == sizes[fi]
+        assert r.byte_offset + r.byte_len <= len(blobs[1])
+    t2 = MM.parse_mp4_sample_tables(bytes(blobs[2]))
+    for j in range(4):
+        fi = (j * 10) // 4
+        r = got[(2, j)]
+        assert r.byte_offset == t2["chunk_offsets"][0] + fi * 7
+        assert r.byte_len == 7
 
 
 def test_mp4_variable_size_stsz_table():

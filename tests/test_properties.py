@@ -995,6 +995,40 @@ def test_mp4_synth_parse_roundtrip_property(w, h, ts, nf, delta, filler, ssz):
     assert out is None or isinstance(out, dict)
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    sizes=st.lists(st.integers(0, 500), min_size=1, max_size=120),
+    chunks_of=st.integers(0, 15),
+    k=st.integers(1, 8),
+)
+def test_mp4_byte_index_chunk_walk_property(sizes, chunks_of, k):
+    """The stsc/stco chunk walk equals the contiguity ground truth
+    (header + prefix sum of sizes) for EVERY frame of a synth
+    container over random size tables and chunkings — the two
+    computations share no code path (the walk expands run tables and
+    bisects chunk starts; the truth is a plain cumulative sum)."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        _sample_locations,
+        parse_mp4_sample_tables,
+        synth_mp4,
+    )
+
+    blob = synth_mp4(64, 48, 1000, len(sizes), 40, sample_sizes=sizes,
+                     chunks_of=chunks_of)
+    t = parse_mp4_sample_tables(blob)
+    assert t is not None and t["n_frames"] == len(sizes)
+    h = t["chunk_offsets"][0]
+    pre = [0]
+    for s in sizes:
+        pre.append(pre[-1] + s)
+    assert h + pre[-1] <= len(blob)
+    nf = len(sizes)
+    frames = sorted({(j * nf) // k for j in range(k)} | {0, nf - 1})
+    locs = _sample_locations(t, frames)
+    for fi, loc in zip(frames, locs):
+        assert loc == (h + pre[fi], sizes[fi])
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     w=st.integers(1, 4095),
