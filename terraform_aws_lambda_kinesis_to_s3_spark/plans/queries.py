@@ -2438,6 +2438,34 @@ def _synth_video_blobs(spark, sf):
     return d.mapInPandas(synth, "doc_id long, blob binary")
 
 
+#: (applicationId, sf_dir) -> persisted parsed video metadata over the
+#: shared mixed corpus.  Three consumers (video_meta_probe,
+#: video_frame_sample_plan, video_byte_plan_audit) each re-ran the
+#: synth+parse Arrow pass — and the audit consumed the subtree TWICE
+#: (plan side + metadata side of its join).  The parsed metadata is
+#: tiny (a dozen scalars per doc, no blobs), so one persisted build
+#: per session turns the family into one Arrow pass + cache-riders.
+#: Measured at sf0.1 (min-of-3, solo): the three consumers 2.59 s ->
+#: 0.81 s (audit 1.31 -> 0.53, plan 0.71 -> 0.24, probe 0.57 -> 0.05);
+#: video_frame_byte_index keeps its OWN chunked corpus and stays
+#: uncached.
+_VIDEO_META_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _video_meta(spark, sf) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    cached = _VIDEO_META_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
+        multimodal as MM,
+    )
+
+    meta = MM.decode_video_meta(_synth_video_blobs(spark, sf)).persist()
+    _VIDEO_META_CACHE[key] = meta
+    return meta
+
+
 def q_video_meta_probe(spark, sf):
     """REAL video-container decode through the multimodal seam: walk
     the ISO-BMFF box tree (operators.multimodal.parse_mp4_header —
@@ -2452,12 +2480,9 @@ def q_video_meta_probe(spark, sf):
     the exact container byte counts (VIDEO_PROG_HEADER /
     VIDEO_FRAG_CONST, pinned against the synthesizers in unit tests).
     Scale shape: map-only Arrow batches end to end — the 100 TB form
-    of \"audit a petabyte of video WITHOUT decoding a single frame\"."""
-    from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
-        multimodal as MM,
-    )
-
-    return MM.decode_video_meta(_synth_video_blobs(spark, sf))
+    of \"audit a petabyte of video WITHOUT decoding a single frame\";
+    the parse stage is the session-shared _VIDEO_META_CACHE build."""
+    return _video_meta(spark, sf)
 
 
 SQL_VIDEO_META_PROBE = f"""
@@ -2528,13 +2553,13 @@ def q_video_frame_sample_plan(spark, sf):
     doc_id arithmetic, so the oracle cross-checks the classify path
     too.  Scale shape: the metadata probe is map-only; the plan adds
     one in-row sequence explode (k rows per video, no shuffle, no
-    UDF) — Catalyst end to end."""
+    UDF) over the session-shared _VIDEO_META_CACHE parse stage —
+    Catalyst end to end."""
     from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
         multimodal as MM,
     )
 
-    meta = MM.decode_video_meta(_synth_video_blobs(spark, sf))
-    return MM.plan_frame_samples(meta, k=FRAME_SAMPLE_K)
+    return MM.plan_frame_samples(_video_meta(spark, sf), k=FRAME_SAMPLE_K)
 
 
 SQL_VIDEO_FRAME_SAMPLE_PLAN = f"""
@@ -2573,14 +2598,16 @@ def q_video_byte_plan_audit(spark, sf):
     every progressive range must be in-bounds (in_bounds ==
     n_byte_ranges) and fragmented slots must plan zero ranges — the
     oracle proves both from the synthesis arithmetic alone.  Scale
-    shape: two map-only Arrow passes + one doc-grain equi-join + a
-    2-group aggregate; planned_bytes is exactly the I/O a 100 TB
-    frame fetch would issue, so this query IS the cost estimate."""
+    shape: ONE persisted Arrow parse (_VIDEO_META_CACHE — both sides
+    of the join read the same cached stage, not two recomputes) + one
+    doc-grain equi-join + a 2-group aggregate; planned_bytes is
+    exactly the I/O a 100 TB frame fetch would issue, so this query
+    IS the cost estimate."""
     from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
         multimodal as MM,
     )
 
-    meta = MM.decode_video_meta(_synth_video_blobs(spark, sf))
+    meta = _video_meta(spark, sf)
     plan = MM.plan_frame_samples(meta, k=FRAME_SAMPLE_K)
     joined = plan.join(meta.select("doc_id", "container", "n_bytes"), "doc_id")
     return joined.groupBy("container").agg(
@@ -8406,6 +8433,7 @@ SHARED_STAGE_CACHES: dict[str, dict] = {
     "_cosine_topk10": _COSINE_TOPK10_CACHE,
     "_ivf_topk10": _IVF_TOPK10_CACHE,
     "_routed_envelope": _ENVELOPE_CACHE,
+    "_video_meta": _VIDEO_META_CACHE,
 }
 
 
