@@ -660,10 +660,17 @@ def _mp4_mvhd(timescale: int, duration: int) -> bytes:
 
 
 def _mp4_track_header(
-    width: int, height: int, timescale: int, duration: int
+    width: int,
+    height: int,
+    timescale: int,
+    duration: int,
+    media_timescale: int = 0,
 ) -> tuple[bytes, bytes, bytes]:
     """(tkhd, mdhd, hdlr-vide) shared by the progressive and
-    fragmented synthesizers."""
+    fragmented synthesizers.  ``media_timescale`` (0 = same as the
+    movie timescale) sets the mdhd's own timebase — real encoders
+    almost always use a finer media timebase (e.g. 90 kHz) than the
+    movie's — with the mdhd duration rescaled exactly."""
     import struct
 
     tkhd = _mp4_box(
@@ -679,11 +686,13 @@ def _mp4_track_header(
         + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
         + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
     )
+    mt = media_timescale or timescale
+    mdur = duration * mt // timescale if timescale else duration
     mdhd = _mp4_box(
         b"mdhd",
         struct.pack(">B3x", 0)
         + struct.pack(">II", 0, 0)
-        + struct.pack(">II", timescale, duration)
+        + struct.pack(">II", mt, mdur)
         + struct.pack(">HH", 0x55C4, 0),  # language 'und', pre_defined
     )
     hdlr = _mp4_box(
@@ -702,6 +711,7 @@ def synth_mp4(
     sample_size: int = 0,
     sample_sizes: "list[int] | None" = None,
     chunks_of: int = 0,
+    media_timescale: int = 0,
 ) -> bytes:
     """Minimal spec-valid ISO-BMFF (ISO/IEC 14496-12) MP4: ftyp +
     moov(mvhd + trak(tkhd + mdia(mdhd + hdlr + minf(stbl(...))))) +
@@ -728,7 +738,9 @@ def synth_mp4(
     duration = n_frames * frame_delta
     ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isommp41")
     mvhd = _mp4_mvhd(timescale, duration)
-    tkhd, mdhd, hdlr = _mp4_track_header(width, height, timescale, duration)
+    tkhd, mdhd, hdlr = _mp4_track_header(
+        width, height, timescale, duration, media_timescale
+    )
     stts = box(
         b"stts",
         struct.pack(">B3x", 0)
@@ -938,6 +950,8 @@ def parse_mp4_header(blob: bytes) -> dict | None:
         "height": vid.get("height", 0),
         "n_frames": n_frames,
         "n_fragments": n_moof,
+        "media_timescale": vid.get("media_timescale"),
+        "media_duration": vid.get("media_duration"),
         "sample_size": vid.get("sample_size"),
         "sample_count": vid.get("sample_count"),
         "chunk_offset": vid.get("chunk_offset"),
@@ -1045,6 +1059,21 @@ def _walk_mp4(blob: bytes, want_tables: bool = False):
                 w, h = struct.unpack_from(">II", payload, plen - 8)
                 trak["width"] = w >> 16
                 trak["height"] = h >> 16
+        elif typ == b"mdhd" and trak is not None and plen >= 20:
+            ver = payload[0]
+            if ver == 1 and plen >= 28:
+                trak["media_timescale"] = struct.unpack_from(
+                    ">I", payload, 20
+                )[0]
+                mdur = struct.unpack_from(">Q", payload, 24)[0]
+                trak["media_duration"] = mdur if mdur < _I64_MAX else None
+            elif ver == 0:
+                trak["media_timescale"] = struct.unpack_from(
+                    ">I", payload, 12
+                )[0]
+                trak["media_duration"] = struct.unpack_from(
+                    ">I", payload, 16
+                )[0]
         elif typ == b"hdlr" and trak is not None and plen >= 12:
             trak.setdefault("handler", payload[8:12])
         elif typ == b"stts" and trak is not None and plen >= 8:
@@ -1115,6 +1144,10 @@ VIDEO_META_SCHEMA = T.StructType(
         # are spec-legal and overflowed an Int32 column (ADVICE r8)
         T.StructField("timescale", T.LongType()),
         T.StructField("duration", T.LongType()),
+        # the media (mdhd) timebase — real encoders use a finer track
+        # timebase than the movie's; decoders seek in THIS one
+        T.StructField("media_timescale", T.LongType()),
+        T.StructField("media_duration", T.LongType()),
         T.StructField("n_frames", T.LongType()),
         T.StructField("n_fragments", T.IntegerType()),
         T.StructField("sample_size", T.LongType()),
@@ -1143,8 +1176,8 @@ def decode_video_meta(
 
     fields = (
         "mime container brand width height timescale duration "
-        "n_frames n_fragments sample_size chunk_offset n_chunks "
-        "duration_ms"
+        "media_timescale media_duration n_frames n_fragments "
+        "sample_size chunk_offset n_chunks duration_ms"
     ).split()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1170,6 +1203,8 @@ def decode_video_meta(
                 cols["height"].append(parsed["height"])
                 cols["timescale"].append(ts)
                 cols["duration"].append(dur)
+                cols["media_timescale"].append(parsed["media_timescale"])
+                cols["media_duration"].append(parsed["media_duration"])
                 cols["n_frames"].append(parsed["n_frames"])
                 cols["n_fragments"].append(parsed["n_fragments"])
                 cols["sample_size"].append(parsed["sample_size"])
@@ -1190,6 +1225,12 @@ def decode_video_meta(
                     "height": pd.array(cols["height"], dtype="Int32"),
                     "timescale": pd.array(cols["timescale"], dtype="Int64"),
                     "duration": pd.array(cols["duration"], dtype="Int64"),
+                    "media_timescale": pd.array(
+                        cols["media_timescale"], dtype="Int64"
+                    ),
+                    "media_duration": pd.array(
+                        cols["media_duration"], dtype="Int64"
+                    ),
                     "n_frames": pd.array(cols["n_frames"], dtype="Int64"),
                     "n_fragments": pd.array(
                         cols["n_fragments"], dtype="Int32"

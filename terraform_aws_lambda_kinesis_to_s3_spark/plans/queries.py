@@ -2431,6 +2431,7 @@ def _synth_video_blobs(spark, sf):
                             delta,
                             n_filler=did % 17,
                             sample_size=2 + did % 6,
+                            media_timescale=2 * ts,
                         )
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
@@ -2510,6 +2511,10 @@ SELECT doc_id,
        CASE WHEN corrupt THEN NULL ELSE CAST(ts AS BIGINT) END AS timescale,
        CASE WHEN corrupt THEN NULL
             ELSE CAST(nf * delta AS BIGINT) END AS duration,
+       CASE WHEN corrupt THEN NULL WHEN frag THEN CAST(ts AS BIGINT)
+            ELSE CAST(2 * ts AS BIGINT) END AS media_timescale,
+       CASE WHEN corrupt THEN NULL WHEN frag THEN CAST(0 AS BIGINT)
+            ELSE CAST(2 * nf * delta AS BIGINT) END AS media_duration,
        CASE WHEN corrupt THEN NULL ELSE CAST(nf AS BIGINT) END AS n_frames,
        CAST(CASE WHEN corrupt THEN NULL WHEN frag THEN 2
             ELSE 0 END AS INTEGER) AS n_fragments,

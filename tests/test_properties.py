@@ -974,12 +974,18 @@ def test_mp4_synth_parse_roundtrip_property(w, h, ts, nf, delta, filler, ssz):
         synth_mp4,
     )
 
-    blob = synth_mp4(w, h, ts, nf, delta, n_filler=filler, sample_size=ssz)
+    # a distinct media (mdhd) timebase when it still fits in u32
+    mt = 3 * ts if 3 * ts < (1 << 32) else 0
+    blob = synth_mp4(w, h, ts, nf, delta, n_filler=filler, sample_size=ssz,
+                     media_timescale=mt)
     got = parse_mp4_header(blob)
     assert got is not None and got["container"] == "progressive"
     assert (got["brand"], got["timescale"], got["duration"]) == (
         "isom", ts, nf * delta,
     )
+    # the mdhd media timebase round-trips independently of the movie's
+    assert got["media_timescale"] == (mt or ts)
+    assert got["media_duration"] == nf * delta * (mt or ts) // ts
     assert (got["width"], got["height"], got["n_frames"]) == (w, h, nf)
     if ssz > 0:
         assert got["sample_size"] == ssz and got["n_chunks"] == 1
