@@ -429,3 +429,63 @@ def test_stream_kinesis_emulator_multi_shard(spark, tmp_path):
         "s0-a", "s0-b", "s1-a", "s1-b"
     }
     assert len(rows) == 4  # shard-0 records not reprocessed
+
+
+def test_stream_video_meta_kernel_micro_batches(spark, tmp_path):
+    """The multimodal Arrow kernels run under Structured Streaming:
+    decode_video_meta over a file-source stream (maxFilesPerTrigger=1
+    -> one micro-batch per file) must emit exactly the batch-mode
+    rows — the 100 TB shape where a video corpus lands incrementally
+    and each drop is audited as it arrives."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
+        multimodal as MM,
+    )
+
+    src = str(tmp_path / "vsrc")
+    batches = [
+        [
+            (1, MM.synth_mp4(320, 240, 600, 48, 25, 3, sample_size=4)),
+            (2, b"\x00corrupt"),
+        ],
+        [
+            (3, MM.synth_fmp4(64, 48, 1000, [6, 6], 40)),
+            (4, MM.synth_mp4(16, 16, 30000, 13, 1001, media_timescale=90000)),
+        ],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "doc_id long, blob binary").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, blob binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        MM.decode_video_meta(stream)
+        .writeStream.format("memory")
+        .queryName("vmeta_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "vckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress is not None
+
+    got = {
+        r.doc_id: r for r in spark.sql("SELECT * FROM vmeta_stream").collect()
+    }
+    batch = {
+        r.doc_id: r
+        for r in MM.decode_video_meta(
+            spark.read.schema("doc_id long, blob binary").parquet(src)
+        ).collect()
+    }
+    assert len(got) == 4
+    for did in got:
+        assert got[did].asDict() == batch[did].asDict()
+    assert got[2].mime == "unknown"
+    assert got[3].container == "fragmented"
+    assert got[4].media_timescale == 90000
