@@ -48,6 +48,43 @@ TABLES = (
     "documents embeddings"
 ).split()
 
+
+def host_calibration(spark) -> dict:
+    """Two fixed CPU-bound probes whose nominal times are known from
+    idle-host runs, recorded beside every sweep so a loaded host is
+    DIAGNOSABLE from the artifact alone.  The noop-write overhead
+    probe is scheduling-bound and stayed flat (0.06 s) across sweeps
+    whose per-query floors differed 1.6-2.1x (r9 triage) — these two
+    are contention-bound and move with that floor:
+
+    - ``cpu_calib_sec``: single-threaded pure-Python md5 loop
+      (driver-side GIL work, min-of-3)
+    - ``jvm_calib_sec``: 32-task xxhash64 reduce over spark.range
+      (all-core executor work, min-of-3)
+    """
+    import hashlib
+
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.md5()
+        for i in range(200_000):
+            h.update(str(i).encode())
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    out = {"cpu_calib_sec": round(best, 4)}
+
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 32_000_000, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id)) AS h"  # overflow-free under ANSI
+        ).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    out["jvm_calib_sec"] = round(best, 4)
+    return out
+
 HEADLINE = [
     # Tier A pipeline
     "pipeline_route",
@@ -503,6 +540,7 @@ def main() -> None:
         spark.range(1).write.format("noop").mode("overwrite").save()
         oh.append(time.perf_counter() - t0)
     overhead = round(sorted(oh)[2], 3)
+    calib = host_calibration(spark)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -589,6 +627,7 @@ def main() -> None:
         "session_startup_sec": session_startup,
         "table_warmup_sec": table_warmup,
         "noop_write_median5_sec": overhead,
+        **calib,
     }
     full = {
         "metric": "headline_queries_total_wall",

@@ -79,6 +79,8 @@ def main() -> None:
     runs = sorted(round(one_run(), 4) for _ in range(repeats))
     best, median = runs[0], runs[len(runs) // 2]
 
+    from bench import host_calibration
+
     out = {
         "metric": "envelope_records_per_sec",
         "value": round(N_RECORDS / best),
@@ -98,6 +100,7 @@ def main() -> None:
             "(reference README.md:33, variables.tf:16-18); the engine "
             "number is one local[32] process over the same logical chain"
         ),
+        "host_calibration": host_calibration(spark),
     }
     path = os.path.join(_REPO, "ENVELOPE_BENCH.json")
     with open(path, "w") as f:
