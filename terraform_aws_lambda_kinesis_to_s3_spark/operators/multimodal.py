@@ -1445,7 +1445,10 @@ def index_frame_bytes(
                     lens.append(ln)
             yield pd.DataFrame(
                 {
-                    "doc_id": ids,
+                    # explicit dtype: a batch with ONLY unresolvable
+                    # blobs yields empty lists, and a bare [] infers
+                    # float64 — wrong for the long schema column
+                    "doc_id": pd.array(ids, dtype="Int64"),
                     "sample_rank": pd.array(ranks, dtype="Int32"),
                     "frame_idx": pd.array(fidx, dtype="Int64"),
                     "byte_offset": pd.array(offs, dtype="Int64"),

@@ -5345,6 +5345,13 @@ def test_index_frame_bytes_kernel(spark):
         r = got[(2, j)]
         assert r.byte_offset == t2["chunk_offsets"][0] + fi * 7
         assert r.byte_len == 7
+    # a partition with ONLY unresolvable blobs yields an EMPTY Arrow
+    # batch — the kernel's explicit dtypes must survive it (a bare []
+    # infers float64 and breaks the long schema column)
+    bad = spark.createDataFrame(
+        [(7, b"\x00nope"), (8, b""), (9, None)], "doc_id long, blob binary"
+    ).repartition(3)
+    assert MM.index_frame_bytes(bad, k=4).count() == 0
 
 
 def test_mp4_variable_size_stsz_table():
