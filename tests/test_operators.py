@@ -5372,3 +5372,40 @@ def test_mp4_variable_size_stsz_table():
     assert got["sample_count"] == len(sizes)
     assert got["n_chunks"] == 1
     assert got["chunk_offset"] + sum(sizes) + 2 == len(b)
+
+
+def test_mp4_sample_tables_fuzz_never_raises():
+    """The want-tables walk (parse_mp4_sample_tables) and the chunk
+    resolver must CLASSIFY arbitrary bytes — random blobs,
+    ftyp-prefixed garbage, bit-flipped and truncated real chunked
+    containers — returning a dict or None, and resolving every
+    in-range frame to a pair or (None, None), never raising.  The
+    r8-era fuzz only covered parse_mp4_header's scalar path."""
+    import random
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        _sample_locations,
+        parse_mp4_sample_tables,
+        synth_mp4,
+    )
+
+    rng = random.Random(23)
+    sizes = [2 + (i % 5) for i in range(17)]
+    real = synth_mp4(64, 48, 1000, len(sizes), 40, n_filler=3,
+                     sample_sizes=sizes, chunks_of=4)
+    for trial in range(400):
+        if trial % 3 == 0:
+            blob = bytes(rng.randrange(256) for _ in range(rng.randrange(200)))
+        elif trial % 3 == 1:
+            blob = real[: rng.randrange(len(real) + 1)]
+        else:  # bit-flip a few bytes of the real container
+            b = bytearray(real)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            blob = bytes(b)
+        t = parse_mp4_sample_tables(blob)
+        assert t is None or isinstance(t, dict)
+        if t is not None:
+            frames = [0, t["n_frames"] - 1, t["n_frames"], 10**9]
+            for loc in _sample_locations(t, frames):
+                assert isinstance(loc, tuple) and len(loc) == 2
