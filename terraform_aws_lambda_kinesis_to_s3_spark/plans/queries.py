@@ -3698,12 +3698,25 @@ def q_corpus_curation(spark, sf):
     normalized fingerprint (keep lowest doc_id). One scan computes all
     per-doc signals; the funnel counts are conditional aggregates; the
     dedup stage is a window over fingerprint survivors. Per-source
-    survival counts are the output a curation run reports."""
+    survival counts are the output a curation run reports.
+
+    The scored signal table is consumed TWICE (funnel aggregate +
+    survivor window); without a persist Spark recomputes the
+    regex-heavy featurization per consumer.  Project the six signal
+    columns (dropping text and the feature intermediates) and persist
+    — the same twice-consumed-subtree fix measured for
+    graph_adamic_adar in r8 (here: 1.86 -> 0.97 s solo min-of-3 at
+    sf0.1; at 100 TB it halves the token-regex passes)."""
     d = _t(spark, sf, "documents", parallelize=True)
     scored = (
         X.quality_features(d)
         .withColumn("predicted_lang", X.lang_id(F.col("text")))
         .withColumn("fp", X.fingerprint(F.col("text")))
+        .select(
+            "doc_id", "source", "lang", "quality_score",
+            "predicted_lang", "fp",
+        )
+        .persist()
     )
     pass_q = F.col("quality_score") >= 0.55
     pass_l = pass_q & (F.col("predicted_lang") == F.col("lang"))
@@ -12536,7 +12549,12 @@ def q_graph_assortativity(spark, sf):
     Scale shape: degree table from one adjacency reduce, two
     degree-dim equi-joins back onto edges (dims are node-sized —
     AQE picks broadcast when small), one closed-form corr aggregate.
-    No wedges, no sorts — O(edges) end to end."""
+    No wedges, no sorts — O(edges) end to end.  The doubled adjacency
+    is consumed twice (degree reduce + endpoint join); persisting the
+    edge build was tried (r9) and MEASURED A WASH (jvm-calib-normalized
+    5.56 vs 5.54 s solo min-of-3) — unlike adamic_adar, the repeat
+    subtrees here run as independent parallel stages that overlap on
+    spare cores, so the cache buys nothing at this shape; not shipped."""
     li = _t(spark, sf, "lineitem")
     edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
     adj = edges.unionAll(
@@ -19270,7 +19288,6 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "contamination_check",
         "context_length_plan",
         "contribution_cap_eval",
-        "corpus_curation",
         "corpus_datacard",
         "corpus_kl_divergence",
         "corpus_psi_drift",
@@ -19572,6 +19589,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # as a name (its parser strips comment lines first).
     "video_meta_probe",
     "video_frame_sample_plan",
+    # corpus_curation: the twice-consumed scored-signal subtree is now
+    # projected + persisted (1.86 -> 0.97 s solo; plan changed)
+    "corpus_curation",
 )
 
 
