@@ -937,9 +937,17 @@ def parse_mp4_header(blob: bytes) -> dict | None:
 
     n_frames = vid.get("n_frames", 0)
     if not n_frames and frag_samples:
-        n_frames = frag_samples.get(
-            vid.get("track_id"), sum(frag_samples.values())
-        )
+        tid = vid.get("track_id")
+        if tid in frag_samples:
+            n_frames = frag_samples[tid]
+        elif len(frag_samples) == 1:
+            # the selected trak never declared a track_id (missing or
+            # short tkhd) but only one track carries trun samples, so
+            # attribution is still unambiguous
+            n_frames = next(iter(frag_samples.values()))
+        # else: several fragmented tracks and no way to attribute —
+        # summing across track_IDs would reintroduce the audio
+        # inflation the per-track fix removed, so classify to 0
 
     return {
         "brand": brand,
@@ -1151,6 +1159,10 @@ VIDEO_META_SCHEMA = T.StructType(
         T.StructField("n_frames", T.LongType()),
         T.StructField("n_fragments", T.IntegerType()),
         T.StructField("sample_size", T.LongType()),
+        # stsz's declared sample count — may legitimately differ from
+        # the stts n_frames in a malformed file, and the byte planner
+        # must see BOTH to refuse ranges past the declared samples
+        T.StructField("sample_count", T.LongType()),
         T.StructField("chunk_offset", T.LongType()),
         T.StructField("n_chunks", T.IntegerType()),
         T.StructField("duration_ms", T.DoubleType()),
@@ -1177,7 +1189,7 @@ def decode_video_meta(
     fields = (
         "mime container brand width height timescale duration "
         "media_timescale media_duration n_frames n_fragments "
-        "sample_size chunk_offset n_chunks duration_ms"
+        "sample_size sample_count chunk_offset n_chunks duration_ms"
     ).split()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1208,6 +1220,7 @@ def decode_video_meta(
                 cols["n_frames"].append(parsed["n_frames"])
                 cols["n_fragments"].append(parsed["n_fragments"])
                 cols["sample_size"].append(parsed["sample_size"])
+                cols["sample_count"].append(parsed["sample_count"])
                 cols["chunk_offset"].append(parsed["chunk_offset"])
                 cols["n_chunks"].append(parsed["n_chunks"])
                 cols["duration_ms"].append(
@@ -1237,6 +1250,9 @@ def decode_video_meta(
                     ),
                     "sample_size": pd.array(
                         cols["sample_size"], dtype="Int64"
+                    ),
+                    "sample_count": pd.array(
+                        cols["sample_count"], dtype="Int64"
                     ),
                     "chunk_offset": pd.array(
                         cols["chunk_offset"], dtype="Int64"
@@ -1282,6 +1298,7 @@ def plan_frame_samples(meta: DataFrame, k: int = 4) -> DataFrame:
         "duration",
         "timescale",
         "sample_size",
+        "sample_count",
         "chunk_offset",
         "n_chunks",
         F.posexplode(slots).alias("sample_rank", "j"),
@@ -1289,10 +1306,15 @@ def plan_frame_samples(meta: DataFrame, k: int = 4) -> DataFrame:
         "frame_idx",
         F.expr("(j * n_frames) div " + str(int(k))).cast("long"),
     )
+    # sample_count >= n_frames: a malformed single-chunk file whose
+    # stsc/stsz declare FEWER samples than the stts frame count would
+    # otherwise plan ranges past the real chunk (ADVICE r9) — the
+    # byte arithmetic is only valid for frames the tables declare
     byte_addressable = (
         F.col("sample_size").isNotNull()
         & F.col("chunk_offset").isNotNull()
         & (F.col("n_chunks") == 1)
+        & (F.col("sample_count") >= F.col("n_frames"))
     )
     return exploded.select(
         "doc_id",
@@ -1340,11 +1362,19 @@ def parse_mp4_sample_tables(blob: bytes) -> dict | None:
     sizes = vid.get("sizes")
     if uniform is None and (sizes is None or len(sizes) < count):
         return None
+    stsc_runs = vid.get("stsc_runs")
+    if stsc_runs is not None and not stsc_runs:
+        # a PRESENT stsc whose entry table is empty is an incomplete
+        # table, not a single-chunk declaration — defaulting it to
+        # [(1, count)] would silently place every sample at the first
+        # stco offset even when several chunk offsets exist (ADVICE r9)
+        return None
     return {
         "n_frames": count,
         "sample_size": uniform,
         "sizes": None if uniform is not None else sizes,
-        "stsc_runs": vid.get("stsc_runs") or [(1, count)],
+        # MISSING stsc (flat writers omit it): all samples in chunk 1
+        "stsc_runs": stsc_runs or [(1, count)],
         "chunk_offsets": offsets,
     }
 

@@ -2521,6 +2521,8 @@ SELECT doc_id,
        CASE WHEN corrupt OR frag THEN NULL
             ELSE CAST(ssz AS BIGINT) END AS sample_size,
        CASE WHEN corrupt OR frag THEN NULL
+            ELSE CAST(nf AS BIGINT) END AS sample_count,
+       CASE WHEN corrupt OR frag THEN NULL
             ELSE CAST({VIDEO_PROG_HEADER} AS BIGINT) END AS chunk_offset,
        CAST(CASE WHEN corrupt THEN NULL WHEN frag THEN 0
             ELSE 1 END AS INTEGER) AS n_chunks,
@@ -19288,6 +19290,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "contamination_check",
         "context_length_plan",
         "contribution_cap_eval",
+        "corpus_curation",
         "corpus_datacard",
         "corpus_kl_divergence",
         "corpus_psi_drift",
@@ -19551,6 +19554,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "user_survival_km",
         "user_transition_matrix",
         "variant_props_stats",
+        "video_frame_byte_index",
         "vocab_growth_curve",
         "vocab_oov_rate",
         "watermark_loss_audit",
@@ -19575,23 +19579,19 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 #: batches — diagnostics, corpus statistics, splits, fuzzy join, WAV
 #: audio — lead that backlog by construction).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round 9 re-queues: the two video queries changed implementation
-    # (parse_mp4_header rewrote to an explicit-stack walk with
-    # per-track hdlr attribution, stsz/stco/co64 + fragmented
-    # moof/mehd parsing; the shared synthesis now mixes fragmented
-    # docs in and the schemas gained container/sample-table/byte-range
-    # columns).  The r8 re-queues all re-greened in CORRECTNESS_r08
-    # and were cleared.  rotate_driver_window never marks a listed
-    # name verified from its stale green — clear these once
-    # CORRECTNESS_r09 is in.
+    # Round 10 re-queues: the r9 re-queues (video_meta_probe,
+    # video_frame_sample_plan, corpus_curation) all re-greened in
+    # CORRECTNESS_r09 and were cleared.  This round the video meta
+    # schema gained a sample_count column (ADVICE r9: the frame plan
+    # now gates byte addressing on sample_count >= n_frames), so the
+    # three consumers of the shared parse stage changed output schema
+    # or plan and must re-green under the driver.
     # NOTE: keep comments in this block free of double-quoted words —
     # the rotate tool extracts every quoted token in the tuple source
     # as a name (its parser strips comment lines first).
     "video_meta_probe",
     "video_frame_sample_plan",
-    # corpus_curation: the twice-consumed scored-signal subtree is now
-    # projected + persisted (1.86 -> 0.97 s solo; plan changed)
-    "corpus_curation",
+    "video_byte_plan_audit",
 )
 
 

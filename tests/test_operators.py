@@ -5304,6 +5304,100 @@ def test_mp4_sample_tables_and_byte_index_chunk_walk():
         assert glocs[i] == (h + pre[i] + 10 * c, sizes[i])
 
 
+def test_mp4_advice_r9_malformed_corners(spark):
+    """Three malformed-container corners classify instead of
+    mis-planning (ADVICE r9): (1) an fMP4 whose selected video trak
+    never declared a track_id must NOT sum trun counts across OTHER
+    tracks' fragments — a single fragmented track still attributes
+    unambiguously, several classify n_frames to 0; (2)
+    plan_frame_samples refuses byte ranges when the stsz declares
+    FEWER samples than the stts frame count (the arithmetic would
+    plan ranges past the real chunk); (3) a PRESENT-but-empty stsc
+    entry table is an incomplete table, not an all-in-chunk-1
+    declaration — parse_mp4_sample_tables returns None where a
+    genuinely MISSING stsc still defaults."""
+    import struct
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        decode_video_meta,
+        parse_mp4_header,
+        parse_mp4_sample_tables,
+        plan_frame_samples,
+    )
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    mvhd = box(b"mvhd", bytes(12) + struct.pack(">II", 600, 1200) + bytes(80))
+
+    # (1) fragmented file whose video trak has a SHORT tkhd (no
+    # track_id recorded) — the r9 fallback summed ALL tracks' truns
+    short_trak = box(
+        b"trak",
+        box(b"tkhd", bytes(20))
+        + box(b"mdia", box(b"hdlr", bytes(8) + b"vide" + bytes(13))),
+    )
+
+    def frag(tid, count):
+        tfhd = box(b"tfhd", bytes(4) + struct.pack(">I", tid))
+        trun = box(b"trun", bytes(4) + struct.pack(">I", count))
+        return box(b"moof", box(b"traf", tfhd + trun))
+
+    ftyp5 = box(b"ftyp", b"iso5" + bytes(4) + b"iso5")
+    moov = box(b"moov", mvhd + short_trak)
+    got = parse_mp4_header(ftyp5 + moov + frag(1, 30) + frag(2, 99))
+    assert got is not None and got["n_frames"] == 0  # NOT 129
+    got = parse_mp4_header(ftyp5 + moov + frag(7, 30) + frag(7, 12))
+    assert got["n_frames"] == 42  # one track, two fragments: attributes
+
+    # (2) stts declares 10 frames but the stsz table only 6 samples:
+    # single-chunk byte arithmetic would range past the real chunk
+    ftyp = box(b"ftyp", b"isom" + bytes(4) + b"isom")
+    stts10 = box(
+        b"stts", bytes(4) + struct.pack(">I", 1) + struct.pack(">II", 10, 40)
+    )
+    stsz6 = box(b"stsz", bytes(4) + struct.pack(">II", 4, 6))
+    stco1 = box(b"stco", bytes(4) + struct.pack(">II", 1, 200))
+
+    def file_with(stbl):
+        trak = box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", stbl))))
+        return ftyp + box(b"moov", mvhd + trak)
+
+    short_file = file_with(stts10 + stsz6 + stco1)
+    meta = decode_video_meta(
+        spark.createDataFrame(
+            [(1, bytearray(short_file))], "doc_id long, blob binary"
+        )
+    )
+    rows = plan_frame_samples(meta, k=4).collect()
+    assert len(rows) == 4
+    assert all(r.byte_offset is None and r.byte_len is None for r in rows)
+
+    # sanity: a CONSISTENT file (sample_count == n_frames) still plans
+    stsz10 = box(b"stsz", bytes(4) + struct.pack(">II", 4, 10))
+    ok_meta = decode_video_meta(
+        spark.createDataFrame(
+            [(1, bytearray(file_with(stts10 + stsz10 + stco1)))],
+            "doc_id long, blob binary",
+        )
+    )
+    ok_rows = plan_frame_samples(ok_meta, k=4).collect()
+    assert all(
+        r.byte_offset == 200 + r.frame_idx * 4 and r.byte_len == 4
+        for r in ok_rows
+    )
+
+    # (3) present-but-EMPTY stsc: incomplete tables, classify — where
+    # a missing stsc still defaults to the single all-in-chunk-1 run
+    stsc0 = box(b"stsc", bytes(4) + struct.pack(">I", 0))
+    stco2 = box(b"stco", bytes(4) + struct.pack(">III", 2, 200, 300))
+    assert parse_mp4_sample_tables(
+        file_with(stts10 + stsz10 + stsc0 + stco2)
+    ) is None
+    t = parse_mp4_sample_tables(file_with(stts10 + stsz10 + stco1))
+    assert t is not None and t["stsc_runs"] == [(1, 10)]
+
+
 def test_index_frame_bytes_kernel(spark):
     """index_frame_bytes end to end: variable multi-chunk and uniform
     single-chunk docs resolve k in-container byte ranges each;
