@@ -85,6 +85,33 @@ def host_calibration(spark) -> dict:
     out["jvm_calib_sec"] = round(best, 4)
     return out
 
+
+#: Sweep-admission window (r9 verdict item 2): a full-sweep artifact
+#: is only committed to BENCH_FULL.json when the calibration probes
+#: read inside these ceilings.  Nominals from idle-host runs recorded
+#: across r8-r9 artifacts: cpu ~0.03, jvm ~0.12-0.14 s; the r9 sweep
+#: that had to be DISCARDED by hand ran at jvm 0.306.  The ceilings
+#: sit ~25% above nominal so ordinary jitter admits but co-tenant
+#: contention (which inflated per-query floors 1.4-2.1x whenever jvm
+#: read >= 0.3) is refused at write time instead of triaged later.
+CALIB_ADMIT_MAX = {"cpu_calib_sec": 0.05, "jvm_calib_sec": 0.15}
+
+
+def calibration_admitted(calib: dict) -> "tuple[bool, list[str]]":
+    """Admission decision for a committed sweep artifact: every probe
+    in CALIB_ADMIT_MAX must read at or under its ceiling.  Returns
+    (admitted, reasons); a probe missing from ``calib`` is a refusal
+    reason too — an artifact without its calibration block cannot
+    prove the window it ran in."""
+    reasons = []
+    for probe, ceiling in CALIB_ADMIT_MAX.items():
+        got = calib.get(probe)
+        if got is None:
+            reasons.append(f"{probe} missing from calibration block")
+        elif got > ceiling:
+            reasons.append(f"{probe} {got} > ceiling {ceiling}")
+    return (not reasons, reasons)
+
 HEADLINE = [
     # Tier A pipeline
     "pipeline_route",
@@ -374,6 +401,7 @@ HEADLINE = [
     "video_frame_sample_plan",
     "video_byte_plan_audit",
     "video_frame_byte_index",
+    "video_frame_fetch_verify",
     # round-5 pipeline-assembly batch
     "filter_funnel",
     "scrub_eval",
@@ -629,6 +657,7 @@ def main() -> None:
         "noop_write_median5_sec": overhead,
         **calib,
     }
+    admitted, admit_reasons = calibration_admitted(calib)
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -641,12 +670,34 @@ def main() -> None:
         "overhead_sec_per_entry": overhead,
         "overhead_components": components,
         "envelope_records_per_sec": envelope_rps,
+        # the probe block this sweep was admitted (or refused) under —
+        # a committed BENCH_FULL is self-certifying (r9 verdict item 2)
+        "calibration_admission": {
+            "admitted": admitted,
+            "limits": CALIB_ADMIT_MAX,
+            "probes": calib,
+            "reasons": admit_reasons,
+        },
     }
     # --only runs write a separate sidecar: a 3-entry partial must not
-    # clobber the archived full-sweep map the driver and bench_diff read
+    # clobber the archived full-sweep map the driver and bench_diff
+    # read.  A full sweep taken OUTSIDE the calibration window must not
+    # clobber it either: it lands in BENCH_FULL_rejected.json with its
+    # refusal reasons — the r9 contaminated-sweep discard, automated.
+    if args.only is not None:
+        sidecar_name = "BENCH_FULL_partial.json"
+    elif admitted:
+        sidecar_name = "BENCH_FULL.json"
+    else:
+        sidecar_name = "BENCH_FULL_rejected.json"
+        print(
+            f"CALIBRATION REFUSAL: {'; '.join(admit_reasons)} — sweep "
+            "written to BENCH_FULL_rejected.json, NOT the committed "
+            "artifact; re-run in a quieter window",
+            file=sys.stderr,
+        )
     sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "BENCH_FULL.json" if args.only is None else "BENCH_FULL_partial.json",
+        os.path.dirname(os.path.abspath(__file__)), sidecar_name
     )
     try:
         with open(sidecar, "w") as f:
@@ -667,6 +718,7 @@ def main() -> None:
         "overhead_sec_per_entry": overhead,
         "overhead_components": components,
         "envelope_records_per_sec": envelope_rps,
+        "calibration_admitted": admitted,
         "full_map": sidecar,
     }
     line = json.dumps(summary, separators=(",", ":"))

@@ -712,6 +712,7 @@ def synth_mp4(
     sample_sizes: "list[int] | None" = None,
     chunks_of: int = 0,
     media_timescale: int = 0,
+    payload_pattern: bool = False,
 ) -> bytes:
     """Minimal spec-valid ISO-BMFF (ISO/IEC 14496-12) MP4: ftyp +
     moov(mvhd + trak(tkhd + mdia(mdhd + hdlr + minf(stbl(...))))) +
@@ -731,7 +732,12 @@ def synth_mp4(
     ``chunks_of > 0`` splits the samples into chunks of that many
     samples (last chunk smaller when it does not divide): the stsc
     carries the real run table and the stco one REAL offset per
-    chunk — the general layout the byte indexer must walk."""
+    chunk — the general layout the byte indexer must walk.
+    ``payload_pattern`` fills the mdat payload with the
+    position-dependent byte sequence i % 251 (i from payload start)
+    instead of zeros, so a checksum over any fetched byte range
+    proves the ABSOLUTE offset the range was read from — the
+    fetch-verify loop needs content that zeros cannot witness."""
     import struct
 
     box = _mp4_box
@@ -815,7 +821,12 @@ def synth_mp4(
     # byte-length-identical to the first
     header = assemble(0)
     header = assemble(len(header) + 8)
-    mdat = box(b"mdat", bytes(media + n_filler))
+    payload = (
+        bytes(i % 251 for i in range(media + n_filler))
+        if payload_pattern
+        else bytes(media + n_filler)
+    )
+    mdat = box(b"mdat", payload)
     return header + mdat
 
 
@@ -1487,3 +1498,88 @@ def index_frame_bytes(
             )
 
     return df.mapInPandas(batches, FRAME_BYTES_SCHEMA)
+
+
+FRAME_FETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rank", T.IntegerType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("byte_offset", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("first_byte", T.IntegerType()),
+        T.StructField("byte_sum", T.LongType()),
+    ]
+)
+
+
+def fetch_frame_bytes(
+    df: DataFrame, k: int = 4, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """EXECUTE the frame-byte plan: plan k sample slots per video
+    through the full sample tables (same walk as
+    ``index_frame_bytes``), then actually READ each planned
+    (byte_offset, byte_len) slice out of the blob and summarize the
+    fetched content — ``first_byte`` (the slice's leading byte value)
+    and ``byte_sum`` (sum of all byte values in the slice).  This is
+    the last hop of the byte-range loop: an oracle that predicts the
+    checksums from the container's synthesis arithmetic proves
+    plan -> I/O -> CONTENT end to end, not just that offsets look
+    plausible.  A planned range that cannot be fetched — unresolvable
+    frame, or a range ending past the blob — keeps its plan columns
+    but reports NULL checksums, the fetch-failure signal a 100 TB
+    executor logs instead of crashing.  Scale shape: map-only Arrow
+    batches; at scale the slice is an S3 ranged GET against the
+    object the plan row points at, and the checksum is the integrity
+    receipt the audit stores per fetched frame."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {
+                f: []
+                for f in (
+                    "doc_id sample_rank frame_idx byte_offset byte_len "
+                    "first_byte byte_sum"
+                ).split()
+            }
+            for did, b in zip(pdf[id_col], pdf[blob_col]):
+                blob = b"" if b is None else bytes(b)
+                tables = parse_mp4_sample_tables(blob)
+                if tables is None:
+                    continue
+                nf = tables["n_frames"]
+                frames = [(j * nf) // k for j in range(k)]
+                for j, (fi, (off, ln)) in enumerate(
+                    zip(frames, _sample_locations(tables, frames))
+                ):
+                    cols["doc_id"].append(did)
+                    cols["sample_rank"].append(j)
+                    cols["frame_idx"].append(fi)
+                    cols["byte_offset"].append(off)
+                    cols["byte_len"].append(ln)
+                    if off is None or ln is None or off + ln > len(blob):
+                        cols["first_byte"].append(None)
+                        cols["byte_sum"].append(None)
+                        continue
+                    sl = blob[off : off + ln]
+                    cols["first_byte"].append(sl[0] if ln else None)
+                    cols["byte_sum"].append(sum(sl))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(cols["doc_id"], dtype="Int64"),
+                    "sample_rank": pd.array(
+                        cols["sample_rank"], dtype="Int32"
+                    ),
+                    "frame_idx": pd.array(cols["frame_idx"], dtype="Int64"),
+                    "byte_offset": pd.array(
+                        cols["byte_offset"], dtype="Int64"
+                    ),
+                    "byte_len": pd.array(cols["byte_len"], dtype="Int64"),
+                    "first_byte": pd.array(
+                        cols["first_byte"], dtype="Int32"
+                    ),
+                    "byte_sum": pd.array(cols["byte_sum"], dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, FRAME_FETCH_SCHEMA)

@@ -2740,6 +2740,99 @@ FROM slots JOIN pre ON pre.doc_id = slots.doc_id AND pre.i = slots.fi
 """
 
 
+def q_video_frame_fetch_verify(spark, sf):
+    """FETCH-AND-VERIFY the frame-byte plan: the last untested hop of
+    the video byte-range loop.  The chunked-layout corpus is re-synthed
+    with a position-dependent mdat payload (byte i of the payload is
+    i % 251 — operators.multimodal.synth_mp4 payload_pattern), then
+    operators.multimodal.fetch_frame_bytes plans k=4 slots per video
+    through the REAL stsz/stsc/stco walk, SLICES each planned
+    (byte_offset, byte_len) range out of the blob, and reports the
+    fetched content as first_byte + byte_sum.  The oracle recomputes
+    both checksums from the synthesis arithmetic alone — frame fi's
+    payload position is the size prefix-sum, so its first byte must be
+    pfx % 251 and its sum SUM((pfx+b) % 251) — sharing no code with
+    the kernel's chunk walk OR its slicing.  A hash match therefore
+    proves plan -> ranged read -> CONTENT end to end: if any offset
+    were wrong by even one byte, the pattern would shift and every
+    checksum would miss.  Scale shape: map-only Arrow batches; at
+    100 TB the slice is the S3 ranged GET the plan row points at and
+    byte_sum is the per-frame integrity receipt the audit stores.
+    Parity: the reference ships raw payloads to their routed
+    destination byte-exact (lambda/main.py:append_json_body's
+    unmodified-payload contract); this extends the same
+    content-fidelity bar to planned sub-object reads."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
+        multimodal as MM,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def synth(it):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 7 == 0:
+                    blobs.append(b"\x00corrupt" + bytes(did % 5))
+                    continue
+                nf = 12 + did % 48
+                sizes = [2 + ((did + s) % 5) for s in range(nf)]
+                blobs.append(
+                    MM.synth_mp4(
+                        16 + did % 300,
+                        16 + did % 200,
+                        1000,
+                        nf,
+                        40,
+                        n_filler=did % 17,
+                        sample_sizes=sizes,
+                        chunks_of=4,
+                        payload_pattern=True,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = d.mapInPandas(synth, "doc_id long, blob binary")
+    return MM.fetch_frame_bytes(blobs, k=FRAME_SAMPLE_K)
+
+
+SQL_VIDEO_FRAME_FETCH_VERIFY = f"""
+WITH p AS (
+  SELECT doc_id, 12 + doc_id % 48 AS nf
+  FROM documents WHERE doc_id % 7 <> 0),
+sz AS (SELECT doc_id, nf, i, 2 + (doc_id + i) % 5 AS s
+       FROM p, generate_series(0, 58) t(i) WHERE i < nf),
+pre AS (SELECT doc_id, i, s,
+        COALESCE(SUM(s) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS pfx
+        FROM sz),
+hdr AS (SELECT doc_id, nf,
+        {VIDEO_CHUNKED_BASE} + 4 * nf + 4 * ((nf + 3) // 4)
+          + CASE WHEN nf % 4 = 0 THEN 12 ELSE 24 END AS h
+        FROM p),
+slots AS (SELECT hdr.doc_id, hdr.h, j, j * hdr.nf // {FRAME_SAMPLE_K} AS fi
+          FROM hdr, generate_series(0, {FRAME_SAMPLE_K - 1}) t(j)),
+base AS (SELECT slots.doc_id, slots.j, slots.fi,
+                slots.h + pre.pfx AS boff, pre.s AS blen, pre.pfx AS pfx
+         FROM slots JOIN pre
+           ON pre.doc_id = slots.doc_id AND pre.i = slots.fi)
+SELECT base.doc_id,
+       CAST(base.j AS INTEGER) AS sample_rank,
+       CAST(base.fi AS BIGINT) AS frame_idx,
+       CAST(base.boff AS BIGINT) AS byte_offset,
+       CAST(base.blen AS BIGINT) AS byte_len,
+       CAST(base.pfx % 251 AS INTEGER) AS first_byte,
+       CAST(SUM((base.pfx + b.b) % 251) AS BIGINT) AS byte_sum
+FROM base, generate_series(0, 5) b(b)
+WHERE b.b < base.blen
+GROUP BY base.doc_id, base.j, base.fi, base.boff, base.blen, base.pfx
+"""
+
+
 def q_percentiles(spark, sf):
     """Interpolated percentiles of order value per priority."""
     o = _t(spark, sf, "orders")
@@ -18873,6 +18966,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "video_frame_byte_index": (
         q_video_frame_byte_index,
         SQL_VIDEO_FRAME_BYTE_INDEX,
+    ),
+    "video_frame_fetch_verify": (
+        q_video_frame_fetch_verify,
+        SQL_VIDEO_FRAME_FETCH_VERIFY,
     ),
     "zipf_rank_slope": (q_zipf_rank_slope, SQL_ZIPF),
     "doc_hash_embedding": (q_doc_hash_embedding, SQL_DOC_HASH_EMBED),

@@ -172,6 +172,81 @@ def test_rotate_priority_names_ignore_comments():
     assert parsed == set(Q.DRIVER_PRIORITY)
 
 
+def test_stale_green_check_trips_on_changed_hash():
+    """check_stale_greens (r9 verdict item 4): a DRIVER_VERIFIED name
+    whose recorded rotation hash no longer matches the live registry
+    must FAIL the round close — unless it sits in DRIVER_PRIORITY (the
+    explicit re-queue).  New, removed, and unchanged names never trip.
+    Synthetic fixtures only; the live-repo invariant is covered by
+    round_close running the same check."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.verify_contract import check_stale_greens
+
+    recorded = {"q_a": "aaaa", "q_b": "bbbb", "q_gone": "dddd"}
+    live = {"q_a": "aaaa", "q_b": "CHANGED", "q_new": "eeee"}
+    # changed + verified + NOT re-queued -> trips, naming the query
+    probs = check_stale_greens(
+        hashes=recorded, verified={"q_a", "q_b"}, priority=set(),
+        current=live,
+    )
+    assert probs and "q_b" in probs[0] and "q_a" not in probs[0]
+    # changed but re-queued in DRIVER_PRIORITY -> clean
+    assert not check_stale_greens(
+        hashes=recorded, verified={"q_a", "q_b"}, priority={"q_b"},
+        current=live,
+    )
+    # registry-new (no recording) and registry-removed names never trip
+    assert not check_stale_greens(
+        hashes=recorded, verified={"q_a", "q_new", "q_gone"},
+        priority=set(), current=live,
+    )
+
+
+def test_bench_calibration_admission_gate():
+    """calibration_admitted (r9 verdict item 2): a sweep taken under
+    co-tenant contention must be refused at artifact-write time —
+    inside-window probes admit, any probe over its ceiling (or
+    missing) refuses with a named reason.  The ceilings themselves
+    are pinned so a silent loosening shows up in review."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import CALIB_ADMIT_MAX, calibration_admitted
+
+    assert CALIB_ADMIT_MAX == {"cpu_calib_sec": 0.05, "jvm_calib_sec": 0.15}
+    ok, reasons = calibration_admitted(
+        {"cpu_calib_sec": 0.031, "jvm_calib_sec": 0.138}
+    )
+    assert ok and reasons == []
+    # the r9 contaminated sweep's probe reading must be refused
+    ok, reasons = calibration_admitted(
+        {"cpu_calib_sec": 0.031, "jvm_calib_sec": 0.306}
+    )
+    assert not ok and any("jvm_calib_sec" in r for r in reasons)
+    # a sweep without its probe block cannot prove its window
+    ok, reasons = calibration_admitted({"jvm_calib_sec": 0.1})
+    assert not ok and any("cpu_calib_sec" in r for r in reasons)
+
+
+def test_stale_green_check_live_repo_is_clean():
+    """The live repo passes its own stale-green gate: every
+    DRIVER_VERIFIED entry's current source hash matches the recorded
+    DRIVER_HASHES.json, or the name is re-queued in DRIVER_PRIORITY.
+    A red here means a registry function changed without the re-queue
+    bookkeeping — exactly the r9 failure this check automates away."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.verify_contract import check_stale_greens
+
+    assert check_stale_greens() == []
+
+
 def test_shared_stage_cache_registry_is_total():
     """SHARED_STAGE_CACHES is THE cache inventory: every module-level
     *_CACHE dict in plans/queries.py must be registered, so plan_cost's

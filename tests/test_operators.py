@@ -5448,6 +5448,69 @@ def test_index_frame_bytes_kernel(spark):
     assert MM.index_frame_bytes(bad, k=4).count() == 0
 
 
+def test_fetch_frame_bytes_kernel(spark):
+    """fetch_frame_bytes executes the byte plan end to end: planned
+    ranges are sliced out of the blob and the checksums must equal
+    the pattern the synthesizer wrote (first_byte = prefix % 251,
+    byte_sum = sum of the pattern run).  A planned range that points
+    PAST the blob — a lying stco, patched in — keeps its plan columns
+    but reports NULL checksums (the fetch-failure signal), and
+    unresolvable blobs emit no rows."""
+    import struct
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
+        multimodal as MM,
+    )
+
+    sizes = [4, 2, 7, 1, 3, 5, 6, 2, 8, 1, 2, 9, 3]
+    good = MM.synth_mp4(64, 48, 1000, len(sizes), 40, n_filler=3,
+                        sample_sizes=sizes, chunks_of=5,
+                        payload_pattern=True)
+    # patch the LAST stco offset to point past the container: chunk-3
+    # frames plan but cannot fetch
+    t = MM.parse_mp4_sample_tables(good)
+    old = b"".join(struct.pack(">I", o) for o in t["chunk_offsets"])
+    lying = list(t["chunk_offsets"])
+    lying[-1] = len(good) + 1000
+    new = b"".join(struct.pack(">I", o) for o in lying)
+    assert good.count(old) == 1
+    bad_stco = good.replace(old, new)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad_stco)), (3, b"\x00nope")],
+        "doc_id long, blob binary",
+    )
+    got = {
+        (r.doc_id, r.sample_rank): r
+        for r in MM.fetch_frame_bytes(df, k=4).collect()
+    }
+    assert {d for d, _ in got} == {1, 2}
+    pre = [0]
+    for s in sizes:
+        pre.append(pre[-1] + s)
+    for j in range(4):
+        fi = (j * len(sizes)) // 4
+        r = got[(1, j)]
+        assert r.byte_len == sizes[fi]
+        assert r.first_byte == pre[fi] % 251
+        assert r.byte_sum == sum((pre[fi] + b) % 251 for b in range(sizes[fi]))
+        # and the checksum matches an independent slice of the blob
+        assert r.byte_sum == sum(good[r.byte_offset : r.byte_offset + r.byte_len])
+    # doc 2: slots whose frame landed in the lying chunk report NULL
+    # checksums but keep their plan columns; earlier chunks still fetch
+    last_chunk_first_frame = 10  # chunks of 5: frames 10..12 in chunk 3
+    for j in range(4):
+        fi = (j * len(sizes)) // 4
+        r = got[(2, j)]
+        assert r.byte_offset is not None
+        if fi >= last_chunk_first_frame:
+            assert r.first_byte is None and r.byte_sum is None
+        else:
+            assert r.byte_sum == sum(
+                (pre[fi] + b) % 251 for b in range(sizes[fi])
+            )
+
+
 def test_mp4_variable_size_stsz_table():
     """The variable-size stsz path (sample_size == 0 + per-sample
     table) parses: sample_size reports None (a byte plan can't use a

@@ -1035,6 +1035,44 @@ def test_mp4_byte_index_chunk_walk_property(sizes, chunks_of, k):
         assert loc == (h + pre[fi], sizes[fi])
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    sizes=st.lists(st.integers(0, 300), min_size=1, max_size=100),
+    chunks_of=st.integers(0, 11),
+    k=st.integers(1, 8),
+    filler=st.integers(0, 32),
+)
+def test_mp4_fetch_frame_bytes_content_property(sizes, chunks_of, k, filler):
+    """Plan -> ranged read -> CONTENT over random size tables, random
+    chunkings and random k: slicing the blob at every planned
+    (byte_offset, byte_len) must return EXACTLY the bytes the
+    synthesizer wrote for that frame (the position-dependent i % 251
+    pattern at the frame's payload prefix) — the fetch-verify loop's
+    ground truth, frame content recomputed with no shared code path
+    (prefix sums vs the stsc/stco run walk + slice)."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        _sample_locations,
+        parse_mp4_sample_tables,
+        synth_mp4,
+    )
+
+    blob = synth_mp4(64, 48, 1000, len(sizes), 40, n_filler=filler,
+                     sample_sizes=sizes, chunks_of=chunks_of,
+                     payload_pattern=True)
+    t = parse_mp4_sample_tables(blob)
+    assert t is not None and t["n_frames"] == len(sizes)
+    pre = [0]
+    for s in sizes:
+        pre.append(pre[-1] + s)
+    nf = len(sizes)
+    frames = sorted({(j * nf) // k for j in range(k)} | {0, nf - 1})
+    for fi, (off, ln) in zip(frames, _sample_locations(t, frames)):
+        assert ln == sizes[fi]
+        fetched = blob[off : off + ln]
+        expected = bytes((pre[fi] + b) % 251 for b in range(sizes[fi]))
+        assert fetched == expected
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     w=st.integers(1, 4095),

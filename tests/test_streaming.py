@@ -489,3 +489,69 @@ def test_stream_video_meta_kernel_micro_batches(spark, tmp_path):
     assert got[2].mime == "unknown"
     assert got[3].container == "fragmented"
     assert got[4].media_timescale == 90000
+
+
+def test_stream_frame_byte_index_micro_batches(spark, tmp_path):
+    """The byte indexer runs incrementally (r9 verdict item 6): k
+    slots per video resolved to (byte_offset, byte_len) under
+    availableNow micro-batches must equal the batch-mode worklist —
+    the shape a ROLLING 100 TB video audit runs, accumulating the
+    ranged-GET plan as files land instead of re-scanning the corpus.
+    foreachBatch accumulates the per-batch worklists so the test also
+    pins that every micro-batch carries only its own file's rows."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
+        multimodal as MM,
+    )
+
+    src = str(tmp_path / "bsrc")
+    sizes_a = [4, 2, 7, 1, 3, 5, 6, 2]
+    batches = [
+        [
+            (1, MM.synth_mp4(64, 48, 1000, len(sizes_a), 40, n_filler=3,
+                             sample_sizes=sizes_a, chunks_of=3)),
+            (2, b"\x00corrupt"),
+        ],
+        [
+            (3, MM.synth_mp4(32, 32, 600, 10, 25, sample_size=7)),
+            (4, MM.synth_fmp4(80, 60, 1000, [6, 6], 40)),
+        ],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "doc_id long, blob binary").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, blob binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    collected: list[tuple[int, list]] = []
+
+    def sink(df, epoch_id):
+        collected.append((epoch_id, df.collect()))
+
+    q = (
+        MM.index_frame_bytes(stream, k=4)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "bckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        ((r.doc_id, r.sample_rank, r.frame_idx, r.byte_offset, r.byte_len)
+         for _, rows in collected for r in rows),
+    )
+    batch_rows = sorted(
+        (r.doc_id, r.sample_rank, r.frame_idx, r.byte_offset, r.byte_len)
+        for r in MM.index_frame_bytes(
+            spark.read.schema("doc_id long, blob binary").parquet(src), k=4
+        ).collect()
+    )
+    assert got == batch_rows
+    assert {d for d, *_ in got} == {1, 3}  # corrupt + fMP4 emit nothing
+    # incremental shape: no single micro-batch saw both resolvable docs
+    per_batch_docs = [{r.doc_id for r in rows} for _, rows in collected]
+    assert all(len(s) <= 1 for s in per_batch_docs)

@@ -83,6 +83,44 @@ def priority_names(src: str) -> set[str]:
     return set(re.findall(r'"([^"]+)"', code))
 
 
+def registry_hashes() -> dict[str, str]:
+    """Per-entry source fingerprint: sha256 over the registry
+    function's source plus its oracle SQL (16 hex chars).  Recorded to
+    DRIVER_HASHES.json at rotation time; tools/verify_contract.
+    check_stale_greens compares the live registry against the
+    recording so a function that changed while its name sits in
+    DRIVER_VERIFIED (and not in DRIVER_PRIORITY) FAILS the round
+    close — the r9 corpus_curation stale green, automated (r9 verdict
+    item 4).  Limitation: helpers the function CALLS are not hashed —
+    a kernel-only change (the r9 multimodal case) still needs the
+    manual DRIVER_PRIORITY judgment call; this catches the
+    query-function and oracle-SQL edits, which is where every
+    historical stale green actually originated."""
+    import hashlib
+    import inspect
+
+    sys.path.insert(0, REPO)
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    out = {}
+    for name, (fn, sql) in REGISTRY.items():
+        src = inspect.getsource(fn)
+        out[name] = hashlib.sha256(
+            (src + "\x00" + (sql or "")).encode()
+        ).hexdigest()[:16]
+    return out
+
+
+def write_hashes() -> str:
+    path = os.path.join(REPO, "DRIVER_HASHES.json")
+    with open(path, "w") as f:
+        json.dump(registry_hashes(), f, indent=0, sort_keys=True)
+        f.write("\n")
+    return path
+
+
 def main() -> None:
     dry = "--dry" in sys.argv
     latest = latest_rows()
@@ -119,7 +157,10 @@ def main() -> None:
               f"CORRECTNESS file (kept — removal is a manual call): "
               f"{unknown[:10]}")
     if not added and not evicted:
-        print("nothing to change")
+        if not dry:
+            print(f"nothing to change; refreshed {write_hashes()}")
+        else:
+            print("nothing to change")
         return
     merged = sorted((current | verified) - red)
     body = "\n".join(f'        "{n}",' for n in merged)
@@ -137,6 +178,7 @@ def main() -> None:
     open(QUERIES_PY, "w").write(out)
     print(f"rewrote DRIVER_VERIFIED with {len(merged)} names "
           f"(+{len(added)}, -{len(evicted)})")
+    print(f"recorded per-entry source hashes to {write_hashes()}")
 
 
 if __name__ == "__main__":

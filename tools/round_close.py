@@ -42,10 +42,14 @@ def bookkeeping() -> list[str]:
         check_explains_count,
         check_prose_counts,
         check_round_close_head,
+        check_stale_greens,
     )
 
     problems = (
-        check_prose_counts() + check_explains_count() + check_round_close_head()
+        check_prose_counts()
+        + check_explains_count()
+        + check_round_close_head()
+        + check_stale_greens()
     )
     # a PASS line records HEAD; uncommitted registry changes would make
     # that recording a lie before it is even written

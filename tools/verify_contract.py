@@ -116,6 +116,65 @@ def check_explains_count() -> list[str]:
     return problems
 
 
+def check_stale_greens(
+    hashes: "dict[str, str] | None" = None,
+    verified: "set[str] | None" = None,
+    priority: "set[str] | None" = None,
+    current: "dict[str, str] | None" = None,
+) -> list[str]:
+    """r9 verdict item 4: a DRIVER_VERIFIED name whose registry
+    function (or oracle SQL) changed since the last window rotation is
+    a STALE GREEN — the driver's green row describes code that no
+    longer exists, and in r9 one had to be subtracted by hand.
+    DRIVER_HASHES.json (written by tools/rotate_driver_window.py)
+    records each entry's source hash at rotation time; this check
+    compares the LIVE registry against the recording and fails the
+    round close unless every changed name sits in DRIVER_PRIORITY
+    (the explicit re-queue).  Names new since the recording, or
+    removed from the registry, never trip.  All parameters are
+    injectable for the synthetic-fixture test; the live call reads
+    the repo state."""
+    import json as _json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if hashes is None:
+        path = os.path.join(repo, "DRIVER_HASHES.json")
+        if not os.path.exists(path):
+            return [
+                "DRIVER_HASHES.json missing — run "
+                "tools/rotate_driver_window.py to record the per-entry "
+                "source hashes the stale-green check compares against"
+            ]
+        hashes = _json.load(open(path))
+    if verified is None or priority is None or current is None:
+        from terraform_aws_lambda_kinesis_to_s3_spark.plans import (
+            queries as Q,
+        )
+        from tools.rotate_driver_window import registry_hashes
+
+        if current is None:
+            current = registry_hashes()
+        if verified is None:
+            verified = set(Q.DRIVER_VERIFIED)
+        if priority is None:
+            priority = set(Q.DRIVER_PRIORITY)
+    stale = sorted(
+        n
+        for n in verified
+        if n not in priority
+        and n in hashes
+        and n in current
+        and current[n] != hashes[n]
+    )
+    if stale:
+        return [
+            f"STALE GREEN: {stale} changed since the recorded rotation "
+            "hash while sitting in DRIVER_VERIFIED — add to "
+            "DRIVER_PRIORITY (re-queue for the driver) or revert"
+        ]
+    return []
+
+
 def check_round_close_head(repo: str | None = None) -> list[str]:
     """r6 verdict item 6: once the newest NOTES_r*.md records a
     ``ROUND CLOSE: PASS ... HEAD <sha>`` line, no commit touching
@@ -186,7 +245,10 @@ def main() -> int:
     from terraform_aws_lambda_kinesis_to_s3_spark.session import get_spark
 
     prose_problems = (
-        check_prose_counts() + check_explains_count() + check_round_close_head()
+        check_prose_counts()
+        + check_explains_count()
+        + check_round_close_head()
+        + check_stale_greens()
     )
     for p in prose_problems:
         print(f"PROSE DRIFT: {p}")
