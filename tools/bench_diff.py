@@ -88,12 +88,19 @@ def _solo_recheck(names: list[str]) -> dict[str, float]:
     if builders:
         print(f"  (including shared-stage builders in the solo run: "
               f"{builders})")
+    # min-of-5, not the sweep default min-of-2: the r10 triage measured
+    # a min-of-2 solo reading 2.7x old on an untouched plan that
+    # min-of-5 in the same window read 1.6x (inside the control band) —
+    # a short solo process has too few runs for the min to shed its own
+    # first-touch and scheduling outliers
+    env = dict(os.environ, SPARK_GRAFT_BENCH_REPEATS="5")
     r = subprocess.run(
         [sys.executable, os.path.join(_REPO, "bench.py"), "--only",
          ",".join(builders + names)],
         capture_output=True,
         text=True,
         cwd=_REPO,
+        env=env,
     )
     for line in reversed(r.stdout.strip().splitlines()):
         if line.startswith('{"metric"'):
