@@ -232,6 +232,36 @@ def test_bench_calibration_admission_gate():
     assert not ok and any("cpu_calib_sec" in r for r in reasons)
 
 
+def test_control_band_baselines_pinned():
+    """The control-band instrument's baselines must never drift: they
+    are the r8-driver readings every triage since r9 normalized
+    against, and the five control queries must still exist in the
+    registry (a renamed/removed control would silently shrink the
+    band sample)."""
+    import importlib.util
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    spec = importlib.util.spec_from_file_location(
+        "control_band",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "control_band.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.CONTROLS == {
+        "ab_sprt_daily": 0.29,
+        "char_entropy": 0.20,
+        "chunk_dedup": 0.32,
+        "cdc_merge_upsert": 0.33,
+        "context_length_plan": 0.19,
+    }
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import REGISTRY
+
+    assert set(mod.CONTROLS) <= set(REGISTRY)
+
+
 def test_stale_green_check_live_repo_is_clean():
     """The live repo passes its own stale-green gate: every
     DRIVER_VERIFIED entry's current source hash matches the recorded
