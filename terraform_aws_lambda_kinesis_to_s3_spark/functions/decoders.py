@@ -73,12 +73,22 @@ def _iter_fields(buf: bytes):
             val, pos = _read_varint(buf, pos)
         elif wire == 2:  # length-delimited
             ln, pos = _read_varint(buf, pos)
+            # a declared length past the buffer end must RAISE (the
+            # caller classifies to passthrough), not clamp: a Python
+            # slice silently shortens, which would emit a truncated
+            # Record.data as if it were the whole payload
+            if pos + ln > n:
+                raise ValueError("length-delimited field past buffer end")
             val = buf[pos : pos + ln]
             pos += ln
         elif wire == 5:  # 32-bit
+            if pos + 4 > n:
+                raise ValueError("fixed32 past buffer end")
             val = buf[pos : pos + 4]
             pos += 4
         elif wire == 1:  # 64-bit
+            if pos + 8 > n:
+                raise ValueError("fixed64 past buffer end")
             val = buf[pos : pos + 8]
             pos += 8
         else:

@@ -163,6 +163,35 @@ def test_kpl_non_kpl_passthrough():
     assert kpl_deaggregate_bytes(KPL_MAGIC + b"\xff" * 20) == [KPL_MAGIC + b"\xff" * 20]
 
 
+def test_kpl_lying_inner_length_passthrough():
+    """A length-delimited field whose declared length runs past the
+    buffer must classify to passthrough, not clamp: with a VALID MD5
+    trailer recomputed over the tampered body, the old slice-clamping
+    walk emitted a silently-truncated Record.data as if it were the
+    whole payload — the one corruption shape the transport checksum
+    cannot catch because the checksum is over the lying bytes."""
+    import hashlib
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.functions.decoders import (
+        KPL_MAGIC,
+        kpl_aggregate_bytes,
+        kpl_deaggregate_bytes,
+    )
+
+    blob = kpl_aggregate_bytes([b"A" * 40])
+    body = bytearray(blob[len(KPL_MAGIC) : -16])
+    # find the payload and inflate its declared varint length: the
+    # Record.data field is the last 40-byte run of 'A'
+    i = bytes(body).rindex(b"A" * 40)
+    # the byte before the run is the single-byte varint length (40)
+    assert body[i - 1] == 40
+    body[i - 1] = 120  # claims 120 bytes; only 40 remain
+    tampered = (
+        KPL_MAGIC + bytes(body) + hashlib.md5(bytes(body)).digest()
+    )
+    assert kpl_deaggregate_bytes(tampered) == [tampered]
+
+
 def test_special_char_log_type_roundtrips_sink(spark, tmp_path):
     """Partition values with slashes/spaces survive the hive sink via
     URL-escaping (log_type=a%2Fb c on disk, 'a/b c' on read-back)."""
