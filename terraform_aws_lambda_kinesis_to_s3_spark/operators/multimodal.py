@@ -434,7 +434,10 @@ PCM_STATS_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("mime", T.StringType()),
         T.StructField("n_samples", T.LongType()),
-        T.StructField("peak", T.IntegerType()),
+        # LongType: a 32-bit PCM sample at the NEGATIVE rail has
+        # |s| = 2^31, one past Int32 max — an Int32 peak column made
+        # the Arrow batch build raise on a legal full-scale sample
+        T.StructField("peak", T.LongType()),
         T.StructField("rms", T.DoubleType()),
         T.StructField("clip_rate", T.DoubleType()),
         T.StructField("duration_ms", T.DoubleType()),
@@ -523,7 +526,7 @@ def audio_pcm_stats(
                     "doc_id": ids,
                     "mime": mimes,
                     "n_samples": pd.array(ns, dtype="Int64"),
-                    "peak": pd.array(pk, dtype="Int32"),
+                    "peak": pd.array(pk, dtype="Int64"),
                     "rms": rm,
                     "clip_rate": cl,
                     "duration_ms": du,

@@ -2351,7 +2351,7 @@ SELECT doc_id,
        CASE WHEN corrupt THEN 'unknown' ELSE 'audio/wav' END AS mime,
        CASE WHEN corrupt THEN NULL ELSE CAST(nf * ch AS BIGINT) END
          AS n_samples,
-       CASE WHEN corrupt THEN NULL ELSE CAST(base AS INTEGER) END AS peak,
+       CASE WHEN corrupt THEN NULL ELSE CAST(base AS BIGINT) END AS peak,
        CASE WHEN corrupt THEN NULL
             WHEN ch = 1 THEN ROUND(base / 32768.0, 6)
             ELSE ROUND(SQRT((CAST(base AS DOUBLE) * base
@@ -19689,6 +19689,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "video_meta_probe",
     "video_frame_sample_plan",
     "video_byte_plan_audit",
+    # peak column widened to BIGINT (a 32-bit PCM negative-rail sample
+    # has magnitude 2^31, one past Int32 — the old column crashed the
+    # Arrow batch build on a legal full-scale sample)
+    "multimodal_audio_pcm_stats",
 )
 
 

@@ -1389,6 +1389,35 @@ def test_pcm_stats_known_values_and_frame_alignment():
         assert out is None or len(out) == 5
 
 
+def test_pcm_stats_32bit_negative_rail_peak(spark):
+    """A 32-bit PCM sample at the NEGATIVE rail has |s| = 2^31 — one
+    past Int32 max.  The peak column is LongType for exactly this
+    sample: with the old Int32 column the Arrow batch build raised
+    TypeError on a LEGAL full-scale sample, a crash where the contract
+    demands classify.  Pinned end to end through the Spark kernel."""
+    import struct
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        audio_pcm_stats,
+        pcm_frame_stats,
+    )
+
+    data = struct.pack("<i", -(2**31)) + struct.pack("<i", 1000)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 4, 4, 32)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    n, peak, rms, clip, _ = pcm_frame_stats(blob)
+    assert (n, peak) == (2, 2**31)
+    assert clip == 0.5  # the rail sample clips, the +1000 one does not
+
+    rows = audio_pcm_stats(
+        spark.createDataFrame([(1, bytearray(blob))], "doc_id long, blob binary")
+    ).collect()
+    assert rows[0].peak == 2**31 and rows[0].mime == "audio/wav"
+
+
 def test_zipf_slope_exact_powerlaw(spark):
     """A corpus whose frequencies are exactly c = 64 / rank must fit
     slope -1 with r² = 1."""
