@@ -375,7 +375,12 @@ AUDIO_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("mime", T.StringType()),
-        T.StructField("sample_rate", T.IntegerType()),
+        # LongType: the RIFF fmt sample rate is UNSIGNED u32 — values
+        # >= 2^31 are wire-legal in an untrusted blob and overflowed
+        # an Int32 column (same class as the mvhd-timescale and
+        # PCM-peak widenings); classify-don't-crash demands the column
+        # hold anything the parser accepts
+        T.StructField("sample_rate", T.LongType()),
         T.StructField("n_channels", T.IntegerType()),
         T.StructField("bits", T.IntegerType()),
         T.StructField("n_frames", T.LongType()),
@@ -418,7 +423,7 @@ def decode_audio_meta(
                 {
                     "doc_id": ids,
                     "mime": mimes,
-                    "sample_rate": pd.array(srs, dtype="Int32"),
+                    "sample_rate": pd.array(srs, dtype="Int64"),
                     "n_channels": pd.array(chs, dtype="Int32"),
                     "bits": pd.array(bts, dtype="Int32"),
                     "n_frames": pd.array(frs, dtype="Int64"),
@@ -1178,7 +1183,10 @@ VIDEO_META_SCHEMA = T.StructType(
         # must see BOTH to refuse ranges past the declared samples
         T.StructField("sample_count", T.LongType()),
         T.StructField("chunk_offset", T.LongType()),
-        T.StructField("n_chunks", T.IntegerType()),
+        # LongType: the stco entry count is raw UNSIGNED u32 wire data
+        # (reported as declared, even when the table is short — the
+        # audit wants to see the lie); >= 2^31 overflowed an Int32
+        T.StructField("n_chunks", T.LongType()),
         T.StructField("duration_ms", T.DoubleType()),
         T.StructField("n_bytes", T.LongType()),
     ]
@@ -1271,7 +1279,7 @@ def decode_video_meta(
                     "chunk_offset": pd.array(
                         cols["chunk_offset"], dtype="Int64"
                     ),
-                    "n_chunks": pd.array(cols["n_chunks"], dtype="Int32"),
+                    "n_chunks": pd.array(cols["n_chunks"], dtype="Int64"),
                     "duration_ms": cols["duration_ms"],
                     "n_bytes": cols["n_bytes"],
                 }

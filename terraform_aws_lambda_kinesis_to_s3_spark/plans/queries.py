@@ -2280,7 +2280,7 @@ SELECT doc_id,
        CASE WHEN doc_id % 7 = 0 THEN 'unknown' ELSE 'audio/wav' END AS mime,
        CASE WHEN doc_id % 7 = 0 THEN NULL
             ELSE CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                      ELSE 44100 END AS INTEGER) END AS sample_rate,
+                      ELSE 44100 END AS BIGINT) END AS sample_rate,
        CASE WHEN doc_id % 7 = 0 THEN NULL
             ELSE CAST(1 + doc_id % 2 AS INTEGER) END AS n_channels,
        CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(16 AS INTEGER) END AS bits,
@@ -2525,7 +2525,7 @@ SELECT doc_id,
        CASE WHEN corrupt OR frag THEN NULL
             ELSE CAST({VIDEO_PROG_HEADER} AS BIGINT) END AS chunk_offset,
        CAST(CASE WHEN corrupt THEN NULL WHEN frag THEN 0
-            ELSE 1 END AS INTEGER) AS n_chunks,
+            ELSE 1 END AS BIGINT) AS n_chunks,
        CASE WHEN corrupt THEN NULL
             ELSE ROUND(nf * delta * 1000.0 / ts, 6) END AS duration_ms,
        CAST(CASE WHEN corrupt THEN 8 + doc_id % 5
@@ -19693,6 +19693,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # has magnitude 2^31, one past Int32 — the old column crashed the
     # Arrow batch build on a legal full-scale sample)
     "multimodal_audio_pcm_stats",
+    # sample_rate widened to BIGINT (RIFF fmt sample rate is u32; a
+    # wire-legal value >= 2^31 in an untrusted blob crashed the Arrow
+    # batch build the same way)
+    "multimodal_audio_meta",
 )
 
 

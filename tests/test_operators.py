@@ -1418,6 +1418,35 @@ def test_pcm_stats_32bit_negative_rail_peak(spark):
     assert rows[0].peak == 2**31 and rows[0].mime == "audio/wav"
 
 
+def test_wav_u32_sample_rate_roundtrips(spark):
+    """The RIFF fmt sample rate is UNSIGNED u32: a wire-legal value
+    >= 2^31 in an untrusted blob must round-trip through
+    decode_audio_meta (the column is LongType for exactly this), not
+    crash the Arrow batch build the way the old Int32 column did —
+    the same widening class as the mvhd timescale and the PCM peak."""
+    import struct
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        decode_audio_meta,
+        parse_wav_header,
+    )
+
+    sr = (1 << 32) - 1
+    data = bytes(8)  # 16-bit mono: 2 bytes/frame -> 4 complete frames
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2 % (1 << 32), 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    parsed = parse_wav_header(blob)
+    assert parsed is not None and parsed[0] == sr
+    rows = decode_audio_meta(
+        spark.createDataFrame([(1, bytearray(blob))], "doc_id long, blob binary")
+    ).collect()
+    assert rows[0].sample_rate == sr and rows[0].mime == "audio/wav"
+    assert rows[0].n_frames == 4  # 8 data bytes / 2-byte mono frames
+
+
 def test_zipf_slope_exact_powerlaw(spark):
     """A corpus whose frequencies are exactly c = 64 / rank must fit
     slope -1 with r² = 1."""
@@ -5207,11 +5236,12 @@ def test_mp4_multitrack_video_audio_attribution():
     assert (got["width"], got["height"]) == (640, 360)
 
 
-def test_mp4_unsigned_range_classification():
+def test_mp4_unsigned_range_classification(spark):
     """u32/u64 fields beyond the signed output columns classify
     instead of crashing the Arrow column build (ADVICE r8): timescale
     uses the full u32 range (now a Long column), v1 durations >= 2^63
-    and co64 offsets >= 2^63 become None."""
+    and co64 offsets >= 2^63 become None, and a lying u32 stco entry
+    count rides the Long n_chunks column."""
     import struct
 
     from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
@@ -5244,6 +5274,24 @@ def test_mp4_unsigned_range_classification():
     trak = box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", co64))))
     got = parse_mp4_header(ftyp + box(b"moov", mvhd0 + trak))
     assert got["chunk_offset"] is None and got["n_chunks"] == 1
+    # stco entry count is raw u32 wire data: a lying 0xFFFFFFFF count
+    # (short payload) must round-trip as declared through the Long
+    # column, not overflow an Int32 batch build
+    stco_lying = box(b"stco", bytes(4) + struct.pack(">I", (1 << 32) - 1))
+    trak2 = box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", stco_lying))))
+    blob_lying = ftyp + box(b"moov", mvhd0 + trak2)
+    got = parse_mp4_header(blob_lying)
+    assert got["n_chunks"] == (1 << 32) - 1 and got["chunk_offset"] is None
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        decode_video_meta,
+    )
+
+    rows = decode_video_meta(
+        spark.createDataFrame(
+            [(1, bytearray(blob_lying))], "doc_id long, blob binary"
+        )
+    ).collect()
+    assert rows[0].n_chunks == (1 << 32) - 1
 
 
 def test_video_synth_constants():
