@@ -262,6 +262,34 @@ def test_control_band_baselines_pinned():
     assert set(mod.CONTROLS) <= set(REGISTRY)
 
 
+def test_partition_invariance_hash_is_layout_blind():
+    """The invariance audit's frame hash must be blind to exactly the
+    things a partition layout reorders — row order and column order —
+    and sharp to a single value change; otherwise the 309/309
+    partition-invariant receipt would be vacuous (hash too loose) or
+    noise (too strict)."""
+    import importlib.util
+    import os
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    spec = importlib.util.spec_from_file_location(
+        "partition_invariance",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "partition_invariance.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    a = pd.DataFrame({"x": [1, 2, 3], "y": [0.15, 0.25, None]})
+    shuffled = a.iloc[[2, 0, 1]][["y", "x"]]
+    assert mod.frame_hash(a) == mod.frame_hash(shuffled)
+    changed = a.copy()
+    changed.loc[0, "x"] = 99
+    assert mod.frame_hash(a) != mod.frame_hash(changed)
+
+
 def test_stale_green_check_live_repo_is_clean():
     """The live repo passes its own stale-green gate: every
     DRIVER_VERIFIED entry's current source hash matches the recorded
