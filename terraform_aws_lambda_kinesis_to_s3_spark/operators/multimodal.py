@@ -1062,7 +1062,11 @@ def _walk_mp4(blob: bytes, want_tables: bool = False):
         plen = p1 - p0
         if typ == b"mvhd" and plen >= 20 and "timescale" not in movie:
             ver = payload[0]
-            if ver == 1 and plen >= 28:
+            # v1 layout: ver/flags 4 + created u64 + modified u64 →
+            # timescale u32 @20, duration u64 @24..32 — the guard must
+            # cover the FULL u64 read (a 28..31-byte truncated v1 box
+            # crashed the walk; found by tools/fuzz_parsers.py)
+            if ver == 1 and plen >= 32:
                 movie["timescale"] = struct.unpack_from(">I", payload, 20)[0]
                 dur = struct.unpack_from(">Q", payload, 24)[0]
                 movie["duration"] = dur if dur < _I64_MAX else None
@@ -1088,7 +1092,9 @@ def _walk_mp4(blob: bytes, want_tables: bool = False):
                 trak["height"] = h >> 16
         elif typ == b"mdhd" and trak is not None and plen >= 20:
             ver = payload[0]
-            if ver == 1 and plen >= 28:
+            # same v1 layout as mvhd: the u64 duration read ends at
+            # byte 32, so plen >= 28 under-guarded by 4 (fuzz find)
+            if ver == 1 and plen >= 32:
                 trak["media_timescale"] = struct.unpack_from(
                     ">I", payload, 20
                 )[0]

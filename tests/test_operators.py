@@ -5274,6 +5274,19 @@ def test_mp4_unsigned_range_classification(spark):
     trak = box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", co64))))
     got = parse_mp4_header(ftyp + box(b"moov", mvhd0 + trak))
     assert got["chunk_offset"] is None and got["n_chunks"] == 1
+    # a v1 mvhd/mdhd TRUNCATED inside its u64 duration (payload 28..31
+    # bytes; the read ends at byte 32) must classify, not crash the
+    # walk — found by tools/fuzz_parsers.py at trial ~1M, seed 1
+    for plen in (28, 29, 31):
+        mvhd_short = box(b"mvhd", b"\x01" + bytes(plen - 1))
+        out = parse_mp4_header(ftyp + box(b"moov", mvhd_short))
+        assert out is None  # no timescale recoverable -> classify
+        mdhd_short = box(b"mdhd", b"\x01" + bytes(plen - 1))
+        trak_s = box(
+            b"trak", box(b"mdia", mdhd_short + box(b"minf", box(b"stbl", b"")))
+        )
+        out = parse_mp4_header(ftyp + box(b"moov", mvhd0 + trak_s))
+        assert out is not None and out["media_timescale"] is None
     # stco entry count is raw u32 wire data: a lying 0xFFFFFFFF count
     # (short payload) must round-trip as declared through the Long
     # column, not overflow an Int32 batch build
