@@ -19651,7 +19651,11 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "user_survival_km",
         "user_transition_matrix",
         "variant_props_stats",
+        "video_byte_plan_audit",
         "video_frame_byte_index",
+        "video_frame_fetch_verify",
+        "video_frame_sample_plan",
+        "video_meta_probe",
         "vocab_growth_curve",
         "vocab_oov_rate",
         "watermark_loss_audit",
@@ -19676,27 +19680,15 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 #: batches — diagnostics, corpus statistics, splits, fuzzy join, WAV
 #: audio — lead that backlog by construction).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round 10 re-queues: the r9 re-queues (video_meta_probe,
-    # video_frame_sample_plan, corpus_curation) all re-greened in
-    # CORRECTNESS_r09 and were cleared.  This round the video meta
-    # schema gained a sample_count column (ADVICE r9: the frame plan
-    # now gates byte addressing on sample_count >= n_frames), so the
-    # three consumers of the shared parse stage changed output schema
-    # or plan and must re-green under the driver.
+    # Round 11: the r10 re-queues (video_meta_probe,
+    # video_frame_sample_plan, video_byte_plan_audit,
+    # multimodal_audio_pcm_stats, multimodal_audio_meta) plus the
+    # registry-new video_frame_fetch_verify all re-greened in
+    # CORRECTNESS_r10 (50/50, zero err) and are cleared.  Empty until
+    # a registry function or its oracle changes this round.
     # NOTE: keep comments in this block free of double-quoted words —
     # the rotate tool extracts every quoted token in the tuple source
     # as a name (its parser strips comment lines first).
-    "video_meta_probe",
-    "video_frame_sample_plan",
-    "video_byte_plan_audit",
-    # peak column widened to BIGINT (a 32-bit PCM negative-rail sample
-    # has magnitude 2^31, one past Int32 — the old column crashed the
-    # Arrow batch build on a legal full-scale sample)
-    "multimodal_audio_pcm_stats",
-    # sample_rate widened to BIGINT (RIFF fmt sample rate is u32; a
-    # wire-legal value >= 2^31 in an untrusted blob crashed the Arrow
-    # batch build the same way)
-    "multimodal_audio_meta",
 )
 
 
