@@ -205,6 +205,59 @@ def test_stale_green_check_trips_on_changed_hash():
     )
 
 
+def test_closure_hash_trips_on_kernel_only_change(monkeypatch):
+    """r10 verdict item 1: the per-entry rotation hash must cover the
+    entry's HELPER CLOSURE, not just its own source — the r10
+    mvhd/mdhd v1-guard fix changed only operators/multimodal.py and
+    the old function-only hash was blind to it.  Tamper with a kernel
+    module's content hash (no registry function touched) and the
+    entries whose closure reaches that module must change hash while
+    unrelated entries must not; the dependency must also propagate
+    TRANSITIVELY through the module import graph (operators.dedup
+    imports operators.textops, so a textops change trips dedup-backed
+    entries).  Replayed live against the actual v1-guard commit
+    (53536e9~1 vs HEAD) this scheme trips exactly the 10
+    multimodal-dependent entries — see NOTES_r11.md."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import tools.rotate_driver_window as R
+
+    base = R.registry_hashes()
+    real = R._module_graph
+
+    def tampered_mm():
+        h, c = real()
+        h["terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal"] = (
+            "0" * 16
+        )
+        return h, c
+
+    monkeypatch.setattr(R, "_module_graph", tampered_mm)
+    mm = R.registry_hashes()
+    tripped = {k for k in mm if mm[k] != base[k]}
+    # the kernel-only change reaches every multimodal consumer ...
+    assert {"video_meta_probe", "video_frame_fetch_verify",
+            "multimodal_audio_meta"} <= tripped
+    # ... and nothing else (no false sweep of the whole registry)
+    assert "q1" not in tripped and "dedup_exact_log_id" not in tripped
+
+    def tampered_tx():
+        h, c = real()
+        h["terraform_aws_lambda_kinesis_to_s3_spark.operators.textops"] = (
+            "f" * 16
+        )
+        return h, c
+
+    monkeypatch.setattr(R, "_module_graph", tampered_tx)
+    tx = R.registry_hashes()
+    tripped_tx = {k for k in tx if tx[k] != base[k]}
+    # transitive: dedup entries reach textops THROUGH operators.dedup
+    assert "dedup_exact_log_id" in tripped_tx
+    assert "q1" not in tripped_tx and "video_meta_probe" not in tripped_tx
+
+
 def test_bench_calibration_admission_gate():
     """calibration_admitted (r9 verdict item 2): a sweep taken under
     co-tenant contention must be refused at artifact-write time —

@@ -83,33 +83,218 @@ def priority_names(src: str) -> set[str]:
     return set(re.findall(r'"([^"]+)"', code))
 
 
+PKG = "terraform_aws_lambda_kinesis_to_s3_spark"
+PKG_DIR = os.path.join(REPO, PKG)
+
+
+def _pkg_module_files() -> dict[str, str]:
+    """Dotted module name -> file path for every .py in the package."""
+    out: dict[str, str] = {}
+    for root, _dirs, files in os.walk(PKG_DIR):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(root, f)
+            rel = os.path.relpath(path, REPO)[: -len(".py")]
+            dotted = rel.replace(os.sep, ".")
+            if dotted.endswith(".__init__"):
+                dotted = dotted[: -len(".__init__")]
+            out[dotted] = path
+    return out
+
+
+def _imports_of(tree, modules: "dict[str, str]") -> set[str]:
+    """Package modules referenced by any import statement in *tree*
+    (module-level AND function-local imports — the registry's video
+    helpers import operators.multimodal inside the function body)."""
+    import ast
+
+    found: set[str] = set()
+
+    def resolve(dotted: str) -> None:
+        # `from pkg.operators import dedup` names the SUBMODULE; plain
+        # `from pkg.operators.dedup import foo` names an object in it.
+        # Walk the dotted prefix chain and keep every real module.
+        parts = dotted.split(".")
+        for i in range(len(parts), 0, -1):
+            cand = ".".join(parts[:i])
+            if cand in modules:
+                found.add(cand)
+                return
+
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(PKG):
+                    resolve(a.name)
+        elif isinstance(node, ast.ImportFrom):
+            mod = node.module or ""
+            if mod.startswith(PKG):
+                resolve(mod)
+                for a in node.names:
+                    resolve(mod + "." + a.name)
+    return found
+
+
+def _module_graph() -> "tuple[dict[str, str], dict[str, set[str]]]":
+    """(content hash per module, TRANSITIVE package-import closure per
+    module).  A kernel module that itself imports another package
+    module (e.g. an operator built on sketches) propagates: a change
+    anywhere in the closure trips every dependent registry entry."""
+    import ast
+    import hashlib
+
+    modules = _pkg_module_files()
+    hashes: dict[str, str] = {}
+    direct: dict[str, set[str]] = {}
+    for dotted, path in modules.items():
+        blob = open(path, "rb").read()
+        hashes[dotted] = hashlib.sha256(blob).hexdigest()[:16]
+        direct[dotted] = _imports_of(ast.parse(blob), modules)
+    closure: dict[str, set[str]] = {m: set(s) for m, s in direct.items()}
+    changed = True
+    while changed:
+        changed = False
+        for m, deps in closure.items():
+            ext = set()
+            for d in deps:
+                ext |= closure.get(d, set())
+            if not ext <= deps:
+                deps |= ext
+                changed = True
+    return hashes, closure
+
+
+def _queries_name_map(src: str) -> "tuple[dict[str, str], dict[str, str]]":
+    """Static maps over plans/queries.py top level:
+    (name -> source segment for defs/constants,
+     imported alias -> package module dotted name)."""
+    import ast
+
+    tree = ast.parse(src)
+    modules = _pkg_module_files()
+    segments: dict[str, str] = {}
+    aliases: dict[str, str] = {}
+    # Top-level nodes all start at column 0 — slice by line numbers
+    # directly (ast.get_source_segment re-splits the 20k-line file per
+    # call, which took ~80 s over 766 segments).
+    lines = src.splitlines(keepends=True)
+
+    def seg_src(node) -> str:
+        return "".join(lines[node.lineno - 1 : node.end_lineno])
+
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            segments[node.name] = seg_src(node)
+        elif isinstance(node, (ast.Assign, ast.AnnAssign)):
+            targets = (
+                node.targets if isinstance(node, ast.Assign) else [node.target]
+            )
+            seg = seg_src(node)
+            for t in targets:
+                if isinstance(t, ast.Name):
+                    segments[t.id] = seg
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(PKG):
+                    aliases[a.asname or a.name.split(".")[-1]] = a.name
+        elif isinstance(node, ast.ImportFrom):
+            mod = node.module or ""
+            if not mod.startswith(PKG):
+                continue
+            for a in node.names:
+                sub = mod + "." + a.name
+                aliases[a.asname or a.name] = sub if sub in modules else mod
+    return segments, aliases
+
+
 def registry_hashes() -> dict[str, str]:
-    """Per-entry source fingerprint: sha256 over the registry
-    function's source plus its oracle SQL (16 hex chars).  Recorded to
-    DRIVER_HASHES.json at rotation time; tools/verify_contract.
-    check_stale_greens compares the live registry against the
-    recording so a function that changed while its name sits in
-    DRIVER_VERIFIED (and not in DRIVER_PRIORITY) FAILS the round
-    close — the r9 corpus_curation stale green, automated (r9 verdict
-    item 4).  Limitation: helpers the function CALLS are not hashed —
-    a kernel-only change (the r9 multimodal case) still needs the
-    manual DRIVER_PRIORITY judgment call; this catches the
-    query-function and oracle-SQL edits, which is where every
-    historical stale green actually originated."""
+    """Per-entry source fingerprint over the entry's FULL helper
+    closure (16 hex chars): sha256 of the registry function's source,
+    its oracle SQL, every same-module helper def/constant it
+    (transitively) references, and a content hash of every package
+    module reachable from its imports (transitively through the
+    module import graph).  Recorded to DRIVER_HASHES.json at rotation
+    time; tools/verify_contract.check_stale_greens compares the live
+    registry against the recording so code that changed while its
+    name sits in DRIVER_VERIFIED (and not in DRIVER_PRIORITY) FAILS
+    the round close.  r10 verdict item 1 closed the kernel blind
+    spot: the r10 mvhd/mdhd v1-guard fix touched only
+    operators/multimodal.py — the old function-only hash missed it;
+    this closure hash trips every video entry.  Name resolution is a
+    static over-approximation (any referenced name matching a
+    top-level def/constant/import pulls it in) — false sensitivity
+    costs one cheap re-queue, missed sensitivity costs a stale
+    green."""
+    import ast
     import hashlib
     import inspect
+    import textwrap
 
     sys.path.insert(0, REPO)
     from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import (
         REGISTRY,
     )
 
+    q_src = open(QUERIES_PY).read()
+    segments, aliases = _queries_name_map(q_src)
+    mod_hashes, mod_closure = _module_graph()
+    modules = _pkg_module_files()
+
+    # Each top-level segment is parsed ONCE; per-entry closure is then
+    # a cheap traversal over the memoized (names, modules) reference
+    # sets — 309 entries share most helpers.
+    _refs_cache: dict[str, tuple[set[str], set[str]]] = {}
+
+    def refs_of(src: str) -> "tuple[set[str], set[str]]":
+        cached = _refs_cache.get(src)
+        if cached is not None:
+            return cached
+        tree = ast.parse(textwrap.dedent(src))
+        mods = _imports_of(tree, modules)
+        names: set[str] = set()
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Name):
+                continue  # attribute roots arrive as the inner ast.Name
+            n = node.id
+            if n in aliases:
+                mods.add(aliases[n])
+            elif n in segments:
+                names.add(n)
+        _refs_cache[src] = (names, mods)
+        return names, mods
+
+    def closure_of(fn_src: str) -> "tuple[list[str], set[str]]":
+        """(sorted helper-source names, package modules) reachable
+        from *fn_src* through same-module names and imports."""
+        helper_names: set[str] = set()
+        mods: set[str] = set()
+        names, m0 = refs_of(fn_src)
+        mods |= m0
+        stack = list(names)
+        while stack:
+            n = stack.pop()
+            if n in helper_names:
+                continue
+            helper_names.add(n)
+            nn, nm = refs_of(segments[n])
+            mods |= nm
+            stack.extend(nn - helper_names)
+        expanded = set(mods)
+        for m in mods:
+            expanded |= mod_closure.get(m, set())
+        return sorted(helper_names), expanded
+
     out = {}
     for name, (fn, sql) in REGISTRY.items():
         src = inspect.getsource(fn)
-        out[name] = hashlib.sha256(
-            (src + "\x00" + (sql or "")).encode()
-        ).hexdigest()[:16]
+        helpers, mods = closure_of(src)
+        payload = "\x00".join(
+            [src, sql or ""]
+            + [segments[h] for h in helpers]
+            + [f"{m}={mod_hashes[m]}" for m in sorted(mods)]
+        )
+        out[name] = hashlib.sha256(payload.encode()).hexdigest()[:16]
     return out
 
 
