@@ -477,6 +477,31 @@ def test_explains_covers_registry():
     assert check_explains_count() == []
 
 
+def test_round_close_fuzz_smoke_gate():
+    """r10 verdict item 2: the parser fuzz harness is a ROUND-CLOSE
+    GATE, not an ad-hoc tool — tools/round_close.fuzz_smoke runs
+    tools/fuzz_parsers.py once per pinned seed at a fixed wall budget
+    and returns problems on a contract violation.  Pins: the seeds
+    include 1 (the stream that found the r10 v1-guard crash) and 42,
+    the default budget is non-trivial, a short live run passes clean
+    on the current parsers, and main() wires the step in."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools import round_close as RC
+
+    assert set(RC.FUZZ_SEEDS) == {1, 42}
+    assert RC.FUZZ_BUDGET_S >= 10.0
+    # live smoke at a tiny budget: current parsers must be clean
+    assert RC.fuzz_smoke(budget=0.5, seeds=(1,)) == []
+    # the gate is actually wired into the close (not just defined)
+    import inspect
+
+    src = inspect.getsource(RC.main)
+    assert "fuzz_smoke()" in src and "FAIL (parser fuzz)" in src
+
+
 def test_round_close_head_is_final():
     """tools/verify_contract.check_round_close_head: once the newest
     NOTES file records a ROUND CLOSE PASS with its HEAD sha, no
