@@ -502,6 +502,34 @@ def test_round_close_fuzz_smoke_gate():
     assert "fuzz_smoke()" in src and "FAIL (parser fuzz)" in src
 
 
+def test_round_close_invariance_subset():
+    """r10 verdict item 5: the partition-invariance audit runs per
+    close over the round's CHANGED subset — closure-hash drift vs the
+    rotation recording (registry-new names included: absent from the
+    recording counts as changed) plus DRIVER_PRIORITY re-queues.
+    Synthetic-fixture math plus a pin that main() actually wires the
+    step (exact-name selection, so q1 cannot over-select q10..q19)."""
+    import inspect
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools import round_close as RC
+
+    sub = RC.invariance_subset(
+        recorded={"a": "1", "b": "2", "gone": "9"},
+        live={"a": "1", "b": "CHANGED", "new": "3"},
+        priority={"requeued"},
+    )
+    assert sub == ["b", "new", "requeued"]
+    assert RC.invariance_subset(
+        recorded={"a": "1"}, live={"a": "1"}, priority=set()
+    ) == []
+    src = inspect.getsource(RC.main)
+    assert "invariance_subset()" in src
+    assert "partition_invariance.py" in src and "--exact" in src
+
+
 def test_round_close_head_is_final():
     """tools/verify_contract.check_round_close_head: once the newest
     NOTES file records a ROUND CLOSE PASS with its HEAD sha, no

@@ -14,6 +14,9 @@ baseline config, then shuffle.partitions=7 with AQE off — and
 compares canonicalized value hashes.
 
 Run:  python tools/partition_invariance.py [sf_dir] [--only substr,..]
+      (--exact: treat the --only list as exact names, not substrings —
+       the round-close changed-subset call uses this so a short name
+       like q1 cannot over-select q10..q19)
 Exit: 1 if any query's canonical values differ between configs.
 """
 
@@ -56,9 +59,12 @@ def main() -> int:
     only = None
     if "--only" in sys.argv:
         only = sys.argv[sys.argv.index("--only") + 1].split(",")
-    names = [
-        n for n in REGISTRY if only is None or any(p in n for p in only)
-    ]
+    if "--exact" in sys.argv:
+        names = [n for n in REGISTRY if n in set(only or [])]
+    else:
+        names = [
+            n for n in REGISTRY if only is None or any(p in n for p in only)
+        ]
     spark = get_spark(app_name="partition_invariance")
 
     def run_all(conf: dict) -> dict[str, str]:

@@ -19,8 +19,14 @@ Order (each step must pass before the next runs):
      tools/fuzz_parsers.py (r10 verdict item 2: the ad-hoc harness
      found a real crash the 1266-test suite missed; no parser change
      lands without it)
-  3. pytest tests/ -q      — the full suite, collected fresh
-  4. summary               — ONE "ROUND CLOSE: PASS/FAIL" line to
+  3. partition invariance  — the layout-blindness audit
+     (tools/partition_invariance.py) over the round's CHANGED subset:
+     DRIVER_PRIORITY re-queues plus every entry whose closure hash
+     drifted from the rotation recording (r10 verdict item 5 — the
+     audit is the strongest portability receipt the repo has; a
+     budgeted O(changed) subset keeps it affordable per close)
+  4. pytest tests/ -q      — the full suite, collected fresh
+  5. summary               — ONE "ROUND CLOSE: PASS/FAIL" line to
      stdout, ready to paste into NOTES_r{N}.md
 
 If step 1 fails there is no point paying for step 2; if anything
@@ -133,6 +139,35 @@ def fuzz_smoke(budget: float = FUZZ_BUDGET_S,
     return problems
 
 
+def invariance_subset(
+    recorded: "dict[str, str] | None" = None,
+    live: "dict[str, str] | None" = None,
+    priority: "set[str] | None" = None,
+) -> list[str]:
+    """The round's CHANGED registry subset for the partition-invariance
+    audit: every entry whose closure hash drifted from the rotation
+    recording (including registry-new names, absent from the
+    recording) plus the explicit DRIVER_PRIORITY re-queues.  All
+    parameters injectable for tests; the live call reads repo state."""
+    import json
+
+    if recorded is None:
+        path = os.path.join(REPO, "DRIVER_HASHES.json")
+        recorded = json.load(open(path)) if os.path.exists(path) else {}
+    if live is None:
+        from tools.rotate_driver_window import registry_hashes
+
+        live = registry_hashes()
+    if priority is None:
+        from terraform_aws_lambda_kinesis_to_s3_spark.plans import (
+            queries as Q,
+        )
+
+        priority = set(Q.DRIVER_PRIORITY)
+    changed = {n for n in live if recorded.get(n) != live[n]}
+    return sorted(changed | priority)
+
+
 def main() -> int:
     fast = "--fast" in sys.argv
     t0 = time.time()
@@ -159,7 +194,29 @@ def main() -> int:
         print("== step 2: fuzz smoke SKIPPED (--fast) ==")
 
     if not fast:
-        print("== step 3: pytest tests/ -q (full suite) ==")
+        subset = invariance_subset()
+        if subset:
+            print(f"== step 3: partition invariance over {len(subset)} "
+                  f"changed entries ==")
+            print(f"  subset: {subset}")
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join("tools", "partition_invariance.py"),
+                 "/root/testdata/sf0.01", "--only", ",".join(subset),
+                 "--exact"],
+                cwd=REPO,
+            )
+            if r.returncode != 0:
+                print("\nROUND CLOSE: FAIL (partition invariance)")
+                return 1
+        else:
+            print("== step 3: partition invariance SKIPPED — no entry "
+                  "changed since rotation ==")
+    else:
+        print("== step 3: partition invariance SKIPPED (--fast) ==")
+
+    if not fast:
+        print("== step 4: pytest tests/ -q (full suite) ==")
         r = subprocess.run(
             [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=line"],
             cwd=REPO,
@@ -168,7 +225,7 @@ def main() -> int:
             print("\nROUND CLOSE: FAIL (pytest)")
             return 1
     else:
-        print("== step 3: SKIPPED (--fast) — not a valid round close ==")
+        print("== step 4: SKIPPED (--fast) — not a valid round close ==")
 
     from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import REGISTRY
 
