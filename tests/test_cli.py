@@ -502,6 +502,33 @@ def test_round_close_fuzz_smoke_gate():
     assert "fuzz_smoke()" in src and "FAIL (parser fuzz)" in src
 
 
+def test_all_committed_artifacts_carry_admission_gate():
+    """r10 verdict item 4: every committed measurement artifact —
+    BENCH_FULL (bench.py, behavior-tested above), ENVELOPE_BENCH,
+    BENCH_SF1, PLAN_COSTS* — must pass through the SAME
+    CALIB_ADMIT_MAX refusal path: a reading outside the admission
+    window lands in a *_rejected.json sidecar (exit 2) and never
+    touches the committed artifact.  The decision function's behavior
+    is covered by test_bench_calibration_admission_gate; this pins
+    that each tool actually routes through it (the refusal branch
+    needs a live loaded-host Spark session to exercise end-to-end)."""
+    import os
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    for tool, rejected in [
+        ("tools/envelope_bench.py", "ENVELOPE_BENCH_rejected.json"),
+        ("tools/bench_sf1.py", "BENCH_SF1_rejected.json"),
+        ("tools/plan_cost.py", "_rejected.json"),
+    ]:
+        src = open(os.path.join(repo, tool)).read()
+        assert "calibration_admission" in src, tool
+        assert rejected in src, tool
+        assert "SystemExit(2)" in src, tool
+        # envelope_bench and plan_cost decide locally; bench_sf1
+        # inherits the inner bench.py run's decision
+        assert ("calibration_admitted" in src), tool
+
+
 def test_round_close_invariance_subset():
     """r10 verdict item 5: the partition-invariance audit runs per
     close over the round's CHANGED subset — closure-hash drift vs the

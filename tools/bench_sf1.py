@@ -50,8 +50,10 @@ def main() -> None:
     # the sidecar path is null when bench.py could not write it (e.g.
     # read-only checkout); fall back to the (top-10-truncated) stdout
     # map rather than crashing after the sf1 run already paid its time
+    sidecar_full = None
     if summary.get("full_map"):
-        sf1_map = json.load(open(summary["full_map"]))["queries"]
+        sidecar_full = json.load(open(summary["full_map"]))
+        sf1_map = sidecar_full["queries"]
     else:
         sys.stderr.write("warning: no sidecar map — falling back to the "
                          "truncated stdout map; some entries may be "
@@ -87,6 +89,27 @@ def main() -> None:
         raise SystemExit(
             "no requested query produced an sf1 timing — refusing to "
             "write an empty BENCH_SF1.json")
+    # self-certification (r10 verdict item 4): the inner bench.py run
+    # measured its own calibration probes; a reading taken outside the
+    # admission window lands in the rejected sidecar, never the
+    # committed artifact.
+    out["calibration_admission"] = (
+        sidecar_full.get("calibration_admission")
+        if sidecar_full
+        else {"admitted": bool(summary.get("calibration_admitted"))}
+    )
+    if not summary.get("calibration_admitted"):
+        rej = os.path.join(_REPO, "BENCH_SF1_rejected.json")
+        with open(rej, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+        reasons = (out["calibration_admission"] or {}).get("reasons")
+        sys.stderr.write(
+            f"CALIBRATION REFUSAL: {reasons} — sf1 timings written to "
+            f"{rej}, committed BENCH_SF1.json untouched; re-run in a "
+            "quieter window\n"
+        )
+        raise SystemExit(2)
     path = os.path.join(_REPO, "BENCH_SF1.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

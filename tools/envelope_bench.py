@@ -79,8 +79,10 @@ def main() -> None:
     runs = sorted(round(one_run(), 4) for _ in range(repeats))
     best, median = runs[0], runs[len(runs) // 2]
 
-    from bench import host_calibration
+    from bench import CALIB_ADMIT_MAX, calibration_admitted, host_calibration
 
+    calib = host_calibration(spark)
+    admitted, admit_reasons = calibration_admitted(calib)
     out = {
         "metric": "envelope_records_per_sec",
         "value": round(N_RECORDS / best),
@@ -100,8 +102,34 @@ def main() -> None:
             "(reference README.md:33, variables.tf:16-18); the engine "
             "number is one local[32] process over the same logical chain"
         ),
-        "host_calibration": host_calibration(spark),
+        "host_calibration": calib,
+        # self-certification (r10 verdict item 4): the same admission
+        # window that gates BENCH_FULL gates this committed artifact
+        "calibration_admission": {
+            "admitted": admitted,
+            "limits": CALIB_ADMIT_MAX,
+            "probes": calib,
+            "reasons": admit_reasons,
+        },
     }
+
+    # A reading taken outside the calibration window must not touch the
+    # committed artifact OR its series: it lands in the rejected
+    # sidecar with its refusal reasons (the discarded 801k r10 attempt,
+    # automated — previously a hand judgment).
+    if not admitted:
+        rej = os.path.join(_REPO, "ENVELOPE_BENCH_rejected.json")
+        with open(rej, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+        print(
+            f"CALIBRATION REFUSAL: {'; '.join(admit_reasons)} — reading "
+            f"written to {rej}, committed artifact and series untouched; "
+            "re-run in a quieter window",
+            file=sys.stderr,
+        )
+        spark.stop()
+        raise SystemExit(2)
 
     # Round-over-round SERIES (r9 verdict item 5): every run appends a
     # point carrying its own calibration block, so the trend is read
@@ -124,8 +152,16 @@ def main() -> None:
                         "host_calibration": prior.get("host_calibration"),
                     }
                 ]
-        except (OSError, ValueError, KeyError):
-            pass
+        except (OSError, ValueError, KeyError) as e:
+            # ADVICE r10: a corrupt/schema-drifted prior artifact must
+            # not SILENTLY reset the round-over-round series to one
+            # point — make the reset visible in the run log.
+            print(
+                f"WARNING: prior {path} exists but could not be parsed "
+                f"({type(e).__name__}: {e}) — series resets to this "
+                "single point",
+                file=sys.stderr,
+            )
     series.append(
         {
             "best_records_per_sec": out["value"],

@@ -89,6 +89,14 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # self-certification (r10 verdict item 4): byte metrics are mostly
+    # load-independent, but spill CAN move with memory pressure and a
+    # committed artifact must prove the window it ran in either way.
+    from bench import CALIB_ADMIT_MAX, calibration_admitted, host_calibration
+
+    calib = host_calibration(spark)
+    admitted, admit_reasons = calibration_admitted(calib)
+
     names = [
         n
         for n in REGISTRY
@@ -174,20 +182,35 @@ def main() -> None:
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     suffix = os.environ.get("SPARK_GRAFT_PLAN_COSTS_SUFFIX", "")
-    with open(os.path.join(repo, f"PLAN_COSTS{suffix}.json"), "w") as f:
-        json.dump(
-            {
-                "sf": sf_dir,
-                "n_queries": len(rows),
-                "total_input_bytes": total_in,
-                "total_shuffle_write_bytes": total_sw,
-                "total_ingest_shuffle_bytes": total_ing,
-                "disk_spill_queries": spill,
-                "queries": rows,
-            },
-            f,
-            separators=(",", ":"),
+    payload = {
+        "sf": sf_dir,
+        "n_queries": len(rows),
+        "total_input_bytes": total_in,
+        "total_shuffle_write_bytes": total_sw,
+        "total_ingest_shuffle_bytes": total_ing,
+        "disk_spill_queries": spill,
+        "calibration_admission": {
+            "admitted": admitted,
+            "limits": CALIB_ADMIT_MAX,
+            "probes": calib,
+            "reasons": admit_reasons,
+        },
+        "queries": rows,
+    }
+    if not admitted:
+        rej = os.path.join(repo, f"PLAN_COSTS{suffix}_rejected.json")
+        with open(rej, "w") as f:
+            json.dump(payload, f, separators=(",", ":"))
+        print(
+            f"CALIBRATION REFUSAL: {'; '.join(admit_reasons)} — costs "
+            f"written to {rej}, committed PLAN_COSTS{suffix}.json and .md "
+            "untouched; re-run in a quieter window",
+            file=sys.stderr,
         )
+        spark.stop()
+        raise SystemExit(2)
+    with open(os.path.join(repo, f"PLAN_COSTS{suffix}.json"), "w") as f:
+        json.dump(payload, f, separators=(",", ":"))
 
     def mb(b):
         return f"{b / 1e6:.1f}"
