@@ -959,14 +959,17 @@ def parse_mp4_header(blob: bytes) -> dict | None:
         tid = vid.get("track_id")
         if tid in frag_samples:
             n_frames = frag_samples[tid]
-        elif len(frag_samples) == 1:
+        elif tid is None and len(frag_samples) == 1:
             # the selected trak never declared a track_id (missing or
             # short tkhd) but only one track carries trun samples, so
             # attribution is still unambiguous
             n_frames = next(iter(frag_samples.values()))
-        # else: several fragmented tracks and no way to attribute —
-        # summing across track_IDs would reintroduce the audio
-        # inflation the per-track fix removed, so classify to 0
+        # else: either several fragmented tracks with no way to
+        # attribute, or the video trak DID declare a track_id that no
+        # tfhd references (the lone trun belongs to a DIFFERENT track,
+        # e.g. audio) — summing or borrowing would reintroduce the
+        # cross-track inflation the per-track fix removed, so classify
+        # to 0 (ADVICE r10)
 
     return {
         "brand": brand,
@@ -1544,8 +1547,13 @@ def fetch_frame_bytes(
     plan -> I/O -> CONTENT end to end, not just that offsets look
     plausible.  A planned range that cannot be fetched — unresolvable
     frame, or a range ending past the blob — keeps its plan columns
-    but reports NULL checksums, the fetch-failure signal a 100 TB
-    executor logs instead of crashing.  Scale shape: map-only Arrow
+    but reports NULL for BOTH checksums, the fetch-failure signal a
+    100 TB executor logs instead of crashing.  A legal ZERO-LENGTH
+    sample (stsz size 0) is a SUCCESSFUL empty fetch, distinct from
+    failure by convention (ADVICE r10): ``byte_sum`` 0 with
+    ``first_byte`` NULL (no leading byte exists in an empty slice) —
+    so ``byte_sum IS NULL`` alone is the failure predicate.  Scale
+    shape: map-only Arrow
     batches; at scale the slice is an S3 ranged GET against the
     object the plan row points at, and the checksum is the integrity
     receipt the audit stores per fetched frame."""

@@ -19680,15 +19680,26 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 #: batches — diagnostics, corpus statistics, splits, fuzzy join, WAV
 #: audio — lead that backlog by construction).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round 11: the r10 re-queues (video_meta_probe,
-    # video_frame_sample_plan, video_byte_plan_audit,
-    # multimodal_audio_pcm_stats, multimodal_audio_meta) plus the
-    # registry-new video_frame_fetch_verify all re-greened in
-    # CORRECTNESS_r10 (50/50, zero err) and are cleared.  Empty until
-    # a registry function or its oracle changes this round.
+    # Round 11 re-queues: the ADVICE-r10 fMP4 fallback tightening
+    # changed operators/multimodal.py, and the new CLOSURE hash
+    # (rotate_driver_window) correctly trips every entry whose
+    # dependency closure reaches that kernel — all ten re-queue even
+    # though the behavior change is corpus-invisible (malformed
+    # declared-but-unreferenced-track fMP4s only); that
+    # over-approximation is the gate working as designed.
     # NOTE: keep comments in this block free of double-quoted words —
     # the rotate tool extracts every quoted token in the tuple source
     # as a name (its parser strips comment lines first).
+    "multimodal_audio_meta",
+    "multimodal_audio_pcm_stats",
+    "multimodal_features",
+    "multimodal_image_dims",
+    "multimodal_meta_audit",
+    "video_byte_plan_audit",
+    "video_frame_byte_index",
+    "video_frame_fetch_verify",
+    "video_frame_sample_plan",
+    "video_meta_probe",
 )
 
 

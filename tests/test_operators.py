@@ -5488,6 +5488,71 @@ def test_mp4_advice_r9_malformed_corners(spark):
     assert t is not None and t["stsc_runs"] == [(1, 10)]
 
 
+def test_mp4_advice_r10_corners(spark):
+    """Two ADVICE-r10 corners: (1) an fMP4 whose video trak DID
+    declare a track_id that simply appears in no tfhd must NOT borrow
+    the lone trun-bearing track's sample count (that trun belongs to
+    a DIFFERENT — e.g. audio — track); the single-track fallback is
+    only for a trak that never declared a track_id at all.  (2) a
+    legal ZERO-LENGTH sample (stsz size 0) is a successful EMPTY
+    fetch: byte_sum 0 with first_byte NULL — distinct from the
+    fetch-failure signal where BOTH checksums are NULL, so
+    `byte_sum IS NULL` alone means failure."""
+    import struct
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators import (
+        multimodal as MM,
+    )
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    # (1) full v0 tkhd carrying track_id 5 (plen 84: 12 pre-bytes,
+    # u32 track_id at offset 12, width/height 16.16 in the last 8)
+    tkhd = box(
+        b"tkhd",
+        bytes(12) + struct.pack(">I", 5) + bytes(60)
+        + struct.pack(">II", 64 << 16, 48 << 16),
+    )
+    trak = box(
+        b"trak",
+        tkhd + box(b"mdia", box(b"hdlr", bytes(8) + b"vide" + bytes(13))),
+    )
+    mvhd = box(b"mvhd", bytes(12) + struct.pack(">II", 600, 1200) + bytes(80))
+    ftyp5 = box(b"ftyp", b"iso5" + bytes(4) + b"iso5")
+    moov = box(b"moov", mvhd + trak)
+
+    def frag(tid, count):
+        tfhd = box(b"tfhd", bytes(4) + struct.pack(">I", tid))
+        trun = box(b"trun", bytes(4) + struct.pack(">I", count))
+        return box(b"moof", box(b"traf", tfhd + trun))
+
+    # the ONLY trun belongs to track 2; video track 5 has no samples
+    got = MM.parse_mp4_header(ftyp5 + moov + frag(2, 30))
+    assert got is not None and got["n_frames"] == 0  # NOT 30
+    # exact-id attribution still works
+    got = MM.parse_mp4_header(ftyp5 + moov + frag(5, 30))
+    assert got["n_frames"] == 30
+
+    # (2) zero-length sample in an otherwise-normal progressive file
+    sizes = [3, 0, 5, 2]
+    blob = MM.synth_mp4(
+        64, 48, 1000, len(sizes), 40, sample_sizes=sizes,
+        payload_pattern=True,
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, blob binary"
+    )
+    got = {
+        r.sample_rank: r for r in MM.fetch_frame_bytes(df, k=4).collect()
+    }
+    r_empty = got[1]  # k=4 over 4 frames: rank 1 -> frame_idx 1 (size 0)
+    assert r_empty.frame_idx == 1 and r_empty.byte_len == 0
+    assert r_empty.first_byte is None and r_empty.byte_sum == 0
+    # its neighbors fetched real content (byte_sum present)
+    assert got[0].byte_sum is not None and got[0].byte_len == 3
+
+
 def test_index_frame_bytes_kernel(spark):
     """index_frame_bytes end to end: variable multi-chunk and uniform
     single-chunk docs resolve k in-container byte ranges each;
