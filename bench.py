@@ -221,13 +221,18 @@ HEADLINE = [
     "winnow_overlap_pairs",
     "unigram_logprob_score",
     "hard_negatives",
-    # sketches / graph / layout (full triangle excluded like exact
-    # all-pairs Jaccard: wedge volume is quadratic in edges; the
-    # capped variant keeps the plan shape in the bench)
+    # sketches / graph / layout.  r11: the full triangle counts moved
+    # INTO the headline — the adjacency-intersection rewrite stopped
+    # materializing the wedge set as rows (graph.py), taking
+    # degree_ordered 33 s -> ~3.1 s and the id-ordered full count
+    # ~45 s-class -> ~3.6 s at sf0.1 (zero-spill at sf1/16 g where
+    # both used to spill GBs).
     "hll_distinct_users",
     "bloom_semi_events",
     "graph_pagerank_parts",
+    "graph_triangle_parts",
     "graph_triangle_parts_capped",
+    "graph_triangle_degree_ordered",
     "events_zorder_stats",
     "events_quantile_sketch",
     # function-surface parity suites + BPE training iteration
@@ -286,11 +291,7 @@ HEADLINE = [
     "logreg_calibration",
     "bootstrap_ci_mean",
     "events_wau_stickiness",
-    # round 3: real image-header decode. (graph_triangle_degree_ordered
-    # is oracle-checked but bench-excluded like the full id-ordered
-    # triangle count: FULL-corpus wedge volume at sf0.1 is ~45 s of
-    # genuinely quadratic work; the capped variant above keeps the
-    # triangle plan shape in the bench.)
+    # round 3: real image-header decode
     "multimodal_image_dims",
     # round 3: corpus-quality / dedup-metric / sampling additions
     "gopher_quality_flags",
@@ -473,17 +474,10 @@ EXCLUDED = {
         "score LSH recall (45 s at sf0.1); the production LSH path it "
         "validates is benched"
     ),
-    "graph_triangle_parts": (
-        "uncapped exact triangle count — unbounded wedge volume on the "
-        "dense co-purchase graph; graph_triangle_parts_capped is the "
-        "benched entry with the same plan shape"
-    ),
-    "graph_triangle_degree_ordered": (
-        "exact Schank-Wagner count (33 s at sf0.1): the near-uniform "
-        "co-purchase degree distribution leaves no low-degree mass for "
-        "degree-ordering to exploit, so the honest exact cost is the "
-        "wedge volume itself; the capped variant is the bench proxy"
-    ),
+    # r11: graph_triangle_parts and graph_triangle_degree_ordered moved
+    # from EXCLUDED to HEADLINE — the adjacency-intersection rewrite
+    # (operators/graph.py) no longer materializes the wedge set, so the
+    # exact counts run in ~3.1-3.6 s at sf0.1 instead of 33-45 s.
 }
 
 
