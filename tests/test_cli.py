@@ -310,6 +310,16 @@ def test_control_band_baselines_pinned():
         "cdc_merge_upsert": 0.33,
         "context_length_plan": 0.19,
     }
+    # second column (r10 verdict item 6): the r11 certified-idle
+    # min-of-5 solo baselines, same five controls, also pinned
+    assert mod.CONTROLS_R11_IDLE == {
+        "ab_sprt_daily": 0.328,
+        "char_entropy": 0.349,
+        "chunk_dedup": 0.474,
+        "cdc_merge_upsert": 0.373,
+        "context_length_plan": 0.217,
+    }
+    assert set(mod.CONTROLS_R11_IDLE) == set(mod.CONTROLS)
     from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import REGISTRY
 
     assert set(mod.CONTROLS) <= set(REGISTRY)

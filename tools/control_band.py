@@ -37,6 +37,20 @@ CONTROLS = {
     "context_length_plan": 0.19,
 }
 
+#: Second baseline column (r10 verdict item 6): the same five queries
+#: re-pinned from a CERTIFIED-IDLE r11 min-of-5 solo run taken under
+#: the calibration admission gate (cpu 0.0304 / jvm 0.1057 — both well
+#: inside CALIB_ADMIT_MAX), so the band gets a modern idle floor with
+#: finer resolution than the permanently-favorable r8 driver moment.
+#: The r8 column is KEPT for round-over-round continuity.
+CONTROLS_R11_IDLE = {
+    "ab_sprt_daily": 0.328,
+    "char_entropy": 0.349,
+    "chunk_dedup": 0.474,
+    "cdc_merge_upsert": 0.373,
+    "context_length_plan": 0.217,
+}
+
 
 def measure() -> dict[str, float]:
     env = dict(os.environ, SPARK_GRAFT_BENCH_REPEATS="5")
@@ -73,23 +87,36 @@ def measure() -> dict[str, float]:
     )
 
 
-def main() -> None:
-    got = measure()
+def _band(got: dict, baselines: dict) -> dict:
     ratios = {}
-    for name, base in CONTROLS.items():
+    for name, base in baselines.items():
         t = got["queries"].get(name)
         if t is not None:
             ratios[name] = round(t / base, 2)
     vals = sorted(ratios.values())
-    band = {
-        "metric": "control_band_vs_r8_driver",
+    return {
         "min": vals[0],
         "median": vals[len(vals) // 2],
         "max": vals[-1],
         "per_query": ratios,
+    }
+
+
+def main() -> None:
+    got = measure()
+    band = {
+        "metric": "control_band",
+        "vs_r8_driver": _band(got, CONTROLS),
+        "vs_r11_idle_solo": _band(got, CONTROLS_R11_IDLE),
         "solo_sec": {n: got["queries"].get(n) for n in CONTROLS},
         "calibration": got["calib"],
-        "baseline": "r8 driver sweep (commit 7195abe)",
+        "baselines": {
+            "r8_driver": "r8 driver sweep (commit 7195abe)",
+            "r11_idle_solo": (
+                "r11 certified-idle min-of-5 solo (calib cpu 0.0304 / "
+                "jvm 0.1057, admission-gated)"
+            ),
+        },
     }
     print(json.dumps(band))
 
