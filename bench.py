@@ -481,6 +481,17 @@ EXCLUDED = {
 }
 
 
+def select_only(pats: "list[str]") -> "list[str]":
+    """--only selection: substring-match against HEADLINE, PLUS any
+    pattern that IS a registry name even when it also substring-matches
+    a different headline entry — the old `not any(p in n ...)` guard
+    silently dropped an exact request like graph_triangle_parts
+    because it matched graph_triangle_parts_capped (r11 fix)."""
+    selected = [n for n in HEADLINE if any(p in n for p in pats)]
+    selected += [p for p in pats if p in REGISTRY and p not in selected]
+    return selected
+
+
 def main() -> None:
     import argparse
 
@@ -496,14 +507,7 @@ def main() -> None:
     headline = HEADLINE
     if args.only:
         pats = [p.strip() for p in args.only.split(",") if p.strip()]
-        headline = [n for n in HEADLINE if any(p in n for p in pats)]
-        missing = [
-            p
-            for p in pats
-            if not any(p in n for n in HEADLINE)
-            and p in REGISTRY  # registered but not in the headline set
-        ]
-        headline += missing
+        headline = select_only(pats)
         # pipeline_sink_write is a bench-only entry (not in REGISTRY);
         # ONE predicate decides both its survival past this check and
         # its execution below — two divergent matchers invited silent

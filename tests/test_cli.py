@@ -512,6 +512,25 @@ def test_round_close_fuzz_smoke_gate():
     assert "fuzz_smoke()" in src and "FAIL (parser fuzz)" in src
 
 
+def test_bench_only_exact_name_not_shadowed_by_substring():
+    """bench.py --only (r11 fix): a pattern that IS a registry name
+    must run even when it substring-matches a DIFFERENT headline
+    entry — graph_triangle_parts was silently skipped because it
+    matched graph_triangle_parts_capped.  Also: plain substring
+    patterns still fan out, and unknown patterns select nothing."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+
+    got = bench.select_only(["graph_triangle_parts"])
+    assert "graph_triangle_parts" in got            # the exact name runs
+    assert "graph_triangle_parts_capped" in got     # substring fan-out kept
+    assert len(got) == len(set(got))                # no duplicates
+    assert bench.select_only(["no_such_query_zzz"]) == []
+
+
 def test_all_committed_artifacts_carry_admission_gate():
     """r10 verdict item 4: every committed measurement artifact —
     BENCH_FULL (bench.py, behavior-tested above), ENVELOPE_BENCH,
