@@ -12486,7 +12486,9 @@ def q_graph_adamic_adar(spark, sf):
     least-informative common neighbors — Adamic–Adar's own premise).
     aa_cap_eval pins the kept-mass fraction.  Then degree
     broadcast-sized dim join, pair-keyed reduce, left-anti against
-    existing edges, TakeOrdered top-15 with deterministic ties.
+    existing edges, TakeOrdered top-15 ordered by the ROUNDED score
+    with (src, dst) ties — deterministic even when mirrored subgraphs
+    make raw float scores collide to ~1 ulp (see the return comment).
 
     The ``edges`` table is PERSISTED: it is consumed twice (the capped
     adjacency build and the left-anti probe), and without the persist
@@ -12536,15 +12538,24 @@ def q_graph_adamic_adar(spark, sf):
         (scores.x == edges.src) & (scores.y == edges.dst),
         "left_anti",
     )
+    # Order by the ROUNDED score, not raw ``aa``: the raw value is a
+    # float SUM whose summation order differs across engines and
+    # layouts, so structurally identical subgraphs (mirrored
+    # communities; the K-fold scale replica) produce score groups
+    # equal to ~1 ulp — and when the top-15 cut lands INSIDE such a
+    # group, which members survive is float noise (the sf1 sweep
+    # caught DuckDB and Spark picking different five of ten).
+    # Rounding to the 6 decimals the query already reports makes the
+    # tie real, and (src, dst) breaks it deterministically.
     return (
-        new_links.orderBy(F.desc("aa"), "x", "y")
-        .limit(15)
-        .select(
+        new_links.select(
             F.col("x").alias("src"),
             F.col("y").alias("dst"),
             "n_common",
             F.round("aa", 6).alias("aa_score"),
         )
+        .orderBy(F.desc("aa_score"), "src", "dst")
+        .limit(15)
     )
 
 
@@ -12569,7 +12580,7 @@ nl AS (SELECT * FROM s WHERE NOT EXISTS
         (SELECT 1 FROM e WHERE e.src = s.x AND e.dst = s.y))
 SELECT x AS src, y AS dst, CAST(n_common AS BIGINT) AS n_common,
        ROUND(aa, 6) AS aa_score
-FROM nl ORDER BY aa DESC, x, y LIMIT 15
+FROM nl ORDER BY aa_score DESC, src, dst LIMIT 15
 """
 
 

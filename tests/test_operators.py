@@ -2693,6 +2693,32 @@ def test_adamic_adar_path_and_cycle(spark):
         assert r.aa_score == round(2 / math.log(2), 6)
 
 
+def test_adamic_adar_tied_cut_is_key_deterministic(spark):
+    """The sf1-sweep regression: 20 mirrored path components each
+    yield one candidate pair with the SAME true score 1/ln 2, and the
+    top-15 cut lands inside that tied group.  Raw float sums collide
+    only to ~1 ulp (summation order differs per layout/engine), so
+    ordering by them made the surviving five-of-ten at sf1 float
+    noise; ordering by the ROUNDED score with (src, dst) ties must
+    select exactly the 15 key-smallest pairs."""
+    import math
+
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+
+    rows = []
+    for i in range(20):
+        off = 100 * i
+        # baskets {1+off, 2+off}, {2+off, 3+off}: candidate (1, 3)+off
+        rows += [(4 * i, 1 + off), (4 * i, 2 + off),
+                 (1000 + 4 * i, 2 + off), (1000 + 4 * i, 3 + off)]
+    got = _with_lineitem(spark, Q, rows, Q.q_graph_adamic_adar)
+    assert len(got) == 15
+    assert [r.src for r in got] == [1 + 100 * i for i in range(15)]
+    for r in got:
+        assert (r.dst, r.n_common) == (r.src + 2, 1)
+        assert r.aa_score == round(1 / math.log(2), 6)
+
+
 def test_assortativity_star_is_minus_one(spark):
     """A star is the maximally disassortative graph: every edge joins
     the degree-3 hub to a degree-1 leaf, so the endpoint-degree
