@@ -632,3 +632,36 @@ def test_round_close_head_detects_stale_pass(tmp_path):
     git("add", "-A")
     git("commit", "-qm", "registry v2 after the gate")
     assert any("AFTER" in p for p in check_round_close_head(repo))
+
+
+def test_scale_override_oracles_agree_with_registry_at_sf001():
+    """The sf1 sweep's list-intersect triangle oracles
+    (tools/scale_oracle_sweep.SCALE_ORACLE_OVERRIDES) must compute the
+    SAME result as the registry's wedge-materializing DuckDB oracles
+    wherever both are feasible — otherwise the scale sweep would be
+    checking Spark against a DIFFERENT definition than the driver's
+    per-round correctness gate does.  Pinned at sf0.01, where the
+    wedge formulation is cheap."""
+    import duckdb
+
+    import __spark_entry__ as m
+    from tools.scale_oracle_sweep import SCALE_ORACLE_OVERRIDES
+    from tools.verify_contract import TABLES, values_equal
+    from tests.test_oracle import canonicalize as canon
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    osql = m.oracle_sql()
+    assert SCALE_ORACLE_OVERRIDES, "override table unexpectedly empty"
+    for name, sql in SCALE_ORACLE_OVERRIDES.items():
+        assert name in osql, f"{name} override has no registry oracle"
+        a = canon(con.execute(sql).df())
+        b = canon(con.execute(osql[name]).df())
+        assert list(a.columns) == list(b.columns), (name, a.columns, b.columns)
+        assert len(a) == len(b), (name, len(a), len(b))
+        for c in a.columns:
+            assert all(
+                values_equal(x, y) for x, y in zip(a[c], b[c])
+            ), f"{name}: column {c} differs between override and registry oracle"
