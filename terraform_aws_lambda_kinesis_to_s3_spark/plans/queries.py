@@ -9968,13 +9968,24 @@ def q_events_winsorize(spark, sf):
     outlier guard before a metric feeds a model or a dashboard. The
     percentile table is O(n_types) and broadcast back onto the fact
     scan; both aggs key on event_type with map-side partials. The
-    percentiles here are EXACT (per-group sort) so the oracle matches
-    bit-for-bit; at 100 TB the one-line swap is approx_percentile
-    (t-digest, no sort), same plan otherwise."""
+    percentiles here are EXACT (per-group sort); at 100 TB the
+    one-line swap is approx_percentile (t-digest, no sort), same plan
+    otherwise.
+
+    Clipping uses the 6-decimal ROUNDED percentile — the same value
+    the query reports.  The raw interpolated percentile is float
+    arithmetic whose last bits differ across engines (Spark
+    ``percentile`` vs DuckDB ``quantile_cont``), and ``n_clipped``
+    counts a STRICT inequality against that boundary: the sf1 scale
+    sweep caught a row sitting exactly at p99 where a ~1-ulp
+    cross-engine difference flipped 10 replica rows in/out of the
+    clipped count.  Rounding the boundary first makes the knife-edge
+    deterministic in both engines (and winsorizing at the boundary
+    you REPORT is the defensible semantics)."""
     ev = _t(spark, sf, "events")
     pct = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.01)").alias("p01"),
-        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.round(F.expr("percentile(value, 0.01)"), 6).alias("p01"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
     clipped = ev.join(F.broadcast(pct), "event_type").withColumn(
         "wvalue", F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
@@ -9984,16 +9995,16 @@ def q_events_winsorize(spark, sf):
         F.round(F.avg("value"), 6).alias("mean_raw"),
         F.round(F.avg("wvalue"), 6).alias("mean_winsorized"),
         F.sum((F.col("value") != F.col("wvalue")).cast("long")).alias("n_clipped"),
-        F.round(F.max("p01"), 6).alias("p01"),
-        F.round(F.max("p99"), 6).alias("p99"),
+        F.max("p01").alias("p01"),
+        F.max("p99").alias("p99"),
     )
 
 
 SQL_EVENTS_WINSORIZE = """
 WITH pct AS (
   SELECT event_type,
-         quantile_cont(value, 0.01) AS p01,
-         quantile_cont(value, 0.99) AS p99
+         ROUND(quantile_cont(value, 0.01), 6) AS p01,
+         ROUND(quantile_cont(value, 0.99), 6) AS p99
   FROM events GROUP BY 1),
 c AS (
   SELECT e.event_type, value,
@@ -10003,8 +10014,8 @@ SELECT event_type, COUNT(*) AS n_events,
        ROUND(AVG(value), 6) AS mean_raw,
        ROUND(AVG(wvalue), 6) AS mean_winsorized,
        CAST(SUM(CASE WHEN value <> wvalue THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
-       ROUND(MAX(p01), 6) AS p01,
-       ROUND(MAX(p99), 6) AS p99
+       MAX(p01) AS p01,
+       MAX(p99) AS p99
 FROM c GROUP BY 1
 """
 
@@ -19728,6 +19739,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_triangle_degree_ordered",
     "graph_triangle_parts",
     "graph_triangle_parts_capped",
+    # sf1 scale-sweep finding: n_clipped counted a strict inequality
+    # against the RAW interpolated percentile, a cross-engine
+    # ~1-ulp knife edge; now clips at the 6-decimal rounded boundary.
+    "events_winsorize",
 )
 
 

@@ -1174,6 +1174,38 @@ def test_events_winsorize_clips_only_tails(spark):
     assert r.p01 > 0.0 and r.p99 < 10000.0
 
 
+def test_events_winsorize_clips_at_rounded_boundary(spark):
+    """The clip boundary is the 6-decimal ROUNDED percentile the query
+    reports, not the raw interpolated float (sf1-sweep regression: a
+    value sitting exactly at p99 flipped n_clipped across engines on a
+    ~1-ulp interpolation difference).  With 101 values, p99 sits at
+    sorted index (101-1)*0.99 = 99 EXACTLY, so the raw percentile is
+    the element there: 100.0000002, which rounds to 100.0.  Under the
+    rounded-boundary semantics that element itself exceeds the
+    boundary and is clipped along with the true max (n_clipped = 2);
+    under raw-boundary clipping it would equal the boundary and
+    survive (n_clipped = 1) — the test discriminates the two."""
+    import terraform_aws_lambda_kinesis_to_s3_spark.plans.queries as Q
+    from datetime import datetime
+
+    vals = [50.0] * 97 + [75.0, 100.0, 100.0000002, 100.000044]
+    rows = [(i, datetime(2024, 1, 1), 1, "t", float(v), "{}")
+            for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string"
+    )
+    orig = Q._t
+    Q._t = lambda spark, sf, name, **k: ev
+    try:
+        r = Q.q_events_winsorize(spark, "x").collect()[0]
+    finally:
+        Q._t = orig
+    assert r.n_events == 101
+    assert r.p99 == 100.0  # the ROUNDED boundary is the reported value
+    assert r.n_clipped == 2  # raw-boundary clipping would report 1
+
+
 def test_mrl_truncation_eval_bounds_and_identity(spark):
     """Recall is 1.0 when truncation keeps all informative dims (pad
     the tail with zeros so the 16-dim prefix IS the full vector)."""
