@@ -27,8 +27,17 @@ Two departures from tools/verify_contract.py (the sf0.01 mirror):
   (SQL-built oriented edge list + ``list_intersect``), so the
   cross-engine check stays two separate computations.
 
+The DuckDB connection gets an explicit ``memory_limit`` (default
+48 GB, ``--duck-mem``): the oracles run IN-PROCESS beside the Spark
+driver JVM, and an all-pairs oracle that needs more than the host has
+must fail as a recorded ``oracle_error`` — the first full-sweep
+attempt was OOM-killed at 124 GB by mrl_truncation_eval's sf1 cross
+join, losing 71 finished comparisons.  Which is also why the artifact
+is rewritten after EVERY query and ``--resume`` skips names already
+recorded in it: a crash costs one query, not the sweep.
+
 Run:  python tools/scale_oracle_sweep.py [sf_dir] [--out FILE]
-      [--budget SEC] [--only name,name]
+      [--budget SEC] [--only name,name] [--duck-mem 48GB] [--resume]
 (defaults: /tmp/spark_graft_scale/sf1, SCALE_ORACLE_SF1.json, 600)
 """
 
@@ -122,6 +131,7 @@ def main() -> int:
     )
     out = "SCALE_ORACLE_SF1.json"
     budget = 600.0
+    duck_mem = "48GB"
     only: list[str] | None = None
     if "--out" in args:
         out = args[args.index("--out") + 1]
@@ -129,16 +139,59 @@ def main() -> int:
         budget = float(args[args.index("--budget") + 1])
     if "--only" in args:
         only = args[args.index("--only") + 1].split(",")
+    if "--duck-mem" in args:
+        duck_mem = args[args.index("--duck-mem") + 1]
 
     spark = get_spark(app_name="scale_oracle_sweep")
     con = duckdb.connect()
+    # No temp_directory: an oracle that exceeds the limit errors fast
+    # (recorded) instead of spilling for the whole wall budget.
+    con.execute(f"SET memory_limit='{duck_mem}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
     qs, osql = m.queries(), m.oracle_sql()
     names = [n for n in qs if only is None or n in only]
     per: dict[str, dict] = {}
+    if "--resume" in args and os.path.exists(out):
+        with open(out) as f:
+            per = json.load(f).get("per_query", {})
+        skipped = [n for n in names if n in per]
+        names = [n for n in names if n not in per]
+        print(f"resume: {len(skipped)} names already recorded in {out}, "
+              f"{len(names)} to run", flush=True)
     t_sweep = time.time()
+
+    def write_artifact() -> dict:
+        by = lambda st: sorted(  # noqa: E731
+            n for n, r in per.items() if r.get("status") == st
+        )
+        artifact = {
+            "sf": sf,
+            "budget_sec": budget,
+            "duck_mem": duck_mem,
+            "n_queries": len(per),
+            "n_match": len(by("match")),
+            "mismatch": by("mismatch"),
+            "oracle_budget_exceeded": by("oracle_budget_exceeded"),
+            "oracle_error": by("oracle_error") + sorted(
+                n for n, r in per.items()
+                if str(r.get("status", "")).startswith("oracle_error:")
+            ),
+            "spark_error": by("spark_error"),
+            "rows_only": by("rows_only") + by("rows_only_empty"),
+            "scale_overrides_used": sorted(
+                n for n in per if per[n].get("oracle") == "scale_override"
+            ),
+            "wall_sec": round(time.time() - t_sweep, 1),
+            "per_query": per,
+        }
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        os.replace(tmp, out)
+        return artifact
+
     for i, name in enumerate(names):
         rec: dict = {}
         t0 = time.time()
@@ -148,6 +201,7 @@ def main() -> int:
             rec = {"status": "spark_error",
                    "detail": f"{type(e).__name__}: {str(e)[:120]}"}
             per[name] = rec
+            write_artifact()
             print(f"[{i+1}/{len(names)}] {name}: SPARK ERROR", flush=True)
             continue
         rec["sec_spark"] = round(time.time() - t0, 2)
@@ -156,6 +210,7 @@ def main() -> int:
         if sql is None:
             rec["status"] = "rows_only" if len(s) > 0 else "rows_only_empty"
             per[name] = rec
+            write_artifact()
             print(f"[{i+1}/{len(names)}] {name}: {rec['status']} "
                   f"({len(s)} rows)", flush=True)
             continue
@@ -183,29 +238,13 @@ def main() -> int:
                 rec["detail"] = f"rows {len(a)} vs {len(b)}"
             rec["status"] = "match" if ok else "mismatch"
         per[name] = rec
+        write_artifact()
         print(f"[{i+1}/{len(names)}] {name}: {rec['status'].upper()} "
               f"({rec.get('rows', '?')} rows, spark {rec.get('sec_spark')}s, "
               f"oracle {rec.get('sec_oracle')}s)", flush=True)
         del s
 
-    by = lambda st: sorted(n for n, r in per.items() if r.get("status") == st)  # noqa: E731
-    artifact = {
-        "sf": sf,
-        "budget_sec": budget,
-        "n_queries": len(per),
-        "n_match": len(by("match")),
-        "mismatch": by("mismatch"),
-        "oracle_budget_exceeded": by("oracle_budget_exceeded"),
-        "spark_error": by("spark_error"),
-        "rows_only": by("rows_only") + by("rows_only_empty"),
-        "scale_overrides_used": sorted(
-            n for n in per if per[n].get("oracle") == "scale_override"
-        ),
-        "wall_sec": round(time.time() - t_sweep, 1),
-        "per_query": per,
-    }
-    with open(out, "w") as f:
-        json.dump(artifact, f, indent=1, sort_keys=True)
+    artifact = write_artifact()
     bad = artifact["mismatch"] + artifact["spark_error"]
     print(f"\n{len(per)} queries: {artifact['n_match']} match, "
           f"{len(artifact['mismatch'])} mismatch, "
