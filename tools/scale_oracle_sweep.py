@@ -27,14 +27,18 @@ Two departures from tools/verify_contract.py (the sf0.01 mirror):
   (SQL-built oriented edge list + ``list_intersect``), so the
   cross-engine check stays two separate computations.
 
-The DuckDB connection gets an explicit ``memory_limit`` (default
-48 GB, ``--duck-mem``): the oracles run IN-PROCESS beside the Spark
-driver JVM, and an all-pairs oracle that needs more than the host has
-must fail as a recorded ``oracle_error`` — the first full-sweep
-attempt was OOM-killed at 124 GB by mrl_truncation_eval's sf1 cross
-join, losing 71 finished comparisons.  Which is also why the artifact
-is rewritten after EVERY query and ``--resume`` skips names already
-recorded in it: a crash costs one query, not the sweep.
+Every oracle runs in its OWN spawned subprocess with an explicit
+DuckDB ``memory_limit`` (default 48 GB, ``--duck-mem``).  Isolation
+is the load-bearing part: DuckDB's memory_limit does NOT bound every
+operator (mrl_truncation_eval's sf1 cross join blew through a 48 GB
+cap to 118 GB), and when the oracle shared the sweep process the OOM
+killer took the whole sweep — twice, the first time losing 71
+finished comparisons.  In a child, the kernel kills the child
+(exitcode -9), the parent records an honest ``oracle_error``, and
+the sweep continues.  The wall budget is enforced the same way
+(terminate the child), and the artifact is rewritten atomically
+after EVERY query with ``--resume`` skipping names already recorded:
+a crash of any kind costs one query, not the sweep.
 
 Run:  python tools/scale_oracle_sweep.py [sf_dir] [--out FILE]
       [--budget SEC] [--only name,name] [--duck-mem 48GB] [--resume]
@@ -43,10 +47,10 @@ Run:  python tools/scale_oracle_sweep.py [sf_dir] [--out FILE]
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import sys
-import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -102,26 +106,65 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
 }
 
 
-def run_oracle(con, sql: str, budget: float):
-    """Execute sql with a watchdog that interrupts after ``budget``
-    seconds.  Returns (df, None) or (None, status_str)."""
+def _oracle_child(sf: str, sql: str, duck_mem: str, out_path: str) -> None:
+    """Subprocess body: own DuckDB connection, own views, result (or a
+    caught DuckDB error) pickled to ``out_path``.  If the kernel kills
+    this process instead, the parent sees the exitcode."""
     import duckdb
+    import pandas as pd
 
-    timer = threading.Timer(budget, con.interrupt)
-    timer.start()
+    con = duckdb.connect()
+    con.execute(f"SET memory_limit='{duck_mem}'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     try:
-        return con.execute(sql).df(), None
-    except duckdb.InterruptException:
-        return None, "oracle_budget_exceeded"
+        df = con.execute(sql).df()
     except duckdb.Error as e:
-        return None, f"oracle_error: {type(e).__name__}: {str(e)[:120]}"
+        pd.to_pickle({"err": f"{type(e).__name__}: {str(e)[:120]}"}, out_path)
+        return
+    pd.to_pickle({"df": df}, out_path)
+
+
+def run_oracle(sf: str, sql: str, budget: float, duck_mem: str):
+    """Run one oracle in a spawned subprocess with a wall budget.
+    Returns (df, None) or (None, status_str)."""
+    import multiprocessing as mp
+    import tempfile
+
+    import pandas as pd
+
+    fd, path = tempfile.mkstemp(suffix=".pkl")
+    os.close(fd)
+    try:
+        # spawn, not fork: the parent carries a JVM gateway and Spark
+        # state a forked child must not inherit
+        p = mp.get_context("spawn").Process(
+            target=_oracle_child, args=(sf, sql, duck_mem, path)
+        )
+        p.start()
+        p.join(budget)
+        if p.is_alive():
+            p.terminate()
+            p.join(30)
+            if p.is_alive():
+                p.kill()
+                p.join()
+            return None, "oracle_budget_exceeded"
+        if p.exitcode != 0:
+            return None, (
+                f"oracle_error: child exit {p.exitcode}"
+                + (" (oom-killed)" if p.exitcode == -9 else "")
+            )
+        res = pd.read_pickle(path)
+        if "err" in res:
+            return None, f"oracle_error: {res['err']}"
+        return res["df"], None
     finally:
-        timer.cancel()
+        with contextlib.suppress(OSError):
+            os.unlink(path)
 
 
 def main() -> int:
-    import duckdb
-
     import __spark_entry__ as m
     from terraform_aws_lambda_kinesis_to_s3_spark.session import get_spark
 
@@ -143,13 +186,6 @@ def main() -> int:
         duck_mem = args[args.index("--duck-mem") + 1]
 
     spark = get_spark(app_name="scale_oracle_sweep")
-    con = duckdb.connect()
-    # No temp_directory: an oracle that exceeds the limit errors fast
-    # (recorded) instead of spilling for the whole wall budget.
-    con.execute(f"SET memory_limit='{duck_mem}'")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-
     qs, osql = m.queries(), m.oracle_sql()
     names = [n for n in qs if only is None or n in only]
     per: dict[str, dict] = {}
@@ -217,7 +253,7 @@ def main() -> int:
         if name in SCALE_ORACLE_OVERRIDES:
             rec["oracle"] = "scale_override"
         t0 = time.time()
-        d, status = run_oracle(con, sql, budget)
+        d, status = run_oracle(sf, sql, budget, duck_mem)
         rec["sec_oracle"] = round(time.time() - t0, 2)
         if status is not None:
             rec["status"] = status
