@@ -37,6 +37,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r11 optimization round: let AQE size CACHED plan output
+        # partitions by bytes instead of freezing the pre-AQE
+        # partition count at materialization.  Every persisted stage
+        # (SHARED_STAGE_CACHES + the in-query persists) otherwise pins
+        # its cache at spark.sql.shuffle.partitions and every consumer
+        # stage pays that task count regardless of data size — the
+        # triangle family read 568 tasks/query with the flag off vs
+        # 224 with it on, shuffle 248 -> 223 MB, at identical results
+        # (the partition-invariance audit pins layout-blindness).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
