@@ -8701,7 +8701,12 @@ def q_quality_fasttext_score(spark, sf):
     quality_logreg_train shows the training side with real learned
     weights. Bag (with-multiplicity) semantics, matching fastText's
     mean-of-feature-vectors pooling."""
-    d = _t(spark, sf, "documents").withColumn("toks", F.split("text", " "))
+    # parallelize=True (r11 optimization round): heavy per-row text
+    # work off a single-row-group 1-task scan; measured 1.86 s vs 0.74 s
+    # rebalanced (min-of-3, same session)
+    d = _t(spark, sf, "documents", parallelize=True).withColumn(
+        "toks", F.split("text", " ")
+    )
     feats = d.select(
         "doc_id",
         "source",
@@ -9678,7 +9683,12 @@ def q_skipgram_negative_pairs(spark, sf):
     distinct-negs over all pairs — the expensive countDistinct Expand
     runs on the ~1k-row distinct-pair table, not the raw pairs: 2.6 s,
     and at 100 TB the only big shuffle is the combinable pair reduce."""
-    d = _t(spark, sf, "documents").withColumn("toks", F.split("text", " "))
+    # parallelize=True (r11 optimization round): heavy per-row text
+    # work off a single-row-group 1-task scan; measured 2.00 s vs 1.15 s
+    # rebalanced (min-of-3, same session)
+    d = _t(spark, sf, "documents", parallelize=True).withColumn(
+        "toks", F.split("text", " ")
+    )
     pairs_expr = F.expr(
         f"flatten(transform(sequence(0, size(toks) - 1), i ->"
         f" transform(filter(sequence(greatest(0, i - {SKIPGRAM_WINDOW}),"
@@ -9942,7 +9952,12 @@ def q_bpe_encode_tokens(spark, sf):
     this is a single narrow map pass; a real 32k-merge vocab would
     swap the unrolled replaces for one Arrow-batched pandas_udf with
     the same word-level contract (the oracle pins that contract)."""
-    d = _t(spark, sf, "documents").withColumn("toks", F.split("text", " "))
+    # parallelize=True (r11 optimization round): heavy per-row text
+    # work off a single-row-group 1-task scan; measured 1.21 s vs 0.53 s
+    # rebalanced (min-of-3, same session)
+    d = _t(spark, sf, "documents", parallelize=True).withColumn(
+        "toks", F.split("text", " ")
+    )
     enc = F.expr(
         f"transform(toks, w -> size(split({_bpe_word_expr('w')},"
         f" '{BPE_SEP}{BPE_SEP}')))"
@@ -10627,7 +10642,10 @@ def q_gram_frequency_spectrum(spark, sf):
     spectrum agg runs on the distinct-count table whose cardinality is
     bounded by max gram count — tiny; total mass is a 1-row
     broadcast."""
-    d = _t(spark, sf, "documents")
+    # parallelize=True (r11 optimization round): heavy per-row text
+    # work off a single-row-group 1-task scan; measured 1.11 s vs 0.76 s
+    # rebalanced (min-of-3, same session)
+    d = _t(spark, sf, "documents", parallelize=True)
     sp = d.select(F.split("text", " ").alias("sp"))
     grams = sp.select(
         F.explode(
@@ -19789,6 +19807,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bootstrap_ci_mean",
     "cms_error_eval",
     "pipeline_schema_profile",
+    "skipgram_negative_pairs",
+    "quality_fasttext_score",
+    "gram_frequency_spectrum",
+    "bpe_encode_tokens",
 )
 
 
