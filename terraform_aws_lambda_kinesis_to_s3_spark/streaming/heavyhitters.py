@@ -83,7 +83,22 @@ def hh_partial(
     so the global top-(k+1) is contained in the union of per-group
     top-(k+1)s for ANY disjoint grouping — the prune is exact, and the
     single-partition sort is over a bounded row count instead of the
-    full distinct-key census."""
+    full distinct-key census.
+
+    ONE LINEAR SUBTREE (r11 optimization round): ``__thr`` and ``__n``
+    used to be separate scalar aggregates crossJoin-broadcast onto the
+    kept rows, which made Catalyst replay the census (and its whole
+    upstream) once per consumer — three full builds per summary, and
+    the batch-analog oracle query (hh_merge_bounds, 4 shards) read 122
+    exchanges / 156 hash-aggregates in one plan.  Both scalars are now
+    window aggregates over the pruned survivors: the threshold is the
+    count at global rank k+1 (ordering is count-desc, so that row IS
+    the max excluded count, and the prune provably keeps it), and the
+    batch total is recovered exactly from per-salt-group sums taken
+    BEFORE the prune (every non-empty salt group keeps its __lrn==1
+    row, which carries the group's full mass; empty groups contribute
+    0).  Global windows run on <= (k+1) x NSALT rows — same bound the
+    two-stage rank already pays."""
     census = (
         batch_df.select(F.col(key_col).alias("__key"))
         .groupBy("__key")
@@ -91,25 +106,36 @@ def hh_partial(
     )
     order = (F.col("__c").desc(), F.col("__key").asc())
     lw = Window.partitionBy("__salt").orderBy(*order)
+    salt_w = Window.partitionBy("__salt")
     pruned = (
         census.withColumn(
             "__salt", F.pmod(F.xxhash64("__key"), F.lit(NSALT))
         )
         .withColumn("__lrn", F.row_number().over(lw))
+        .withColumn("__salt_n", F.sum("__c").over(salt_w))
         .filter(F.col("__lrn") <= k + 1)
-        .drop("__salt", "__lrn")
     )
     w = Window.orderBy(*order)
-    ranked = pruned.withColumn("__rn", F.row_number().over(w))
-    kept = ranked.filter(F.col("__rn") <= k).drop("__rn")
-    # Ordering is count-desc, so the max count among ALL excluded keys
-    # is the count at global rank k+1 — which the prune provably keeps.
-    thr = (
-        ranked.filter(F.col("__rn") == k + 1)
-        .agg(F.coalesce(F.max("__c"), F.lit(0)).alias("__thr"))
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "__thr",
+            F.coalesce(
+                F.max(F.when(F.col("__rn") == k + 1, F.col("__c"))).over(w_all),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "__n",
+            F.coalesce(
+                F.sum(F.when(F.col("__lrn") == 1, F.col("__salt_n"))).over(w_all),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("__rn") <= k)
+        .select("__key", "__c", "__thr", "__n")
     )
-    n = census.agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"))
-    return kept.crossJoin(F.broadcast(thr)).crossJoin(F.broadcast(n))
 
 
 def hh_merged_topk(
@@ -120,20 +146,45 @@ def hh_merged_topk(
     Requires a ``__batch`` column distinguishing the piles (the monitor
     writes one summary per run/batch path and stamps it).  Returns
     (key, est_count, upper_count, error_bound, est_frac, bound_frac)
-    ordered by est_count desc, key asc."""
-    per_batch = summaries.select("__batch", "__thr", "__n").distinct()
-    totals = per_batch.agg(
-        F.sum("__thr").alias("__thr_total"),
-        F.sum("__n").cast("double").alias("__mass"),
+    ordered by est_count desc, key asc.
+
+    ONE PASS over ``summaries`` (r11 optimization round): the run
+    totals (sum of per-batch thresholds; total mass) used to be a
+    separate distinct+agg crossJoin-broadcast, which replayed the
+    whole summaries subtree a second time — in the batch-analog
+    oracle query that subtree is 4 computed shard summaries, not a
+    cheap parquet read.  ``__thr``/``__n`` are constant within a
+    batch, so one representative row per batch (row_number over
+    __batch == 1) feeds global window sums, and the totals ride into
+    the per-key aggregate as ``first()`` of a global constant.  The
+    global window runs on the summary rows themselves — O(kept rows
+    x batches), the merge's own state bound."""
+    fb = Window.partitionBy("__batch").orderBy("__key")
+    g_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    merged = summaries.groupBy("__key").agg(
+    stamped = (
+        summaries.withColumn("__fb", F.row_number().over(fb) == 1)
+        .withColumn(
+            "__thr_total",
+            F.sum(F.when(F.col("__fb"), F.col("__thr"))).over(g_all),
+        )
+        .withColumn(
+            "__mass",
+            F.sum(F.when(F.col("__fb"), F.col("__n")))
+            .over(g_all)
+            .cast("double"),
+        )
+    )
+    merged = stamped.groupBy("__key").agg(
         F.sum("__c").alias("__lower"),
         F.sum("__thr").alias("__thr_present"),
+        F.first("__thr_total").alias("__thr_total"),
+        F.first("__mass").alias("__mass"),
     )
     w = Window.orderBy(F.col("__lower").desc(), F.col("__key").asc())
     return (
-        merged.crossJoin(F.broadcast(totals))
-        .withColumn("__rn", F.row_number().over(w))
+        merged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select(
             F.col("__key").alias("key"),
