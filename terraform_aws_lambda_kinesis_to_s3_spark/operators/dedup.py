@@ -620,6 +620,12 @@ def cluster_pairs(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("n_min"))
         )
+        # Checkpoint FIRST, probe convergence after (r11 optimization
+        # round): probing `changed` on the un-checkpointed plan ran the
+        # whole propagation round once for the probe and AGAIN for the
+        # eager checkpoint — two full passes per round.  Materialize
+        # once, then the probe is a cheap join of two checkpointed
+        # label tables.
         new_labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
@@ -628,7 +634,7 @@ def cluster_pairs(
                     F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-        )
+        ).localCheckpoint(eager=True)  # truncate lineage per round
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -636,7 +642,7 @@ def cluster_pairs(
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
+        labels = new_labels
         if changed == 0:
             break
     return labels
