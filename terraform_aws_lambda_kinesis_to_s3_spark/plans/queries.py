@@ -10407,7 +10407,10 @@ def _midranks_grouped(g, col, cnt="cnt"):
     midrank(v) = (# rows below v) + (cnt(v)+1)/2 reproduces
     AVG(row_number) over each tie group exactly; the prefix count is
     _blocked_cumsum's decomposable two-phase sum, never a global
-    sort."""
+    sort.  ``g`` is persisted so the join-back reads the cache the
+    blocked pass populated (the helper's projection reads THROUGH this
+    cache) instead of replaying the caller's groupBy lineage."""
+    g = g.persist()
     below = _blocked_cumsum(
         g.select(col, F.col(cnt).cast("double").alias("__w")), col, "__w"
     )
@@ -10950,7 +10953,7 @@ FROM events GROUP BY 1
 """
 
 
-def _blocked_cumsum_multi(g, key, weights):
+def _blocked_cumsum_multi(g, key, weights, persist_input=True):
     """Exact prefix sums for SEVERAL weight columns in ONE pass, without
     a global single-partition sort: for a distinct-key table
     ``g(key, w1, w2, ...)``, returns (key, w*, below_w*) where
@@ -10960,7 +10963,25 @@ def _blocked_cumsum_multi(g, key, weights):
     within-block cumsum partitioned by block); all weights share the
     one block assignment and the one within-block sort, so a KS test's
     two ECDFs or Heaps'-law's (tokens, vocab) pair cost a single
-    blocked pass instead of two."""
+    blocked pass instead of two.
+
+    ``g`` is persisted EAGERLY here (r11 optimization round): the
+    helper consumes it three times (the range agg, the block-offset
+    agg, and the final within-block pass) and most callers consume it
+    a fourth time (a join-back or a totals agg) — without the persist
+    Catalyst replays g's whole lineage, which at the call sites is the
+    fact-table scan + groupBy, once per consumer.  Eager (count, not
+    lazy) because the consumers materialize through independent
+    broadcast jobs that would otherwise race the cache population and
+    each recompute the build — the triangle-family lesson.  The cached
+    table is O(distinct keys) by construction.  Callers whose ``g``
+    is ALREADY persisted (or reads through a persisted parent) pass
+    ``persist_input=False``: there the extra count job is pure
+    overhead (measured +0.2-0.4 s on conformal_coverage /
+    user_survival_km in the r11 A/B)."""
+    if persist_input:
+        g = g.persist()
+        g.count()
     rng = g.agg(
         F.min(key).cast("double").alias("lo"),
         F.max(key).cast("double").alias("hi"),
@@ -11988,12 +12009,16 @@ def q_events_peak_concurrency(spark, sf):
         )
     )
     g = bounds.groupBy("k").agg(F.sum("delta").alias("delta"))
-    cum = _blocked_cumsum(g, "k", "delta")
-    conc = cum.join(g, "k").select(
+    # _blocked_cumsum_multi carries the weight column through, so the
+    # running concurrency needs no join-back on g (r11 optimization
+    # round: the wrapper discarded delta and this site re-joined to
+    # recover it — one exchange plus a fourth consumption of g's
+    # lineage for nothing)
+    conc = _blocked_cumsum_multi(g, "k", ["delta"]).select(
         F.to_date(F.timestamp_micros(F.expr("CAST(k DIV 2 AS LONG)"))).alias(
             "day"
         ),
-        (F.col("below") + F.col("delta")).alias("conc"),
+        (F.col("below_delta") + F.col("delta")).alias("conc"),
         F.when(F.col("k") % 2 == 0, F.col("delta")).otherwise(0.0).alias(
             "starts"
         ),
@@ -13176,9 +13201,9 @@ def q_user_survival_km(spark, sf):
         F.sum(F.lit(1) - F.col("death")).cast("double").alias("c"),
     )
     n_tot = g.agg(F.sum(F.col("d") + F.col("c")).alias("ntot"))
-    cum = _blocked_cumsum_multi(g, "t", ["d", "c"]).crossJoin(
-        F.broadcast(n_tot)
-    )
+    cum = _blocked_cumsum_multi(
+        g, "t", ["d", "c"], persist_input=False
+    ).crossJoin(F.broadcast(n_tot))
     risk = cum.select(
         "t",
         "d",
@@ -13199,6 +13224,7 @@ def q_user_survival_km(spark, sf):
         logterm.select("t", F.coalesce("lg", F.lit(0.0)).alias("lg")),
         "t",
         ["lg"],
+        persist_input=False,  # reads through the logterm persist above
     )
     zero_hit = logterm.where(F.col("lg").isNull()).agg(F.min("t").alias("zt"))
     return (
@@ -13490,7 +13516,9 @@ def q_conformal_coverage(spark, sf):
         .cast("double")
         .alias("k"),
     )
-    cum = _blocked_cumsum_multi(g, "s", ["cnt"]).crossJoin(F.broadcast(nk))
+    cum = _blocked_cumsum_multi(
+        g, "s", ["cnt"], persist_input=False  # g persisted above
+    ).crossJoin(F.broadcast(nk))
     thr = (
         cum.where(F.col("below_cnt") + F.col("cnt") >= F.col("k"))
         .groupBy("n_cal", "k")
@@ -19822,6 +19850,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # all four consumers re-verified MATCH at sf0.01 in the landing
     # commit, this entry pins the changed (large) regime.
     "dedup_clusters_distributed",
+    # _blocked_cumsum_multi/_midranks_grouped eager-persist change
+    # (helper closure shared by the 12 entries below) + the
+    # events_peak_concurrency join-back removal; all 12 re-verified
+    # MATCH at sf0.01 in the landing commit.
+    "conformal_coverage",
+    "customer_revenue_gini",
+    "events_brownout_windows",
+    "events_ks_test",
+    "events_mann_whitney",
+    "events_peak_concurrency",
+    "heaps_law_fit",
+    "logreg_auc",
+    "oov_vs_vocab_curve",
+    "parts_abc_classification",
+    "quality_length_spearman",
+    "user_survival_km",
 )
 
 

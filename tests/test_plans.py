@@ -352,7 +352,11 @@ def test_blocked_cumsum_reuse_contract(spark):
             F.col("id").cast("double").alias("t"),
             (F.col("id") % 7).cast("double").alias("d"),
         )
-        cum = _blocked_cumsum_multi(g, "t", ["d"])
+        # persist_input=False reproduces the pre-r11 helper (no
+        # internal eager persist) so this test keeps pinning the
+        # CALLER-side contract it was written for; the helper's own
+        # default persist is pinned separately below.
+        cum = _blocked_cumsum_multi(g, "t", ["d"], persist_input=False)
         # every downstream column depends on the cumsum output (as
         # user_survival_km's at-risk count does), so no consumer can
         # prune the window away
@@ -370,6 +374,7 @@ def test_blocked_cumsum_reuse_contract(spark):
             logterm.select("t", F.coalesce("lg", F.lit(0.0)).alias("lg")),
             "t",
             ["lg"],
+            persist_input=False,
         )
         probe = logterm.where(F.col("lg").isNull()).agg(
             F.min("t").alias("zt")
@@ -396,6 +401,32 @@ def test_blocked_cumsum_reuse_contract(spark):
         "more than its two bounded block-total windows; a consumer is "
         "re-inlining the cumsum lineage despite the persist"
     )
+
+
+def test_blocked_cumsum_persists_input_by_default(spark):
+    """r11 optimization contract: _blocked_cumsum_multi eagerly persists
+    its input table by default, so the helper's three internal
+    consumers (range agg, block offsets, within-block pass) and any
+    caller-side join-back all read one InMemoryRelation instead of
+    replaying g's lineage per consumer."""
+    from terraform_aws_lambda_kinesis_to_s3_spark.plans.queries import (
+        _blocked_cumsum_multi,
+    )
+
+    g = spark.range(1, 50).select(
+        F.col("id").cast("double").alias("k"),
+        (F.col("id") % 5).cast("double").alias("w"),
+    )
+    out = _blocked_cumsum_multi(g, "k", ["w"])
+    plan = _formatted_plan(out)
+    assert "InMemoryTableScan" in plan, (
+        "default _blocked_cumsum_multi no longer persists its input — "
+        "every consumer replays g's lineage"
+    )
+    got = {r["k"]: (r["w"], r["below_w"]) for r in out.collect()}
+    assert got[1.0] == (1.0, 0.0) and got[7.0] == (2.0, sum(
+        float(i % 5) for i in range(1, 7)
+    )), "blocked cumsum values changed under the persist"
 
 
 @pytest.mark.parametrize(
