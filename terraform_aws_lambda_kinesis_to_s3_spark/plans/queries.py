@@ -696,7 +696,24 @@ def q2_min_cost_supplier(spark, sf):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    supply = l.groupBy("l_partkey", "l_suppkey").agg(
+    # Pre-filter the fact BEFORE the (part, supplier) aggregate (r11
+    # optimization round; guide §3.2): only qualifying parts and EUROPE
+    # suppliers survive the downstream inner joins, so semi-filtering
+    # lineitem first shrinks the groupBy's shuffle by the part
+    # predicate's selectivity (~1/250) instead of aggregating every
+    # (part, supplier) pair and discarding almost all of them.  Results
+    # identical: unit_cost is per-(part, supplier), unaffected by
+    # dropping other groups.
+    lf = l.join(
+        F.broadcast(p.select("p_partkey")),
+        l.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(eu_supp.select("s_suppkey")),
+        l.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+    supply = lf.groupBy("l_partkey", "l_suppkey").agg(
         (
             F.sum(_dec("l_extendedprice")).cast("double")
             / F.sum(_dec("l_quantity")).cast("double")
@@ -768,12 +785,28 @@ def q7_volume_shipping(spark, sf):
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    # Pre-filter BOTH fact sides before the orderkey join (r11
+    # optimization round; guide §2.3/§3): the pair predicate implies
+    # supp_nation AND cust_nation each lie in {NATION_1, NATION_2}, so
+    # restricting the nation dims first and attaching them to lineitem
+    # (broadcast) / orders (customer-keyed join) up front shrinks both
+    # sides of the big orderkey shuffle ~12x; the old plan shuffled the
+    # full date-filtered lineitem against ALL orders and filtered the
+    # nations last.  Inner joins throughout — the surviving rows are
+    # identical.
+    two = ("NATION_1", "NATION_2")
+    s2 = s.join(
+        F.broadcast(sn.filter(F.col("supp_nation").isin(*two))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    c2 = c.join(
+        F.broadcast(cn.filter(F.col("cust_nation").isin(*two))),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    l2 = l.join(F.broadcast(s2), l.l_suppkey == F.col("s_suppkey"))
+    o2 = o.join(c2, o.o_custkey == F.col("c_custkey"))
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        l2.join(o2, l2.l_orderkey == o2.o_orderkey)
         .filter(pair)
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
@@ -823,14 +856,25 @@ def q8_market_share(spark, sf):
     nation_vol = F.when(
         F.col("supp_nation") == "NATION_3", volume
     ).otherwise(F.lit(0).cast(DEC))
-    return (
-        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+    # Semi-reduce orders to ASIA-region customers BEFORE the orderkey
+    # join (r11 optimization round; guide §2.3/§3.2): the query never
+    # projects a customer column — the c ⨝ cn ⨝ region chain only
+    # filters — so it collapses to one left_semi of orders against the
+    # ASIA customer keys, dropping the full o ⨝ c shuffle join and
+    # shrinking the orders side of the big join by the region's
+    # selectivity.  Surviving rows identical (inner ⨝ + semi ≡ the old
+    # join-then-semi chain).
+    asia_cust = (
+        c.join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(
             F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"), "left_semi"
         )
+        .select("c_custkey")
+    )
+    o2 = o.join(asia_cust, o.o_custkey == F.col("c_custkey"), "left_semi")
+    return (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .join(o2, l.l_orderkey == o2.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
@@ -12099,10 +12143,18 @@ def q_ngram_novelty_curve(spark, sf):
                 ),
             ).otherwise(F.array())
         ).alias("gram"),
-    ).distinct()
-    first = grams.groupBy("gram").agg(F.min("doc_id").alias("fd"))
+    )
+    # ONE gram-keyed exchange (r11 optimization round; guide §2.4): the
+    # explicit repartition("gram") is reused by BOTH the (doc, gram)
+    # dedup (gram is a prefix of the grouping key, so the aggregate
+    # needs no second exchange) and the first-occurrence window — the
+    # old groupBy(gram) + join-back consumed the exploded gram table
+    # twice and paid two more gram-keyed exchanges for the same
+    # min(doc_id) value.
+    dedup = grams.repartition("gram").dropDuplicates()
+    fd = F.min("doc_id").over(Window.partitionBy("gram"))
     per_doc = (
-        grams.join(first, "gram")
+        dedup.withColumn("fd", fd)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
@@ -12592,7 +12644,14 @@ def q_graph_adamic_adar(spark, sf):
     tasks and assortativity 43.6->70 MB; the persist pays for itself
     only within this query, where the subtree is consumed twice.)"""
     li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    # Eager persist (r11 optimization round): under a single action the
+    # wedge sides and the anti-join probe materialize concurrently and
+    # race a LAZY cache's population, each recomputing the self-join
+    # build — the same failure mode measured on the triangle family
+    # (change 1).  count() materializes once, every consumer reads the
+    # cache.
     edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
+    edges.count()
     adj = edges.select(
         F.col("src").alias("z"), F.col("dst").alias("nb")
     ).unionAll(edges.select(F.col("dst").alias("z"), F.col("src").alias("nb")))
@@ -12610,6 +12669,7 @@ def q_graph_adamic_adar(spark, sf):
         .drop("rn")
         .persist()
     )
+    capped.count()  # eager for the same reason as edges above
     a1 = capped.select("z", F.col("nb").alias("x"), "deg")
     a2 = capped.select("z", F.col("nb").alias("y"))
     wedges = a1.join(a2, "z").filter(F.col("x") < F.col("y"))
@@ -16860,6 +16920,7 @@ def q_hash_dim_fidelity_sweep(spark, sf):
     # over the whole corpus scan (measured: that pushed filter alone
     # re-shingled all docs per consuming subtree)
     d_p = d.join(pair_docs, "doc_id", "semi").persist()
+    d_p.count()  # eager: both featurizers race a lazy cache (change 1)
     variants = spark.createDataFrame(
         [("word", 64), ("word", 256), ("word", 1024), ("shingle", 1024)],
         "feature string, dim int",
@@ -16898,6 +16959,7 @@ def q_hash_dim_fidelity_sweep(spark, sf):
         )
         .persist()  # consumed by the dot join (twice) and the norms
     )
+    comp.count()  # eager: the three consumers race a lazy cache (change 1)
     nrm = comp.groupBy("feature", "dim", "doc_id").agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("l2")
     )
@@ -19866,6 +19928,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "parts_abc_classification",
     "quality_length_spearman",
     "user_survival_km",
+    # r11 batch 3: fact-side pre-filters (q2 semi-joins before the
+    # (part,supplier) agg; q7 two-nation dims attached before the
+    # orderkey join; q8 orders semi-reduced to ASIA customers),
+    # ngram_novelty_curve single gram-keyed exchange, adamic-adar +
+    # hash_dim_fidelity_sweep eager persists.  All re-verified MATCH
+    # at sf0.01 in the landing commit.
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "ngram_novelty_curve",
+    "hash_dim_fidelity_sweep",
 )
 
 
