@@ -8254,11 +8254,20 @@ def q_dup_ngram_coverage(spark, sf):
     n = DUP_SPAN_N
     d = _t(spark, sf, "documents").withColumn("toks", F.split("text", " "))
     grams = _word_ngram_positions(d, n)
-    dup = grams.groupBy("gram").count().filter(F.col("count") >= 2).select("gram")
+    # ONE gram-keyed exchange (r11 optimization round; guide §2.4): the
+    # corpus frequency rides a gram-partitioned window instead of a
+    # groupBy(gram) + join-back, so the gram explode is computed once
+    # and the duplicated-gram filter is a map-side predicate.  The
+    # covered-position dedup repartitions by doc_id first: doc_id is a
+    # prefix of the dedup key, so the distinct needs no second
+    # exchange and the per-doc count reuses the same partitioning.
+    gram_freq = F.count("*").over(Window.partitionBy("gram"))
     covered = (
-        grams.join(dup, "gram")
+        grams.withColumn("c", gram_freq)
+        .filter(F.col("c") >= 2)
         .select("doc_id", F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("p"))
-        .distinct()
+        .repartition("doc_id")
+        .dropDuplicates(["doc_id", "p"])
         .groupBy("doc_id")
         .agg(F.count("*").alias("covered"))
     )
@@ -8311,30 +8320,33 @@ def q_dedup_span_removal(spark, sf):
     toks = d.select(
         "doc_id", F.posexplode("toks").alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    # gram occurrences feed both the first-occurrence aggregate and the
-    # removal join — persist so the explode runs once
-    grams = _word_ngram_positions(d, n).persist()
-    dup_first = (
-        grams.groupBy("gram")
-        .agg(
-            F.count("*").alias("c"),
-            F.min(F.struct("doc_id", "pos")).alias("first"),
-        )
-        .filter(F.col("c") >= 2)
-        .select("gram", "first")
+    # ONE gram-keyed exchange (r11 optimization round; guide §2.4): the
+    # corpus frequency AND the first occurrence both ride a
+    # gram-partitioned window instead of a groupBy(gram) + join-back,
+    # so the gram explode runs once with no persist; the
+    # position-to-remove dedup repartitions by doc_id (a prefix of the
+    # dedup key — no second exchange) and the anti-join's probe side
+    # uses the same doc_id partitioning.
+    grams = _word_ngram_positions(d, n)
+    wg = Window.partitionBy("gram")
+    g2 = grams.withColumn("c", F.count("*").over(wg)).withColumn(
+        "first", F.min(F.struct("doc_id", "pos")).over(wg)
     )
     # repeat occurrences of duplicated grams -> positions to remove
     removed = (
-        grams.join(dup_first, "gram")
-        .filter(
-            (F.col("doc_id") != F.col("first.doc_id"))
-            | (F.col("pos") != F.col("first.pos"))
+        g2.filter(
+            (F.col("c") >= 2)
+            & (
+                (F.col("doc_id") != F.col("first.doc_id"))
+                | (F.col("pos") != F.col("first.pos"))
+            )
         )
         .select(
             "doc_id",
             F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("pos"),
         )
-        .distinct()
+        .repartition("doc_id")
+        .dropDuplicates(["doc_id", "pos"])
     )
     kept = toks.join(removed, ["doc_id", "pos"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
@@ -19939,6 +19951,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q8_market_share",
     "ngram_novelty_curve",
     "hash_dim_fidelity_sweep",
+    # r11 batch 4: span-family single gram-keyed exchange (window
+    # frequency/first-occurrence instead of groupBy+join-back; covered
+    # positions deduped on a doc_id prefix partition).  Re-verified
+    # MATCH at sf0.001 and sf0.01 in the landing commit.
+    "dup_ngram_coverage",
+    "dedup_span_removal",
 )
 
 
