@@ -19957,6 +19957,33 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # MATCH at sf0.001 and sf0.01 in the landing commit.
     "dup_ngram_coverage",
     "dedup_span_removal",
+    # r11 batch 5: closure-hash re-queues — commit c64d5d6 changed
+    # operators/dedup.py (cluster_pairs checkpoint-before-probe), so
+    # every entry whose helper closure reaches that module flipped its
+    # DRIVER_HASHES fingerprint.  Behavior-neutral for all of them
+    # (the change reorders actions, not operators); each re-verified
+    # MATCH against its DuckDB oracle at sf0.01 in the landing commit.
+    # These overflow the driver's first-50 window; the overflow stays
+    # queued for the next rotation by design.
+    "cluster_best_quality",
+    "cross_split_contamination",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_dup_groups",
+    "dedup_exact_log_id",
+    "dedup_method_agreement",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_simhash",
+    "dedup_simhash_hamming",
+    "dedup_source_flow",
+    "dedup_survivors",
+    "dedup_threshold_sensitivity",
+    "hash_embedding_fidelity_eval",
+    "lsh_band_tuning",
+    "minhash_eval_recall",
+    "simhash_bit_balance",
 )
 
 
