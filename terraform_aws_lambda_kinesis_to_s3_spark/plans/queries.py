@@ -1154,11 +1154,26 @@ def q21_waiting_supplier(spark, sf):
     # global).  vs the r1 plan this removes the second lineitem scan,
     # the countDistinct Expand (which doubled the fact shuffle), and
     # the stats self-join.
-    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max((F.col("l_linestatus") == "O").cast("int")).alias("has_open"),
-        F.sum((F.col("l_linestatus") == "O").cast("long")).alias(
-            "n_open_lines"
-        ),
+    # r11 optimization round (guide §2.4): repartition by l_orderkey
+    # FIRST, so the (order, supplier) aggregate runs as a one-phase
+    # agg on orderkey-clustered data (hash(ok) satisfies the (ok, sk)
+    # clustering requirement) and the per-order window reuses the same
+    # partitioning — ONE exchange of the three-column fact projection
+    # instead of two exchanges of the aggregated grain.  Baskets are
+    # bounded (<= 7 lines/order), so the keyed repartition cannot
+    # skew, and the forfeited map-side partial agg only deduplicated
+    # ~1.3 lines/pair of a 3-column row.
+    per_supp = (
+        lines.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max((F.col("l_linestatus") == "O").cast("int")).alias(
+                "has_open"
+            ),
+            F.sum((F.col("l_linestatus") == "O").cast("long")).alias(
+                "n_open_lines"
+            ),
+        )
     )
     wo = Window.partitionBy("l_orderkey")
     sole_open = (
@@ -13268,13 +13283,23 @@ def q_user_survival_km(spark, sf):
         .otherwise(F.lit(0))
         .alias("death"),
     )
+    # ``g`` is persisted EAGERLY (r11 optimization round; guide §5-caching):
+    # its lineage (events scan -> per-user groupBy -> lifetime groupBy) is
+    # consumed by FOUR broadcast-materialized aggregates that run as
+    # separate jobs with no exchange reuse — n_tot plus the cumsum
+    # helper's range/offset/within-block passes — so without the persist
+    # the fact table is re-aggregated once per consumer at 100 TB.  The
+    # cached table is O(distinct lifetimes <= days).  Eager (count), not
+    # lazy: concurrent broadcast jobs race a lazy cache and each
+    # recompute the build (the round's triangle-family lesson).
     g = life.groupBy("t").agg(
         F.sum("death").cast("double").alias("d"),
         F.sum(F.lit(1) - F.col("death")).cast("double").alias("c"),
-    )
+    ).persist()
+    g.count()
     n_tot = g.agg(F.sum(F.col("d") + F.col("c")).alias("ntot"))
     cum = _blocked_cumsum_multi(
-        g, "t", ["d", "c"], persist_input=False
+        g, "t", ["d", "c"], persist_input=False  # g persisted above
     ).crossJoin(F.broadcast(n_tot))
     risk = cum.select(
         "t",
@@ -14939,8 +14964,20 @@ def q_pq_adc_eval(spark, sf):
         .filter(F.col("rn") <= ADC_K)
         .select("query_id", "nn_id")
     )
-    j = exact_top.withColumn("e", F.lit(1)).join(
-        adc_top.withColumn("v", F.lit(1)), ["query_id", "nn_id"], "full"
+    # The overlap census is a UNION + one hash aggregate (r11
+    # optimization round; guide §2.4): both top-k sides are unique on
+    # (query_id, nn_id), so tagging each side 0/1 and summing per pair
+    # computes exactly the full-outer join's indicator columns — the
+    # sort-merge join (two sorts + a (query_id, nn_id) exchange per
+    # side) becomes a single exchange feeding one aggregate.
+    j = exact_top.select(
+        "query_id", "nn_id", F.lit(1).alias("e"), F.lit(0).alias("v")
+    ).unionAll(
+        adc_top.select(
+            "query_id", "nn_id", F.lit(0).alias("e"), F.lit(1).alias("v")
+        )
+    ).groupBy("query_id", "nn_id").agg(
+        F.sum("e").alias("e"), F.sum("v").alias("v")
     )
     hits = F.coalesce(F.sum(F.col("e") * F.col("v")), F.lit(0))
     return j.agg(
@@ -17371,9 +17408,9 @@ def q_ndcg_retrieval_eval(spark, sf):
     frequency-purist relevance standard.  Readout at sf0.01:
     0.78-0.86 across the three queries.
 
-    Scale shape: doc lengths are map-only ``size(split(...))`` (no
-    token shuffle — the exploded census pays a full |tokens| exchange
-    per consumer for the identical count); the corpus tokenization
+    Scale shape: doc lengths are map-only ``size(split(...))`` riding
+    the match explode as a per-doc constant (no token shuffle, no
+    separate dl scan, no tf ⨝ dl join); the corpus tokenization
     explodes ONLY query-term matches (an in-row ``filter(split, isin)``
     before the Generate, so the exploded row count is O(matches), not
     O(tokens)) and attaches qid via a 9-entry map literal instead of a
@@ -17402,22 +17439,23 @@ def q_ndcg_retrieval_eval(spark, sf):
             for lit in (F.lit(t), F.lit(qid))
         ]
     )
-    # explode ONLY query-term matches: in-row filter before Generate
+    # explode ONLY query-term matches: in-row filter before Generate.
+    # Doc length (size of the split array, map-only) RIDES the explode
+    # (r11 optimization round; guide §2.4, §3.3): it is constant per
+    # doc, so carrying one int through the O(matches) Generate and
+    # folding it into the tf aggregate (min of a constant) replaces
+    # the old separate dl scan + tf ⨝ dl sort-merge join — one fewer
+    # documents pass, two fewer exchanges, no join.
     tok = d.select(
         "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
         F.explode(
             F.filter(F.split("text", " "), lambda x: x.isin(all_terms))
         ).alias("term"),
     )
-    # doc length = size of the split array, map-only — the exploded
-    # groupBy(doc_id) census computes the identical count but pays a
-    # full |tokens| shuffle PER CONSUMER (dl feeds both the global
-    # stats agg and the scored join; measured 1.46 s vs 0.24 s each
-    # at sf0.1)
-    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
     tf = tok.groupBy(
         qid_of[F.col("term")].alias("qid"), "doc_id", "term"
-    ).agg(F.count("*").alias("tf"))
+    ).agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
     # document frequencies ride the SAME 1-row map-only census as
     # n_docs/avgdl: sum(array_contains(tokens, t)) counts docs with
     # >= 1 occurrence — exactly the per-(qid, term) row count of tf —
@@ -17445,8 +17483,7 @@ def q_ndcg_retrieval_eval(spark, sf):
         + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
     )
     scored = (
-        tf.join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .withColumn("df", df_of)
         .groupBy("qid", "doc_id")
         .agg(
@@ -19984,6 +20021,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "lsh_band_tuning",
     "minhash_eval_recall",
     "simhash_bit_balance",
+    # r11 batch 6: lifetime-census persist (user_survival_km), dl rides
+    # the match explode (ndcg), union overlap census (pq_adc), single
+    # orderkey exchange (q21).  Re-verified MATCH at sf0.001+sf0.01
+    # (q21 at sf0.01) in the landing commit.
+    "user_survival_km",
+    "ndcg_retrieval_eval",
+    "pq_adc_eval",
+    "q21_waiting_supplier",
 )
 
 

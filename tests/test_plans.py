@@ -301,6 +301,17 @@ SP_SORT_OK = {
     "quantile_merge_eval": 1,
     # BH step-up rank window over the m-row (m = #types) p table
     "ab_fdr_bh": 1,
+    # one per shard (x4): the heavy-hitters summary's global re-rank
+    # over the <= (SUMMARY_K+1) x NSALT per-salt survivors.  Before
+    # the r11 one-window-pass fold this compiled to
+    # TakeOrderedAndProject (the rank filter was the window's only
+    # consumer); the fold adds unbounded-frame __thr/__n aggregates
+    # over the SAME bounded survivor set, which defeats the
+    # rank-limit rewrite but sorts no more rows than the old shape's
+    # top-(k+1) collect — the r8 bounded-survivor-set class, traded
+    # for 122 -> 24 exchanges (the census no longer replays per
+    # scalar consumer)
+    "hh_merge_bounds": 4,
 }
 
 
