@@ -12671,14 +12671,16 @@ def q_graph_adamic_adar(spark, sf):
     tasks and assortativity 43.6->70 MB; the persist pays for itself
     only within this query, where the subtree is consumed twice.)"""
     li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
-    # Eager persist (r11 optimization round): under a single action the
-    # wedge sides and the anti-join probe materialize concurrently and
-    # race a LAZY cache's population, each recomputing the self-join
-    # build — the same failure mode measured on the triangle family
-    # (change 1).  count() materializes once, every consumer reads the
-    # cache.
+    # LAZY persist, deliberately (r11 optimization round, re-measured
+    # at round close): unlike the triangle family, every consumer here
+    # (both wedge sides and the anti-join probe) lands in ONE final
+    # plan — there are no concurrently-materialized broadcast subtrees
+    # to race the cache, so the triangle family's eager-count fix does
+    # not apply.  An eager-count variant measured consistently SLOWER
+    # in interleaved cold A/B (18.3/7.9/4.3 s vs 8.6/4.6/3.8 s lazy):
+    # the extra actions only add latency — the same verdict the round
+    # reached for hash_embedding_fidelity_eval (change 10).
     edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
-    edges.count()
     adj = edges.select(
         F.col("src").alias("z"), F.col("dst").alias("nb")
     ).unionAll(edges.select(F.col("dst").alias("z"), F.col("src").alias("nb")))
@@ -12696,7 +12698,6 @@ def q_graph_adamic_adar(spark, sf):
         .drop("rn")
         .persist()
     )
-    capped.count()  # eager for the same reason as edges above
     a1 = capped.select("z", F.col("nb").alias("x"), "deg")
     a2 = capped.select("z", F.col("nb").alias("y"))
     wedges = a1.join(a2, "z").filter(F.col("x") < F.col("y"))
