@@ -19902,109 +19902,21 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 #: batches — diagnostics, corpus statistics, splits, fuzzy join, WAV
 #: audio — lead that backlog by construction).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round 11 re-queues: the ADVICE-r10 fMP4 fallback tightening
-    # changed operators/multimodal.py, and the new CLOSURE hash
-    # (rotate_driver_window) correctly trips every entry whose
-    # dependency closure reaches that kernel — all ten re-queue even
-    # though the behavior change is corpus-invisible (malformed
-    # declared-but-unreferenced-track fMP4s only); that
-    # over-approximation is the gate working as designed.
+    # Round-12 start: the r11 driver window re-greened 50 of the 70
+    # queued names (CORRECTNESS_r11 — all 50 MATCH); those are cleared
+    # per the rotate_driver_window protocol and move to
+    # DRIVER_VERIFIED.  What remains is the r11 batch-5/6 overflow
+    # that never reached a window: closure-hash re-queues from the
+    # operators/dedup.py cluster_pairs checkpoint-before-probe change
+    # (behavior-neutral, each re-verified MATCH vs its DuckDB oracle
+    # at sf0.01 in the landing commit) plus the batch-6 plan changes
+    # (dl rides the match explode in ndcg, union overlap census in
+    # pq_adc, single orderkey exchange in q21 — re-verified MATCH at
+    # sf0.001+sf0.01, q21 at sf0.01).  The ADVICE-r11 duplicate
+    # user_survival_km entry is gone with the cleared batch.
     # NOTE: keep comments in this block free of double-quoted words —
     # the rotate tool extracts every quoted token in the tuple source
     # as a name (its parser strips comment lines first).
-    "multimodal_audio_meta",
-    "multimodal_audio_pcm_stats",
-    "multimodal_features",
-    "multimodal_image_dims",
-    "multimodal_meta_audit",
-    "video_byte_plan_audit",
-    "video_frame_byte_index",
-    "video_frame_fetch_verify",
-    "video_frame_sample_plan",
-    "video_meta_probe",
-    # r11 triangle adjacency-intersection rewrite (operators/graph.py):
-    # every entry whose closure reaches the graph kernel re-queues —
-    # the three triangle plans changed shape; the aa/pagerank/
-    # assortativity entries are untouched behavior tripped by the
-    # module hash, the over-approximation working as designed.
-    "aa_cap_eval",
-    "graph_adamic_adar",
-    "graph_assortativity",
-    "graph_pagerank_parts",
-    "graph_triangle_degree_ordered",
-    "graph_triangle_parts",
-    "graph_triangle_parts_capped",
-    # sf1 scale-sweep finding: n_clipped counted a strict inequality
-    # against the RAW interpolated percentile, a cross-engine
-    # ~1-ulp knife edge; now clips at the 6-decimal rounded boundary.
-    "events_winsorize",
-    # r11 OPTIMIZATION round re-queues: plan-only changes (persisted
-    # shared subtrees; parallelize ingest for md5/variant-heavy
-    # single-task scans) — results identical, re-verified vs oracles
-    # at sf0.001/0.01 in the landing commits.
-    "kmeans_lloyd_step",
-    "cms_heavy_hitters",
-    "bootstrap_ci_mean",
-    "cms_error_eval",
-    "pipeline_schema_profile",
-    "skipgram_negative_pairs",
-    "quality_fasttext_score",
-    "gram_frequency_spectrum",
-    "bpe_encode_tokens",
-    # streaming/heavyhitters.py kernel rewrite (hh_partial /
-    # hh_merged_topk single-subtree window form) — a helper-closure
-    # change the registry-function hash gate is blind to (r10 verdict
-    # item 1), so queued explicitly; results verified byte-identical
-    # and MATCH vs oracle at sf0.001/0.01 in the landing commit.
-    "hh_merge_bounds",
-    # operators/dedup.py cluster_pairs large-regime change (checkpoint
-    # before the convergence probe) — same helper-closure blind spot;
-    # all four consumers re-verified MATCH at sf0.01 in the landing
-    # commit, this entry pins the changed (large) regime.
-    "dedup_clusters_distributed",
-    # _blocked_cumsum_multi/_midranks_grouped eager-persist change
-    # (helper closure shared by the 12 entries below) + the
-    # events_peak_concurrency join-back removal; all 12 re-verified
-    # MATCH at sf0.01 in the landing commit.
-    "conformal_coverage",
-    "customer_revenue_gini",
-    "events_brownout_windows",
-    "events_ks_test",
-    "events_mann_whitney",
-    "events_peak_concurrency",
-    "heaps_law_fit",
-    "logreg_auc",
-    "oov_vs_vocab_curve",
-    "parts_abc_classification",
-    "quality_length_spearman",
-    "user_survival_km",
-    # r11 batch 3: fact-side pre-filters (q2 semi-joins before the
-    # (part,supplier) agg; q7 two-nation dims attached before the
-    # orderkey join; q8 orders semi-reduced to ASIA customers),
-    # ngram_novelty_curve single gram-keyed exchange, adamic-adar +
-    # hash_dim_fidelity_sweep eager persists.  All re-verified MATCH
-    # at sf0.01 in the landing commit.
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "ngram_novelty_curve",
-    "hash_dim_fidelity_sweep",
-    # r11 batch 4: span-family single gram-keyed exchange (window
-    # frequency/first-occurrence instead of groupBy+join-back; covered
-    # positions deduped on a doc_id prefix partition).  Re-verified
-    # MATCH at sf0.001 and sf0.01 in the landing commit.
-    "dup_ngram_coverage",
-    "dedup_span_removal",
-    # r11 batch 5: closure-hash re-queues — commit c64d5d6 changed
-    # operators/dedup.py (cluster_pairs checkpoint-before-probe), so
-    # every entry whose helper closure reaches that module flipped its
-    # DRIVER_HASHES fingerprint.  Behavior-neutral for all of them
-    # (the change reorders actions, not operators); each re-verified
-    # MATCH against its DuckDB oracle at sf0.01 in the landing commit.
-    # These overflow the driver's first-50 window; the overflow stays
-    # queued for the next rotation by design.
-    "cluster_best_quality",
-    "cross_split_contamination",
     "dedup_clusters",
     "dedup_containment",
     "dedup_dup_groups",
@@ -20022,11 +19934,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "lsh_band_tuning",
     "minhash_eval_recall",
     "simhash_bit_balance",
-    # r11 batch 6: lifetime-census persist (user_survival_km), dl rides
-    # the match explode (ndcg), union overlap census (pq_adc), single
-    # orderkey exchange (q21).  Re-verified MATCH at sf0.001+sf0.01
-    # (q21 at sf0.01) in the landing commit.
-    "user_survival_km",
     "ndcg_retrieval_eval",
     "pq_adc_eval",
     "q21_waiting_supplier",
