@@ -19902,28 +19902,47 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 #: batches — diagnostics, corpus statistics, splits, fuzzy join, WAV
 #: audio — lead that backlog by construction).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-12 start: the r11 driver window re-greened 50 of the 70
-    # queued names (CORRECTNESS_r11 — all 50 MATCH); those are cleared
-    # per the rotate_driver_window protocol and move to
-    # DRIVER_VERIFIED.  What remains is the r11 batch-5/6 overflow
-    # that never reached a window: closure-hash re-queues from the
-    # operators/dedup.py cluster_pairs checkpoint-before-probe change
-    # (behavior-neutral, each re-verified MATCH vs its DuckDB oracle
-    # at sf0.01 in the landing commit) plus the batch-6 plan changes
-    # (dl rides the match explode in ndcg, union overlap census in
-    # pq_adc, single orderkey exchange in q21 — re-verified MATCH at
-    # sf0.001+sf0.01, q21 at sf0.01).  The ADVICE-r11 duplicate
-    # user_survival_km entry is gone with the cleared batch.
+    # Round-12 (optimization round 2 of 2) re-queues.  The scale-safe
+    # ingest-rebalance gate (sources/tables.py load_table now fires the
+    # parallelize rebalance only when the OBSERVED scan parallelism is
+    # below the core count — r11 verdict item 2) sits in every entry
+    # closure, so ALL 309 registry hashes tripped.  Plan identity was
+    # proven locally (formatted plans byte-identical modulo plan_id
+    # counters) and the affected queries re-verified MATCH vs their
+    # DuckDB oracles at sf0.01 in the landing commit; the driver window
+    # re-verifies what fits.  Order: (1) the entries whose ingest call
+    # actually passes the gate flag, (2) the r11 batch-5/6 overflow that
+    # never reached a window, (3) the mechanical closure trips in
+    # registry order.
     # NOTE: keep comments in this block free of double-quoted words —
     # the rotate tool extracts every quoted token in the tuple source
     # as a name (its parser strips comment lines first).
+    "ab_fdr_bh",
+    "bootstrap_ci_mean",
+    "bpe_encode_tokens",
+    "chao1_vocab_richness",
+    "cms_error_eval",
+    "cms_heavy_hitters",
+    "corpus_curation",
+    "dedup_ngram_jaccard",
+    "events_permutation_test",
+    "gram_frequency_spectrum",
+    "minhash_eval_recall",
+    "ndcg_retrieval_eval",
+    "pipeline_schema_profile",
+    "pipeline_unknown_routing",
+    "quality_fasttext_score",
+    "skipgram_negative_pairs",
+    "text_quality",
+    "topk_shard_merge_eval",
+    # r11 overflow (operators/dedup.py checkpoint-before-probe closure
+    # re-queues + batch-6 plan changes; see the r11 landing commits)
     "dedup_clusters",
     "dedup_containment",
     "dedup_dup_groups",
     "dedup_exact_log_id",
     "dedup_method_agreement",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
     "dedup_simhash",
     "dedup_simhash_hamming",
@@ -19932,11 +19951,284 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_threshold_sensitivity",
     "hash_embedding_fidelity_eval",
     "lsh_band_tuning",
-    "minhash_eval_recall",
     "simhash_bit_balance",
-    "ndcg_retrieval_eval",
     "pq_adc_eval",
     "q21_waiting_supplier",
+    # mechanical closure trips (registry order)
+    "pipeline_route",
+    "pipeline_whitelist",
+    "pipeline_tz_partition",
+    "json_extract_props",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q12_priority_by_linestatus",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_supplier_relationship",
+    "q20_potential_promotion",
+    "top_customers_per_nation",
+    "running_order_total",
+    "rollup_region_nation",
+    "pivot_priority_by_status",
+    "customers_without_orders",
+    "customers_with_orders",
+    "set_ops_nations",
+    "distinct_aggs",
+    "top_brands_by_revenue",
+    "brand_number_extract",
+    "frequent_buyers",
+    "text_token_stats",
+    "gopher_quality_flags",
+    "dup_ngram_coverage",
+    "dedup_span_removal",
+    "perplexity_bucket_sample",
+    "ivf_eval_recall",
+    "text_top_ngram_frac",
+    "corpus_kl_divergence",
+    "temperature_mixture_weights",
+    "knn_label_eval",
+    "events_winsorize",
+    "mrl_truncation_eval",
+    "vocab_growth_curve",
+    "customer_rfm_segments",
+    "multimodal_audio_meta",
+    "multimodal_audio_pcm_stats",
+    "video_meta_probe",
+    "video_frame_sample_plan",
+    "video_byte_plan_audit",
+    "video_frame_byte_index",
+    "video_frame_fetch_verify",
+    "zipf_rank_slope",
+    "doc_hash_embedding",
+    "open_lineitem_backlog",
+    "group_split_events",
+    "time_split_events",
+    "corpus_datacard",
+    "vocab_oov_rate",
+    "label_source_profile",
+    "bigram_interp_logprob",
+    "part_fuzzy_name_pairs",
+    "distinctive_terms_logodds",
+    "embedding_outliers",
+    "knn_confusion_matrix",
+    "logreg_auc",
+    "padding_waste_stats",
+    "cross_source_prefix_overlap",
+    "text_langid",
+    "text_fingerprint",
+    "embedding_cosine_topk",
+    "embedding_centroid_assign",
+    "embedding_norms",
+    "embedding_lsh_buckets",
+    "embedding_near_dup",
+    "embedding_lsh_near_dup",
+    "embedding_dim_stats",
+    "events_sessionize",
+    "events_session_window",
+    "events_tumbling_window",
+    "events_asof_join",
+    "order_gap_days",
+    "deterministic_sample",
+    "dataset_split",
+    "stratified_sample",
+    "text_scrub",
+    "text_repetition",
+    "text_vocab_topk",
+    "contamination_check",
+    "events_downsample_1h",
+    "events_value_histogram",
+    "events_range_join",
+    "salted_user_join",
+    "kmv_distinct_users",
+    "weighted_doc_sample",
+    "cube_status_priority",
+    "events_moving_window",
+    "events_gap_fill",
+    "events_stats_profile",
+    "events_sliding_window",
+    "weighted_avg_udaf",
+    "text_sentences_udtf",
+    "sequence_packing",
+    "customer_quartiles",
+    "text_edit_distance",
+    "percentiles_by_priority",
+    "grouping_sets_status_priority",
+    "customers_above_nation_avg",
+    "salted_group_counts",
+    "doc_chunking",
+    "chunk_dedup",
+    "tfidf_top_terms",
+    "char_entropy",
+    "scd2_user_history",
+    "events_zscore_outliers",
+    "embedding_quantize",
+    "kmeans_lloyd_step",
+    "text_bpe_tokens",
+    "bigram_cond_prob",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
+    "unigram_logprob_score",
+    "hard_negatives",
+    "hll_distinct_users",
+    "bloom_semi_events",
+    "graph_pagerank_parts",
+    "graph_triangle_parts",
+    "graph_triangle_parts_capped",
+    "events_zorder_stats",
+    "events_quantile_sketch",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_ewma",
+    "join_types_suite",
+    "global_shuffle_shards",
+    "mixture_sample",
+    "window_functions_suite",
+    "string_functions_suite",
+    "array_functions_suite",
+    "date_functions_suite",
+    "math_functions_suite",
+    "conditional_functions_suite",
+    "bitwise_functions_suite",
+    "regex_functions_suite",
+    "map_functions_suite",
+    "bpe_merge_step",
+    "semdedup_prune",
+    "dsir_importance",
+    "cdc_merge_upsert",
+    "topk_per_type_salted",
+    "domain_cap_sample",
+    "unpivot_status_metrics",
+    "column_profile_orders",
+    "privacy_k_anonymity",
+    "embedding_gram_matrix",
+    "embedding_power_iteration",
+    "incremental_agg_merge",
+    "events_anomaly_mad",
+    "orders_yoy_growth",
+    "market_basket_pairs",
+    "embedding_pq_codes",
+    "events_throttle_first",
+    "rrf_fusion",
+    "ordered_string_agg",
+    "type_user_overlap",
+    "ab_test_welch",
+    "multimodal_meta_audit",
+    "user_transition_matrix",
+    "privacy_l_diversity",
+    "lsh_eval_pr",
+    "quality_logreg_train",
+    "recursive_hierarchy",
+    "variant_props_stats",
+    "point_in_time_join",
+    "feature_matrix_at_label",
+    "logreg_calibration",
+    "events_wau_stickiness",
+    "incremental_dedup_check",
+    "graph_triangle_degree_ordered",
+    "multimodal_image_dims",
+    "embedding_ivf_topk",
+    "multimodal_features",
+    "bm25_topk_docs",
+    "pmi_collocations",
+    "source_vocab_jaccard",
+    "quality_length_spearman",
+    "keyword_tag_counts",
+    "doc_rarity_score",
+    "token_len_histogram",
+    "events_hourly_autocorr",
+    "customer_revenue_gini",
+    "events_type_burstiness",
+    "events_daily_type_drift",
+    "pipeline_error_taxonomy",
+    "parts_abc_classification",
+    "mixture_token_budget_alloc",
+    "orders_priority_anova",
+    "events_value_benford",
+    "supplier_nation_hhi",
+    "events_user_entropy",
+    "events_mann_whitney",
+    "events_changepoint_cusum",
+    "events_load_heatmap",
+    "fuzzy_block_eval",
+    "span_corruption_stats",
+    "events_ks_test",
+    "heaps_law_fit",
+    "events_peak_concurrency",
+    "ngram_novelty_curve",
+    "events_theil_sen",
+    "events_chi2_type_dow",
+    "events_seasonality",
+    "graph_adamic_adar",
+    "aa_cap_eval",
+    "graph_assortativity",
+    "sink_compaction_plan",
+    "source_token_simpson",
+    "dedup_clusters_distributed",
+    "reservoir_sample_ares",
+    "mmr_rerank",
+    "user_survival_km",
+    "dp_noisy_counts",
+    "watermark_loss_audit",
+    "join_key_skew",
+    "conformal_coverage",
+    "word2vec_sampling_table",
+    "corpus_psi_drift",
+    "langid_eval_prf",
+    "events_brownout_windows",
+    "skyline_quality_length",
+    "filter_funnel",
+    "scrub_eval",
+    "corpus_snapshot_diff",
+    "logreg_hard_examples",
+    "oov_vs_vocab_curve",
+    "cluster_best_quality",
+    "join_explosion_audit",
+    "text_encoding_audit",
+    "events_ohlc_hourly",
+    "label_noise_estimate",
+    "privacy_t_closeness",
+    "brier_decomposition",
+    "doremi_mixture_step",
+    "embedding_snapshot_drift",
+    "label_centroid_similarity",
+    "events_asof_tolerance",
+    "hll_error_eval",
+    "sampled_quantile_error_eval",
+    "quality_rater_kappa",
+    "epoch_repetition_plan",
+    "ab_sprt_daily",
+    "hll_merge_eval",
+    "tokenizer_fertility_by_source",
+    "outlier_method_agreement",
+    "curriculum_schedule",
+    "salting_effectiveness_eval",
+    "hash_dim_fidelity_sweep",
+    "revenue_theil_decomposition",
+    "zonemap_pruning_eval",
+    "fleiss_kappa_raters",
+    "contribution_cap_eval",
+    "bloom_fpr_eval",
+    "cv_fold_balance",
+    "isotonic_calibration",
+    "quantile_merge_eval",
+    "quantile_bucket_sweep",
+    "cross_split_contamination",
+    "context_length_plan",
+    "hh_merge_bounds",
 )
 
 
