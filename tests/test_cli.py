@@ -665,3 +665,67 @@ def test_scale_override_oracles_agree_with_registry_at_sf001():
             assert all(
                 values_equal(x, y) for x, y in zip(a[c], b[c])
             ), f"{name}: column {c} differs between override and registry oracle"
+
+
+def test_capture_plans_dedup_counts():
+    """r11 verdict item 7: formatted-plan node counts must dedupe the
+    cached-subtree reprints (explain re-inlines the whole cached plan
+    inside EVERY InMemoryTableScan reference) and skip == Initial
+    Plan == sections; otherwise after-plans with persists read BIGGER
+    than their before-plans while executing less."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "capture_plans",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "capture_plans.py"),
+    )
+    cp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cp)
+
+    plan = """== Physical Plan ==
+AdaptiveSparkPlan (20)
++- HashAggregate (19)
+   +- InMemoryTableScan (1)
+   :     +- InMemoryRelation (2)
+   :           +- AdaptiveSparkPlan (9)
+   :              +- == Final Plan ==
+   :                 ResultQueryStage (8)
+   :                 +- Exchange (7)
+   :                    +- Scan parquet  (6)
+   :              +- == Initial Plan ==
+   :                 Exchange (5)
+   :                 +- Scan parquet  (4)
+   +- InMemoryTableScan (10)
+         +- InMemoryRelation (11)
+               +- AdaptiveSparkPlan (9)
+                  +- == Final Plan ==
+                     ResultQueryStage (8)
+                     +- Exchange (7)
+                        +- Scan parquet  (6)
+                  +- == Initial Plan ==
+                     Exchange (5)
+                     +- Scan parquet  (4)
+"""
+    c = cp.node_counts(plan)
+    # cached subtree counted once; Initial Plan duplicates not at all
+    assert c["Exchange"] == 1, c
+    assert c["Scan"] == 1, c
+    assert c["InMemoryTableScan"] == 2, c  # both references stay visible
+    assert c["HashAggregate"] == 1 and c["ResultQueryStage"] == 1
+    # the LIST rendering is counted too, detail lines are not
+    listy = """== Physical Plan ==
+(1) Scan parquet
+Output [1]: [v#1]
+
+(2) HashAggregate
+Input [1]: [v#1]
+Functions [1]: [count(1)]
+
+(3) Exchange
+Input [1]: [c#2]
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=7]
+"""
+    c2 = cp.node_counts(listy)
+    assert c2 == {"Scan": 1, "HashAggregate": 1, "Exchange": 1}, c2
