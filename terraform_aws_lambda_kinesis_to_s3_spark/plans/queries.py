@@ -19025,34 +19025,40 @@ def q_hh_merge_bounds(spark, sf):
     keyed shuffle a batch census pays anyway; per-shard top rows via
     the two-stage salted rank, never a vocab-wide single-partition
     sort; the merge and final rank operate on <= (K'+1) x shards kept
-    rows).  The shard base is persisted once and feeds all 4 partials."""
+    rows).
+
+    ONE GROUPED SUBTREE (r12 optimization round): the 4 shards used to
+    be 4 independent hh_partial subtrees unioned — 87 stages / 87
+    tasks in one plan (every stage one task: 4x census + 4x salt
+    window + 4x2 single-partition window exchanges plus their AQE
+    bookkeeping), pure stage-latency at sf0.1 and 4 redundant passes
+    over the base at any scale.  ``hh_partial(group_cols=('shard',))``
+    computes all 4 summaries in one census + two shard-partitioned
+    window exchanges — per-shard results provably row-identical (the
+    grouped windows are the per-shard windows), the former global
+    re-rank is now shard-partitioned (the SP_SORT_OK entry drops to
+    0), and the base needs no persist because exactly one subtree
+    consumes it."""
     from terraform_aws_lambda_kinesis_to_s3_spark.streaming.heavyhitters import (
         hh_merged_topk,
         hh_partial,
     )
 
-    # NOT parallelize=True: the 4 shard subtrees + the census race the
-    # persisted base's first materialization inside one job, and a
-    # repartitioned base turns each cache-miss recompute into a full
-    # shuffle (measured 2.3 -> 7.9 s); the plain single-task scan is
-    # cheap to recompute and the heavy work starts after the per-shard
-    # census exchange anyway
-    e = (
-        _t(spark, sf, "events")
-        .select(
-            "user_id",
-            (F.col("event_id") % HH_MERGE_SHARDS).alias("shard"),
-        )
-        .persist()
+    # NOT parallelize=True: the heavy work starts after the (shard,
+    # key) census exchange; a round-robin ingest shuffle would move
+    # every event byte once more for no downstream benefit
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        (F.col("event_id") % HH_MERGE_SHARDS).alias("shard"),
     )
-    summaries = None
-    for s in range(HH_MERGE_SHARDS):
-        part = hh_partial(
-            e.filter(F.col("shard") == s).select("user_id"),
-            "user_id",
-            HH_MERGE_SUMMARY_K,
-        ).withColumn("__batch", F.lit(f"shard/{s}"))
-        summaries = part if summaries is None else summaries.unionByName(part)
+    summaries = (
+        hh_partial(e, "user_id", HH_MERGE_SUMMARY_K, group_cols=("shard",))
+        .withColumn(
+            "__batch",
+            F.concat(F.lit("shard/"), F.col("shard").cast("string")),
+        )
+        .drop("shard")
+    )
     return hh_merged_topk(summaries, 10).select(
         F.col("key").cast("long").alias("user_id"),
         F.col("est_count"),

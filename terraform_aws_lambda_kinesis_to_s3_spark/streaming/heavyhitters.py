@@ -69,7 +69,10 @@ NSALT = 32
 
 
 def hh_partial(
-    batch_df: DataFrame, key_col: str = "user_id", k: int = SUMMARY_K
+    batch_df: DataFrame,
+    key_col: str = "user_id",
+    k: int = SUMMARY_K,
+    group_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Map a micro-batch to its top-``k`` summary: (``__key``, ``__c``)
     for the k most frequent keys (count desc, key asc ties) plus the
@@ -98,15 +101,30 @@ def hh_partial(
     BEFORE the prune (every non-empty salt group keeps its __lrn==1
     row, which carries the group's full mass; empty groups contribute
     0).  Global windows run on <= (k+1) x NSALT rows — same bound the
-    two-stage rank already pays."""
+    two-stage rank already pays.
+
+    ``group_cols`` (r12 optimization round): optional extra grouping
+    columns computed per group IN ONE SUBTREE — every aggregate and
+    window above simply gains the group prefix, so the result per
+    group is row-identical to filtering the input to that group and
+    calling the plain form (pinned by
+    tests/test_streaming_heavyhitters.py::test_hh_partial_grouped_equals_per_group).
+    The batch-analog oracle query (hh_merge_bounds) uses this to run
+    its 4 static shards as one plan instead of a 4-subtree union —
+    87 one-task stages collapse to one census + two window exchanges,
+    and the formerly-global re-rank becomes a shard-partitioned
+    window (no single-partition sort at all).  The streaming monitor
+    passes no group_cols and compiles to the identical plan as
+    before."""
+    gc = list(group_cols)
     census = (
-        batch_df.select(F.col(key_col).alias("__key"))
-        .groupBy("__key")
+        batch_df.select(*gc, F.col(key_col).alias("__key"))
+        .groupBy(*gc, "__key")
         .agg(F.count("*").alias("__c"))
     )
     order = (F.col("__c").desc(), F.col("__key").asc())
-    lw = Window.partitionBy("__salt").orderBy(*order)
-    salt_w = Window.partitionBy("__salt")
+    lw = Window.partitionBy(*gc, "__salt").orderBy(*order)
+    salt_w = Window.partitionBy(*gc, "__salt")
     pruned = (
         census.withColumn(
             "__salt", F.pmod(F.xxhash64("__key"), F.lit(NSALT))
@@ -115,7 +133,7 @@ def hh_partial(
         .withColumn("__salt_n", F.sum("__c").over(salt_w))
         .filter(F.col("__lrn") <= k + 1)
     )
-    w = Window.orderBy(*order)
+    w = Window.partitionBy(*gc).orderBy(*order)
     w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
         pruned.withColumn("__rn", F.row_number().over(w))
@@ -134,7 +152,7 @@ def hh_partial(
             ),
         )
         .filter(F.col("__rn") <= k)
-        .select("__key", "__c", "__thr", "__n")
+        .select(*gc, "__key", "__c", "__thr", "__n")
     )
 
 

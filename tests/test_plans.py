@@ -301,17 +301,10 @@ SP_SORT_OK = {
     "quantile_merge_eval": 1,
     # BH step-up rank window over the m-row (m = #types) p table
     "ab_fdr_bh": 1,
-    # one per shard (x4): the heavy-hitters summary's global re-rank
-    # over the <= (SUMMARY_K+1) x NSALT per-salt survivors.  Before
-    # the r11 one-window-pass fold this compiled to
-    # TakeOrderedAndProject (the rank filter was the window's only
-    # consumer); the fold adds unbounded-frame __thr/__n aggregates
-    # over the SAME bounded survivor set, which defeats the
-    # rank-limit rewrite but sorts no more rows than the old shape's
-    # top-(k+1) collect — the r8 bounded-survivor-set class, traded
-    # for 122 -> 24 exchanges (the census no longer replays per
-    # scalar consumer)
-    "hh_merge_bounds": 4,
+    # hh_merge_bounds dropped from 4 to 0 in r12: the grouped
+    # hh_partial(group_cols=('shard',)) runs the formerly-global
+    # summary re-ranks as shard-PARTITIONED windows, so no
+    # single-partition sort remains in the plan at all
 }
 
 

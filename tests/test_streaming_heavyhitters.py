@@ -190,3 +190,34 @@ def test_restart_same_checkpoint_absorbed(spark, tmp_path):
     shutil.rmtree(ckpt)  # crash before the offset commit
     m2 = _run(spark, src, sm, ckpt, summary_k=5)  # restart, SAME location
     assert m1[-1]["topk"] == m2[-1]["topk"]  # absorbed, not doubled
+
+
+def test_hh_partial_grouped_equals_per_group(spark):
+    """hh_partial(group_cols=...) must be row-identical to filtering
+    the input to each group and calling the plain form — the contract
+    that lets hh_merge_bounds run its 4 shards as one grouped subtree
+    (r12 optimization round) while the streaming monitor keeps the
+    ungrouped plan."""
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_s3_spark.streaming.heavyhitters import (
+        hh_partial,
+    )
+
+    users = [f"u{i % 37}" for i in range(400)] + ["hot"] * 60
+    df = spark.createDataFrame(
+        [(u, i % 3) for i, u in enumerate(users)], "user_id string, shard int"
+    )
+    grouped = {
+        (r["shard"], r["__key"]): (r["__c"], r["__thr"], r["__n"])
+        for r in hh_partial(
+            df, "user_id", 5, group_cols=("shard",)
+        ).collect()
+    }
+    per_group = {}
+    for s in range(3):
+        for r in hh_partial(
+            df.filter(F.col("shard") == s).select("user_id"), "user_id", 5
+        ).collect():
+            per_group[(s, r["__key"])] = (r["__c"], r["__thr"], r["__n"])
+    assert grouped == per_group and grouped
