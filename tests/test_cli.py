@@ -634,6 +634,71 @@ def test_round_close_head_detects_stale_pass(tmp_path):
     assert any("AFTER" in p for p in check_round_close_head(repo))
 
 
+def test_precommit_guard_refuses_post_pass_registry_commit(tmp_path):
+    """r11 verdict item 8 (the PASS-line race): the pre-commit guard
+    must refuse a STAGED registry change while the newest NOTES records
+    a PASS line — in the same session, at commit time — unless the same
+    commit also stages the NOTES file (the sanctioned supersede path).
+    Also pins that tools/round_close.py installs the hook idempotently
+    without clobbering a foreign hook."""
+    import subprocess
+
+    from tools.precommit_guard import HOOK_BODY, guard, install_hook
+
+    repo = str(tmp_path)
+
+    def git(*args):
+        return subprocess.run(
+            ["git", *args], cwd=repo, capture_output=True, text=True
+        ).stdout.strip()
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    qdir = tmp_path / "terraform_aws_lambda_kinesis_to_s3_spark" / "plans"
+    qdir.mkdir(parents=True)
+    qfile = qdir / "queries.py"
+    qfile.write_text("REGISTRY = {}\n")
+    git("add", "-A")
+    git("commit", "-qm", "registry v1")
+    head = git("rev-parse", "--short", "HEAD")
+
+    # no PASS line yet: registry commits flow freely
+    qfile.write_text("REGISTRY = {'a': 1}\n")
+    git("add", "-A")
+    assert guard(repo) == []
+    git("commit", "-qm", "registry v2 pre-PASS")
+
+    notes = tmp_path / "NOTES_r9.md"
+    notes.write_text(f"ROUND CLOSE: PASS — registry 1, clean, 1s, HEAD {head}\n")
+    git("add", "-A")
+    git("commit", "-qm", "notes with PASS")
+
+    # staged registry change after the PASS: REFUSED
+    qfile.write_text("REGISTRY = {'a': 1, 'b': 2}\n")
+    git("add", "-A")
+    problems = guard(repo)
+    assert problems and "PASS" in problems[0]
+
+    # staging the NOTES supersede in the same commit: allowed
+    notes.write_text(
+        "superseded — re-run round_close\n"
+        f"(was: ROUND CLOSE: PASS at HEAD {head})\n"
+    )
+    git("add", "-A")
+    assert guard(repo) == []
+
+    # hook installation: installs once, idempotent, never clobbers a
+    # foreign hook
+    assert install_hook(repo) is True
+    hook = tmp_path / ".git" / "hooks" / "pre-commit"
+    assert hook.read_text() == HOOK_BODY
+    assert install_hook(repo) is False  # unchanged -> no rewrite
+    hook.write_text("#!/bin/sh\nexit 0  # user hook\n")
+    assert install_hook(repo) is False  # foreign hook preserved
+    assert "user hook" in hook.read_text()
+
+
 def test_scale_override_oracles_agree_with_registry_at_sf001():
     """The sf1 sweep's list-intersect triangle oracles
     (tools/scale_oracle_sweep.SCALE_ORACLE_OVERRIDES) must compute the

@@ -172,6 +172,14 @@ def main() -> int:
     fast = "--fast" in sys.argv
     t0 = time.time()
 
+    # r11 verdict item 8: running the gate (re)installs the pre-commit
+    # guard so a registry-touching commit staged AFTER this round's PASS
+    # line is refused at commit time, not discovered at next round start
+    from tools.precommit_guard import install_hook
+
+    if install_hook(REPO):
+        print("installed .git/hooks/pre-commit (PASS-line race guard)")
+
     print("== step 1: registry bookkeeping ==")
     problems = bookkeeping()
     for p in problems:
