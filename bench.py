@@ -568,6 +568,14 @@ def main() -> None:
     overhead = round(sorted(oh)[2], 3)
     calib = host_calibration(spark)
 
+    # query-LOCAL persists (tracked via cachereg, ADVICE r11 item 2)
+    # are released after each entry's repeats, OUTSIDE the timed
+    # region: every repeat re-invokes the builder and re-persists
+    # fresh DataFrames, so the release changes no timing — it only
+    # stops per-call caches (the graph edge builds are ~50 MB each at
+    # sf0.1) accumulating across the 308-entry sweep.
+    from terraform_aws_lambda_kinesis_to_s3_spark import cachereg
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in headline:
@@ -579,6 +587,7 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
         cold[name] = round(runs[0], 3)
+        cachereg.release_all()
 
     # The reference's entire job is decode->route->gzip-partitioned
     # write; measure that full write path too (events re-serialized as

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from terraform_aws_lambda_kinesis_to_s3_spark import cachereg as CR
+
 from terraform_aws_lambda_kinesis_to_s3_spark.operators.textops import (
     fingerprint,
     shingles,
@@ -575,6 +577,7 @@ def cluster_pairs(
         .distinct()
         .persist()
     )
+    CR.track(edges)
     # size probe stays distributed: limit+count moves one number to the
     # driver (a take() here would collect up to limit+1 rows — the OOM
     # the large regime exists to avoid)

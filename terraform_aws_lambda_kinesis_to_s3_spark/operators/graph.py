@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from terraform_aws_lambda_kinesis_to_s3_spark import cachereg as CR
+
 
 def pagerank_step(
     edges: DataFrame,
@@ -173,8 +175,8 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     persist read 12.4 s cold vs ~5.5 s unpersisted; eager is the fix,
     and the count itself is a map-side-combined scan of the cache
     being written)."""
-    edges = edges.persist()
-    edges.count()
+    edges = CR.track(edges.persist())
+    CR.materialize(edges)
     outd = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("od")
     )
@@ -187,8 +189,8 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("n_wedges")
     )
-    oriented = _degree_oriented(edges).persist()
-    oriented.count()
+    oriented = CR.track(_degree_oriented(edges).persist())
+    CR.materialize(oriented)
     return (
         edges.agg(F.count("*").alias("n_edges"))
         .crossJoin(wedge_cnt)
@@ -224,10 +226,10 @@ def triangle_count_degree_ordered(edges: DataFrame) -> DataFrame:
     the oriented count — the orientation is 1:1), so its cache is
     released immediately.
     """
-    edges = edges.persist()
-    edges.count()
-    oriented = _degree_oriented(edges).persist()
-    oriented.count()
+    edges = CR.track(edges.persist())
+    CR.materialize(edges)
+    oriented = CR.track(_degree_oriented(edges).persist())
+    CR.materialize(oriented)
     edges.unpersist()
     adj_sizes = oriented.groupBy("lo").agg(F.count("*").alias("d"))
     wedge_cnt = adj_sizes.agg(

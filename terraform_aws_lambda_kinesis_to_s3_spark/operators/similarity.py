@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from terraform_aws_lambda_kinesis_to_s3_spark import cachereg as CR
+
 LSH_PLANES = 12  # 4096 buckets
 
 
@@ -575,7 +577,7 @@ def power_iteration_top_eigvec(
             yield pd.DataFrame({"i": np.arange(dim, dtype="int32"), "v": v})
 
         return gram.repartition(1).mapInPandas(iterate, "i int, v double")
-    gram = gram.persist()
+    gram = CR.track(gram.persist())
     v = spark.range(dim).select(
         F.col("id").cast("int").alias("j"), F.lit(1.0).alias("v")
     )

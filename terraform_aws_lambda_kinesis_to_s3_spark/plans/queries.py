@@ -28,6 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from terraform_aws_lambda_kinesis_to_s3_spark import cachereg as CR
 from terraform_aws_lambda_kinesis_to_s3_spark.config import PipelineConfig
 from terraform_aws_lambda_kinesis_to_s3_spark.operators import bloom as BL
 from terraform_aws_lambda_kinesis_to_s3_spark.operators import dedup as D
@@ -3878,6 +3879,7 @@ def q_corpus_curation(spark, sf):
         )
         .persist()
     )
+    CR.track(scored)
     pass_q = F.col("quality_score") >= 0.55
     pass_l = pass_q & (F.col("predicted_lang") == F.col("lang"))
     w = Window.partitionBy("fp").orderBy("doc_id")
@@ -4749,10 +4751,10 @@ def q_kmeans_lloyd_step(spark, sf):
     suffice (one for the seed means, one map-only assignment pass).
     Both caches are small: K×64 doubles and one row per vector."""
     e = _t(spark, sf, "embeddings")
-    cents = S.label_centroids(e).persist()
-    cents.count()
-    assigned = S.assign_nearest_centroid(e, cents).persist()
-    assigned.count()
+    cents = CR.track(S.label_centroids(e).persist())
+    CR.materialize(cents)
+    assigned = CR.track(S.assign_nearest_centroid(e, cents).persist())
+    CR.materialize(assigned)
     sizes = assigned.groupBy("assigned_label").agg(
         F.count("*").cast("long").alias("n_vectors")
     )
@@ -5040,9 +5042,9 @@ def q_winnow_overlap_pairs(spark, sf):
     # The rolling-hash windowing stage feeds both the per-doc sizes and
     # the posting lists — persist the distinct (doc, fp) set so the
     # shingle/hash computation runs once, not per consumer.
-    fp = _winnow_windows(spark, sf, max_doc=None).select(
+    fp = CR.track(_winnow_windows(spark, sf, max_doc=None).select(
         "doc_id", "fp"
-    ).distinct().persist()
+    ).distinct().persist())
     sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     postings = (
         fp.groupBy("fp")
@@ -7001,6 +7003,7 @@ def q_market_basket_pairs(spark, sf):
         .filter(F.size("parts") <= MARKET_BASKET_CAP)
         .persist()
     )
+    CR.track(basket)
     # parts is sorted asc, so pairing each element with its successors
     # yields exactly the pa < pb pairs
     pair_structs = F.expr(
@@ -10481,7 +10484,7 @@ def _midranks_grouped(g, col, cnt="cnt"):
     sort.  ``g`` is persisted so the join-back reads the cache the
     blocked pass populated (the helper's projection reads THROUGH this
     cache) instead of replaying the caller's groupBy lineage."""
-    g = g.persist()
+    g = CR.track(g.persist())
     below = _blocked_cumsum(
         g.select(col, F.col(cnt).cast("double").alias("__w")), col, "__w"
     )
@@ -11051,8 +11054,8 @@ def _blocked_cumsum_multi(g, key, weights, persist_input=True):
     overhead (measured +0.2-0.4 s on conformal_coverage /
     user_survival_km in the r11 A/B)."""
     if persist_input:
-        g = g.persist()
-        g.count()
+        g = CR.track(g.persist())
+        CR.materialize(g)
     rng = g.agg(
         F.min(key).cast("double").alias("lo"),
         F.max(key).cast("double").alias("hi"),
@@ -12680,7 +12683,9 @@ def q_graph_adamic_adar(spark, sf):
     # in interleaved cold A/B (18.3/7.9/4.3 s vs 8.6/4.6/3.8 s lazy):
     # the extra actions only add latency — the same verdict the round
     # reached for hash_embedding_fidelity_eval (change 10).
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
+    edges = CR.track(
+        G.cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
+    )
     adj = edges.select(
         F.col("src").alias("z"), F.col("dst").alias("nb")
     ).unionAll(edges.select(F.col("dst").alias("z"), F.col("src").alias("nb")))
@@ -12698,6 +12703,7 @@ def q_graph_adamic_adar(spark, sf):
         .drop("rn")
         .persist()
     )
+    CR.track(capped)
     a1 = capped.select("z", F.col("nb").alias("x"), "deg")
     a2 = capped.select("z", F.col("nb").alias("y"))
     wedges = a1.join(a2, "z").filter(F.col("x") < F.col("y"))
@@ -12841,8 +12847,10 @@ def q_graph_assortativity(spark, sf):
     recompute the r9 trial paid is gone), and at 100 TB the recompute
     is real work regardless of local overlap, so it ships."""
     li = _t(spark, sf, "lineitem")
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
-    edges.count()
+    edges = CR.track(
+        G.cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
+    )
+    CR.materialize(edges)
     adj = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -13297,7 +13305,8 @@ def q_user_survival_km(spark, sf):
         F.sum("death").cast("double").alias("d"),
         F.sum(F.lit(1) - F.col("death")).cast("double").alias("c"),
     ).persist()
-    g.count()
+    CR.track(g)
+    CR.materialize(g)
     n_tot = g.agg(F.sum(F.col("d") + F.col("c")).alias("ntot"))
     cum = _blocked_cumsum_multi(
         g, "t", ["d", "c"], persist_input=False  # g persisted above
@@ -13318,6 +13327,7 @@ def q_user_survival_km(spark, sf):
             F.log(F.lit(1.0) - F.col("d") / F.col("n")),
         ).alias("lg"),
     ).persist()
+    CR.track(logterm)
     cum2 = _blocked_cumsum_multi(
         logterm.select("t", F.coalesce("lg", F.lit(0.0)).alias("lg")),
         "t",
@@ -13605,9 +13615,9 @@ def q_conformal_coverage(spark, sf):
     )
     cal = scored.where(F.col("half") == 0)
     ev = scored.where(F.col("half") == 1)
-    g = cal.groupBy("s").agg(
+    g = CR.track(cal.groupBy("s").agg(
         F.count("*").cast("double").alias("cnt")
-    ).persist()
+    ).persist())
     nk = g.agg(
         F.sum("cnt").alias("n_cal"),
         F.ceil((F.sum("cnt") + 1) * F.lit(1.0 - CONF_ALPHA))
@@ -16838,6 +16848,7 @@ def q_hash_embedding_fidelity_eval(spark, sf):
         .agg(F.sum("sign").cast("long").alias("v"))
         .persist()  # consumed by the dot join (twice) and the norms
     )
+    CR.track(comp)
     nrm = comp.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("l2")
     )
@@ -16969,8 +16980,8 @@ def q_hash_dim_fidelity_sweep(spark, sf):
     # full shingle transform below the semi-join as a size()>0 filter
     # over the whole corpus scan (measured: that pushed filter alone
     # re-shingled all docs per consuming subtree)
-    d_p = d.join(pair_docs, "doc_id", "semi").persist()
-    d_p.count()  # eager: both featurizers race a lazy cache (change 1)
+    d_p = CR.track(d.join(pair_docs, "doc_id", "semi").persist())
+    CR.materialize(d_p)  # eager: both featurizers race a lazy cache (change 1)
     variants = spark.createDataFrame(
         [("word", 64), ("word", 256), ("word", 1024), ("shingle", 1024)],
         "feature string, dim int",
@@ -17009,7 +17020,8 @@ def q_hash_dim_fidelity_sweep(spark, sf):
         )
         .persist()  # consumed by the dot join (twice) and the norms
     )
-    comp.count()  # eager: the three consumers race a lazy cache (change 1)
+    CR.track(comp)
+    CR.materialize(comp)  # eager: the three consumers race a lazy cache (change 1)
     nrm = comp.groupBy("feature", "dim", "doc_id").agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("l2")
     )
@@ -17295,7 +17307,9 @@ def q_topk_shard_merge_eval(spark, sf):
         (F.col("doc_id") % 8).alias("shard"),
         F.explode(F.split("text", " ")).alias("term"),
     )
-    sc = tok.groupBy("shard", "term").agg(F.count("*").alias("c")).persist()
+    sc = CR.track(
+        tok.groupBy("shard", "term").agg(F.count("*").alias("c")).persist()
+    )
     salt = F.pmod(F.hash("term"), F.lit(16))
     w1 = Window.partitionBy("shard", salt).orderBy(F.col("c").desc(), "term")
     w2 = Window.partitionBy("shard").orderBy(F.col("c").desc(), "term")
@@ -17493,6 +17507,7 @@ def q_ndcg_retrieval_eval(spark, sf):
         )
         .persist()
     )
+    CR.track(scored)
     salt = F.pmod(F.hash("doc_id"), F.lit(32))
     w1 = Window.partitionBy("qid", salt).orderBy(F.col("bm25").desc(), "doc_id")
     w2 = Window.partitionBy("qid").orderBy(F.col("bm25").desc(), "doc_id")

@@ -140,6 +140,14 @@ def main() -> None:
     )
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark(app_name=f"capture_plans_{tag}")
+    # explain-only consumer: skip the eager persist+count
+    # materializations (ADVICE r11 item 3) — the persist boundaries
+    # (and therefore the captured plan shape) are unchanged, but
+    # building the DataFrame no longer executes the full edge build /
+    # centroid assignment before the explain
+    from terraform_aws_lambda_kinesis_to_s3_spark import cachereg
+
+    cachereg.EAGER_MATERIALIZE = False
     for name in names:
         fn, _ = REGISTRY[name]
         df = fn(spark, sf)

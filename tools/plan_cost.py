@@ -172,6 +172,13 @@ def main() -> None:
                 else None
             )
             rows[name] = agg
+            # drop the query-LOCAL caches this entry persisted so the
+            # next entry's attribution starts from the same cache
+            # footprint (session-SHARED stages are handled by the
+            # snapshot/rollback above)
+            from terraform_aws_lambda_kinesis_to_s3_spark import cachereg
+
+            cachereg.release_all()
     finally:
         Q._t = orig_t
 
