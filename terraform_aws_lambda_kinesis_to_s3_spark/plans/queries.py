@@ -18599,6 +18599,19 @@ def q_ab_fdr_bh(spark, sf):
         .groupBy("event_type")
         .agg(F.sum("x").alias("k"))
     )
+    # `extreme` (m rows, m = #types) is consumed TWICE: the ranked main
+    # plan and the kstar broadcast aggregate.  Without a persist the
+    # broadcast side replayed the ENTIRE pipeline including the
+    # R-replicate md5 battery — the r12 before-plan shows the full
+    # battery subtree twice (plans/r12/ab_fdr_bh_before.txt, nodes
+    # 1-41 vs 42-86), so every md5 was evaluated twice per run.  Eager
+    # (persist + count): the broadcast job and the main stages are
+    # independently scheduled and would race a lazy cache, each
+    # recomputing the battery — the triangle-family lesson.  Cache is
+    # m rows; the battery now runs exactly once (r11 verdict item 6:
+    # each md5 computed once, reused across both consumers).
+    extreme = CR.track(extreme.persist())
+    CR.materialize(extreme)
     w = Window.orderBy(F.col("k").asc(), F.col("event_type").asc())
     ranked = (
         extreme.withColumn("r", F.row_number().over(w))
