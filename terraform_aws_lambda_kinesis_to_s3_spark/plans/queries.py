@@ -10481,12 +10481,20 @@ def _midranks_grouped(g, col, cnt="cnt"):
     midrank(v) = (# rows below v) + (cnt(v)+1)/2 reproduces
     AVG(row_number) over each tie group exactly; the prefix count is
     _blocked_cumsum's decomposable two-phase sum, never a global
-    sort.  ``g`` is persisted so the join-back reads the cache the
-    blocked pass populated (the helper's projection reads THROUGH this
-    cache) instead of replaying the caller's groupBy lineage."""
+    sort.  ``g`` is persisted EAGERLY here and the blocked pass opts
+    OUT of its own persist (ADVICE r11 item 4): the old shape lazily
+    persisted ``g`` AND let _blocked_cumsum_multi eagerly persist the
+    (col, __w) projection — two cache copies of the same
+    distinct-value table and an extra count job.  One eager cache on
+    ``g`` serves the helper's three internal consumers (reading
+    through the projection) and the join-back alike."""
     g = CR.track(g.persist())
+    CR.materialize(g)
     below = _blocked_cumsum(
-        g.select(col, F.col(cnt).cast("double").alias("__w")), col, "__w"
+        g.select(col, F.col(cnt).cast("double").alias("__w")),
+        col,
+        "__w",
+        persist_input=False,
     )
     return g.join(below, col).withColumn(
         "midrank", F.col("below") + (F.col(cnt) + 1) / 2
@@ -11094,16 +11102,17 @@ def _blocked_cumsum_multi(g, key, weights, persist_input=True):
     return out.select(key, *weights, *[f"below_{w}" for w in weights])
 
 
-def _blocked_cumsum(g, key, weight):
+def _blocked_cumsum(g, key, weight, persist_input=True):
     """Exact prefix sums WITHOUT a global single-partition sort: for a
     distinct-key table ``g(key, weight)``, returns (key, below) where
     below = Σ weight over keys strictly less than ``key``.  Thin
     single-weight wrapper over ``_blocked_cumsum_multi`` — one blocked
     implementation underlies ABC classification, midranks, KS, Heaps
-    and the concurrency sweep-line."""
-    return _blocked_cumsum_multi(g, key, [weight]).select(
-        key, F.col(f"below_{weight}").alias("below")
-    )
+    and the concurrency sweep-line.  ``persist_input`` forwards the
+    already-persisted opt-out (ADVICE r11 item 4)."""
+    return _blocked_cumsum_multi(
+        g, key, [weight], persist_input=persist_input
+    ).select(key, F.col(f"below_{weight}").alias("below"))
 
 
 def q_parts_abc_classification(spark, sf):
@@ -11132,7 +11141,16 @@ def q_parts_abc_classification(spark, sf):
         .agg(F.sum("rev").alias("grp_rev"), F.count("*").alias("n_parts"))
         .withColumn("negrev", -F.col("rev"))
     )
-    cum = _blocked_cumsum(g.select("negrev", "grp_rev"), "negrev", "grp_rev")
+    # one eager cache on g serves the helper's three internal
+    # consumers AND the join-back + totals below (ADVICE r11 item 4:
+    # the helper's own projection persist covered only the former,
+    # replaying the lineitem scan + two groupBys for the latter two)
+    g = CR.track(g.persist())
+    CR.materialize(g)
+    cum = _blocked_cumsum(
+        g.select("negrev", "grp_rev"), "negrev", "grp_rev",
+        persist_input=False,
+    )
     cum = cum.join(g, "negrev").withColumn(
         "cum_incl", F.col("below") + F.col("grp_rev")
     )
@@ -14156,8 +14174,13 @@ def q_events_brownout_windows(spark, sf):
     g = low.groupBy("idx").agg(
         F.min("h").alias("h"), F.min("c").alias("c")
     )
+    # one eager cache on g serves the helper's internal consumers AND
+    # the island join-back (ADVICE r11 item 4, same as parts_abc)
+    g = CR.track(g.persist())
+    CR.materialize(g)
     ranked = _blocked_cumsum(
-        g.select("idx", F.lit(1.0).alias("one")), "idx", "one"
+        g.select("idx", F.lit(1.0).alias("one")), "idx", "one",
+        persist_input=False,
     )
     islands = (
         g.join(ranked.select("idx", "below"), "idx")
