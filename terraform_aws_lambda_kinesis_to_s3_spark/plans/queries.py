@@ -16903,44 +16903,44 @@ def q_hash_embedding_fidelity_eval(spark, sf):
         .otherwise(-1)
         .alias("sign"),
     )
-    comp = (
-        signed.groupBy("doc_id", "bucket")
-        .agg(F.sum("sign").cast("long").alias("v"))
-        .persist()  # consumed by the dot join (twice) and the norms
+    comp = signed.groupBy("doc_id", "bucket").agg(
+        F.sum("sign").cast("long").alias("v")
     )
-    CR.track(comp)
-    nrm = comp.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("l2")
+    # same in-row dot rewrite as hash_dim_fidelity_sweep (r11 verdict
+    # item 5): the ≤64-bucket vector rides ONE map column per doc, so
+    # the norm table, the bucket-grain dot join + aggregate, the left
+    # join and comp's persist (single consumer now) all disappear —
+    # identical integer arithmetic, pair survives iff both docs have
+    # a vector (the inner nrm joins before).
+    vecs = comp.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "v"))
+        ).alias("m"),
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("l2"),
     )
-    dots = (
+    dot = F.expr(
+        "aggregate(map_values(map_zip_with(ma, mb,"
+        " (k, x, y) -> coalesce(x, 0L) * coalesce(y, 0L))),"
+        " 0L, (acc, p) -> acc + p)"
+    )
+    scored = (
         pairs.join(
-            comp.select(
+            vecs.select(
                 F.col("doc_id").alias("doc_a"),
-                "bucket",
-                F.col("v").alias("va"),
+                F.col("m").alias("ma"), F.col("l2").alias("na"),
             ),
             "doc_a",
         )
         .join(
-            comp.select(
+            vecs.select(
                 F.col("doc_id").alias("doc_b"),
-                "bucket",
-                F.col("v").alias("vb"),
+                F.col("m").alias("mb"), F.col("l2").alias("nb"),
             ),
-            ["doc_b", "bucket"],
+            "doc_b",
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("va") * F.col("vb")).cast("long").alias("dot"))
-    )
-    scored = (
-        pairs.join(dots, ["doc_a", "doc_b"], "left")
-        .join(nrm.select(F.col("doc_id").alias("doc_a"), F.col("l2").alias("na")), "doc_a")
-        .join(nrm.select(F.col("doc_id").alias("doc_b"), F.col("l2").alias("nb")), "doc_b")
         .select(
             "jac",
-            (F.coalesce("dot", F.lit(0)) / (F.col("na") * F.col("nb"))).alias(
-                "cosine"
-            ),
+            (dot / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
     )
     return scored.agg(
@@ -17062,70 +17062,66 @@ def q_hash_dim_fidelity_sweep(spark, sf):
         F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long").alias("h"),
     )
     tagged = tok.join(F.broadcast(variants), "feature")
-    comp = (
-        tagged.groupBy(
-            "feature",
-            "dim",
-            "doc_id",
-            (F.col("h") % F.col("dim")).alias("bucket"),
+    comp = tagged.groupBy(
+        "feature",
+        "dim",
+        "doc_id",
+        (F.col("h") % F.col("dim")).alias("bucket"),
+    ).agg(
+        F.sum(
+            F.when(
+                (F.col("h") / F.col("dim")).cast("long") % 2 == 0, 1
+            ).otherwise(-1)
         )
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("h") / F.col("dim")).cast("long") % 2 == 0, 1
-                ).otherwise(-1)
-            )
-            .cast("long")
-            .alias("v")
-        )
-        .persist()  # consumed by the dot join (twice) and the norms
+        .cast("long")
+        .alias("v")
     )
-    CR.track(comp)
-    CR.materialize(comp)  # eager: the three consumers race a lazy cache (change 1)
-    nrm = comp.groupBy("feature", "dim", "doc_id").agg(
-        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("l2")
+    # r11 verdict item 5 (stage-count cut): the old shape derived a
+    # norm table (groupBy) and an exact-dot table (pairs ⨝ comp ⨝ comp
+    # + groupBy) from a persisted comp, then re-joined pairs against
+    # nrm twice and dots once — five pair/doc-keyed exchanges plus two
+    # aggregates and comp's eager cache, 22 stages / an 8↔32-core
+    # ratio of 1.01 (stage-latency-bound).  comp's (bucket, v) rows
+    # are bounded at min(dim, #terms) per (feature, dim, doc), so the
+    # whole vector fits ONE map column: collect it (and its l2 norm)
+    # in a single grouped aggregate, attach the two vectors to each
+    # pair with two joins, and compute the exact integer dot IN-ROW
+    # via map_zip_with — no norm table, no dots table, no left join,
+    # no comp persist (single consumer now).  Arithmetic is identical:
+    # Σ va·vb over shared buckets in long, missing buckets contribute
+    # 0, and a pair survives iff both docs have a vector (the inner
+    # nrm joins before).
+    vecs = comp.groupBy("feature", "dim", "doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "v"))
+        ).alias("m"),
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("l2"),
     )
-    dots = (
-        pairs.join(
-            comp.select(
-                "feature", "dim", F.col("doc_id").alias("doc_a"), "bucket",
-                F.col("v").alias("va"),
-            ),
-            "doc_a",
-        )
-        .join(
-            comp.select(
-                "feature", "dim", F.col("doc_id").alias("doc_b"), "bucket",
-                F.col("v").alias("vb"),
-            ),
-            ["doc_b", "bucket", "feature", "dim"],
-        )
-        .groupBy("feature", "dim", "doc_a", "doc_b")
-        .agg(F.sum(F.col("va") * F.col("vb")).cast("long").alias("dot"))
+    dot = F.expr(
+        "aggregate(map_values(map_zip_with(ma, mb,"
+        " (k, x, y) -> coalesce(x, 0L) * coalesce(y, 0L))),"
+        " 0L, (acc, p) -> acc + p)"
     )
     scored = (
         pairs.join(
-            nrm.select(
+            vecs.select(
                 "feature", "dim", F.col("doc_id").alias("doc_a"),
-                F.col("l2").alias("na"),
+                F.col("m").alias("ma"), F.col("l2").alias("na"),
             ),
             "doc_a",
         )
         .join(
-            nrm.select(
+            vecs.select(
                 "feature", "dim", F.col("doc_id").alias("doc_b"),
-                F.col("l2").alias("nb"),
+                F.col("m").alias("mb"), F.col("l2").alias("nb"),
             ),
             ["doc_b", "feature", "dim"],
         )
-        .join(dots, ["doc_a", "doc_b", "feature", "dim"], "left")
         .select(
             "feature",
             "dim",
             "jac",
-            (F.coalesce("dot", F.lit(0)) / (F.col("na") * F.col("nb"))).alias(
-                "cosine"
-            ),
+            (dot / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
     )
     return scored.groupBy("feature", "dim").agg(
