@@ -541,9 +541,21 @@ def audio_pcm_stats(
     return df.mapInPandas(batches, PCM_STATS_SCHEMA)
 
 
-def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def extract_features(
+    df: DataFrame, id_col: str = "doc_id", include_features: bool = True
+) -> DataFrame:
     """mapInPandas feature extraction over (blob, meta) — Arrow record
-    batches in, typed rows out; no driver involvement, no collect."""
+    batches in, typed rows out; no driver involvement, no collect.
+
+    ``include_features=False`` is the metadata-only path for consumers
+    that discard the feature vector (the byte-accounting audit needs
+    only mime/n_bytes): mapInPandas is opaque to Catalyst, so an unused
+    ``features`` output can neither be pruned nor its decode skipped by
+    the optimizer — and the heavy input column must be dropped BEFORE
+    the boundary or every blob byte still crosses JVM->Arrow->Python
+    just to be ignored.  The skip projects ``blob`` away pre-boundary
+    and emits ``features`` as NULL; doc_id/mime/n_bytes are
+    batch-for-batch identical to the full path."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -552,11 +564,23 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "doc_id": pdf[id_col],
                     "mime": [m["mime"] for m in pdf["meta"]],
                     "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
-                    "features": [decode_stub(bytes(b)) for b in pdf["blob"]],
+                    "features": (
+                        [decode_stub(bytes(b)) for b in pdf["blob"]]
+                        if include_features
+                        else [None] * len(pdf)
+                    ),
                 }
             )
             yield out
 
+    # pass ONLY the columns the kernel reads across the Python
+    # boundary (guide §4.1): mapInPandas ships every input column, and
+    # Catalyst cannot prune through the opaque function — a caller
+    # handing over full attach_media output would otherwise ship the
+    # text column (as large as the blob itself) into Python unread
+    df = df.select(id_col, "blob", "meta") if include_features else (
+        df.select(id_col, "meta")
+    )
     return df.mapInPandas(batches, DECODED_SCHEMA)
 
 
@@ -620,7 +644,8 @@ def resize_media(df: DataFrame, id_col: str = "doc_id", width: int = 8, height: 
                 }
             )
 
-    return df.mapInPandas(batches, RESIZED_SCHEMA)
+    # only (id, blob) cross the boundary — the kernel reads nothing else
+    return df.select(id_col, "blob").mapInPandas(batches, RESIZED_SCHEMA)
 
 
 def sample_frames(df: DataFrame, id_col: str = "doc_id", n_frames: int = 4) -> DataFrame:
@@ -636,7 +661,8 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", n_frames: int = 4) -> D
                     frames.append(fr)
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
-    return df.mapInPandas(batches, FRAMES_SCHEMA)
+    # only (id, blob) cross the boundary — the kernel reads nothing else
+    return df.select(id_col, "blob").mapInPandas(batches, FRAMES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -7287,7 +7287,14 @@ def q_multimodal_meta_audit(spark, sf):
     # prune before the mapInPandas kernels: a python-UDF boundary blocks
     # Catalyst column pruning, so hand it only (doc_id, text)
     media = attach_media(d.select("doc_id", "text"))
-    feats = extract_features(media).select("doc_id", "n_bytes")
+    # metadata-only feature pass (guide §4.1): the audit keeps only
+    # n_bytes, so the blob must not cross the Python boundary in this
+    # branch and the discarded per-byte decode must not run — the
+    # resize and frame branches still round-trip every blob byte, so
+    # the binary plumbing stays exercised end-to-end
+    feats = extract_features(media, include_features=False).select(
+        "doc_id", "n_bytes"
+    )
     thumbs = resize_media(media).select(
         "doc_id", F.octet_length("thumb").alias("tb")
     )

@@ -548,6 +548,7 @@ def test_all_committed_artifacts_carry_admission_gate():
         ("tools/envelope_bench.py", "ENVELOPE_BENCH_rejected.json"),
         ("tools/bench_sf1.py", "BENCH_SF1_rejected.json"),
         ("tools/plan_cost.py", "_rejected.json"),
+        ("tools/core_scaling.py", "_rejected"),
     ]:
         src = open(os.path.join(repo, tool)).read()
         assert "calibration_admission" in src, tool

@@ -151,6 +151,53 @@ def test_multimodal_plumbing(spark):
     assert out[0].mime == "application/octet-stream"
 
 
+def test_extract_features_metadata_only_path(spark):
+    """include_features=False (the byte-accounting audit's branch) must
+    return doc_id/mime/n_bytes row-identical to the full path, with the
+    feature vector NULL — and must not require the blob column to cross
+    the Python boundary (it is projected away before mapInPandas)."""
+    df = attach_media(_docs(spark, ["hello", "world!", ""]))
+    full = extract_features(df).orderBy("doc_id").collect()
+    meta = extract_features(df, include_features=False).orderBy(
+        "doc_id"
+    ).collect()
+    assert [(r.doc_id, r.mime, r.n_bytes) for r in full] == [
+        (r.doc_id, r.mime, r.n_bytes) for r in meta
+    ]
+    assert all(r.features is None for r in meta)
+    # the pre-boundary projection drops blob: the audit branch ships
+    # only (doc_id, meta) into Python — the MapInPandas node's direct
+    # child must not expose a blob column
+    node = (
+        extract_features(df, include_features=False)
+        ._jdf.queryExecution()
+        .analyzed()
+    )
+    child_out = node.children().head().output().mkString("|")
+    assert child_out.startswith("doc_id#") and "|meta#" in child_out
+    assert "blob" not in child_out
+    # all three media kernels project pre-boundary: only the columns
+    # the function reads cross into Python (text/meta never ship where
+    # unread)
+    from terraform_aws_lambda_kinesis_to_s3_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+    )
+
+    for op, want in [
+        (extract_features(df), ["doc_id#", "blob#", "meta#"]),
+        (resize_media(df), ["doc_id#", "blob#"]),
+        (sample_frames(df), ["doc_id#", "blob#"]),
+    ]:
+        cols = (
+            op._jdf.queryExecution().analyzed().children().head()
+            .output().mkString("|")
+        ).split("|")
+        assert len(cols) == len(want) and all(
+            c.startswith(w) for c, w in zip(cols, want)
+        ), cols
+
+
 def test_png_gif_header_parse_known_fixtures():
     """The REAL codec must read dimensions from independently-produced
     bytes: the canonical 1x1 transparent PNG (byte-for-byte the file
