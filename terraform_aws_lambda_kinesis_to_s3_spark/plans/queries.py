@@ -60,10 +60,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False) -
 #: caches key on (applicationId, sf_dir), which is only a valid
 #: identity while tables actually come from that on-disk directory;
 #: tests swap ``_t`` for in-memory fixtures (a NEW dataset per call
-#: under the same sf string), so shared-cache helpers compare
-#: ``_t is _T_CANONICAL`` and bypass their cache when the loader has
-#: been replaced.
+#: under the same sf string), so shared-cache helpers call
+#: ``_loader_is_canonical()`` and bypass their cache when the loader
+#: has been replaced.  An instrumenting wrapper that still delegates
+#: to load_table (tools/plan_cost.py) marks itself with
+#: ``__wraps_canonical__ = True`` to keep the cache live.
 _T_CANONICAL = _t
+
+
+def _loader_is_canonical() -> bool:
+    return _t is _T_CANONICAL or getattr(_t, "__wraps_canonical__", False)
 
 
 def _dec(c) -> F.Column:
@@ -8675,7 +8681,7 @@ def _quarter_edges(spark, sf) -> DataFrame:
     # cache must stand down or the second fixture silently reads the
     # first one's edges.  Per-call persist keeps the within-query
     # reuse (degrees + pair enumeration) on the bypass path.
-    if _t is not _T_CANONICAL:
+    if not _loader_is_canonical():
         e = CR.track(
             G.cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
         )

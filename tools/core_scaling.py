@@ -48,11 +48,42 @@ DEFAULT_NAMES = [
 ]
 
 
+#: JVM heap for the sf1 legs.  The first receipt attempt ran both legs
+#: in the session default 16 g and the 32-core window was REFUSED at
+#: jvm_calib 0.40 s (2.7x the ceiling) with several ratios INVERTED
+#: (8c beating 32c — graph_triangle_parts 51 s at 32c vs 24.5 s at 8c,
+#: distinct_aggs 5.95 vs 2.67): 32 concurrent sf1-sized hash/sort
+#: buffers in one 16 g JVM are GC-bound, so the measurement answered
+#: "is 16 g enough for 32 tasks at sf1" (no) instead of "do the plans
+#: parallelize with cores".  64 g removes the heap as the binding
+#: constraint on this 128 GiB host; the value is recorded in the
+#: artifact and overridable via SPARK_DRIVER_MEMORY.
+SF1_DRIVER_MEMORY = os.environ.get("SPARK_DRIVER_MEMORY", "64g")
+
+
+#: shuffle partitions are HELD FIXED across both legs (default 32, the
+#: main harness value) so the core count is the ONLY variable.  The
+#: session default ties partitions to SPARK_GRAFT_CPUS, which at sf1
+#:  conflates two effects: the quarter/full co-occurrence edge builds
+#: dedup duplicated pairs in the map-side partial of their distinct,
+#: and FEWER/larger partitions dedup far more before the exchange —
+#: measured solo on graph_triangle_parts at 32 cores/sf1: the pair
+#: shuffle writes 598 MB at 8 partitions vs 1561 MB at 32, and the
+#: read-side stage burns 3230 executor-s (211 s GC) vs 118 — so a
+#: partitions-follow-cores A/B reads as ANTI-scaling (ratio 0.39-0.48
+#: in two windows) when the plans parallelize fine at constant
+#: partitioning.  Fixing the partition count isolates the question the
+#: receipt answers: do the optimized plans parallelize with CORES.
+SF1_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+
+
 def run_bench(names: list[str], sf_dir: str, cpus: int) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_DRIVER_MEMORY=SF1_DRIVER_MEMORY,
+        SPARK_GRAFT_SHUFFLE_PARTITIONS=SF1_SHUFFLE_PARTITIONS,
     )
     r = subprocess.run(
         [sys.executable, os.path.join(_REPO, "bench.py"), "--only",
@@ -112,10 +143,14 @@ def main() -> None:
         "total_sec_8c": round(
             sum(v["sec_8c"] for v in queries.values()), 3),
         "median_ratio": ratios[len(ratios) // 2] if ratios else None,
-        "harness": ("bench.py --only; master local[N] and "
-                    "spark.sql.shuffle.partitions both follow "
-                    "SPARK_GRAFT_CPUS, like the driver's low-core "
-                    "window; min-of-REPEATS per entry"),
+        "harness": ("bench.py --only; master local[N] follows "
+                    "SPARK_GRAFT_CPUS; shuffle partitions HELD at "
+                    f"{SF1_SHUFFLE_PARTITIONS} in BOTH legs so cores "
+                    "are the only variable (see SF1_SHUFFLE_PARTITIONS "
+                    "note); min-of-REPEATS per entry; JVM heap "
+                    f"{SF1_DRIVER_MEMORY} (see SF1_DRIVER_MEMORY note)"),
+        "driver_memory": SF1_DRIVER_MEMORY,
+        "shuffle_partitions": SF1_SHUFFLE_PARTITIONS,
         "queries": queries,
         "calibration_admission": {
             str(c): runs[c].get("calibration_admission")
