@@ -97,20 +97,45 @@ def host_calibration(spark) -> dict:
 CALIB_ADMIT_MAX = {"cpu_calib_sec": 0.05, "jvm_calib_sec": 0.15}
 
 
-def calibration_admitted(calib: dict) -> "tuple[bool, list[str]]":
+def calibration_admitted(
+    calib: dict, cpus: "int | None" = None
+) -> "tuple[bool, list[str]]":
     """Admission decision for a committed sweep artifact: every probe
     in CALIB_ADMIT_MAX must read at or under its ceiling.  Returns
     (admitted, reasons); a probe missing from ``calib`` is a refusal
     reason too — an artifact without its calibration block cannot
-    prove the window it ran in."""
+    prove the window it ran in.
+
+    The jvm probe is a FIXED 32-task reduce, so on a low-core session
+    (the driver's own scaling window runs at SPARK_GRAFT_CPUS=8) the
+    32 tasks execute in ceil(32/cores) waves and the probe is
+    structurally that many times slower on a perfectly healthy host —
+    the r12 core-scaling receipt lost six straight 8-core windows to
+    readings of 0.148-0.26 s that are BELOW the 32-core nominal on a
+    per-wave basis.  The ceiling therefore scales with the wave count;
+    at 32+ cores the admission is numerically unchanged from every
+    previously committed artifact (test-pinned)."""
     reasons = []
-    for probe, ceiling in CALIB_ADMIT_MAX.items():
+    for probe, ceiling in effective_calib_limits(cpus).items():
         got = calib.get(probe)
         if got is None:
             reasons.append(f"{probe} missing from calibration block")
         elif got > ceiling:
             reasons.append(f"{probe} {got} > ceiling {ceiling}")
     return (not reasons, reasons)
+
+
+def effective_calib_limits(cpus: "int | None" = None) -> dict:
+    """CALIB_ADMIT_MAX with the jvm ceiling scaled by the probe's wave
+    count at the session's core count (see calibration_admitted).
+    Committed artifacts record THESE limits so a low-core artifact
+    shows the ceiling that actually gated it."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    waves = max(1, -(-32 // max(1, cpus)))  # ceil(32 / cores)
+    lim = dict(CALIB_ADMIT_MAX)
+    lim["jvm_calib_sec"] = round(lim["jvm_calib_sec"] * waves, 4)
+    return lim
 
 HEADLINE = [
     # Tier A pipeline
@@ -681,7 +706,7 @@ def main() -> None:
         # a committed BENCH_FULL is self-certifying (r9 verdict item 2)
         "calibration_admission": {
             "admitted": admitted,
-            "limits": CALIB_ADMIT_MAX,
+            "limits": effective_calib_limits(),
             "probes": calib,
             "reasons": admit_reasons,
         },

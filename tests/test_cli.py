@@ -283,6 +283,30 @@ def test_bench_calibration_admission_gate():
     # a sweep without its probe block cannot prove its window
     ok, reasons = calibration_admitted({"jvm_calib_sec": 0.1})
     assert not ok and any("cpu_calib_sec" in r for r in reasons)
+    # low-core sessions: the jvm probe is a FIXED 32-task reduce, so
+    # at 8 cores it runs 4 waves and the ceiling scales with the wave
+    # count (r12: six straight 8-core receipt windows were refused at
+    # 0.148-0.26 s — healthy per-wave readings judged against the
+    # 32-core ceiling).  At 32+ cores nothing changes.
+    from bench import effective_calib_limits
+
+    assert effective_calib_limits(32) == CALIB_ADMIT_MAX
+    assert effective_calib_limits(8)["jvm_calib_sec"] == 0.6
+    assert effective_calib_limits(8)["cpu_calib_sec"] == 0.05
+    ok, reasons = calibration_admitted(
+        {"cpu_calib_sec": 0.031, "jvm_calib_sec": 0.45}, cpus=8
+    )
+    assert ok and reasons == []
+    ok, reasons = calibration_admitted(
+        {"cpu_calib_sec": 0.031, "jvm_calib_sec": 0.45}, cpus=32
+    )
+    assert not ok
+    # the r9 discard threshold still refuses even at 8 cores when the
+    # reading exceeds the scaled ceiling
+    ok, _ = calibration_admitted(
+        {"cpu_calib_sec": 0.031, "jvm_calib_sec": 0.65}, cpus=8
+    )
+    assert not ok
 
 
 def test_control_band_baselines_pinned():

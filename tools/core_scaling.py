@@ -114,9 +114,19 @@ def main() -> None:
     )
     runs = {}
     for cpus in (32, 8):
-        print(f"== bench --only ({len(names)} entries) at {sf_dir}, "
-              f"SPARK_GRAFT_CPUS={cpus} ==")
-        runs[cpus] = run_bench(names, sf_dir, cpus)
+        # the admission probes are a point measurement of host noise at
+        # session start; this co-tenant host hovers around the 0.15
+        # jvm ceiling, so re-trying a refused leg in a hopefully
+        # quieter window is exactly what the admission gate asks for
+        # (the probe gates the window, it never looks at the results)
+        for attempt in range(3):
+            print(f"== bench --only ({len(names)} entries) at {sf_dir}, "
+                  f"SPARK_GRAFT_CPUS={cpus} (attempt {attempt + 1}) ==")
+            runs[cpus] = run_bench(names, sf_dir, cpus)
+            adm = runs[cpus].get("calibration_admission") or {}
+            if adm.get("admitted", runs[cpus].get("calibration_admitted")):
+                break
+            print(f"   refused: {adm.get('reasons')}")
 
     queries = {}
     for q in names:

@@ -79,7 +79,8 @@ def main() -> None:
     runs = sorted(round(one_run(), 4) for _ in range(repeats))
     best, median = runs[0], runs[len(runs) // 2]
 
-    from bench import CALIB_ADMIT_MAX, calibration_admitted, host_calibration
+    from bench import (CALIB_ADMIT_MAX, calibration_admitted,  # noqa: F401
+                   effective_calib_limits, host_calibration)
 
     calib = host_calibration(spark)
     admitted, admit_reasons = calibration_admitted(calib)
@@ -107,7 +108,7 @@ def main() -> None:
         # window that gates BENCH_FULL gates this committed artifact
         "calibration_admission": {
             "admitted": admitted,
-            "limits": CALIB_ADMIT_MAX,
+            "limits": effective_calib_limits(),
             "probes": calib,
             "reasons": admit_reasons,
         },

@@ -92,7 +92,8 @@ def main() -> None:
     # self-certification (r10 verdict item 4): byte metrics are mostly
     # load-independent, but spill CAN move with memory pressure and a
     # committed artifact must prove the window it ran in either way.
-    from bench import CALIB_ADMIT_MAX, calibration_admitted, host_calibration
+    from bench import (CALIB_ADMIT_MAX, calibration_admitted,  # noqa: F401
+                   effective_calib_limits, host_calibration)
 
     calib = host_calibration(spark)
     admitted, admit_reasons = calibration_admitted(calib)
@@ -203,7 +204,7 @@ def main() -> None:
         "disk_spill_queries": spill,
         "calibration_admission": {
             "admitted": admitted,
-            "limits": CALIB_ADMIT_MAX,
+            "limits": effective_calib_limits(),
             "probes": calib,
             "reasons": admit_reasons,
         },
